@@ -1,0 +1,111 @@
+"""Table registry — registering sources on the session.
+
+Reference parity: the reference registers tables on the ``SessionContext``
+before serving — ``MemTable`` batches in tests (reference:
+datafusion-flight-sql-server/tests/integration_test.rs:17-58) and CSV in
+examples (examples/flight-sql.rs:25-27). Spark equivalents: temp views over
+``spark.createDataFrame`` and ``spark.read.csv/parquet``.
+
+Scale note: parquet scans here are plain ``spark.read.parquet`` — schema comes
+from footer metadata, partition/predicate pruning and column projection are
+Catalyst's job and verified in tests via ``PushedFilters``/``ReadSchema`` in
+the formatted plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Driver-generated tables (TESTDATA.md), one parquet file per table.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_sf_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every scale-factor parquet table as a temp view.
+
+    Returns {name: DataFrame}. Cheap to call repeatedly (no I/O beyond the
+    parquet footer read at plan time).
+    """
+    _ensure_runtime_confs(spark)
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _fix_nanos_ts(df)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _ensure_runtime_confs(spark: SparkSession) -> None:
+    """Set the runtime confs correctness depends on, defensively.
+
+    Callers (the driver harness included) may hand us a vanilla
+    SparkSession built without ``engine.session.build_session``; these
+    three are runtime-settable and required: nanos timestamps readable,
+    UTC semantics (DuckDB/Arrow are UTC-naive), Arrow-batched transfers.
+    """
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf locked → keep going
+            pass
+
+
+def _fix_nanos_ts(df: DataFrame) -> DataFrame:
+    """Convert TIMESTAMP(NANOS) columns (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``) back to timestamps.
+
+    Integer division (``div``) keeps the nanos→micros truncation exact —
+    a double roundtrip would lose sub-second precision at 2024-era epochs.
+    DuckDB applies the same floor-truncation reading TIMESTAMP_NS, so both
+    engines see identical microsecond values.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_csv(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """CSV registration with header + schema inference.
+
+    Parity with ``register_csv`` (reference: examples/flight-sql.rs:25-27,
+    default CsvReadOptions = header true, infer schema).
+    """
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def register_memtable(
+    spark: SparkSession, name: str, data: list[tuple], schema
+) -> DataFrame:
+    """In-memory table registration.
+
+    Parity with ``MemTable`` registration (reference:
+    tests/integration_test.rs:34-35,53-55). ``schema`` is a Spark StructType
+    or DDL string.
+    """
+    df = spark.createDataFrame(data, schema=schema)
+    df.createOrReplaceTempView(name)
+    return df

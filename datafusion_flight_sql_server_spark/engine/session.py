@@ -1,0 +1,85 @@
+"""SparkSession factory — the engine's ``SessionContext`` analogue.
+
+The reference mints a per-request DataFusion ``SessionState`` from a provider
+(reference: datafusion-flight-sql-server/src/session.rs:9-31,
+service.rs:133-151). Here one tuned base SparkSession plays the role of the
+static state; per-request isolation uses ``spark.newSession()`` (shared JVM,
+shared executors/catalog, isolated temp views and confs).
+
+Scale posture (100 TB / 1000-executor design, tested on local[N]):
+
+- AQE on (+ partition coalescing + skew-join splitting): runtime re-planning
+  replaces hand-tuned shuffle-partition counts; at cluster scale the
+  ``spark.sql.shuffle.partitions`` value below is a *ceiling* that AQE
+  coalesces down from, so it should scale with cluster cores, not data size.
+- Arrow transfers on: every Python-boundary crossing (toArrow / pandas_udf /
+  mapInPandas) is Arrow-batched, never row-pickled.
+- Session timezone pinned to UTC so timestamp semantics are engine-portable
+  (DuckDB/Arrow are UTC-naive).
+- Broadcast threshold left at default (10 MB) — dimension tables (region,
+  nation, supplier, part at most SFs) broadcast automatically; AQE converts
+  sort-merge to broadcast joins at runtime when a shuffle side turns out
+  small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus != "*":
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def build_session(
+    app_name: str = "datafusion-flight-sql-server-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (``local[*]`` if the
+    env var is unset) so the driver's bench harness controls parallelism.
+    """
+    par = _default_parallelism()
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # Local mode: one partition per core is the sweet spot; AQE coalesces
+        # further. On a real cluster this should be ~2-3x total cores.
+        shuffle_partitions = max(par, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert (see registry.register_sf_tables)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session(spark: SparkSession) -> None:
+    spark.stop()

@@ -1,0 +1,176 @@
+"""Plan-only schema derivation (no execution).
+
+Reference behavior: result schemas for ``GetFlightInfo`` come from the
+*logical plan alone* (reference: datafusion-flight-sql-server/src/
+service.rs:330,1032-1083), parameter schemas from placeholder types in the
+plan (service.rs:1085-1105), and an optional config attaches each output
+field's source table name as field metadata (service.rs:1044-1070,
+config.rs:1-14).
+
+Spark equivalents: ``spark.sql(...).schema`` triggers analysis only (no job);
+Arrow conversion via pyspark's own type mapper; qualifier recovery walks the
+analyzed JVM plan's output attributes (Spark keeps ``AttributeReference
+.qualifier`` through analysis, which is exactly DataFusion's ``DFSchema``
+qualifier).
+
+Parameter-schema inference is the declared divergence (SURVEY.md §7 H3):
+Spark cannot type placeholders from the plan before binding, so placeholders
+are typed by a lightweight comparison-context scan, defaulting to string.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datafusion_flight_sql_server_spark.plans.params import placeholder_names
+
+try:  # pyspark's canonical Spark→Arrow type mapping
+    from pyspark.sql.pandas.types import to_arrow_schema as _to_arrow_schema
+except ImportError:  # pragma: no cover
+    _to_arrow_schema = None
+
+
+def schema_for_plan(spark: SparkSession, sql: str) -> T.StructType:
+    """Analyzed result schema for ``sql`` — planning only, no job runs.
+
+    Parity with ``get_schema_for_plan`` (reference: service.rs:1032-1043):
+    the reference derives the schema from ``LogicalPlan::schema()``;
+    ``DataFrame.schema`` is the same analysis-only operation in Spark.
+    """
+    return spark.sql(sql).schema
+
+
+def arrow_schema_for_df(df: DataFrame, with_table_metadata: bool = False) -> pa.Schema:
+    """Arrow schema of a DataFrame, optionally with per-field ``table_name``
+    metadata recovered from the analyzed plan's qualifiers.
+
+    Parity with ``encode_schema``/``get_schema_for_plan`` metadata behavior
+    (reference: service.rs:1044-1083, config.rs:3-5). The reference also
+    "hydrates" dictionary fields through an empty FlightDataEncoder; Spark's
+    Arrow export never emits dictionary-encoded fields, so no hydration pass
+    is needed (declared divergence, SURVEY.md §4).
+    """
+    if _to_arrow_schema is not None:
+        schema = _to_arrow_schema(df.schema)
+    else:  # pragma: no cover - fallback via an empty collect
+        schema = df.limit(0).toArrow().schema
+    if with_table_metadata:
+        quals = qualifier_metadata(df)
+        fields = []
+        for field in schema:
+            q = quals.get(field.name)
+            if q:
+                meta = dict(field.metadata or {})
+                meta[b"table_name"] = q.encode()
+                field = field.with_metadata(meta)
+            fields.append(field)
+        schema = pa.schema(fields, metadata=schema.metadata)
+    return schema
+
+
+def qualifier_metadata(df: DataFrame) -> dict[str, str]:
+    """Map output column name → source table/alias qualifier.
+
+    Walks the analyzed JVM plan's output ``AttributeReference.qualifier``
+    (the last qualifier part is the table name or subquery alias), matching
+    the reference's DFSchema-qualifier walk (service.rs:1050-1062) including
+    aliases introduced by subqueries/joins
+    (tests/schema_metadata_test.rs:113-179).
+    """
+    out: dict[str, str] = {}
+    try:
+        jdf = df._jdf
+        attrs = jdf.queryExecution().analyzed().output()
+        for i in range(attrs.size()):
+            attr = attrs.apply(i)
+            qual = attr.qualifier()
+            if qual.size() > 0:
+                out[attr.name()] = qual.apply(qual.size() - 1)
+    except Exception:  # pragma: no cover - Connect / JVM-less fallback
+        pass
+    return out
+
+
+# --- parameter schema inference (H3) ---------------------------------------
+
+_NUM_RE = re.compile(r"^\d+$")
+
+
+def parameter_schema_for_sql(spark: SparkSession, sql: str) -> pa.Schema:
+    """Best-effort parameter schema for a prepared statement.
+
+    Parity target: ``parameter_schema_for_plan`` (reference:
+    service.rs:1085-1105) — DataFusion types placeholders from the analyzed
+    plan and returns them in stable (BTreeMap) order. Spark cannot analyze a
+    plan containing unbound parameters, so we infer each placeholder's type
+    from its comparison context: ``col <op> $1`` adopts ``col``'s type;
+    anything else defaults to string. Field order: numeric placeholders
+    sorted by index, then named ones sorted lexicographically (the
+    reference's BTreeMap order for ``$1 < $10 < $2`` string keys is matched
+    for the common single-digit case; we sort numerics numerically, a
+    declared improvement).
+    """
+    names = placeholder_names(sql)
+    if not names:
+        return pa.schema([])
+    resolved_types = _infer_types_from_context(spark, sql, names)
+    nums = sorted((n for n in names if _NUM_RE.match(n)), key=int)
+    named = sorted(n for n in names if not _NUM_RE.match(n))
+    fields = [
+        pa.field(f"${n}" if _NUM_RE.match(n) else n, resolved_types.get(n, pa.string()))
+        for n in nums + named
+    ]
+    return pa.schema(fields)
+
+
+_CMP_BEFORE = re.compile(
+    r"([A-Za-z_][A-Za-z_0-9.]*)\s*(?:=|<>|!=|<=|>=|<|>)\s*\$({name})\b"
+)
+_CMP_AFTER = re.compile(
+    r"\$({name})\s*(?:=|<>|!=|<=|>=|<|>)\s*([A-Za-z_][A-Za-z_0-9.]*)"
+)
+
+
+def _infer_types_from_context(
+    spark: SparkSession, sql: str, names: list[str]
+) -> dict[str, pa.DataType]:
+    """Type each placeholder from a ``col <op> $n`` comparison if possible."""
+    out: dict[str, pa.DataType] = {}
+    # Column types of every table referenced in the query, best effort.
+    col_types: dict[str, pa.DataType] = {}
+    for tbl in _table_names(sql):
+        try:
+            schema = spark.table(tbl).schema
+        except Exception:
+            continue
+        if _to_arrow_schema is not None:
+            arrow = _to_arrow_schema(schema)
+            for f in arrow:
+                col_types.setdefault(f.name.lower(), f.type)
+    for name in names:
+        pat_b = re.compile(_CMP_BEFORE.pattern.format(name=re.escape(name)))
+        pat_a = re.compile(_CMP_AFTER.pattern.format(name=re.escape(name)))
+        col = None
+        m = pat_b.search(sql)
+        if m:
+            col = m.group(1)
+        else:
+            m = pat_a.search(sql)
+            if m:
+                col = m.group(2)
+        if col:
+            t = col_types.get(col.split(".")[-1].lower())
+            if t is not None:
+                out[name] = t
+    return out
+
+
+_FROM_RE = re.compile(r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z_0-9.]*)", re.I)
+
+
+def _table_names(sql: str) -> list[str]:
+    return list(dict.fromkeys(_FROM_RE.findall(sql)))

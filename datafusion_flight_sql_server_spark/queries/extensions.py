@@ -1,0 +1,293 @@
+"""North-star extension queries (SURVEY.md §2.C) — batch entry points.
+
+These wrap the reusable operators in ``operators/`` / ``functions/`` /
+``streaming/`` as declared catalog queries with DuckDB oracles. They go
+beyond the reference (which has no data-pipeline operators) per the repo
+north star: dedup, text analysis, similarity search, multimodal plumbing,
+event-time windows — each designed for 100 TB (no driver-side loops, no
+unblocked cross joins, deterministic hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_flight_sql_server_spark.queries.catalog import query, tables
+from datafusion_flight_sql_server_spark.functions.text import (
+    STOPWORDS_BY_LANG,
+    doc_fingerprint,
+    lang_scores,
+    quality_score_col,
+    token_count_cols,
+)
+from datafusion_flight_sql_server_spark.operators.dedup import dedup_exact
+from datafusion_flight_sql_server_spark.streaming.sessionize import sessionize
+from datafusion_flight_sql_server_spark.streaming.windows import tumbling_counts
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    doc="Exact dedup by content hash: canonical representative = MIN(doc_id)"
+    " per md5(text) group. Hash-groupBy scales linearly (one shuffle on the "
+    "digest); deterministic, unlike dropDuplicates' arbitrary row pick.",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup_exact(tables(spark, sf)["documents"], key="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_computed,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(string_split(text, ' '), w -> LENGTH(w)))
+                    AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents
+    """,
+    doc="Quality-scoring signals: char/word counts, mean word length, "
+    "unique-token ratio — all JVM builtins, no UDF (higher-order "
+    "aggregate over the token array).",
+    tags=("text",),
+)
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    words = F.split(F.col("text"), " ")
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        F.size(words).cast("bigint").alias("n_words"),
+        (total_len.cast("double") / F.size(words)).alias("avg_word_len"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias(
+            "uniq_ratio"
+        ),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+        SELECT doc_id,
+               ROUND(
+                 0.4 * LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
+                 + 0.3 * (len(list_distinct(string_split(text, ' ')))
+                          / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                 + 0.3 * (len(list_filter(string_split(text, ' '),
+                              w -> w IN ('the', 'a')))
+                          / CAST(len(string_split(text, ' ')) AS DOUBLE)),
+                 6) AS quality
+        FROM documents
+    """,
+    doc="Composite quality score: length saturation + lexical diversity + "
+    "stopword ratio (deterministic double formula, identical both engines).",
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    return d.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_tokens",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+                   AS re_tokens,
+               CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+        FROM documents
+    """,
+    doc="Token counting: whitespace split, regex word tokenizer, and the "
+    "chars/4 BPE estimate used for LLM budget accounting.",
+    tags=("text",),
+)
+def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    ws, re_t, bpe = token_count_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        re_t.alias("re_tokens"),
+        bpe.alias("approx_bpe_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))),
+                   ' ')) AS fingerprint
+        FROM documents
+    """,
+    doc="Document fingerprint: md5 over the sorted distinct token set "
+    "(case-folded) — canonical near-dup blocking key; identical digests "
+    "across engines.",
+    tags=("text", "dedup"),
+)
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _langid_oracle() -> str:
+    """Build the DuckDB CASE expression mirroring lang_scores()."""
+    score_exprs = []
+    for lang, words in STOPWORDS_BY_LANG.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({lst})))"
+            f" AS score_{lang}"
+        )
+    scores = ",\n               ".join(score_exprs)
+    langs = list(STOPWORDS_BY_LANG)
+    # argmax with first-wins tie-break in declared language order
+    cond = " ".join(
+        f"WHEN score_{lang} >= GREATEST({', '.join('score_' + l for l in langs)}) "
+        f"THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+        SELECT doc_id, lang AS labeled_lang,
+               CASE {cond} ELSE 'und' END AS predicted_lang
+        FROM (SELECT doc_id, lang, {scores} FROM documents)
+    """
+
+
+@query(
+    "text_langid",
+    oracle=_langid_oracle(),
+    doc="Language ID via stopword-hit scoring (argmax over per-language "
+    "stopword lists, deterministic first-wins tie-break). A real n-gram "
+    "model slots into the same shape; the synthetic corpus shares one "
+    "vocabulary so the labeled lang is not recoverable — the operator "
+    "contract (deterministic scoring + argmax) is what's verified.",
+    tags=("text",),
+)
+def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    scored = d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), *lang_scores(F.col("text"))
+    )
+    langs = list(STOPWORDS_BY_LANG)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    # first-wins: build from the last lang backwards so earlier langs override
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") >= best, F.lit(lang)).otherwise(pred)
+    return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal column plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS digest,
+               'text/plain' AS mime
+        FROM documents
+    """,
+    doc="Multimodal column convention: payload as opaque BINARY + typed "
+    "metadata (byte size, content digest, mime). Decode/feature-extract "
+    "steps are Pandas-UDF stages over mapInPandas (operators/multimodal.py);"
+    " blobs stay out-of-row and are never collected to the driver.",
+    tags=("multimodal",),
+)
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    blob = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time operators (batch-first; streaming variants in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_tumbling_window",
+    oracle="""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window (1h) × event_type — batch analogue of "
+    "the Structured Streaming windowed agg (streaming/windows.py); window "
+    "start emitted as epoch seconds for engine-portable hashing.",
+    tags=("events", "window"),
+)
+def q_event_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    return tumbling_counts(e, duration="1 hour")
+
+
+@query(
+    "event_sessionize",
+    oracle="""
+        WITH flagged AS (
+            -- epoch_us // 1000000 floors like Spark's unix_timestamp;
+            -- CAST(epoch(..) AS BIGINT) would ROUND the fractional second
+            SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep,
+                   CASE WHEN CAST(epoch_us(ts) // 1000000 AS BIGINT)
+                             - LAG(CAST(epoch_us(ts) // 1000000 AS BIGINT)) OVER w > 1800
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ep,
+                   SUM(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ep
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               CAST(MAX(ep) - MIN(ep) AS BIGINT) AS duration_s
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30 min) — lag + cumulative-sum session "
+    "ids, the batch analogue of session_window(); integer epoch arithmetic "
+    "keeps it exact. Scales as one shuffle on user_id.",
+    tags=("events", "session"),
+)
+def q_event_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    return sessionize(e, gap_seconds=1800)

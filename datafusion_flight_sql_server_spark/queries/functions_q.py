@@ -1,0 +1,315 @@
+"""Scalar function queries (SURVEY.md §2.B scalar surface).
+
+The reference delegates its entire scalar library to DataFusion
+(reference: datafusion-flight-sql-server/src/service.rs:171); these queries
+pin the Spark↔ANSI equivalence for each function family: string, regex,
+date/time, math, conditional, cast, array/list, explode/unnest, JSON.
+
+Portability notes baked into the queries (engine-semantics deltas):
+- double→int casts: Spark truncates, DuckDB rounds → go through FLOOR.
+- transcendental fns (ln, sqrt) are rounded to 6 decimals (libm results may
+  differ in the last ulp across engines).
+- all computed integers are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_flight_sql_server_spark.queries.catalog import query, tables
+
+
+@query(
+    "fn_string",
+    oracle="""
+        SELECT c_custkey,
+               UPPER(c_mktsegment) AS seg_upper,
+               LOWER(c_name) AS name_lower,
+               CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+               SUBSTRING(c_name, 1, 8) AS name_prefix,
+               CONCAT(c_mktsegment, ':', c_name) AS tagged,
+               REPLACE(c_name, 'Customer#', 'C') AS short_name,
+               CAST(STRPOS(c_name, '#') AS BIGINT) AS hash_pos,
+               SPLIT_PART(c_name, '#', 2) AS name_id,
+               LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+               REVERSE(c_mktsegment) AS seg_rev,
+               CAST(LEVENSHTEIN(c_mktsegment, 'BUILDING') AS BIGINT) AS lev,
+               TRIM(CONCAT('  ', c_mktsegment, '  ')) AS trimmed
+        FROM customer
+    """,
+    doc="String function family: upper/lower/length/substring/concat/"
+    "replace/strpos/split_part/lpad/reverse/levenshtein/trim (delegated "
+    "surface; all JVM builtins — whole-stage codegen, no UDFs).",
+    tags=("function", "string"),
+)
+def q_fn_string(spark: SparkSession, sf: str) -> DataFrame:
+    c = tables(spark, sf)["customer"]
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("short_name"),
+        F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_id"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).cast("bigint").alias("lev"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+        SELECT c_custkey,
+               regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+               regexp_replace(c_name, '[0-9]+', 'N') AS masked,
+               regexp_matches(c_name, '^Customer#0*[0-9]+$') AS well_formed
+        FROM customer
+    """,
+    doc="Regex family: extract/replace/match (delegated surface). Patterns "
+    "restricted to the Java-regex ∩ RE2 common subset.",
+    tags=("function", "regex"),
+)
+def q_fn_regex(spark: SparkSession, sf: str) -> DataFrame:
+    c = tables(spark, sf)["customer"]
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]+", "N").alias("masked"),
+        F.col("c_name").rlike("^Customer#0*[0-9]+$").alias("well_formed"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+               CAST(year(o_orderdate) AS BIGINT) AS oyear,
+               CAST(month(o_orderdate) AS BIGINT) AS omonth,
+               CAST(day(o_orderdate) AS BIGINT) AS oday,
+               CAST(quarter(o_orderdate) AS BIGINT) AS oquarter,
+               CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+               CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS days_since,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+        FROM orders
+    """,
+    doc="Date/time family: year/month/day/quarter extract, date_trunc, "
+    "date arithmetic, datediff, last_day (delegated surface).",
+    tags=("function", "datetime"),
+)
+def q_fn_datetime(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        od.cast("date").cast("string").alias("odate"),
+        F.year(od).cast("bigint").alias("oyear"),
+        F.month(od).cast("bigint").alias("omonth"),
+        F.dayofmonth(od).cast("bigint").alias("oday"),
+        F.quarter(od).cast("bigint").alias("oquarter"),
+        F.date_trunc("month", od).cast("date").cast("string").alias("month_start"),
+        F.date_add(od.cast("date"), 30).cast("string").alias("plus30"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+        F.last_day(od.cast("date")).cast("string").alias("month_end"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+        SELECT o_orderkey,
+               ABS(o_totalprice - 100000.0) AS abs_diff,
+               ROUND(o_totalprice, -2) AS rounded,
+               CAST(CEIL(o_totalprice) AS BIGINT) AS ceiled,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS floored,
+               ROUND(SQRT(o_totalprice), 6) AS sq,
+               ROUND(LN(o_totalprice), 6) AS lg,
+               CAST(o_orderkey % 7 AS BIGINT) AS md,
+               o_totalprice * 2.0 + 1.0 AS affine
+        FROM orders
+    """,
+    doc="Math family: abs/round/ceil/floor/sqrt/ln/modulo/arithmetic "
+    "(delegated surface). Transcendentals rounded to 6 dp for cross-engine "
+    "ulp stability.",
+    tags=("function", "math"),
+)
+def q_fn_math(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.abs(tp - 100000.0).alias("abs_diff"),
+        F.round(tp, -2).alias("rounded"),
+        F.ceil(tp).alias("ceiled"),
+        F.floor(tp).alias("floored"),
+        F.round(F.sqrt(tp), 6).alias("sq"),
+        F.round(F.log(tp), 6).alias("lg"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("md"),
+        (tp * 2.0 + 1.0).alias("affine"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+               GREATEST(o_totalprice, 150000.0) AS hi,
+               LEAST(o_totalprice, 150000.0) AS lo,
+               CASE o_orderpriority WHEN '1-URGENT' THEN 1
+                                    WHEN '2-HIGH' THEN 2
+                                    ELSE 9 END AS prio_rank,
+               IF(o_totalprice > 200000, 'big', 'small') AS size_label
+        FROM orders
+    """,
+    doc="Conditional family: coalesce/nullif/greatest/least/simple CASE/IF "
+    "(delegated surface).",
+    tags=("function", "conditional"),
+)
+def q_fn_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("hi"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("lo"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .otherwise(9)
+        .cast("bigint")
+        .alias("prio_rank"),
+        F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias("size_label"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR) AS key_str,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
+               TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+               CAST(TRY_CAST('1995-03-15' AS DATE) AS VARCHAR) AS lit_date,
+               CAST(o_totalprice > 150000 AS BOOLEAN) AS is_big
+        FROM orders
+    """,
+    doc="CAST / TRY_CAST matrix (delegated surface). double→int goes "
+    "through FLOOR: Spark truncates, DuckDB rounds — FLOOR aligns them.",
+    tags=("function", "cast"),
+)
+def q_fn_cast(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("price_int"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("bad_int"),
+        F.lit("1995-03-15").cast("date").cast("string").alias("lit_date"),
+        (F.col("o_totalprice") > 150000).alias("is_big"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               string_split(text, ' ')[1] AS first_word,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+               array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], '-')
+                   AS top3_sorted,
+               list_contains(string_split(text, ' '), 'spark') AS has_spark
+        FROM documents
+    """,
+    doc="Array/list family: split, size, element access, distinct, sort, "
+    "slice, join, contains (delegated surface; arrays reduced to scalars "
+    "for portable hashing).",
+    tags=("function", "array"),
+)
+def q_fn_array(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    words = F.split(F.col("text"), " ")
+    uniq_sorted = F.array_sort(F.array_distinct(words))
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_uniq"),
+        F.array_join(F.slice(uniq_sorted, 1, 3), "-").alias("top3_sorted"),
+        F.array_contains(words, "spark").alias("has_spark"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+        SELECT w AS word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    """,
+    doc="explode ≙ UNNEST: word frequency over documents (delegated "
+    "surface).",
+    tags=("function", "array"),
+)
+def q_fn_explode(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        FROM events
+    """,
+    doc="JSON field access: get_json_object ≙ json_extract_string "
+    "(delegated surface).",
+    tags=("function", "json"),
+)
+def q_fn_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+        SELECT n_nationkey,
+               struct_pack(name := n_name, region := n_regionkey).name AS s_name,
+               struct_pack(name := n_name, region := n_regionkey).region AS s_region
+        FROM nation
+    """,
+    doc="Struct construction + field access (delegated surface; Spark "
+    "named_struct / col.field).",
+    tags=("function", "struct"),
+)
+def q_fn_struct(spark: SparkSession, sf: str) -> DataFrame:
+    n = tables(spark, sf)["nation"]
+    s = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+    return n.select(
+        "n_nationkey",
+        s.getField("name").alias("s_name"),
+        s.getField("region").alias("s_region"),
+    )

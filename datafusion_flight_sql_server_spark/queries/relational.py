@@ -1,0 +1,857 @@
+"""Relational operator queries (SURVEY.md §2.B).
+
+Covers every operator family the reference's own tests exercise (scans,
+projections, filters, joins, aggregation, having, order/limit — reference:
+datafusion-flight-sql-server/tests/integration_test.rs:86-328,
+tests/state_test.rs:5-17, tests/schema_metadata_test.rs:121-126) plus the
+delegated surface a Flight SQL client can reach through
+``create_logical_plan`` (service.rs:171): outer/semi/anti/cross/theta joins,
+set operations, rollup/cube/grouping sets, subqueries (scalar, IN, EXISTS,
+correlated), and TPC-H-shaped analytical queries.
+
+Implementations are DataFrame-API-first: Catalyst handles pushdown, pruning,
+join strategy (broadcast for the dimension tables), and partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_flight_sql_server_spark.queries.catalog import query, tables
+
+DEC = "decimal(18,2)"
+DEC4 = "decimal(18,4)"
+
+
+def dec(c, scale: int = 2) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Scans & projections
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_star",
+    oracle="SELECT * FROM region",
+    doc="Full scan, SELECT * (parity: integration_test.rs:86-113).",
+    tags=("scan",),
+)
+def q_scan_star(spark: SparkSession, sf: str) -> DataFrame:
+    return tables(spark, sf)["region"].select("*")
+
+
+@query(
+    "scan_projection",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal AS balance
+        FROM customer
+    """,
+    doc="Column projection + alias (parity: schema_metadata_test.rs:89; "
+    "ReadSchema should contain only the three columns).",
+    tags=("scan", "projection"),
+)
+def q_scan_projection(spark: SparkSession, sf: str) -> DataFrame:
+    c = tables(spark, sf)["customer"]
+    return c.select("c_custkey", "c_name", F.col("c_acctbal").alias("balance"))
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_compare",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem
+        WHERE l_quantity > 45 AND l_discount >= 0.05
+    """,
+    doc="Comparison predicates + conjunction (parity: "
+    "integration_test.rs:125, state_test.rs:12). Filter must appear in "
+    "PushedFilters of the parquet scan.",
+    tags=("filter",),
+)
+def q_filter_compare(spark: SparkSession, sf: str) -> DataFrame:
+    l = tables(spark, sf)["lineitem"]
+    return l.filter((F.col("l_quantity") > 45) & (F.col("l_discount") >= 0.05)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 200000 THEN 'big'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'small' END AS bucket
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice BETWEEN 1000 AND 300000
+          AND (o_orderstatus LIKE 'F%' OR o_orderstatus = 'O')
+          AND o_custkey IS NOT NULL
+          AND NOT (o_orderkey < 0)
+    """,
+    doc="Full scalar predicate algebra: IN, BETWEEN, LIKE, IS NULL, OR, NOT,"
+    " CASE (delegated surface, service.rs:171).",
+    tags=("filter",),
+)
+def q_filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    return (
+        o.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(1000, 300000)
+            & (F.col("o_orderstatus").like("F%") | (F.col("o_orderstatus") == "O"))
+            & F.col("o_custkey").isNotNull()
+            & ~(F.col("o_orderkey") < 0)
+        ).select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 200000, "big")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("small")
+            .alias("bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    doc="Inner equi-join (parity: integration_test.rs:305-327). Customer "
+    "side broadcasts at small SF; at scale AQE picks SMJ/shuffled-hash.",
+    tags=("join",),
+)
+def q_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    c, o = t["customer"], t["orders"]
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+          ON c.c_custkey = o.o_custkey
+    """,
+    doc="Left outer join against a derived table (parity: state_test.rs:10 "
+    "+ schema_metadata_test.rs:121-126 derived-table join).",
+    tags=("join",),
+)
+def q_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    big = t["orders"].filter(F.col("o_totalprice") > 150000)
+    return t["customer"].join(big, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+        SELECT c.c_name, o.o_orderkey
+        FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    doc="Right outer join (delegated surface).",
+    tags=("join",),
+)
+def q_join_right(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    rich = t["customer"].filter(F.col("c_acctbal") > 5000)
+    return rich.join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "right").select(
+        "c_name", "o_orderkey"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey
+        FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+          ON c.c_custkey = o.o_custkey
+    """,
+    doc="Full outer join (delegated surface).",
+    tags=("join",),
+)
+def q_join_full(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    c = t["customer"].filter(F.col("c_acctbal") > 9000)
+    o = t["orders"].filter(F.col("o_totalprice") > 300000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "full").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    """,
+    doc="Left semi join ≙ EXISTS (delegated surface).",
+    tags=("join",),
+)
+def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    big = t["orders"].filter(F.col("o_totalprice") > 250000)
+    return t["customer"].join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left anti join ≙ NOT EXISTS (delegated surface).",
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+        SELECT r.r_name, n.n_name
+        FROM region r CROSS JOIN nation n
+    """,
+    doc="Cross join (delegated surface) — tiny dims only; at scale a cross "
+    "join must be blocked/banded (see dedup/similarity operators).",
+    tags=("join",),
+)
+def q_join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    return t["region"].crossJoin(t["nation"]).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+        SELECT r.r_regionkey, n.n_nationkey
+        FROM region r JOIN nation n ON r.r_regionkey < n.n_regionkey
+    """,
+    doc="Non-equi (theta) join → BroadcastNestedLoopJoin (delegated "
+    "surface).",
+    tags=("join",),
+)
+def q_join_theta(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    r, n = t["region"], t["nation"]
+    return r.join(n, r.r_regionkey < n.n_regionkey).select("r_regionkey", "n_nationkey")
+
+
+@query(
+    "join_derived",
+    oracle="""
+        SELECT u.c_name AS name, o.o_orderkey AS order_id, o.o_totalprice AS amount
+        FROM customer u
+        JOIN (SELECT * FROM orders WHERE o_totalprice > 25) o
+          ON u.c_custkey = o.o_custkey
+        WHERE u.c_acctbal > 0
+    """,
+    doc="Join against a subquery-derived table with aliases (parity: "
+    "schema_metadata_test.rs:121-126).",
+    tags=("join",),
+)
+def q_join_derived(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    o = t["orders"].filter(F.col("o_totalprice") > 25)
+    u = t["customer"].filter(F.col("c_acctbal") > 0)
+    return u.join(o, u.c_custkey == o.o_custkey).select(
+        F.col("c_name").alias("name"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_count_star",
+    oracle="SELECT COUNT(*) AS count FROM lineitem",
+    doc="Ungrouped COUNT(*) with alias (parity: integration_test.rs:271-295 "
+    "— result schema is one column named `count`).",
+    tags=("agg",),
+)
+def q_agg_count_star(spark: SparkSession, sf: str) -> DataFrame:
+    return tables(spark, sf)["lineitem"].agg(F.count(F.lit(1)).alias("count"))
+
+
+@query(
+    "agg_group_multi",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Multi-key GROUP BY with count/sum/min/max (parity: "
+    "state_test.rs:8-13 + delegated agg surface). Partial (map-side) "
+    "aggregation is automatic in Catalyst.",
+    tags=("agg",),
+)
+def q_agg_group_multi(spark: SparkSession, sf: str) -> DataFrame:
+    l = tables(spark, sf)["lineitem"]
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+        SELECT o_custkey, COUNT(*) AS order_count
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) > 12
+    """,
+    doc="GROUP BY + HAVING on the aggregate (parity: state_test.rs:14).",
+    tags=("agg",),
+)
+def q_agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .filter(F.col("order_count") > 12)
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="DISTINCT aggregates (delegated surface).",
+    tags=("agg",),
+)
+def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    l = tables(spark, sf)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               CAST((CAST(COUNT(*) AS DOUBLE) * SUM(q * q) - SUM(q) * SUM(q))
+                    / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)) AS DOUBLE) AS var_qty,
+               SQRT(CAST((CAST(COUNT(*) AS DOUBLE) * SUM(q * q) - SUM(q) * SUM(q))
+                    / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)) AS DOUBLE)) AS stddev_qty
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+        GROUP BY l_returnflag
+    """,
+    doc="Sample variance / stddev computed from exact integer sums so the "
+    "result is order-independent and engine-portable (delegated "
+    "stddev/var_samp surface, expressed shuffle-free as one aggregation).",
+    tags=("agg",),
+)
+def q_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    l = tables(spark, sf)["lineitem"].withColumn("q", F.col("l_quantity").cast("bigint"))
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q") * F.col("q")).alias("sxx"),
+        F.sum("q").alias("sx"),
+    )
+    nd = F.col("n").cast("double")
+    var = (nd * F.col("sxx") - F.col("sx") * F.col("sx")) / (nd * (F.col("n") - 1))
+    return agg.select(
+        "l_returnflag",
+        var.cast("double").alias("var_qty"),
+        F.sqrt(var.cast("double")).alias("stddev_qty"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy totals (delegated surface).",
+    tags=("agg",),
+)
+def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dimensions (delegated surface).",
+    tags=("agg",),
+)
+def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    l = tables(spark, sf)["lineitem"]
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="GROUPING SETS (delegated surface) — via Spark SQL.",
+    tags=("agg",),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are implementation-specific; rows-only check
+    doc="approx_count_distinct (HLL) — sketch values are engine-specific so "
+    "no oracle; the driver records a rows-only check. Exactness is covered "
+    "by agg_distinct.",
+    tags=("agg", "approx"),
+)
+def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    l = tables(spark, sf)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc="ORDER BY + LIMIT fused to top-k (parity: state_test.rs:15-16; "
+    "Catalyst plans TakeOrderedAndProject — no full sort). Tie-break on "
+    "o_orderkey makes the selected set deterministic.",
+    tags=("sort",),
+)
+def q_topk(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle="""
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+    """,
+    doc="UNION ALL (delegated surface).",
+    tags=("setop",),
+)
+def q_set_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    a = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    b = t["orders"].filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+    """,
+    doc="UNION (distinct) (delegated surface).",
+    tags=("setop",),
+)
+def q_set_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    a = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    b = t["orders"].filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+    """,
+    doc="INTERSECT (delegated surface).",
+    tags=("setop",),
+)
+def q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    a = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    b = t["orders"].filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+    """,
+    doc="EXCEPT (delegated surface).",
+    tags=("setop",),
+)
+def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    a = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    b = t["orders"].filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT 0.9 * MAX(o_totalprice) FROM orders)
+    """,
+    doc="Uncorrelated scalar subquery (delegated surface). MAX is exact so "
+    "the threshold is engine-portable.",
+    tags=("subquery",),
+)
+def q_subquery_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT 0.9 * MAX(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    doc="IN subquery → semi join after decorrelation (delegated surface).",
+    tags=("subquery",),
+)
+def q_subquery_in(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    doc="Correlated EXISTS (delegated surface; Catalyst decorrelates).",
+    tags=("subquery",),
+)
+def q_subquery_exists(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+@query(
+    "subquery_correlated_scalar",
+    oracle="""
+        SELECT c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+    """,
+    doc="Correlated scalar subquery in the projection (delegated surface).",
+    tags=("subquery",),
+)
+def q_subquery_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytical queries (flagship bench set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(1 - l_discount AS {DEC}))
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS {DEC}) * CAST(1 - l_discount AS {DEC})
+                             AS {DEC4}) * CAST(1 + l_tax AS {DEC})) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary — the flagship scan+filter+groupBy-agg. "
+    "Decimal-cast sums keep results exact and order-independent, so the "
+    "parallel partial aggregation matches DuckDB bit-for-bit.",
+    tags=("tpch", "agg"),
+)
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    l = tables(spark, sf)["lineitem"]
+    disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    charge = disc_price.cast(DEC4) * dec(F.lit(1) + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("bigint")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * CAST(1 - l.l_discount AS {DEC}))
+                    AS DOUBLE) AS revenue,
+               CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shipping priority — selective dim filter, two joins, "
+    "grouped revenue, top-k. Customer side broadcasts; the lineitem filter "
+    "is pushed to the scan.",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    l = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").cast("string").alias("orderdate")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * CAST(1 - l.l_discount AS {DEC}))
+                    AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 star join across six tables — dims broadcast, fact "
+    "tables shuffle on join keys once; revenue per nation.",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = t["supplier"].join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c, o, l = t["customer"], t["orders"], t["lineitem"]
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * CAST(1 - l.l_discount AS {DEC}))
+                    AS DOUBLE) AS revenue,
+               n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 returned-item reporting — join + group + top-k by "
+    "revenue.",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    l = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -1,0 +1,143 @@
+"""Window function queries (SURVEY.md §2.B window surface).
+
+Not exercised in the reference's own code — fully delegated through
+``create_logical_plan`` (reference: datafusion-flight-sql-server/src/
+service.rs:171); DataFusion 53 and Spark share the full SQL-standard window
+surface 1:1 (ranking, analytic, aggregates-over-windows, ROWS frames).
+
+Determinism discipline: ranking windows order by a unique key combination
+(value + key tie-break); rank/dense_rank over non-unique orders are
+deterministic by definition (ties share ranks). Running sums go through
+decimal casts (exact per-frame arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datafusion_flight_sql_server_spark.queries.catalog import query, tables
+from datafusion_flight_sql_server_spark.queries.relational import dec
+
+
+@query(
+    "window_rank",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn,
+               CAST(RANK() OVER (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC) AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC) AS BIGINT) AS drnk,
+               CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+        FROM customer
+    """,
+    doc="Ranking windows: row_number/rank/dense_rank/ntile (delegated "
+    "surface). One shuffle on the partition key serves all four functions.",
+    tags=("window",),
+)
+def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    c = tables(spark, sf)["customer"]
+    unique = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    tied = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(unique).cast("bigint").alias("rn"),
+        F.rank().over(tied).cast("bigint").alias("rnk"),
+        F.dense_rank().over(tied).cast("bigint").alias("drnk"),
+        F.ntile(4).over(unique).cast("bigint").alias("quartile"),
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               LAG(o_totalprice) OVER w AS prev_price,
+               LEAD(o_totalprice) OVER w AS next_price,
+               FIRST_VALUE(o_totalprice) OVER w AS first_price,
+               LAST_VALUE(o_totalprice) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Analytic windows: lag/lead/first_value/last_value with explicit "
+    "full frame for last_value (delegated surface).",
+    tags=("window",),
+)
+def q_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_total,
+               CAST(COUNT(*) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS running_n
+        FROM orders
+    """,
+    doc="Aggregates over a running ROWS frame (delegated surface); decimal "
+    "cast keeps the per-frame sums exact across engines.",
+    tags=("window",),
+)
+def q_window_running(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("running_n"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+        SELECT c_mktsegment, c_custkey, c_acctbal
+        FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                     ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer)
+        WHERE rn <= 3
+    """,
+    doc="Top-K per group via ranking window — the canonical OLAP pattern "
+    "(single shuffle; no self-join).",
+    tags=("window",),
+)
+def q_window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    c = tables(spark, sf)["customer"]
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
