@@ -42,11 +42,33 @@ def register_sf_tables(
     _ensure_runtime_confs(spark)
     out: dict[str, DataFrame] = {}
     for name in tables:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = _fix_nanos_ts(df)
+        path = f"{sf_dir}/{name}.parquet"
+        df = spark.read.parquet(path)
+        df = _fix_nanos_ts(df, _nanos_ts_columns(path))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def _nanos_ts_columns(path: str) -> set[str]:
+    """Columns stored as TIMESTAMP(NANOS) per the parquet footer.
+
+    With ``spark.sql.legacy.parquet.nanosAsLong=true`` Spark surfaces these as
+    plain longs and drops the logical-type info, so the footer (read via
+    pyarrow, metadata-only) is the source of truth — not a hardcoded name.
+    """
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return {
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    except Exception:  # pragma: no cover - non-local path / no pyarrow
+        return {"ts"}
 
 
 def _ensure_runtime_confs(spark: SparkSession) -> None:
@@ -68,7 +90,7 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
             pass
 
 
-def _fix_nanos_ts(df: DataFrame) -> DataFrame:
+def _fix_nanos_ts(df: DataFrame, nanos_cols: set[str]) -> DataFrame:
     """Convert TIMESTAMP(NANOS) columns (read as long via
     ``spark.sql.legacy.parquet.nanosAsLong``) back to timestamps.
 
@@ -81,8 +103,10 @@ def _fix_nanos_ts(df: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if field.name in nanos_cols and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
     return df
 
 

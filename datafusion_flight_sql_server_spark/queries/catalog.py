@@ -21,6 +21,7 @@ Exactness discipline (what makes the value-hash match):
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -51,8 +52,11 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
     return deco
 
 
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
-_LAST_DIR: dict[int, str] = {}
+# Keyed on the live session object (not id()) so a garbage-collected session
+# whose id is reused can never serve stale DataFrames bound to a dead JVM.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, tuple[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -62,8 +66,8 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     re-registered so SQL-based queries see the same tables as DataFrame-based
     ones.
     """
-    key = (id(spark), sf_dir)
-    if key not in _TABLE_CACHE or _LAST_DIR.get(id(spark)) != sf_dir:
-        _TABLE_CACHE[key] = register_sf_tables(spark, sf_dir)
-        _LAST_DIR[id(spark)] = sf_dir
-    return _TABLE_CACHE[key]
+    cached = _TABLE_CACHE.get(spark)
+    if cached is None or cached[0] != sf_dir:
+        cached = (sf_dir, register_sf_tables(spark, sf_dir))
+        _TABLE_CACHE[spark] = cached
+    return cached[1]

@@ -262,7 +262,8 @@ def q_event_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
         WITH flagged AS (
             -- epoch_us // 1000000 floors like Spark's unix_timestamp;
             -- CAST(epoch(..) AS BIGINT) would ROUND the fractional second
-            SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep,
+            SELECT user_id, ts, event_id,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep,
                    CASE WHEN CAST(epoch_us(ts) // 1000000 AS BIGINT)
                              - LAG(CAST(epoch_us(ts) // 1000000 AS BIGINT)) OVER w > 1800
                              OR LAG(ts) OVER w IS NULL
@@ -270,9 +271,11 @@ def q_event_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), numbered AS (
+            -- same (ts, event_id) total order as the lag pass: same-second
+            -- ties must cumulate deterministically in both engines
             SELECT user_id, ep,
                    SUM(new_session) OVER
-                       (PARTITION BY user_id ORDER BY ep
+                       (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS session_id
             FROM flagged

@@ -593,7 +593,10 @@ def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
     b = t["orders"].filter(F.col("o_totalprice") > 100000).select(
         F.col("o_custkey").alias("k")
     )
-    return a.exceptAll(b).distinct()
+    # subtract == EXCEPT DISTINCT: drops a row entirely when it appears on the
+    # right, regardless of multiplicities (exceptAll().distinct() would keep a
+    # row whose left count merely exceeds its right count).
+    return a.subtract(b)
 
 
 # ---------------------------------------------------------------------------
@@ -758,8 +761,9 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
         LIMIT 10
     """,
     doc="TPC-H Q3 shipping priority — selective dim filter, two joins, "
-    "grouped revenue, top-k. Customer side broadcasts; the lineitem filter "
-    "is pushed to the scan.",
+    "grouped revenue, top-k. No forced broadcast: the filtered customer side "
+    "is sf-proportional, AQE promotes it at runtime when small; the lineitem "
+    "filter is pushed to the scan.",
     tags=("tpch", "join", "agg"),
 )
 def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
@@ -769,8 +773,11 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     l = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
     revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
     return (
+        # No broadcast hint: the BUILDING-segment customer subset is
+        # sf-proportional (~1/5 of customers) — forcing a broadcast OOMs at
+        # scale. AQE converts to broadcast at runtime when it is small enough.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(
@@ -796,24 +803,26 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
     """,
-    doc="TPC-H Q5 star join across six tables — dims broadcast, fact "
-    "tables shuffle on join keys once; revenue per nation.",
+    doc="TPC-H Q5 star join across six tables — constant-size dims "
+    "(region/nation) broadcast, sf-proportional tables (incl. supplier) "
+    "shuffle or AQE-broadcast at runtime; revenue per nation.",
     tags=("tpch", "join", "agg"),
 )
 def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     t = tables(spark, sf)
     r = t["region"].filter(F.col("r_name") == "ASIA")
     n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-    s = t["supplier"].join(
-        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
-    )
+    # nation⋈region stays hinted (≤25 rows, constant size at any SF); the
+    # supplier side is sf-proportional so it carries NO hint — AQE broadcasts
+    # it at runtime only when the post-filter size is actually small.
+    s = t["supplier"].join(n, F.col("s_nationkey") == F.col("n_nationkey"))
     c, o, l = t["customer"], t["orders"], t["lineitem"]
     revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .groupBy("n_name")

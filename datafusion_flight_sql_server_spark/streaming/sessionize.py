@@ -25,8 +25,13 @@ def sessionize(
     """(user_id, session_id, n_events, duration_s) per gap-based session."""
     ep = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("bigint")
     order = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    # ts/id are carried through so the cumulative-sum pass can reuse the SAME
+    # total order as the lag pass — ordering by second-granularity `ep` alone
+    # would number same-second ties nondeterministically across runs/engines.
     flagged = events.select(
         user_col,
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
         ep.alias("ep"),
         F.when(
             (ep - F.lag(ep).over(order) > gap_seconds)
@@ -38,7 +43,7 @@ def sessionize(
     )
     running = (
         W.partitionBy(user_col)
-        .orderBy("ep")
+        .orderBy("_ts", "_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     numbered = flagged.select(
