@@ -1,0 +1,121 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_median_total", "value": <sum of per-query medians>,
+   "unit": "sec", "queries": {name: median_sec, ...}, "sf": <sf>, ...}
+
+Protocol (BASELINE.md): wall-clock sec/query, median of 3 timed runs after one
+warm-up, warm SparkSession, results fully materialized on the driver via the
+Arrow path (the same thing the DuckDB baseline's fetchdf() does).
+
+Tuning applied here and why it is scale-honest:
+
+- ``spark.sql.shuffle.partitions`` is sized to the cores the driver grants
+  (not the default 200): on a real cluster this knob scales with total cores,
+  and AQE coalesces below it at runtime either way.
+- Inputs are NOT cached: every timed run re-reads parquet, like the oracle.
+- Results come back as Arrow batches (``toArrow``), not pandas rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from datafusion_flight_sql_server_spark.engine.session import build_session
+from datafusion_flight_sql_server_spark.queries import REGISTRY
+
+#: The headline set benched against the DuckDB baseline (BASELINE.md): the
+#: four TPC-H queries plus one representative per operator family.
+HEADLINE = (
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "window_running",
+    "fn_explode",
+    "dedup_exact",
+    "agg_group_multi",
+)
+
+WARMUP_RUNS = 1
+TIMED_RUNS = 3
+
+
+def _materialize(df) -> int:
+    """Pull the full result to the driver over Arrow; return row count."""
+    if hasattr(df, "toArrow"):
+        return df.toArrow().num_rows
+    return len(df.collect())  # pragma: no cover - pre-4.0 fallback
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or 0.1)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+    # Local-small-SF tuning only (sf0.1 parquet files are ~0.3-10 MiB): split
+    # scans and post-shuffle partitions at 2 MiB so the 32 cores actually get
+    # work. These knobs are data-size-proportional; at 100 TB the engine
+    # defaults (128 MiB splits, 64 MiB advisory) are the right values, which
+    # is why this override lives in the bench harness, not the session factory.
+    spark = build_session(
+        app_name="bench",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "2m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Fixed per-query overhead floor: an empty 1-row job through the same
+    # plan→schedule→Arrow-collect path. Queries whose DuckDB baseline is below
+    # this floor cannot meet a small ratio budget in local mode regardless of
+    # plan quality — the floor is reported so the ratio can be read honestly.
+    spark.range(1).toArrow()
+    floor_samples = []
+    for _ in range(TIMED_RUNS):
+        t0 = time.perf_counter()
+        spark.range(1).toArrow()
+        floor_samples.append(time.perf_counter() - t0)
+    floor = round(statistics.median(floor_samples), 4)
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        for _ in range(WARMUP_RUNS):
+            rows[name] = _materialize(fn(spark, sf_dir))
+        samples = []
+        for _ in range(TIMED_RUNS):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    result = {
+        "metric": "headline_median_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "runs": TIMED_RUNS,
+        "rows": rows,
+        "overhead_floor_sec": floor,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
