@@ -48,6 +48,32 @@ class Engine:
         """
         return self.sql_to_plan(sql, params)
 
+    def execute_stream(self, df: DataFrame, batch_rows: int = 65536):
+        """Yield the result as Arrow record batches with bounded driver memory.
+
+        Parity: the reference pipes batch-at-a-time (service.rs:186-191,
+        230-236) and never materializes the full result (SURVEY §7 H1).
+        ``toLocalIterator`` pulls one partition at a time from the executors,
+        so peak driver memory is one partition + one in-flight batch — a
+        1000-executor result streams through a bounded window instead of
+        landing whole on the driver the way ``collect()``/``toArrow()`` would.
+        """
+        import pyarrow as pa
+
+        from datafusion_flight_sql_server_spark.plans.schema import (
+            arrow_schema_for_df,
+        )
+
+        schema = arrow_schema_for_df(df)
+        buf: list[dict] = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= batch_rows:
+                yield pa.RecordBatch.from_pylist(buf, schema=schema)
+                buf = []
+        if buf:
+            yield pa.RecordBatch.from_pylist(buf, schema=schema)
+
     def new_session(self) -> "Engine":
         """Per-request isolated session (shared JVM/catalog, own temp views).
 
@@ -152,6 +178,39 @@ class Engine:
         """Schema probe used by the federation client (parity:
         table-provider/src/lib.rs:91-101 — ``select * from {t} limit 1``)."""
         return self.spark.sql(f"SELECT * FROM {table} LIMIT 1").schema
+
+    def table_arrow_schema(self, table: str):
+        """Arrow schema of a registered table (GetTables include_schema path,
+        service.rs:689-691)."""
+        from datafusion_flight_sql_server_spark.plans.schema import (
+            arrow_schema_for_df,
+        )
+
+        return arrow_schema_for_df(self.spark.table(table))
+
+    def plan_for_schema(self, sql: str) -> DataFrame:
+        """Plan for schema derivation only: unbound placeholders are
+        NULL-bound so analysis succeeds (GetFlightInfo / CreatePreparedStatement
+        paths, service.rs:388-425,890-925 — DataFusion plans placeholders
+        natively; Spark needs values)."""
+        from datafusion_flight_sql_server_spark.plans.params import null_bind_params
+
+        return self.sql_to_plan(sql, null_bind_params(sql))
+
+    def sql_to_plan_prepared(self, handle) -> DataFrame:
+        """Plan a prepared statement's SQL with its bound parameters.
+
+        Parity: the prepared branch of ``do_get_fallback``
+        (service.rs:238-273) — re-plan the handle's SQL, decode the IPC
+        parameter payload, bind, execute.
+        """
+        from datafusion_flight_sql_server_spark.plans.params import (
+            decode_ipc_params,
+            record_batch_to_params,
+        )
+
+        params = record_batch_to_params(decode_ipc_params(handle.parameters))
+        return self.sql_to_plan(handle.query, params)
 
 
 def _table_type(t) -> str:

@@ -108,6 +108,21 @@ def record_batch_to_params(batch: pa.RecordBatch | None):
     return dict(zip(names, values))
 
 
+def null_bind_params(sql: str):
+    """All-NULL parameter values for schema-only planning.
+
+    DataFusion plans SQL containing unbound placeholders (the reference's
+    GetFlightInfo/CreatePreparedStatement paths, service.rs:388-425,890-925);
+    Spark cannot, so plan-only schema derivation binds every placeholder to
+    NULL — analysis succeeds, output schema is unaffected, nothing executes.
+    Returns None when the SQL has no placeholders.
+    """
+    names = placeholder_names(sql)
+    if not names:
+        return None
+    return {(f"p{n}" if n.isdigit() else n): None for n in names}
+
+
 def bind_sql(spark: SparkSession, sql: str, params=None) -> DataFrame:
     """Plan ``sql`` with DataFusion-style parameters bound.
 

@@ -1,0 +1,400 @@
+"""Arrow Flight SQL server over a Spark-backed Engine.
+
+Re-implements the reference's ``FlightSqlService`` surface (reference:
+datafusion-flight-sql-server/src/service.rs:194-1014) on
+``pyarrow.flight.FlightServerBase``:
+
+- GetFlightInfo for statements / prepared statements (plan-only schema, a
+  stateless ticket embedding the whole command — service.rs:313-347,388-425)
+  and for catalogs/schemas/tables/table_types (service.rs:427-516).
+- DoGet dispatch: metadata tickets are bare Any-encoded commands
+  (service.rs:436-438), statement tickets are CommandTicket-wrapped
+  (state.rs:34-43); both decode here, mirroring arrow-flight's router +
+  ``do_get_fallback`` (service.rs:209-311).
+- DoAction CreatePreparedStatement / ClosePreparedStatement
+  (service.rs:890-941), DoPut prepared-statement parameter binding
+  (service.rs:810-862) and the ``-1`` update path (service.rs:864-875).
+- Everything the reference stubs answers UNIMPLEMENTED here too
+  (service.rs:518-592,733-797,943-1011) — stub parity is part of the
+  protocol contract.
+- Errors map to INTERNAL like the reference's blanket mapping
+  (service.rs:1107-1121); auth failures surface as UNAUTHENTICATED from the
+  middleware (examples/bearer_auth_flight_sql.rs:95-114).
+
+Results stream batch-at-a-time via ``Engine.execute_stream`` — the driver
+never holds a whole result (service.rs:186-191 behavior; SURVEY §7 H1).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.flight as fl
+
+from datafusion_flight_sql_server_spark.engine.core import Engine
+from datafusion_flight_sql_server_spark.plans.schema import (
+    arrow_schema_for_df,
+    parameter_schema_for_sql,
+)
+from datafusion_flight_sql_server_spark.protocol.flightsql import (
+    ActionClosePreparedStatementRequest,
+    ActionCreatePreparedStatementRequest,
+    ActionCreatePreparedStatementResult,
+    CommandGetCatalogs,
+    CommandGetDbSchemas,
+    CommandGetTables,
+    CommandGetTableTypes,
+    CommandPreparedStatementQuery,
+    CommandPreparedStatementUpdate,
+    CommandStatementQuery,
+    DoPutPreparedStatementResult,
+    DoPutUpdateResult,
+    Message,
+    ProtobufAny,
+    TYPE_URL_PREFIX,
+)
+from datafusion_flight_sql_server_spark.protocol.state import CommandTicket, QueryHandle
+from datafusion_flight_sql_server_spark.server.session import (
+    SessionStateProvider,
+    StaticSessionStateProvider,
+)
+
+
+class FlightSqlServiceConfig:
+    """Service configuration (reference: config.rs:1-14)."""
+
+    def __init__(self, schema_with_metadata: bool = False, batch_rows: int = 65536):
+        self.schema_with_metadata = schema_with_metadata
+        self.batch_rows = batch_rows
+
+
+# Flight SQL metadata result schemas (Arrow Flight SQL specification; the
+# reference gets them from arrow-flight's builders, service.rs:427-516).
+GET_CATALOGS_SCHEMA = pa.schema([pa.field("catalog_name", pa.utf8(), nullable=False)])
+GET_DB_SCHEMAS_SCHEMA = pa.schema(
+    [
+        pa.field("catalog_name", pa.utf8()),
+        pa.field("db_schema_name", pa.utf8(), nullable=False),
+    ]
+)
+GET_TABLES_SCHEMA = pa.schema(
+    [
+        pa.field("catalog_name", pa.utf8()),
+        pa.field("db_schema_name", pa.utf8()),
+        pa.field("table_name", pa.utf8(), nullable=False),
+        pa.field("table_type", pa.utf8(), nullable=False),
+    ]
+)
+GET_TABLES_SCHEMA_WITH_SCHEMA = GET_TABLES_SCHEMA.append(
+    pa.field("table_schema", pa.binary(), nullable=False)
+)
+GET_TABLE_TYPES_SCHEMA = pa.schema([pa.field("table_type", pa.utf8(), nullable=False)])
+
+
+def encode_schema(schema: pa.Schema) -> bytes:
+    """IPC-encapsulated schema message (service.rs:1031-1041 analogue)."""
+    return schema.serialize().to_pybytes()
+
+
+def decode_schema_bytes(data: bytes) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(data))
+
+
+def _to_flight_error(exc: Exception) -> Exception:
+    """Blanket INTERNAL mapping, like the reference (service.rs:1107-1121)."""
+    if isinstance(exc, (fl.FlightError, NotImplementedError)):
+        return exc
+    return fl.FlightServerError(f"{type(exc).__name__}: {exc}")
+
+
+class FlightSqlServer(fl.FlightServerBase):
+    """The serving layer: Flight SQL commands in, Arrow batches out."""
+
+    def __init__(
+        self,
+        engine: Engine | None = None,
+        location: str = "grpc://0.0.0.0:0",
+        provider: SessionStateProvider | None = None,
+        config: FlightSqlServiceConfig | None = None,
+        middleware: dict | None = None,
+        **kwargs,
+    ):
+        super().__init__(location=location, middleware=middleware or {}, **kwargs)
+        if provider is None:
+            if engine is None:
+                raise ValueError("either engine or provider is required")
+            provider = StaticSessionStateProvider(engine)
+        self._provider = provider
+        self.config = config or FlightSqlServiceConfig()
+
+    # -- context mint (service.rs:133-151) ----------------------------------
+
+    def _ctx(self, context) -> Engine:
+        headers = {}
+        try:
+            mw = context.get_middleware("auth")
+            if mw is not None:
+                headers["x-principal"] = [mw.principal]
+        except Exception:
+            pass
+        return self._provider.engine_for_request(headers)
+
+    # -- GetFlightInfo ------------------------------------------------------
+
+    def get_flight_info(self, context, descriptor) -> fl.FlightInfo:
+        try:
+            command = ProtobufAny.decode(bytes(descriptor.command)).unpack_command()
+            engine = self._ctx(context)
+            if isinstance(command, CommandStatementQuery):
+                return self._info_statement(engine, command, descriptor)
+            if isinstance(command, CommandPreparedStatementQuery):
+                return self._info_prepared(engine, command, descriptor)
+            if isinstance(command, CommandGetCatalogs):
+                return self._info_metadata(command, GET_CATALOGS_SCHEMA, descriptor)
+            if isinstance(command, CommandGetDbSchemas):
+                return self._info_metadata(command, GET_DB_SCHEMAS_SCHEMA, descriptor)
+            if isinstance(command, CommandGetTables):
+                schema = (
+                    GET_TABLES_SCHEMA_WITH_SCHEMA
+                    if command.include_schema
+                    else GET_TABLES_SCHEMA
+                )
+                return self._info_metadata(command, schema, descriptor)
+            if isinstance(command, CommandGetTableTypes):
+                return self._info_metadata(command, GET_TABLE_TYPES_SCHEMA, descriptor)
+            # sql_info / keys / xdbc / substrait: stub parity
+            # (service.rs:518-592,349-386)
+            raise NotImplementedError(
+                f"Implement get_flight_info for {type(command).__name__}"
+            )
+        except Exception as exc:  # noqa: BLE001 - single mapping point
+            raise _to_flight_error(exc)
+
+    def _info_statement(
+        self, engine: Engine, command: CommandStatementQuery, descriptor
+    ) -> fl.FlightInfo:
+        """service.rs:313-347: plan, derive schema, mint stateless ticket."""
+        df = engine.sql_to_plan(command.query)
+        schema = arrow_schema_for_df(df, self.config.schema_with_metadata)
+        ticket = CommandTicket(command=command).try_encode()
+        return self._flight_info(schema, descriptor, ticket)
+
+    def _info_prepared(
+        self, engine: Engine, command: CommandPreparedStatementQuery, descriptor
+    ) -> fl.FlightInfo:
+        """service.rs:388-425: decode handle, re-plan its SQL."""
+        handle = QueryHandle.try_decode(command.prepared_statement_handle)
+        if handle.parameters is None:
+            df = engine.plan_for_schema(handle.query)
+        else:
+            df = engine.sql_to_plan_prepared(handle)
+        schema = arrow_schema_for_df(df, self.config.schema_with_metadata)
+        ticket = CommandTicket(command=command).try_encode()
+        return self._flight_info(schema, descriptor, ticket)
+
+    def _info_metadata(self, command: Message, schema: pa.Schema, descriptor):
+        """service.rs:427-516: metadata tickets are the bare Any command."""
+        ticket = command.pack().encode()
+        return self._flight_info(schema, descriptor, ticket)
+
+    @staticmethod
+    def _flight_info(schema: pa.Schema, descriptor, ticket: bytes) -> fl.FlightInfo:
+        endpoint = fl.FlightEndpoint(fl.Ticket(ticket), [])
+        return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
+    # -- DoGet --------------------------------------------------------------
+
+    def do_get(self, context, ticket) -> fl.FlightDataStream:
+        try:
+            command = self._decode_ticket(bytes(ticket.ticket))
+            engine = self._ctx(context)
+            if isinstance(command, CommandStatementQuery):
+                # service.rs:220-236: re-plan and stream
+                df = engine.execute(command.query)
+                return self._stream_df(engine, df)
+            if isinstance(command, CommandPreparedStatementQuery):
+                # service.rs:238-273: re-plan, bind params, stream
+                handle = QueryHandle.try_decode(command.prepared_statement_handle)
+                df = engine.sql_to_plan_prepared(handle)
+                return self._stream_df(engine, df)
+            if isinstance(command, CommandGetCatalogs):
+                return self._get_catalogs(engine)
+            if isinstance(command, CommandGetDbSchemas):
+                return self._get_db_schemas(engine, command)
+            if isinstance(command, CommandGetTables):
+                return self._get_tables(engine, command)
+            if isinstance(command, CommandGetTableTypes):
+                return self._get_table_types(engine)
+            raise NotImplementedError(
+                f"Implement do_get for {type(command).__name__}"
+            )
+        except Exception as exc:  # noqa: BLE001
+            raise _to_flight_error(exc)
+
+    @staticmethod
+    def _decode_ticket(raw: bytes) -> Message:
+        """Metadata tickets are bare Any; statement tickets are wrapped
+        (the split the reference inherits from arrow-flight's router +
+        state.rs:34-43)."""
+        try:
+            any_msg = ProtobufAny.decode(raw)
+            if any_msg.type_url.startswith(TYPE_URL_PREFIX):
+                return any_msg.unpack_command()
+        except Exception:
+            pass
+        return CommandTicket.try_decode(raw).command
+
+    def _stream_df(self, engine: Engine, df) -> fl.FlightDataStream:
+        schema = arrow_schema_for_df(df)
+        batches = engine.execute_stream(df, batch_rows=self.config.batch_rows)
+        return fl.GeneratorStream(schema, batches)
+
+    def _get_catalogs(self, engine: Engine) -> fl.FlightDataStream:
+        """service.rs:616-636."""
+        rows = [r.catalog_name for r in engine.get_catalogs().collect()]
+        table = pa.table({"catalog_name": rows}, schema=GET_CATALOGS_SCHEMA)
+        return fl.RecordBatchStream(table)
+
+    def _get_db_schemas(
+        self, engine: Engine, cmd: CommandGetDbSchemas
+    ) -> fl.FlightDataStream:
+        """service.rs:638-663."""
+        rows = engine.get_db_schemas(cmd.catalog, cmd.db_schema_filter_pattern).collect()
+        table = pa.table(
+            {
+                "catalog_name": [r.catalog_name for r in rows],
+                "db_schema_name": [r.db_schema_name for r in rows],
+            },
+            schema=GET_DB_SCHEMAS_SCHEMA,
+        )
+        return fl.RecordBatchStream(table)
+
+    def _get_tables(self, engine: Engine, cmd: CommandGetTables) -> fl.FlightDataStream:
+        """service.rs:665-706 (+ per-row IPC schema when include_schema)."""
+        rows = engine.get_tables(
+            cmd.catalog,
+            cmd.db_schema_filter_pattern,
+            cmd.table_name_filter_pattern,
+            cmd.table_types or None,
+        ).collect()
+        columns = {
+            "catalog_name": [r.catalog_name for r in rows],
+            "db_schema_name": [r.db_schema_name for r in rows],
+            "table_name": [r.table_name for r in rows],
+            "table_type": [r.table_type for r in rows],
+        }
+        schema = GET_TABLES_SCHEMA
+        if cmd.include_schema:
+            schema = GET_TABLES_SCHEMA_WITH_SCHEMA
+            columns["table_schema"] = [
+                encode_schema(engine.table_arrow_schema(r.table_name)) for r in rows
+            ]
+        return fl.RecordBatchStream(pa.table(columns, schema=schema))
+
+    def _get_table_types(self, engine: Engine) -> fl.FlightDataStream:
+        """service.rs:708-731."""
+        rows = [r.table_type for r in engine.get_table_types().collect()]
+        return fl.RecordBatchStream(
+            pa.table({"table_type": rows}, schema=GET_TABLE_TYPES_SCHEMA)
+        )
+
+    # -- DoPut --------------------------------------------------------------
+
+    def do_put(self, context, descriptor, reader, writer):
+        try:
+            command = ProtobufAny.decode(bytes(descriptor.command)).unpack_command()
+            if isinstance(command, CommandPreparedStatementQuery):
+                result = self._do_put_prepared_query(command, reader)
+                writer.write(pa.py_buffer(result.pack().encode()))
+                return
+            if isinstance(command, CommandPreparedStatementUpdate):
+                # service.rs:864-875: -1 so CREATE TABLE / SET "succeed"
+                result = DoPutUpdateResult(record_count=-1)
+                writer.write(pa.py_buffer(result.pack().encode()))
+                return
+            # statement update / substrait: stubs (service.rs:799-808,877-888)
+            raise NotImplementedError(
+                f"Implement do_put for {type(command).__name__}"
+            )
+        except Exception as exc:  # noqa: BLE001
+            raise _to_flight_error(exc)
+
+    def _do_put_prepared_query(
+        self, command: CommandPreparedStatementQuery, reader
+    ) -> DoPutPreparedStatementResult:
+        """service.rs:810-862: re-encode the client's parameter stream into
+        the handle and hand the updated handle back (single schema, ≤1 row)."""
+        handle = QueryHandle.try_decode(command.prepared_statement_handle)
+        table = reader.read_all()
+        if table.num_rows > 1:
+            raise fl.FlightServerError("parameters should contain a single row")
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, table.schema) as ipc:
+            for batch in table.to_batches():
+                ipc.write_batch(batch)
+        handle.set_parameters(sink.getvalue().to_pybytes())
+        return DoPutPreparedStatementResult(
+            prepared_statement_handle=handle.encode()
+        )
+
+    # -- DoAction -----------------------------------------------------------
+
+    #: action type → handler name; everything else is UNIMPLEMENTED
+    #: (stub parity with service.rs:943-1011)
+    _ACTIONS = {
+        "CreatePreparedStatement": "_action_create_prepared",
+        "ClosePreparedStatement": "_action_close_prepared",
+    }
+
+    def do_action(self, context, action):
+        try:
+            handler = self._ACTIONS.get(action.type)
+            if handler is None:
+                raise NotImplementedError(f"Implement do_action {action.type}")
+            return getattr(self, handler)(context, bytes(action.body))
+        except Exception as exc:  # noqa: BLE001
+            raise _to_flight_error(exc)
+
+    def list_actions(self, context):
+        return [
+            ("CreatePreparedStatement", "Create a prepared statement"),
+            ("ClosePreparedStatement", "Close a prepared statement"),
+        ]
+
+    def _action_create_prepared(self, context, body: bytes):
+        """service.rs:890-925: plan once, dataset schema + parameter schema,
+        stateless handle carrying the raw SQL."""
+        # Body may arrive Any-packed (arrow-rs / JDBC clients) or raw.
+        payload = body
+        try:
+            any_msg = ProtobufAny.decode(body)
+            if any_msg.type_url.startswith(TYPE_URL_PREFIX):
+                payload = any_msg.value
+        except Exception:
+            pass
+        request = ActionCreatePreparedStatementRequest.decode(payload)
+        engine = self._ctx(context)
+        df = engine.plan_for_schema(request.query)
+        dataset_schema = arrow_schema_for_df(df, self.config.schema_with_metadata)
+        parameter_schema = parameter_schema_for_sql(engine.spark, request.query)
+        handle = QueryHandle(query=request.query, parameters=None)
+        result = ActionCreatePreparedStatementResult(
+            prepared_statement_handle=handle.encode(),
+            dataset_schema=encode_schema(dataset_schema),
+            parameter_schema=encode_schema(parameter_schema),
+        )
+        yield result.pack().encode()
+
+    def _action_close_prepared(self, context, body: bytes):
+        """service.rs:927-941: no-op — the server holds no state."""
+        try:
+            any_msg = ProtobufAny.decode(body)
+            if any_msg.type_url.startswith(TYPE_URL_PREFIX):
+                ActionClosePreparedStatementRequest.decode(any_msg.value)
+        except Exception:
+            pass
+        return iter(())
+
+    # -- handshake (service.rs:198-207: favor middleware) -------------------
+
+    def do_exchange(self, context, descriptor, reader, writer):
+        raise NotImplementedError("do_exchange is not supported")
