@@ -42,3 +42,178 @@ def dedup_exact_keep_row(df: DataFrame, key: str, id_col: str) -> DataFrame:
         F.min(id_col).alias(id_col)
     )
     return df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
+# -- MinHash + LSH near-dedup ------------------------------------------------
+
+#: MinHash universe: Mersenne prime 2^31-1 keeps a*(h%P)+b inside int64 in
+#: every engine (a,b < 2^20, h%P < 2^31 → product < 2^51).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(n_perms: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation constants — md5-derived, no RNG
+    state, identical in the Spark operator and the SQL oracle."""
+    import hashlib
+
+    params = []
+    for i in range(n_perms):
+        h = hashlib.md5(f"{seed}:perm:{i}".encode()).hexdigest()
+        a = int(h[:5], 16) % (1 << 20) or 1  # non-zero multiplier
+        b = int(h[5:10], 16) % (1 << 20)
+        params.append((a, b))
+    return params
+
+
+def shingle_col(text_col, n: int = 3):
+    """Distinct word n-gram shingles (lowercased, whitespace split).
+
+    Documents shorter than ``n`` words collapse to a single whole-text
+    shingle so every document has a non-empty shingle set.
+    """
+    w = F.split(F.lower(text_col), " ")
+    ngrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+    )
+    return F.when(F.size(w) >= n, ngrams).otherwise(
+        F.array(F.array_join(w, " "))
+    )
+
+
+def _shingle_hash(sh):
+    """48-bit integer hash of a shingle via md5 — engine-portable
+    (DuckDB: ('0x' || substr(md5(s),1,12))::BIGINT)."""
+    return F.conv(F.substring(F.md5(sh), 1, 12), 16, 10).cast("bigint")
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_perms: int = 16,
+    n_bands: int = 8,
+    threshold: float = 0.3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding + exact
+    Jaccard verification. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b
+    and jaccard >= threshold, rounded to 6 decimals.
+
+    Pipeline (everything JVM-side, no Python UDFs):
+      1. shingle + hash each document (map-only);
+      2. 16 minhash values per doc via nested array transforms (map-only);
+      3. band signatures -> explode to (band, key) rows -> equi-join on the
+         band key for candidate pairs (the ONLY shuffle that scales with
+         corpus size, and it is hash-partitioned — no cartesian product);
+      4. exact Jaccard on the distinct shingle sets re-joined by id, filter.
+
+    Probabilistic recall lives entirely in step 3; every step is
+    deterministic, so output is run- and engine-stable.
+    """
+    rows_per_band = n_perms // n_bands
+    params = minhash_params(n_perms, seed)
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingle_col(F.col(text_col), shingle_n).alias("s")
+    )
+    hashed = sh.select(
+        "doc_id", "s", F.transform(F.col("s"), _shingle_hash).alias("h")
+    )
+    def _perm(a: int, b: int):
+        # closure factory: pyspark introspects lambda arity, so the constants
+        # cannot ride along as default args
+        return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("h"), _perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    signed = hashed.select("doc_id", "s", *sig_cols)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"mh{bi * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    bucketed = signed.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = sh.select("doc_id", "s")
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def embed_cosine_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-style blocked.
+
+    Candidates are pairs within the same coarse block (``block_col`` — at
+    100 TB this is your k-means/IVF cluster assignment), joined as an
+    equi-join on the block key — never an unblocked cross join. Exact cosine
+    on the candidates, threshold filter. Returns (vec_a, vec_b, sim).
+    """
+    from datafusion_flight_sql_server_spark.operators.similarity import round_cosine
+
+    side_a = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+    )
+    side_b = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        side_a.join(side_b, (side_a.blk == side_b.blk) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a", "vec_b", round_cosine(F.col("va"), F.col("vb")).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )

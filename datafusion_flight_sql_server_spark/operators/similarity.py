@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns — brute-force and LSH-blocked.
+
+North-star extension (SURVEY.md §2.C): the reference has no vector search;
+these operators add cosine top-k over ``array<float>`` embeddings the
+Spark-first way — JVM higher-order functions for the math
+(``functions/vector.py``), broadcast joins for the small query side, and
+sign-random-projection LSH banding as the scale path so no unblocked
+cartesian product ever appears.
+
+Determinism: similarities are computed on DOUBLE-cast arrays and rounded to
+6 decimals before ranking, with neighbor-id tie-breaks — identical output
+across engines and runs.
+
+100 TB posture:
+- ``brute_force_topk``: query side broadcasts (it is k user queries, not the
+  corpus); the corpus streams once; the only shuffle is the per-query top-k
+  window over |queries| x |corpus| similarity rows — linear in corpus size,
+  never quadratic.
+- ``lsh_topk``: each corpus vector lands in ``n_tables`` hash buckets; joins
+  are equi-joins on (table, bucket-signature), so candidate generation is
+  hash-partitioned and the quadratic blow-up is bounded per bucket.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from datafusion_flight_sql_server_spark.functions.vector import cosine
+
+
+def _as_double(col):
+    return col.cast("array<double>")
+
+
+def round_cosine(a, b, digits: int = 6):
+    """Cosine on DOUBLE arrays, rounded for engine-portable comparisons."""
+    return F.round(cosine(_as_double(a), _as_double(b)), digits)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
+
+    ``queries`` is a small DataFrame with the same (id, vector) columns; it
+    broadcasts. Self-matches are excluded. Ranking is over the ROUNDED
+    similarity with neighbor-id tie-break, so results are total-ordered.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        round_cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# -- LSH (sign random projection) -------------------------------------------
+
+
+def projection_tables(
+    dim: int, n_tables: int = 8, n_bits: int = 4, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes: tables x bits x dim.
+
+    Components derive from md5 of (seed, table, bit, dim-index) mapped into
+    [-0.5, 0.5) — reproducible across runs/processes with no RNG state.
+    """
+    tables = []
+    for t in range(n_tables):
+        planes = []
+        for b in range(n_bits):
+            plane = []
+            for d in range(dim):
+                h = hashlib.md5(f"{seed}:{t}:{b}:{d}".encode()).hexdigest()
+                plane.append(int(h[:12], 16) / float(1 << 48) - 0.5)
+            planes.append(plane)
+        tables.append(planes)
+    return tables
+
+
+def _signature(vec_col, planes: list[list[float]]):
+    """Bit-string signature: one sign bit per hyperplane (JVM-side)."""
+    bits = []
+    for plane in planes:
+        lit = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(_as_double(vec_col), lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via sign-random-projection banding.
+
+    Candidates = corpus vectors sharing any (table, signature) bucket with
+    the query; exact cosine re-ranks candidates. Join is an equi-join on the
+    bucket key — no cartesian product at any scale (the scale path the
+    brute-force operator documents).
+    """
+    tables = projection_tables(dim, n_tables, n_bits, seed)
+
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), _signature(F.col(vec_alias), tables[t]).alias("sig")
+                )
+                for t in range(len(tables))
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+        ).select(id_alias, vec_alias, F.explode(sigs).alias("b"))
+
+    qb = with_buckets(queries, "query_id", "q_vec")
+    cb = with_buckets(emb, "neighbor_id", "c_vec")
+    cand = (
+        cb.join(F.broadcast(qb), ["b"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        round_cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

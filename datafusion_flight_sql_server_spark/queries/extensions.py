@@ -21,7 +21,17 @@ from datafusion_flight_sql_server_spark.functions.text import (
     quality_score_col,
     token_count_cols,
 )
-from datafusion_flight_sql_server_spark.operators.dedup import dedup_exact
+from datafusion_flight_sql_server_spark.operators.dedup import (
+    MINHASH_P,
+    dedup_exact,
+    embed_cosine_near_dups,
+    minhash_near_dups,
+    minhash_params,
+)
+from datafusion_flight_sql_server_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
 from datafusion_flight_sql_server_spark.streaming.sessionize import sessionize
 from datafusion_flight_sql_server_spark.streaming.windows import tumbling_counts
 
@@ -45,6 +55,155 @@ from datafusion_flight_sql_server_spark.streaming.windows import tumbling_counts
 )
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_exact(tables(spark, sf)["documents"], key="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "ROUND(CASE WHEN sqrt(list_dot_product({a},{a})) > 0 "
+    "AND sqrt(list_dot_product({b},{b})) > 0 "
+    "THEN list_dot_product({a},{b}) / "
+    "(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) "
+    "ELSE 0.0 END, 6)"
+)
+
+
+@query(
+    "sim_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings),
+             p AS (SELECT query_id, neighbor_id,
+                          {_COS.format(a="qv", b="cv")} AS sim
+                   FROM q JOIN c ON neighbor_id <> query_id),
+             r AS (SELECT query_id, neighbor_id, sim,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rnk
+                   FROM p)
+        SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 5
+    """,
+    doc="Brute-force cosine top-k: 8 query vectors (broadcast) against the "
+    "full corpus; DOUBLE-cast dot products, similarity rounded to 6 decimals "
+    "with neighbor-id tie-break for a total order. The exactness baseline "
+    "for sim_topk_lsh (operators/similarity.py).",
+    tags=("similarity",),
+)
+def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["embeddings"]
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=None,  # approximate by design; recall verified vs brute force in tests
+    doc="LSH-blocked ANN: sign-random-projection banding (8 tables x 4 bits, "
+    "deterministic md5-seeded hyperplanes) generates candidates via bucket "
+    "equi-join — no cartesian product at any scale — then exact cosine "
+    "re-ranks. Rows-only driver check; recall vs sim_topk asserted in "
+    "tests/test_similarity.py (operators/similarity.py).",
+    tags=("similarity",),
+)
+def q_sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["embeddings"]
+    return lsh_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle(
+    shingle_n: int = 3, n_perms: int = 16, n_bands: int = 8, threshold: float = 0.3
+) -> str:
+    """DuckDB SQL replicating the EXACT MinHash-LSH pipeline of
+    ``operators.dedup.minhash_near_dups`` — same md5-derived permutation
+    constants, same banding, same verification — so the (probabilistic-recall
+    but fully deterministic) candidate set matches bit-for-bit."""
+    rows = n_perms // n_bands
+    params = minhash_params(n_perms)
+    mh = ",\n                   ".join(
+        f"list_min(list_transform(h, x -> ({a} * (x % {MINHASH_P}) + {b}) % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws('-', "
+        + ", ".join(f"mh{bi * rows + r}" for r in range(rows))
+        + ")) AS key FROM sig"
+        for bi in range(n_bands)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= {shingle_n}
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - {shingle_n - 2}),
+                                i -> array_to_string(w[i:i+{shingle_n - 1}], ' ')))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM toks),
+        hashed AS (SELECT doc_id, s,
+                          list_transform(s, x ->
+                            ('0x' || substr(md5(x), 1, 12))::BIGINT) AS h
+                   FROM sh),
+        sig AS (SELECT doc_id, s,
+                   {mh}
+                FROM hashed),
+        buck AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM buck a JOIN buck b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+                     / len(list_distinct(sa.s || sb.s)), 6) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+                    / len(list_distinct(sa.s || sb.s)), 6) >= {threshold}
+    """
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=_minhash_oracle(),
+    doc="MinHash-LSH near-dedup over word-3-gram shingles: 16 md5-seeded "
+    "permutations, 8 bands x 2 rows (S-curve threshold ~0.35), band-bucket "
+    "equi-join candidates, exact "
+    "Jaccard >= 0.3 verification. All JVM higher-order functions; the one "
+    "data-sized shuffle is the hash-partitioned band join "
+    "(operators/dedup.py minhash_near_dups).",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    return minhash_near_dups(d)
+
+
+@query(
+    "dedup_embed_cosine",
+    oracle=f"""
+        WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_COS.format(a="a.v", b="b.v")} AS sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_COS.format(a="a.v", b="b.v")} >= 0.25
+    """,
+    doc="Embedding-cosine near-dup pairs, IVF-style blocked on the coarse "
+    "cluster column (label): candidates come from a block equi-join, never "
+    "an unblocked cross join; exact cosine >= 0.25 on candidates "
+    "(operators/dedup.py embed_cosine_near_dups).",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["embeddings"]
+    return embed_cosine_near_dups(e, threshold=0.25)
 
 
 # ---------------------------------------------------------------------------
@@ -215,9 +374,9 @@ def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents
     """,
     doc="Multimodal column convention: payload as opaque BINARY + typed "
-    "metadata (byte size, content digest, mime). Decode/feature-extract "
-    "steps are Pandas-UDF stages over mapInPandas (operators/multimodal.py);"
-    " blobs stay out-of-row and are never collected to the driver.",
+    "metadata (byte size, content digest, mime), all JVM-side column math. "
+    "The decode/feature-extract mapInPandas stages live in "
+    "operators/multimodal.py and are exercised by multimodal_decode.",
     tags=("multimodal",),
 )
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
@@ -229,6 +388,37 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("digest"),
         F.lit("text/plain").alias("mime"),
     )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha256,
+               'image/x-fake' AS mime,
+               CAST(('0x' || substr(sha256(text), 1, 4))::BIGINT % 1024 + 1
+                    AS BIGINT) AS width,
+               CAST(('0x' || substr(sha256(text), 5, 4))::BIGINT % 1024 + 1
+                    AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels
+        FROM documents
+    """,
+    doc="Arrow-batched mapInPandas decode stage over opaque binary payloads "
+    "(operators/multimodal.py decode_images). The decoder is a deterministic "
+    "sha256-derived fake (no image libs in-env) chosen to be SQL-expressible, "
+    "so the whole Python-worker pipeline — schema, batching, payload bytes — "
+    "is value-checked against the oracle, not just smoke-tested.",
+    tags=("multimodal",),
+)
+def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.multimodal import (
+        decode_images,
+        with_blob,
+    )
+
+    d = tables(spark, sf)["documents"]
+    return decode_images(with_blob(d))
 
 
 # ---------------------------------------------------------------------------
