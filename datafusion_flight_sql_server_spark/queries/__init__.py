@@ -2,6 +2,12 @@
 
 Importing this package populates :data:`REGISTRY`; ``__spark_entry__.py``
 derives ``queries()`` and ``oracle_sql()`` from it.
+
+The registry is re-ordered after population: the driver's round-1
+correctness run covered exactly the first 50 registered queries, so entries
+are sorted by verification priority — extension/new operators that have
+never received a driver CORRECTNESS row come first, the relational long tail
+(every row already fully green in CORRECTNESS_r01.json) last.
 """
 
 from datafusion_flight_sql_server_spark.queries.catalog import REGISTRY, QuerySpec, query
@@ -11,5 +17,53 @@ from datafusion_flight_sql_server_spark.queries import relational  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import functions_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import windows_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import extensions  # noqa: F401
+from datafusion_flight_sql_server_spark.queries import sources_q  # noqa: F401
+
+#: Verification-priority prefix: never-checked and newly-added operators,
+#: then the flagship TPC-H set, then one representative per family. Everything
+#: not listed follows in registration order (all green in round 1).
+_PRIORITY = (
+    # new this round — no CORRECTNESS row yet
+    "sim_topk",
+    "sim_topk_lsh",
+    "dedup_near_minhash",
+    "dedup_embed_cosine",
+    "multimodal_decode",
+    "dedup_exact_keeprow",
+    "event_sliding_window",
+    "scan_csv",
+    "scan_memtable",
+    "param_bind_positional",
+    "param_bind_named",
+    # registered in round 1 but absent from CORRECTNESS_r01.json
+    "text_stats",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "text_langid",
+    "multimodal_meta",
+    "event_tumbling_window",
+    "event_sessionize",
+    # flagship + previously-green representatives
+    "dedup_exact",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+)
+
+
+def _reorder() -> None:
+    ordered = {}
+    for name in _PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, spec in REGISTRY.items():
+        ordered.setdefault(name, spec)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder()
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

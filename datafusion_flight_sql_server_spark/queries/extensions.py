@@ -32,8 +32,12 @@ from datafusion_flight_sql_server_spark.operators.similarity import (
     brute_force_topk,
     lsh_topk,
 )
+from datafusion_flight_sql_server_spark.operators.dedup import dedup_exact_keep_row
 from datafusion_flight_sql_server_spark.streaming.sessionize import sessionize
-from datafusion_flight_sql_server_spark.streaming.windows import tumbling_counts
+from datafusion_flight_sql_server_spark.streaming.windows import (
+    sliding_counts,
+    tumbling_counts,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -55,6 +59,23 @@ from datafusion_flight_sql_server_spark.streaming.windows import tumbling_counts
 )
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_exact(tables(spark, sf)["documents"], key="text", id_col="doc_id")
+
+
+@query(
+    "dedup_exact_keeprow",
+    oracle="""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+    """,
+    doc="Exact dedup keeping the full canonical row (min doc_id per content "
+    "digest): window-free agg + semi-join, two narrow shuffles instead of a "
+    "full-row window sort (operators/dedup.py dedup_exact_keep_row).",
+    tags=("dedup",),
+)
+def q_dedup_exact_keeprow(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    return dedup_exact_keep_row(d, key="text", id_col="doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -444,6 +465,28 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
 def q_event_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     e = tables(spark, sf)["events"]
     return tumbling_counts(e, duration="1 hour")
+
+
+@query(
+    "event_sliding_window",
+    oracle="""
+        SELECT ws AS window_start, event_type, COUNT(*) AS n
+        FROM (SELECT event_type,
+                     unnest([ep - (ep % 1800), ep - (ep % 1800) - 1800]) AS ws
+              FROM (SELECT event_type,
+                           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep
+                    FROM events))
+        GROUP BY 1, 2
+    """,
+    doc="Sliding event-time window (1h window / 30m slide) x event_type — "
+    "each event contributes to duration/slide windows; the oracle unrolls "
+    "the two epoch-aligned window starts per event, matching Spark's "
+    "window() alignment (streaming/windows.py sliding_counts).",
+    tags=("events", "window"),
+)
+def q_event_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    return sliding_counts(e, duration="1 hour", slide="30 minutes")
 
 
 @query(
