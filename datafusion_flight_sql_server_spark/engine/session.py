@@ -67,6 +67,9 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource filter pushdown (sources/flight_table.py uses it
+        # to unparse filters into the remote Flight SQL WHERE clause)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert (see registry.register_sf_tables)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -127,7 +127,7 @@ def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
     "equi-join — no cartesian product at any scale — then exact cosine "
     "re-ranks. Rows-only driver check; recall vs sim_topk asserted in "
     "tests/test_similarity.py (operators/similarity.py).",
-    tags=("similarity",),
+    tags=("similarity", "approx"),
 )
 def q_sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     e = tables(spark, sf)["embeddings"]
