@@ -17,6 +17,7 @@ datafusion-flight-sql-server/src/service.rs:153-191):
 from __future__ import annotations
 
 import re
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import types as T
@@ -25,10 +26,34 @@ from datafusion_flight_sql_server_spark.plans.gate import SQLOptions
 from datafusion_flight_sql_server_spark.plans.params import bind_sql
 
 
+def _params_key(params) -> tuple:
+    """Hashable cache key for bound parameter values."""
+    if params is None:
+        return ()
+    if isinstance(params, dict):
+        return tuple(sorted((k, repr(v)) for k, v in params.items()))
+    return tuple(repr(v) for v in params)
+
+
 class Engine:
-    def __init__(self, spark: SparkSession, options: SQLOptions | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        options: SQLOptions | None = None,
+        plan_cache_size: int = 0,
+    ):
         self.spark = spark
         self.options = options or SQLOptions()
+        # Optional plan cache (SURVEY §7 H5): the stateless protocol re-plans
+        # the same SQL up to 3x per prepared query (service.rs:890-925,
+        # 388-425, 238-273) — the reference accepts that cost for
+        # statelessness, and so does our default (size 0 = off, matching
+        # reference behavior). Opting in trades strict re-planning for
+        # serving latency; entries key on (sql, bound params) and assume
+        # immutable registered sources — call clear_plan_cache() after
+        # re-registering tables.
+        self._plan_cache_size = plan_cache_size
+        self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
     # -- query lifecycle ----------------------------------------------------
 
@@ -37,8 +62,23 @@ class Engine:
 
         Parity: service.rs:170-175 (plan + ``SQLOptions::verify_plan``).
         """
+        if self._plan_cache_size:
+            key = (sql, _params_key(params))
+            cached = self._plan_cache.get(key)
+            if cached is not None:
+                self._plan_cache.move_to_end(key)
+                return cached
+            self.options.verify(self.spark, sql)
+            df = bind_sql(self.spark, sql, params)
+            self._plan_cache[key] = df
+            while len(self._plan_cache) > self._plan_cache_size:
+                self._plan_cache.popitem(last=False)
+            return df
         self.options.verify(self.spark, sql)
         return bind_sql(self.spark, sql, params)
+
+    def clear_plan_cache(self) -> None:
+        self._plan_cache.clear()
 
     def execute(self, sql: str, params=None) -> DataFrame:
         """Gate + plan; execution happens when the caller consumes batches.
