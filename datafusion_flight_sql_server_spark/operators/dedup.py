@@ -184,6 +184,155 @@ def minhash_near_dups(
     return verified
 
 
+# -- SimHash near-dedup ------------------------------------------------------
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_bits: int = 48,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash + banded blocking + exact Hamming.
+
+    48-bit SimHash over word-3-gram shingle hashes (bit j = sign of the
+    ±1 vote sum across shingles), split into 3 sixteen-bit bands; by
+    pigeonhole, any pair within Hamming distance <= 3 of a 3-band split
+    shares at least one exact band, so candidate generation loses nothing
+    the verifier would keep when max_hamming < n_bits/band_bits. Returns
+    (doc_a, doc_b, hamming).
+
+    Unlike MinHash the verification is on the *signature* (Hamming), not the
+    shingle sets — cheaper at scale (no set re-join; one bigint per doc),
+    trading Jaccard fidelity for speed. Everything is JVM column math; the
+    only data-sized shuffle is the band equi-join.
+    """
+    n_bands = n_bits // band_bits
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(shingle_col(F.col(text_col), shingle_n), _shingle_hash).alias("h"),
+    )
+
+    def _vote(j: int):
+        return lambda h: F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sim = None
+    for j in range(n_bits):
+        vote_sum = F.aggregate(
+            F.transform(F.col("h"), _vote(j)), F.lit(0), lambda acc, x: acc + x
+        )
+        bit = F.when(vote_sum >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("bigint")
+        sim = bit if sim is None else sim + bit
+    signed = sh.select("doc_id", sim.alias("sim"))
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("sim"), bi * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("key"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    bucketed = signed.select("doc_id", "sim", F.explode(bands).alias("b")).select(
+        "doc_id", "sim", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    return (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- character n-gram Jaccard near-dedup -------------------------------------
+
+
+def ngram_jaccard_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+    ngram: int = 5,
+    len_bucket: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by character-n-gram Jaccard with attribute
+    blocking: candidates share (lang, length//bucket) — an equi-join on the
+    block key, no cartesian product. Exact Jaccard on distinct 5-gram sets,
+    >= threshold, rounded to 6 decimals. Returns (doc_a, doc_b, jaccard).
+
+    The blocking tradeoff is explicit: a true pair straddling a length-bucket
+    boundary is missed — acceptable for the char-gram family, whose role is
+    cheap high-precision sweeps; MinHash banding (minhash_near_dups) is the
+    recall-oriented path.
+    """
+    tx = F.lower(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(tx) - (ngram - 1)),
+            lambda i: tx.substr(i, F.lit(ngram)),
+        )
+    )
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("blk_lang"),
+        (F.col(len_col) / len_bucket).cast("bigint").alias("blk_len"),
+        F.when(F.length(tx) >= ngram, grams).otherwise(F.array(tx)).alias("s"),
+    )
+    a = g.select(
+        F.col("doc_id").alias("doc_a"),
+        "blk_lang",
+        "blk_len",
+        F.col("s").alias("sa"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"),
+        "blk_lang",
+        "blk_len",
+        F.col("s").alias("sb"),
+    )
+    return (
+        a.join(
+            b,
+            (a.blk_lang == b.blk_lang)
+            & (a.blk_len == b.blk_len)
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def embed_cosine_near_dups(
     emb: DataFrame,
     threshold: float = 0.25,

@@ -35,6 +35,14 @@ _PRIORITY = (
     "scan_memtable",
     "param_bind_positional",
     "param_bind_named",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_rolling_hash",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted",
+    "window_distribution",
     # registered in round 1 but absent from CORRECTNESS_r01.json
     "text_stats",
     "text_quality",

@@ -27,6 +27,8 @@ from datafusion_flight_sql_server_spark.operators.dedup import (
     embed_cosine_near_dups,
     minhash_near_dups,
     minhash_params,
+    ngram_jaccard_near_dups,
+    simhash_near_dups,
 )
 from datafusion_flight_sql_server_spark.operators.similarity import (
     brute_force_topk,
@@ -206,6 +208,91 @@ def q_dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_near_dups(d)
 
 
+def _simhash_oracle(n_bits: int = 48, band_bits: int = 16, max_hamming: int = 3) -> str:
+    """DuckDB SQL replicating ``simhash_near_dups`` bit-for-bit (same shingle
+    hashes, same vote rule incl. ties-to-1, same banding)."""
+    n_bands = n_bits // band_bits
+    bits = ", ".join(
+        f"CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END AS bit{j}"
+        for j in range(n_bits)
+    )
+    sim = " + ".join(f"bit{j} * {1 << j}" for j in range(n_bits))
+    band_list = ", ".join(str(b) for b in range(n_bands))
+    key_list = ", ".join(
+        f"(sim >> {b * band_bits}) & {(1 << band_bits) - 1}" for b in range(n_bands)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents),
+        shg AS (SELECT doc_id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct(list_transform(range(1, len(w)-1),
+                                 i -> array_to_string(w[i:i+2], ' ')))
+                            ELSE [array_to_string(w, ' ')] END AS s
+                FROM toks),
+        t AS (SELECT doc_id, list_transform(s, x ->
+                      ('0x' || substr(md5(x), 1, 12))::BIGINT) AS h FROM shg),
+        bitted AS (SELECT doc_id, {bits} FROM t),
+        sh AS (SELECT doc_id, ({sim})::BIGINT AS sim FROM bitted),
+        b AS (SELECT doc_id, sim, unnest([{band_list}]) AS band,
+                     unnest([{key_list}]) AS key FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                        a.sim AS sa, b2.sim AS sb
+                 FROM b a JOIN b b2
+                   ON a.band = b2.band AND a.key = b2.key
+                  AND a.doc_id < b2.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc="SimHash near-dedup: 48-bit signature over word-3-gram shingle "
+    "hashes (sign of the per-bit ±1 vote sum), 3 sixteen-bit bands — "
+    "pigeonhole guarantees any pair within Hamming<=3 shares a band, so "
+    "blocking is lossless for the verifier — then exact Hamming on the "
+    "signatures. Signature-only verification: one bigint per doc at scale, "
+    "no shingle-set re-join (operators/dedup.py simhash_near_dups).",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    return simhash_near_dups(d)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH t AS (SELECT doc_id, lang, n_chars // 64 AS lb, lower(text) AS tx
+                   FROM documents),
+        g AS (SELECT doc_id, lang, lb,
+                     CASE WHEN length(tx) >= 5
+                          THEN list_distinct(list_transform(
+                               range(1, length(tx)-3), i -> tx[i:i+4]))
+                          ELSE [tx] END AS s
+              FROM t)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(a.s || b.s)), 6) >= 0.5
+    """,
+    doc="Character-5-gram Jaccard near-dedup with attribute blocking "
+    "(lang x length-bucket equi-join — no cartesian product): the cheap "
+    "high-precision sweep of the dedup family; MinHash banding is the "
+    "recall path (operators/dedup.py ngram_jaccard_near_dups).",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    return ngram_jaccard_near_dups(d)
+
+
 @query(
     "dedup_embed_cosine",
     oracle=f"""
@@ -330,6 +417,37 @@ def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = tables(spark, sf)["documents"]
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "text_rolling_hash",
+    oracle=f"""
+        WITH t AS (SELECT doc_id,
+                          list_transform(string_split(lower(text), ' '),
+                            x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS h
+                   FROM documents)
+        SELECT doc_id,
+               list_reduce([0::BIGINT] || h,
+                           (a, x) -> (a * 31 + x) % {MINHASH_P}) AS rolling_fp
+        FROM t
+    """,
+    doc="Order-sensitive rolling-hash document fingerprint: polynomial fold "
+    "(acc*31 + token_hash mod P) over the token-hash sequence — unlike the "
+    "sorted-set fingerprint (text_fingerprint), token reordering changes the "
+    "digest. Left-fold in both engines; modulus keeps every step in int64.",
+    tags=("text", "dedup"),
+)
+def q_text_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.dedup import _shingle_hash
+
+    d = tables(spark, sf)["documents"]
+    hashes = F.transform(F.split(F.lower(F.col("text")), " "), _shingle_hash)
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % MINHASH_P,
+    )
+    return d.select("doc_id", fp.alias("rolling_fp"))
 
 
 def _langid_oracle() -> str:

@@ -831,6 +831,173 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC}))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 forecasting-revenue change: pure scan + conjunctive "
+    "filter + ungrouped sum — the pushdown stress test (every predicate "
+    "reaches the parquet scan, no shuffle at all beyond the final "
+    "single-row agg).",
+    tags=("tpch", "agg"),
+)
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    l = tables(spark, sf)["lineitem"]
+    revenue = dec("l_extendedprice") * dec("l_discount")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+        SELECT 100.00 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                        THEN CAST(l.l_extendedprice AS {DEC})
+                             * CAST(1 - l.l_discount AS {DEC})
+                        ELSE CAST(0 AS {DEC4}) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice AS {DEC})
+                       * CAST(1 - l.l_discount AS {DEC})) AS DOUBLE)
+               AS promo_revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 promotion effect: date-filtered lineitem joined to part, "
+    "conditional aggregation ratio. Part is sf-proportional — no broadcast "
+    "hint, AQE decides.",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    rev = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast(DEC4)
+    )
+    return (
+        l.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            # divide in DOUBLE after the exact decimal sums — decimal
+            # division scale rules differ between engines at the last ulp
+            (F.lit(100.00) * F.sum(promo).cast("double") / F.sum(rev).cast("double"))
+            .alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle=f"""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q18 large-volume customer: HAVING-filtered IN-subquery over "
+    "the fact table (rewritten to a semi-join by both engines), 3-way join, "
+    "grouped quantities, top-k by price.",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    l = t["lineitem"].join(big, "l_orderkey", "left_semi")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19_discounted",
+    oracle=f"""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS {DEC})
+                        * CAST(1 - l.l_discount AS {DEC})) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 21)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+               AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 45
+               AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 discounted-revenue shape (adapted to the fixture's "
+    "reduced part schema: brand/size/quantity instead of container/"
+    "shipmode): disjunction of conjunctive range predicates across both "
+    "join sides — exercises OR-predicate pushdown and join-condition "
+    "factoring.",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    rev = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 45)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
     "tpch_q10_returned_items",
     oracle=f"""
         SELECT c.c_custkey, c.c_name,

@@ -141,3 +141,32 @@ def q_window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "c_custkey", "c_acctbal")
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+        SELECT c_custkey,
+               c_nationkey,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Distribution window functions (delegated surface): percent_rank / "
+    "cume_dist / ntile over a per-nation total order (tie-broken on the key "
+    "so bucket boundaries are engine-stable); fractions rounded to 6 "
+    "decimals.",
+    tags=("window",),
+)
+def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    c = tables(spark, sf)["customer"]
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
