@@ -44,6 +44,13 @@ HEADLINE = (
     "fn_explode",
     "dedup_exact",
     "agg_group_multi",
+    # round-2 additions (kept after the original 8 for cross-round comparison)
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted",
+    "dedup_near_minhash",
+    "sim_topk",
 )
 
 WARMUP_RUNS = 1

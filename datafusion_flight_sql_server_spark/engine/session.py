@@ -70,6 +70,11 @@ def build_session(
         # Python DataSource filter pushdown (sources/flight_table.py uses it
         # to unparse filters into the remote Flight SQL WHERE clause)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Spark 4.1's async checkpoint-file checksum writer deadlocks on the
+        # local filesystem (stateful queries hang in HDFSBackedStateStore
+        # commit awaiting ChecksumCheckpointFileManager); corruption
+        # detection is a durability feature we can live without here
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert (see registry.register_sf_tables)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -70,14 +70,24 @@ def shingle_col(text_col, n: int = 3):
 
     Documents shorter than ``n`` words collapse to a single whole-text
     shingle so every document has a non-empty shingle set.
+
+    Built from zipped shifted copies of the token array (each zip_with is a
+    single O(tokens) pass), NOT per-position ``slice`` — the slice form is
+    O(tokens^2) per document and measured 25x slower on the sf0.1 corpus.
+    zip_with pads the shorter side with NULLs, so the trailing (n-1)
+    incomplete shingles become NULL via null-propagating concat and are
+    dropped with array_compact.
     """
     w = F.split(F.lower(text_col), " ")
-    ngrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
+    joined = w
+    for k in range(1, n):
+        shifted = F.slice(w, k + 1, F.size(w))
+        # concat propagates NULL, so the (n-1) incomplete tail positions
+        # (where the shifted copy ran out) null themselves out
+        joined = F.zip_with(
+            joined, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    )
+    ngrams = F.array_distinct(F.array_compact(joined))
     return F.when(F.size(w) >= n, ngrams).otherwise(
         F.array(F.array_join(w, " "))
     )
