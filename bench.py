@@ -104,6 +104,11 @@ def main() -> int:
             rows[name] = _materialize(fn(spark, sf_dir))
         samples = []
         for _ in range(TIMED_RUNS):
+            # Operators that reuse an intermediate persist() it (e.g. the
+            # minhash shingle sets); Spark's CacheManager matches by plan,
+            # so without a clear the NEXT run would start from the previous
+            # run's materialized blocks — fast but input-cold dishonest.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             _materialize(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)

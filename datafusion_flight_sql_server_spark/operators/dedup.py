@@ -114,12 +114,21 @@ def minhash_near_dups(
     and jaccard >= threshold, rounded to 6 decimals.
 
     Pipeline (everything JVM-side, no Python UDFs):
-      1. shingle + hash each document (map-only);
+      1. shingle + hash each document (map-only), persisted — the hashed
+         shingle sets feed both signature generation and verification, so
+         without a persist Spark recomputes the (dominant) shingling pass
+         three times. MEMORY_AND_DISK: at 100 TB the set column spills
+         rather than OOMs, and the persisted relation is narrow
+         (id + int64 array, no text);
       2. 16 minhash values per doc via nested array transforms (map-only);
       3. band signatures -> explode to (band, key) rows -> equi-join on the
          band key for candidate pairs (the ONLY shuffle that scales with
          corpus size, and it is hash-partitioned — no cartesian product);
-      4. exact Jaccard on the distinct shingle sets re-joined by id, filter.
+      4. exact Jaccard on the distinct *hashed* shingle sets re-joined by
+         id, filter. Hashes, not strings: int64 set-intersection is far
+         cheaper to shuffle and compare, and is engine-portable — the
+         oracle derives the identical md5-based hashes, so a collision
+         (negligible at 48 bits) would collide identically there.
 
     Probabilistic recall lives entirely in step 3; every step is
     deterministic, so output is run- and engine-stable.
@@ -127,12 +136,14 @@ def minhash_near_dups(
     rows_per_band = n_perms // n_bands
     params = minhash_params(n_perms, seed)
 
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), shingle_col(F.col(text_col), shingle_n).alias("s")
-    )
-    hashed = sh.select(
-        "doc_id", "s", F.transform(F.col("s"), _shingle_hash).alias("h")
-    )
+    from pyspark import StorageLevel
+
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(shingle_col(F.col(text_col), shingle_n), _shingle_hash)
+        ).alias("h"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     def _perm(a: int, b: int):
         # closure factory: pyspark introspects lambda arity, so the constants
         # cannot ride along as default args
@@ -142,7 +153,7 @@ def minhash_near_dups(
         F.array_min(F.transform(F.col("h"), _perm(a, b))).alias(f"mh{i}")
         for i, (a, b) in enumerate(params)
     ]
-    signed = hashed.select("doc_id", "s", *sig_cols)
+    signed = hashed.select("doc_id", *sig_cols)
     bands = F.array(
         *[
             F.struct(
@@ -176,10 +187,9 @@ def minhash_near_dups(
         )
         .distinct()
     )
-    sets = sh.select("doc_id", "s")
     verified = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")), "doc_b")
+        cand.join(hashed.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("sa")), "doc_a")
+        .join(hashed.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("sb")), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -170,11 +170,11 @@ def _minhash_oracle(
                                 i -> array_to_string(w[i:i+{shingle_n - 1}], ' ')))
                            ELSE [array_to_string(w, ' ')] END AS s
                FROM toks),
-        hashed AS (SELECT doc_id, s,
-                          list_transform(s, x ->
-                            ('0x' || substr(md5(x), 1, 12))::BIGINT) AS h
+        hashed AS (SELECT doc_id,
+                          list_distinct(list_transform(s, x ->
+                            ('0x' || substr(md5(x), 1, 12))::BIGINT)) AS h
                    FROM sh),
-        sig AS (SELECT doc_id, s,
+        sig AS (SELECT doc_id,
                    {mh}
                 FROM hashed),
         buck AS ({band_selects}),
@@ -182,13 +182,13 @@ def _minhash_oracle(
                  FROM buck a JOIN buck b
                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
-               ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
-                     / len(list_distinct(sa.s || sb.s)), 6) AS jaccard
+               ROUND(len(list_intersect(sa.h, sb.h))::DOUBLE
+                     / len(list_distinct(sa.h || sb.h)), 6) AS jaccard
         FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
-        WHERE ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
-                    / len(list_distinct(sa.s || sb.s)), 6) >= {threshold}
+        JOIN hashed sa ON sa.doc_id = doc_a
+        JOIN hashed sb ON sb.doc_id = doc_b
+        WHERE ROUND(len(list_intersect(sa.h, sb.h))::DOUBLE
+                    / len(list_distinct(sa.h || sb.h)), 6) >= {threshold}
     """
 
 
