@@ -1031,3 +1031,431 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 order-priority checking, adapted to the fixture's reduced "
+    "lineitem schema (no commit/receipt dates): 'late' = a lineitem shipped "
+    "more than 30 days after the order date. Correlated EXISTS against the "
+    "fact table -> left-semi join with a cross-table predicate.",
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(l.l_extendedprice AS {DEC})
+                     * CAST(1 - l.l_discount AS {DEC}) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                   AND TIMESTAMP '1997-12-31 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 volume shipping: 6-way join (two roles for nation), "
+    "disjunctive cross-nation predicate, per-year revenue. The two nation "
+    "dims are tiny in every TPC-H scaling model -> AQE broadcasts them; "
+    "lineitem-orders-customer are shuffle joins on their keys.",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    l = t["lineitem"].filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    volume = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        t["supplier"]
+        .join(l, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+        SELECT o_year,
+               CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume
+                        ELSE CAST(0 AS {DEC4}) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l.l_extendedprice AS {DEC})
+                     * CAST(1 - l.l_discount AS {DEC}) AS volume,
+                   n2.n_name AS nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                    AND TIMESTAMP '1997-12-31 00:00:00'
+              AND p.p_type = 'ECONOMY'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    doc="TPC-H Q8 national market share: 8-way join spanning every "
+    "dimension, conditional-share ratio per year. Divisions run in DOUBLE "
+    "after exact decimal sums (engine decimal-division scales differ).",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    o = t["orders"].filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    volume = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    nat_volume = F.when(F.col("nation") == "NATION_7", volume).otherwise(
+        F.lit(0).cast(DEC4)
+    )
+    return (
+        t["part"]
+        .filter(F.col("p_type") == "ECONOMY")
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (F.sum(nat_volume).cast("double") / F.sum(volume).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 customer order-count distribution, adapted to the "
+    "fixture's reduced orders schema (priority filter instead of the "
+    "o_comment NOT LIKE): outer join with an ON-clause predicate (must not "
+    "degrade to inner), COUNT over nullable keys, then a second aggregation "
+    "over the first's result — two shuffles, both on narrow keys.",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    o = t["orders"].filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice AS {DEC})
+                       * CAST(1 - l_discount AS {DEC})) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 top supplier: quarterly revenue 'view' reused twice "
+    "(per-supplier revenue + its global max) — a scalar aggregate subquery "
+    "over an aggregate. The max comparison runs on the EXACT decimal sums; "
+    "only the output is cast to double.",
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity",
+    oracle=f"""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS {DEC})) AS DOUBLE) / 7.0
+               AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#2' AND p.p_size < 10
+          AND l.l_quantity < (
+              SELECT 0.2 * AVG(CAST(l2.l_quantity AS DOUBLE))
+              FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+    doc="TPC-H Q17 small-quantity-order revenue, adapted to the fixture's "
+    "part schema (brand+size instead of brand+container): correlated AVG "
+    "subquery over the fact table — decorrelated into a per-part aggregate "
+    "joined back on partkey (one extra narrow shuffle, no re-scan per row).",
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    part = t["part"].filter((F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10))
+    per_part = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg((F.lit(0.2) * F.avg(F.col("l_quantity").cast("double"))).alias("qty_cut"))
+    )
+    return (
+        t["lineitem"]
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("p_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q21_suppliers_waiting",
+    oracle="""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND n.n_name = 'NATION_1'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+    """,
+    doc="TPC-H Q21 suppliers who kept orders waiting, adapted lateness "
+    "predicate (shipped >60 days after order date; fixture has no commit/"
+    "receipt dates): EXISTS + correlated NOT EXISTS against the fact table "
+    "-> left-semi then left-anti join, both hash-partitioned on l_orderkey.",
+    tags=("tpch", "subquery", "join", "agg"),
+)
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    l1 = (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_1")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("s_name", "l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = t["lineitem"].select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    some_other = l1.join(
+        l2,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    no_other_late = some_other.join(
+        l2,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey"))
+        & (F.col("x_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return (
+        no_other_late.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q22_global_sales",
+    oracle="""
+        SELECT c.c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(SUM(c.c_acctbal) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_acctbal > 0.00
+                               AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c.c_nationkey
+        ORDER BY cntrycode
+    """,
+    doc="TPC-H Q22 global sales opportunity, adapted country code "
+    "(c_nationkey instead of the fixture-absent phone prefix) and lapse "
+    "window (no orders since 1999, Q22's 'no orders in 7 years' shape): "
+    "scalar AVG subquery (broadcast single row), anti-join against the "
+    "date-filtered orders, grouped balances.",
+    tags=("tpch", "subquery", "join", "agg"),
+)
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    eligible = t["customer"].filter(F.col("c_nationkey").isin(codes))
+    avg_bal = eligible.filter(F.col("c_acctbal") > 0.00).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        eligible.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            .select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
