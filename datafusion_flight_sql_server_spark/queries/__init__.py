@@ -24,6 +24,20 @@ from datafusion_flight_sql_server_spark.queries import sources_q  # noqa: F401
 #: not listed follows in registration order (all green in round 1).
 _PRIORITY = (
     # new this round — no CORRECTNESS row yet
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_priority_class",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q22_global_sales",
     "sim_topk",
     "sim_topk_lsh",
     "dedup_near_minhash",

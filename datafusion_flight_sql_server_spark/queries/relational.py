@@ -1459,3 +1459,342 @@ def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        WITH offers AS (
+            SELECT l_partkey AS o_partkey, l_suppkey AS o_suppkey,
+                   MIN(l_extendedprice) AS supply_cost
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ), eu AS (
+            SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        )
+        SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_name,
+               o.supply_cost
+        FROM part p
+        JOIN offers o ON o.o_partkey = p.p_partkey
+        JOIN eu ON eu.s_suppkey = o.o_suppkey
+        WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+          AND o.supply_cost = (
+              SELECT MIN(o2.supply_cost)
+              FROM offers o2 JOIN eu e2 ON e2.s_suppkey = o2.o_suppkey
+              WHERE o2.o_partkey = p.p_partkey)
+        ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q2 minimum-cost supplier, adapted to the fixture (no "
+    "partsupp): the part-supplier offer relation is derived from lineitem "
+    "(supply cost = MIN observed sale price — MIN over doubles is "
+    "order-independent, so exact across engines). Correlated MIN subquery "
+    "decorrelated into a per-part aggregate joined back on partkey; the "
+    "region-filtered supplier dim stays broadcast-size at every SF.",
+    tags=("tpch", "subquery", "join"),
+)
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    offers = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("o_partkey"),
+            F.col("l_suppkey").alias("o_suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    eu = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_offers = offers.join(
+        F.broadcast(eu), F.col("o_suppkey") == F.col("s_suppkey")
+    )
+    best = eu_offers.groupBy(F.col("o_partkey").alias("b_partkey")).agg(
+        F.min("supply_cost").alias("best_cost")
+    )
+    p = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+    return (
+        p.join(eu_offers, F.col("p_partkey") == F.col("o_partkey"))
+        .join(
+            best,
+            (F.col("p_partkey") == F.col("b_partkey"))
+            & (F.col("supply_cost") == F.col("best_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (
+            SELECT n.n_name AS nation,
+                   CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l.l_extendedprice AS {DEC})
+                     * CAST(1 - l.l_discount AS {DEC}) AS amount
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%bolt%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 product-type profit, adapted to the fixture (no partsupp "
+    "supply cost: amount = discounted revenue): 5-way join with a LIKE "
+    "pushdown on part, per-nation-per-year exact decimal sums. The "
+    "name-filtered part side prunes the fact scan through the join; nation "
+    "is broadcast at every SF.",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    amount = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        t["part"]
+        .filter(F.col("p_name").like("%bolt%"))
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+        WITH stock AS (
+            SELECT l.l_partkey AS partkey,
+                   SUM(CAST(l.l_extendedprice AS {DEC})) AS value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+            GROUP BY l.l_partkey
+        )
+        SELECT partkey, CAST(value AS DOUBLE) AS value
+        FROM stock
+        WHERE CAST(value AS DOUBLE) >
+              (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM stock)
+        ORDER BY value DESC, partkey
+    """,
+    doc="TPC-H Q11 important stock, adapted to the fixture (no partsupp: "
+    "per-part 'value' = exact decimal revenue sum through NATION_3 "
+    "suppliers). The grouped CTE is reused for both the per-part values and "
+    "the global threshold — Spark computes it once per branch; the scalar "
+    "threshold is a single-row broadcast cross join. Threshold comparison "
+    "runs in DOUBLE derived from exact decimal sums on both engines.",
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    nat_sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    stock = (
+        t["lineitem"]
+        .join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(dec("l_extendedprice")).alias("value"))
+    )
+    threshold = stock.agg(
+        (F.sum("value").cast("double") * F.lit(0.001)).alias("cutoff")
+    )
+    return (
+        stock.join(F.broadcast(threshold))
+        .filter(F.col("value").cast("double") > F.col("cutoff"))
+        .select("partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@query(
+    "tpch_q12_shipping_priority_class",
+    oracle="""
+        SELECT l.l_linestatus AS shipclass,
+               COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY shipclass
+        ORDER BY shipclass
+    """,
+    doc="TPC-H Q12 shipping modes & order priority, adapted to the fixture "
+    "(no l_shipmode/commit/receipt dates: classes come from l_linestatus, "
+    "'late' = shipped >60 days after order date). Conditional COUNT "
+    "aggregation over a cross-table join predicate; date range pushed to "
+    "the lineitem scan.",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("shipclass"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("shipclass")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT pr.pr_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey AS pr_partkey, l_suppkey AS pr_suppkey
+              FROM lineitem) pr
+        JOIN part p ON p.p_partkey = pr.pr_partkey
+        WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 36)
+          AND pr.pr_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 parts/supplier relationship, adapted to the fixture (the "
+    "part-supplier relation is DISTINCT (l_partkey, l_suppkey) from "
+    "lineitem; the 'complaints' supplier exclusion becomes negative account "
+    "balance). NOT IN over a non-null key -> left-anti join; COUNT(DISTINCT) "
+    "per 3-attribute group.",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    pr = (
+        t["lineitem"]
+        .select(
+            F.col("l_partkey").alias("pr_partkey"),
+            F.col("l_suppkey").alias("pr_suppkey"),
+        )
+        .distinct()
+    )
+    bad = (
+        t["supplier"]
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("pr_suppkey"))
+    )
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 36)
+    )
+    return (
+        pr.join(F.broadcast(bad), "pr_suppkey", "left_anti")
+        .join(p, F.col("pr_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("pr_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    oracle=f"""
+        WITH small_parts AS (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        ), shipped AS (
+            SELECT l.l_suppkey AS suppkey,
+                   SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                             AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                            THEN CAST(l.l_quantity AS {DEC})
+                            ELSE CAST(0 AS {DEC}) END) AS qty_1996,
+                   SUM(CAST(l.l_quantity AS {DEC})) AS qty_total
+            FROM lineitem l
+            JOIN small_parts sp ON sp.p_partkey = l.l_partkey
+            GROUP BY l.l_suppkey
+        )
+        SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_2', 'NATION_4', 'NATION_6')
+          AND s.s_suppkey IN (
+              SELECT suppkey FROM shipped
+              WHERE CAST(qty_1996 AS DOUBLE) > 0.15 * CAST(qty_total AS DOUBLE))
+        ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 potential part promotion, adapted to the fixture (no "
+    "partsupp availqty: a supplier is 'promotable' when its 1996 shipped "
+    "quantity of small-named parts exceeds 15% of its all-time shipped "
+    "quantity of those parts). Nested IN subqueries -> semi-join chain; "
+    "quantity sums are exact decimals, the ratio compare runs in DOUBLE.",
+    tags=("tpch", "subquery", "join"),
+)
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    small = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    in_96 = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = (
+        t["lineitem"]
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                F.when(in_96, dec("l_quantity")).otherwise(F.lit(0).cast(DEC))
+            ).alias("qty_1996"),
+            F.sum(dec("l_quantity")).alias("qty_total"),
+        )
+    )
+    promotable = shipped.filter(
+        F.col("qty_1996").cast("double") > F.lit(0.15) * F.col("qty_total").cast("double")
+    ).select(F.col("suppkey").alias("s_suppkey"))
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].filter(
+                    F.col("n_name").isin("NATION_2", "NATION_4", "NATION_6")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(promotable, "s_suppkey", "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
