@@ -4,9 +4,11 @@ Prints ONE JSON line:
   {"metric": "headline_median_total", "value": <sum of per-query medians>,
    "unit": "sec", "queries": {name: median_sec, ...}, "sf": <sf>, ...}
 
-Protocol (BASELINE.md): wall-clock sec/query, median of 3 timed runs after one
+Protocol (BASELINE.md): wall-clock sec/query, median of 5 timed runs after one
 warm-up, warm SparkSession, results fully materialized on the driver via the
-Arrow path (the same thing the DuckDB baseline's fetchdf() does).
+Arrow path (the same thing the DuckDB baseline's fetchdf() does). Five runs,
+not three: the shared host shows multi-second noise outliers, and a median
+of 5 survives two bad samples.
 
 Tuning applied here and why it is scale-honest:
 
@@ -54,7 +56,7 @@ HEADLINE = (
 )
 
 WARMUP_RUNS = 1
-TIMED_RUNS = 3
+TIMED_RUNS = 5
 
 
 def _materialize(df) -> int:
@@ -79,6 +81,12 @@ def main() -> int:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "2m",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+            # sf0.1 post-shuffle data is a few MB: 8 reduce partitions beat
+            # the core-count default 32 (less task-launch overhead; AQE
+            # coalesces below 8 when even that is too many). Measured A/B:
+            # headline total 9.6s -> 6.9s. Cluster-scale guidance unchanged
+            # (2-3x total cores) — this knob is data-proportional.
+            "spark.sql.shuffle.partitions": "8",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

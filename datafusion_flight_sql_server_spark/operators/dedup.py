@@ -44,6 +44,28 @@ def dedup_exact_keep_row(df: DataFrame, key: str, id_col: str) -> DataFrame:
     return df.join(winners.select(id_col), on=id_col, how="left_semi")
 
 
+def rebalance_for_compute(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition before CPU-heavy per-row work when the scan yields fewer
+    partitions than the session's shuffle width.
+
+    Shingling/hashing costs 10-100x more per row than shuffling the raw
+    text, so when the input layout is coarse (single-row-group parquet,
+    few oversized files — Spark cannot split inside a parquet row group)
+    a narrow hash-repartition on the id buys full-cluster parallelism for
+    the map stage. No-op when the input is already well-split, which is
+    the normal case at scale — so this never adds a shuffle to a 100 TB
+    run that doesn't need it. Width is capped at 32: beyond that, local
+    measurements show task-launch overhead and GC outliers dominate for
+    the corpus sizes where the rebalance binds at all.
+    """
+    target = min(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")), 32
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
+
+
 # -- MinHash + LSH near-dedup ------------------------------------------------
 
 #: MinHash universe: Mersenne prime 2^31-1 keeps a*(h%P)+b inside int64 in
@@ -138,12 +160,16 @@ def minhash_near_dups(
 
     from pyspark import StorageLevel
 
-    hashed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(
-            F.transform(shingle_col(F.col(text_col), shingle_n), _shingle_hash)
-        ).alias("h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = (
+        rebalance_for_compute(docs, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                F.transform(shingle_col(F.col(text_col), shingle_n), _shingle_hash)
+            ).alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     def _perm(a: int, b: int):
         # closure factory: pyspark introspects lambda arity, so the constants
         # cannot ride along as default args
@@ -232,7 +258,7 @@ def simhash_near_dups(
     """
     n_bands = n_bits // band_bits
 
-    sh = docs.select(
+    sh = rebalance_for_compute(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.transform(shingle_col(F.col(text_col), shingle_n), _shingle_hash).alias("h"),
     )
@@ -315,7 +341,7 @@ def ngram_jaccard_near_dups(
             lambda i: tx.substr(i, F.lit(ngram)),
         )
     )
-    g = docs.select(
+    g = rebalance_for_compute(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("blk_lang"),
         (F.col(len_col) / len_bucket).cast("bigint").alias("blk_len"),

@@ -38,6 +38,7 @@ _PRIORITY = (
     "tpch_q20_potential_promotion",
     "tpch_q21_suppliers_waiting",
     "tpch_q22_global_sales",
+    "fn_map",
     "sim_topk",
     "sim_topk_lsh",
     "dedup_near_minhash",

@@ -313,3 +313,41 @@ def q_fn_struct(spark: SparkSession, sf: str) -> DataFrame:
         s.getField("name").alias("s_name"),
         s.getField("region").alias("s_region"),
     )
+
+
+@query(
+    "fn_map",
+    oracle="""
+        SELECT n_nationkey,
+               n_name AS name_val,
+               CAST(n_regionkey AS VARCHAR) AS region_val,
+               CAST(2 AS BIGINT) AS map_size,
+               'name,region' AS key_list,
+               TRUE AS has_name,
+               FALSE AS has_phone
+        FROM nation
+    """,
+    doc="Map function family (delegated surface: map construction, "
+    "element_at, map_keys/map_values, cardinality, map_contains_key). The "
+    "map is built from literal keys, so the ANSI oracle states the "
+    "statically-known results directly — the Spark side exercises the real "
+    "map ops; the comparison pins their values.",
+    tags=("function", "map"),
+)
+def q_fn_map(spark: SparkSession, sf: str) -> DataFrame:
+    n = tables(spark, sf)["nation"]
+    m = F.create_map(
+        F.lit("name"),
+        F.col("n_name"),
+        F.lit("region"),
+        F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("name_val"),
+        F.element_at(m, "region").alias("region_val"),
+        F.size(m).cast("bigint").alias("map_size"),
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+        F.array_contains(F.map_keys(m), "name").alias("has_name"),
+        F.array_contains(F.map_keys(m), "phone").alias("has_phone"),
+    )

@@ -17,10 +17,14 @@ Mapping:
                       remote WHERE clause (the federation SQL push-down the
                       reference gets from datafusion-federation)
 
-Executor-side code touches ONLY pyarrow (ticket bytes travel pre-encoded in
-the partition), so workers don't need this package importable; the driver
-side (schema probe, SQL unparse) is where the package must live. Deploy with
-``--py-files``/container image as usual for Python data sources.
+Worker-side deserialization: Spark's Python-data-source workers unpickle the
+DataSource *class* (create_data_source.py reads the command), and cloudpickle
+serializes classes from importable modules by reference — meaning every
+executor would need this package on its PYTHONPATH. This module registers
+itself for pickle-BY-VALUE instead, so the class (and this module's code)
+travel inside the pickle and executors need only pyspark + pyarrow. That is
+the right deployment posture for a connector: no cluster-wide package
+install for a single source.
 
 Usage::
 
@@ -47,6 +51,32 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
+
+from datafusion_flight_sql_server_spark import client as _client_mod
+from datafusion_flight_sql_server_spark.client import FlightSQLExecutor
+from datafusion_flight_sql_server_spark.protocol import flightsql as _flightsql_mod
+from datafusion_flight_sql_server_spark.protocol import wire as _wire_mod
+from datafusion_flight_sql_server_spark.protocol.flightsql import (
+    CommandStatementQuery,
+)
+
+# Spark runs a Python data source's schema()/partitions() in SEPARATE worker
+# processes (create_data_source.py / plan_data_source_read.py), which
+# unpickle this class and execute its methods — so both the class and every
+# module it touches must reach workers. Registering the whole import chain
+# (this module -> client -> protocol codecs; all pure Python + pyarrow) for
+# cloudpickle BY-VALUE serialization ships the code inside the pickle, so
+# executors need only pyspark + pyarrow. Registering a partially-initialized
+# module at import time is fine: cloudpickle stores only the reference.
+import sys as _sys
+
+try:  # pragma: no cover - vendored path is stable in pyspark>=3.3
+    from pyspark import cloudpickle as _cloudpickle
+
+    for _m in (_sys.modules[__name__], _client_mod, _flightsql_mod, _wire_mod):
+        _cloudpickle.register_pickle_by_value(_m)
+except Exception:  # noqa: BLE001 - best-effort; --py-files deploys still work
+    pass
 
 
 class FlightEndpointPartition(InputPartition):
@@ -121,11 +151,6 @@ class FlightSQLReader(DataSourceReader):
         return sql
 
     def partitions(self):
-        from datafusion_flight_sql_server_spark.client import FlightSQLExecutor
-        from datafusion_flight_sql_server_spark.protocol.flightsql import (
-            CommandStatementQuery,
-        )
-
         ex = FlightSQLExecutor(self.uri, token=self.token)
         try:
             info = ex.flight_info(CommandStatementQuery(query=self._remote_sql()))
@@ -162,11 +187,6 @@ class FlightSQLDataSource(DataSource):
 
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
-
-        from datafusion_flight_sql_server_spark.client import FlightSQLExecutor
-        from datafusion_flight_sql_server_spark.protocol.flightsql import (
-            CommandStatementQuery,
-        )
 
         uri = self.options["uri"]
         table = self.options.get("table")
