@@ -171,3 +171,96 @@ def lsh_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` cells,
+    probe the ``n_probe`` best cells per query, exact-cosine re-rank.
+
+    The coarse quantizer is DETERMINISTIC — the ``n_cells`` lowest-id
+    vectors serve as centroids — so unlike a trained k-means IVF the whole
+    operator is reproducible across engines and the driver can hash-check
+    it against an ANSI oracle (quality of the quantizer is secondary to the
+    partition/probe structure; swap in k-means centroids at deployment).
+
+    100 TB posture:
+    - assignment is an aggregation-only argmax (``max(struct(...))`` —
+      partial-aggregatable, no window sort over the corpus); the per-vector
+      cost is ``n_cells`` dot products, the IVF standard;
+    - centroids and the probed query cells broadcast (both tiny);
+    - candidate generation is an equi-join on the cell id — the scanned
+      fraction is ~``n_probe/n_cells`` of the corpus, never a cross join.
+    """
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    # argmax cell per corpus vector: max(struct) picks highest sim, then
+    # lowest cent_id (negated id), carrying the vector along for re-ranking
+    # (cent_id is unique per group, so the array field never decides).
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .select(
+            "neighbor_id",
+            F.struct(
+                round_cosine(F.col("c_vec"), F.col("cent_vec")).alias("cs"),
+                (-F.col("cent_id")).alias("neg_cent"),
+                F.col("c_vec").alias("v"),
+            ).alias("s"),
+        )
+        .groupBy("neighbor_id")
+        .agg(F.max("s").alias("s"))
+        .select(
+            "neighbor_id",
+            (-F.col("s.neg_cent")).alias("cell"),
+            F.col("s.v").alias("c_vec"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("qs").desc(), F.col("cent_id")
+    )
+    probed = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_vec",
+            "cent_id",
+            round_cosine(F.col("q_vec"), F.col("cent_vec")).alias("qs"),
+        )
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "q_vec", F.col("cent_id").alias("cell"))
+    )
+    pairs = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

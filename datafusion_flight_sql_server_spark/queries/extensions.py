@@ -32,6 +32,7 @@ from datafusion_flight_sql_server_spark.operators.dedup import (
 )
 from datafusion_flight_sql_server_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from datafusion_flight_sql_server_spark.operators.dedup import dedup_exact_keep_row
@@ -119,6 +120,51 @@ _COS = (
 def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = tables(spark, sf)["embeddings"]
     return brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "sim_topk_ivf",
+    oracle=f"""
+        WITH cents AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings WHERE vec_id < 16),
+             e AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+             asg AS (SELECT neighbor_id, v, cent_id AS cell FROM (
+                 SELECT e.neighbor_id, e.v, c.cent_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.neighbor_id
+                            ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC,
+                                     c.cent_id) AS rn
+                 FROM e CROSS JOIN cents c) WHERE rn = 1),
+             q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 8),
+             probe AS (SELECT query_id, qv, cell FROM (
+                 SELECT q.query_id, q.qv, c.cent_id AS cell,
+                        ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY {_COS.format(a="q.qv", b="c.cv")} DESC,
+                                     c.cent_id) AS rn
+                 FROM q CROSS JOIN cents c) WHERE rn <= 4),
+             cand AS (SELECT p.query_id, p.qv, a.neighbor_id, a.v
+                      FROM probe p JOIN asg a ON a.cell = p.cell
+                      WHERE a.neighbor_id <> p.query_id),
+             r AS (SELECT query_id, neighbor_id,
+                          {_COS.format(a="qv", b="v")} AS sim,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_COS.format(a="qv", b="v")} DESC,
+                                       neighbor_id) AS rnk
+                   FROM cand)
+        SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 5
+    """,
+    doc="IVF-style ANN: deterministic coarse quantizer (16 seed-vector "
+    "cells), aggregation-only argmax assignment, 4-cell probe per query, "
+    "exact cosine re-rank — candidate fraction ~n_probe/n_cells of the "
+    "corpus, no cross join (operators/similarity.py ivf_topk). Fully "
+    "deterministic, so hash-checkable unlike trained-k-means IVF.",
+    tags=("similarity", "approx"),
+)
+def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["embeddings"]
+    return ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
 
 @query(

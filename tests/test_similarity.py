@@ -19,6 +19,7 @@ from datafusion_flight_sql_server_spark.operators.dedup import (
 )
 from datafusion_flight_sql_server_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
     projection_tables,
 )
@@ -180,6 +181,35 @@ class TestEmbedCosineNearDup:
     def test_no_cartesian_product_in_plan(self, embeddings):
         plan = (
             embed_cosine_near_dups(embeddings)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+
+
+class TestIvfTopK:
+    def test_recall_vs_brute_force(self, embeddings):
+        queries = embeddings.filter(F.col("vec_id") < 8)
+        exact = brute_force_topk(embeddings, queries, k=5).collect()
+        approx = ivf_topk(embeddings, queries, k=5).collect()
+        exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+        approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        # seed-vector quantizer on random 64-d data measured ~0.9 at the
+        # fixture SF; floor set well below to keep the test SF-robust
+        assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+        assert all(r.query_id != r.neighbor_id for r in approx)
+
+    def test_deterministic_across_runs(self, embeddings):
+        queries = embeddings.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, ivf_topk(embeddings, queries, k=3).collect()))
+        b = sorted(map(tuple, ivf_topk(embeddings, queries, k=3).collect()))
+        assert a == b
+
+    def test_no_cartesian_product_in_plan(self, embeddings):
+        plan = (
+            ivf_topk(embeddings, embeddings.filter(F.col("vec_id") < 2))
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
