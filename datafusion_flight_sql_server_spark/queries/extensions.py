@@ -34,6 +34,7 @@ from datafusion_flight_sql_server_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_topk,
+    projection_tables,
 )
 from datafusion_flight_sql_server_spark.operators.dedup import dedup_exact_keep_row
 from datafusion_flight_sql_server_spark.streaming.sessionize import sessionize
@@ -167,14 +168,64 @@ def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
 
+def _lsh_oracle(
+    k: int = 5, n_tables: int = 8, n_bits: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB SQL replicating the EXACT sign-random-projection pipeline of
+    ``operators.similarity.lsh_topk`` — the hyperplanes are the same
+    md5-derived constants (``projection_tables``), embedded as a
+    ``planes(t, b, w)`` VALUES relation, so bucket membership and the final
+    re-ranked top-k match bit-for-bit (``list_dot_product`` sums in the
+    same sequential element order as the JVM fold; sign at >= 0)."""
+    tabs = projection_tables(dim, n_tables, n_bits, seed)
+    rows = ",\n                 ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in tabs[t][b])}])"
+        for t in range(n_tables)
+        for b in range(n_bits)
+    )
+    return f"""
+        WITH planes(t, b, w) AS (VALUES
+                 {rows}),
+             e AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+             q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 8),
+             eb AS (SELECT neighbor_id, t,
+                           string_agg(CASE WHEN list_dot_product(e.v, p.w) >= 0
+                                           THEN '1' ELSE '0' END,
+                                      '' ORDER BY p.b) AS sig
+                    FROM e CROSS JOIN planes p GROUP BY neighbor_id, t),
+             qb AS (SELECT query_id, t,
+                           string_agg(CASE WHEN list_dot_product(q.v, p.w) >= 0
+                                           THEN '1' ELSE '0' END,
+                                      '' ORDER BY p.b) AS sig
+                    FROM q CROSS JOIN planes p GROUP BY query_id, t),
+             cand AS (SELECT DISTINCT qb.query_id, eb.neighbor_id
+                      FROM eb JOIN qb ON eb.t = qb.t AND eb.sig = qb.sig
+                      WHERE eb.neighbor_id <> qb.query_id),
+             scored AS (SELECT c.query_id, c.neighbor_id,
+                               {_COS.format(a="qv.v", b="ev.v")} AS sim
+                        FROM cand c
+                        JOIN e ev ON ev.neighbor_id = c.neighbor_id
+                        JOIN q qv ON qv.query_id = c.query_id),
+             r AS (SELECT query_id, neighbor_id, sim,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rnk
+                   FROM scored)
+        SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= {k}
+    """
+
+
 @query(
     "sim_topk_lsh",
-    oracle=None,  # approximate by design; recall verified vs brute force in tests
+    oracle=_lsh_oracle(),
     doc="LSH-blocked ANN: sign-random-projection banding (8 tables x 4 bits, "
     "deterministic md5-seeded hyperplanes) generates candidates via bucket "
     "equi-join — no cartesian product at any scale — then exact cosine "
-    "re-ranks. Rows-only driver check; recall vs sim_topk asserted in "
-    "tests/test_similarity.py (operators/similarity.py).",
+    "re-ranks. Fully deterministic, so hash-checked against an ANSI oracle "
+    "that embeds the same hyperplane constants; recall vs sim_topk asserted "
+    "in tests/test_similarity.py (operators/similarity.py).",
     tags=("similarity", "approx"),
 )
 def q_sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
