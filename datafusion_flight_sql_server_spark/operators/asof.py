@@ -1,0 +1,76 @@
+"""As-of (backward, inclusive) join — the time-series point-in-time join.
+
+Not in the reference's delegated SQL surface (DataFusion 53 has no ASOF
+JOIN; SURVEY.md §2.B joins table marks it non-parity), but a staple of
+training-data pipelines: attach the most recent prior observation (feature
+snapshot, last view event) to each fact row. Implemented the Spark-first
+way SURVEY.md suggests — a single union + one window pass, no range
+self-join and no per-row subquery:
+
+1. the right side is deduplicated to one row per (key, timestamp), keeping
+   the highest-id row (as-of with duplicate right timestamps is otherwise
+   engine-ambiguous);
+2. both sides union into one stream ordered by (microsecond timestamp,
+   side-marker) — right rows sort BEFORE left rows at equal timestamps,
+   which makes the join inclusive (right.ts <= left.ts);
+3. ``last(..., ignorenulls=True)`` over an unbounded-preceding row frame
+   carries each key's latest right row forward; left rows read it, rows
+   with no prior right row get NULL (left-outer semantics).
+
+100 TB posture: exactly one shuffle on the join key (the window), a
+map-side-combinable pre-aggregation for the dedupe, and no join node at
+all — the plan scales like sessionization, not like a range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_id_col: str = "event_id",
+    right_value_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Backward inclusive as-of join.
+
+    Returns every ``left`` row with appended columns ``{ts_col}_r``,
+    ``{right_id_col}_r`` and ``{c}_r`` for each value column — the matched
+    right row's fields, NULL when the key has no right row at or before
+    the left timestamp. Deterministic under duplicate right timestamps
+    (max ``right_id_col`` wins, with its values taken atomically).
+    """
+    rvals = [right_id_col, *right_value_cols]
+    r1 = (
+        right.groupBy(on, ts_col)
+        .agg(F.max(F.struct(*[F.col(c) for c in rvals])).alias("_m"))
+        .select(
+            on,
+            ts_col,
+            F.struct(
+                F.col(ts_col).alias(f"{ts_col}_r"),
+                *[F.col(f"_m.{c}").alias(f"{c}_r") for c in rvals],
+            ).alias("_r"),
+        )
+    )
+    l2 = left.withColumn("_is_l", F.lit(1))
+    r2 = r1.withColumn("_is_l", F.lit(0))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.unix_micros(F.col(ts_col)), F.col("_is_l"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        u.withColumn("_rj", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_is_l") == 1)
+        .select(
+            *left.columns,
+            F.col(f"_rj.{ts_col}_r").alias(f"{ts_col}_r"),
+            *[F.col(f"_rj.{c}_r").alias(f"{c}_r") for c in rvals],
+        )
+    )

@@ -39,6 +39,7 @@ _PRIORITY = (
     "tpch_q21_suppliers_waiting",
     "tpch_q22_global_sales",
     "fn_map",
+    "event_asof_join",
     "sim_topk_ivf",
     "sim_topk",
     "sim_topk_lsh",

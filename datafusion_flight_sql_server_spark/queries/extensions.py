@@ -742,3 +742,61 @@ def q_event_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
 def q_event_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     e = tables(spark, sf)["events"]
     return sessionize(e, gap_seconds=1800)
+
+
+@query(
+    "event_asof_join",
+    oracle="""
+        WITH v AS (
+            -- dedupe right side per (user, ts): max event_id wins, values
+            -- taken atomically — as-of over duplicate right timestamps is
+            -- engine-ambiguous otherwise (operators/asof.py does the same)
+            SELECT user_id, ts,
+                   MAX(event_id) AS view_id,
+                   arg_max(value, event_id) AS view_value
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ), p AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, p.user_id,
+               CAST(epoch_us(p.ts) AS BIGINT) AS ep_us,
+               v.view_id, v.view_value,
+               CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+                   AS gap_s
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="Backward inclusive as-of join: each purchase event picks up the "
+    "user's most recent prior-or-simultaneous view event (point-in-time "
+    "feature attachment). Spark side is the union + window-carry-forward "
+    "form — one shuffle on the key, no range join (operators/asof.py); "
+    "oracle is DuckDB's native ASOF LEFT JOIN over a deduplicated right "
+    "side. Left-outer: purchases before any view keep NULL view columns.",
+    tags=("events", "join", "asof"),
+)
+def q_event_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.asof import asof_join
+
+    e = tables(spark, sf)["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(purchases, views)
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).cast("bigint").alias("ep_us"),
+        F.col("event_id_r").alias("view_id"),
+        F.col("value_r").alias("view_value"),
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r")))
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )

@@ -1,0 +1,61 @@
+"""As-of join edge semantics (operators/asof.py).
+
+The oracle-parity harness covers the bulk behavior (event_asof_join vs
+DuckDB ASOF LEFT JOIN); these tests pin the edges the fixture may not hit:
+inclusive equal-timestamp matching, duplicate-right-timestamp tie-break,
+left-outer nulls, and the no-join-node plan shape.
+"""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from datafusion_flight_sql_server_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(100, 1, _ts(10)), (101, 1, _ts(20)), (102, 2, _ts(5))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    ).select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    right = spark.createDataFrame(
+        [
+            (1, _ts(10), 7, 1.5),   # equal ts -> inclusive match for 100
+            (1, _ts(10), 9, 2.5),   # duplicate ts: max event_id (9) wins
+            (1, _ts(15), 3, 9.9),   # between the two purchases
+            (2, _ts(6), 4, 4.0),    # AFTER user 2's purchase -> no match
+        ],
+        "user_id bigint, ts timestamp, event_id bigint, value double",
+    )
+    return left, right
+
+
+class TestAsofJoin:
+    def test_inclusive_tiebreak_and_outer(self, spark):
+        left, right = _frames(spark)
+        rows = {
+            r.purchase_id: r
+            for r in asof_join(left, right).collect()
+        }
+        assert len(rows) == 3
+        # equal-ts match is inclusive, duplicate right ts resolved to max id
+        assert rows[100].event_id_r == 9 and rows[100].value_r == 2.5
+        # later purchase sees the later view
+        assert rows[101].event_id_r == 3 and rows[101].value_r == 9.9
+        # right row after the purchase: left-outer nulls
+        assert rows[102].event_id_r is None and rows[102].value_r is None
+        assert rows[102].ts_r is None
+
+    def test_no_join_node_in_plan(self, spark):
+        left, right = _frames(spark)
+        plan = (
+            asof_join(left, right)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan  # union + single window, never a range join
