@@ -40,6 +40,9 @@ _PRIORITY = (
     "tpch_q22_global_sales",
     "fn_map",
     "event_asof_join",
+    "event_band_join",
+    "event_time_rollup",
+    "agg_percentile",
     "sim_topk_ivf",
     "sim_topk",
     "sim_topk_lsh",

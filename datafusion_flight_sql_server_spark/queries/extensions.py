@@ -800,3 +800,95 @@ def q_event_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_s"),
     )
+
+
+@query(
+    "event_band_join",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ), v AS (
+            SELECT user_id, ts, value
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT p.purchase_id, p.user_id,
+               COUNT(v.user_id) AS n_views,
+               CAST(COALESCE(SUM(CAST(v.value AS DECIMAL(18,6))), 0)
+                    AS DOUBLE) AS sum_view_value
+        FROM p LEFT JOIN v
+          ON p.user_id = v.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR
+                      AND p.ts + INTERVAL 1 HOUR
+        GROUP BY p.purchase_id, p.user_id
+    """,
+    doc="Band (range) join: per purchase, the count and value-sum of the "
+    "same user's view events within ±1 hour. Spark side decomposes the "
+    "range predicate into a bucketed equi-join on (user, time-bucket) with "
+    "a 3-bucket explode — no nested-loop/cartesian node at any scale "
+    "(operators/range_join.py); the oracle states the naive range "
+    "predicate directly. Sum is exact (decimal) then cast to DOUBLE; "
+    "purchases with no nearby view keep count 0 / sum 0.",
+    tags=("events", "join", "range"),
+)
+def q_event_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.range_join import band_join
+
+    e = tables(spark, sf)["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    pairs = band_join(
+        purchases, views, width_seconds=3600, right_cols=("value",)
+    )
+    per_purchase = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value_r").cast("decimal(18,6)")).alias("_s"),
+    )
+    return purchases.join(per_purchase, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_views"),
+        F.coalesce(F.col("_s").cast("double"), F.lit(0.0)).alias(
+            "sum_view_value"
+        ),
+    )
+
+
+# Same ANSI text both engines, except the string type name (Spark: STRING,
+# DuckDB: VARCHAR). The inner TIMESTAMP cast pins the render: DuckDB's
+# date_trunc('day', ...) yields DATE ('2024-01-01'), Spark's a TIMESTAMP
+# ('2024-01-01 00:00:00') — through TIMESTAMP both print the latter.
+_TIME_ROLLUP_SQL = """
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS {s}) AS day,
+           CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS {s}) AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (date_trunc('day', ts), event_type),
+        (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+    )
+"""
+
+
+@query(
+    "event_time_rollup",
+    oracle=_TIME_ROLLUP_SQL.format(s="VARCHAR"),
+    doc="Hypertable-style multi-granularity rollup (continuous-aggregate "
+    "analogue): one GROUPING SETS pass produces hourly AND daily "
+    "per-event-type aggregates — counts, distinct users, exact decimal "
+    "value sums cast to DOUBLE. Identical ANSI SQL runs on both engines. "
+    "Scale: Catalyst expands the sets into a single shuffle with partial "
+    "aggregation; day-level rows reuse the same exchange, so the rollup "
+    "costs one scan at any SF (vs one job per granularity).",
+    tags=("events", "agg", "rollup"),
+)
+def q_event_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(_TIME_ROLLUP_SQL.format(s="STRING"))

@@ -407,6 +407,36 @@ def q_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+               ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles / median per group (DataFusion 53 "
+    "exposes median + approx_percentile_cont on the delegated surface; "
+    "Spark's percentile() is the exact continuous-quantile analogue and "
+    "DuckDB quantile_cont the oracle — both interpolate at p*(n-1)). "
+    "Rounded to 6 decimals for cross-engine float parity. Scale note: "
+    "exact percentile holds the group's values; at 100 TB swap in "
+    "approx_percentile (t-digest, mergeable partial aggs) per group.",
+    tags=("agg",),
+)
+def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    l = tables(spark, sf)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5D)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9D)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25D)"), 6).alias(
+            "p25_price"
+        ),
+    )
+
+
+@query(
     "agg_rollup",
     oracle=f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
