@@ -121,6 +121,18 @@ def register_csv(spark: SparkSession, name: str, path: str) -> DataFrame:
     return df
 
 
+def register_json(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """Line-delimited JSON registration with schema inference.
+
+    Parity: the reference's SessionContext accepts any embedder-registered
+    provider, JSON included (delegation: service.rs:140-141); this is the
+    ``register_json`` analogue of :func:`register_csv`.
+    """
+    df = spark.read.json(path)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def register_memtable(
     spark: SparkSession, name: str, data: list[tuple], schema
 ) -> DataFrame:

@@ -52,6 +52,7 @@ _PRIORITY = (
     "dedup_exact_keeprow",
     "event_sliding_window",
     "scan_csv",
+    "scan_json",
     "scan_memtable",
     "param_bind_positional",
     "param_bind_named",

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from datafusion_flight_sql_server_spark.engine.registry import (
     register_csv,
+    register_json,
     register_memtable,
 )
 from datafusion_flight_sql_server_spark.plans.params import bind_sql
@@ -24,6 +25,9 @@ from datafusion_flight_sql_server_spark.queries.catalog import query, tables
 
 #: Repo-local clone of the reference's example CSV (examples/test.csv).
 _CSV_PATH = str(Path(__file__).resolve().parents[2] / "examples" / "test.csv")
+
+#: Repo-local line-delimited JSON example (same shape family as the CSV).
+_JSON_PATH = str(Path(__file__).resolve().parents[2] / "examples" / "test.jsonl")
 
 
 @query(
@@ -42,6 +46,30 @@ _CSV_PATH = str(Path(__file__).resolve().parents[2] / "examples" / "test.csv")
 def q_scan_csv(spark: SparkSession, sf: str) -> DataFrame:
     df = register_csv(spark, "example_csv", _CSV_PATH)
     return df.select("foo", F.col("bar").cast("bigint").alias("bar")).orderBy("foo")
+
+
+@query(
+    "scan_json",
+    oracle=f"""
+        SELECT CAST(id AS BIGINT) AS id, name,
+               CAST(score AS DOUBLE) AS score
+        FROM read_json_auto('{_JSON_PATH}')
+        ORDER BY id
+    """,
+    doc="Line-delimited JSON registration with schema inference (parity: "
+    "any embedder-registered provider on the wrapped session, reference "
+    "service.rs:140-141; the JSON analogue of register_csv). Casts align "
+    "the engines' inferred integer/float types; nulls in both value "
+    "columns round-trip.",
+    tags=("source",),
+)
+def q_scan_json(spark: SparkSession, sf: str) -> DataFrame:
+    df = register_json(spark, "example_json", _JSON_PATH)
+    return df.select(
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.col("score").cast("double").alias("score"),
+    ).orderBy("id")
 
 
 @query(

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import threading
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.flight as fl
 import pytest
@@ -271,6 +272,28 @@ class TestBearerAuth:
         with pytest.raises(fl.FlightUnauthenticatedError):
             ex.execute("SELECT 1 AS one")
         ex.close()
+
+
+class TestServerSideUdf:
+    """UDF surface parity (SURVEY §2.B): no wire-level registration — the
+    embedder pre-registers functions on the session the server wraps
+    (reference: session.rs:9-12, service.rs:140-141). Spark analogue:
+    ``spark.udf.register`` on the served SparkSession; any Flight SQL
+    client can then call the function by name."""
+
+    def test_pre_registered_pandas_udf_via_flight(self, spark, client):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def doubled(v: pd.Series) -> pd.Series:
+            return v * 2
+
+        spark.udf.register("doubled", doubled)
+        table = client.execute(
+            "SELECT order_id, doubled(amount) AS amount2 "
+            "FROM orders ORDER BY order_id"
+        )
+        assert table.column("amount2").to_pylist() == [100, 150, 200, 50]
 
 
 def _cmd(sql: str):
