@@ -43,6 +43,7 @@ _PRIORITY = (
     "event_band_join",
     "event_time_rollup",
     "agg_percentile",
+    "fn_date_bin",
     "sim_topk_ivf",
     "sim_topk",
     "sim_topk_lsh",

@@ -125,6 +125,35 @@ def q_fn_datetime(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "fn_date_bin",
+    oracle="""
+        SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS VARCHAR)
+                   AS bucket_start,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    doc="Fixed-width time bucketing (DataFusion date_bin / DuckDB "
+    "time_bucket): events counted into 15-minute bins. Spark side is the "
+    "groupBy(window(ts, ...)) form — same epoch-aligned bins for widths "
+    "that divide a day (Spark's origin is the unix epoch, DuckDB's "
+    "2000-01-01; both land on midnight for sub-day divisors). Scale: "
+    "single partial-aggregated shuffle, bins computed row-local.",
+    tags=("function", "datetime"),
+)
+def q_fn_date_bin(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("string").alias("bucket_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "fn_math",
     oracle="""
         SELECT o_orderkey,
