@@ -44,6 +44,7 @@ _PRIORITY = (
     "event_time_rollup",
     "agg_percentile",
     "fn_date_bin",
+    "dedup_near_clusters",
     "sim_topk_ivf",
     "sim_topk",
     "sim_topk_lsh",

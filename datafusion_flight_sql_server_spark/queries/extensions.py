@@ -305,6 +305,62 @@ def q_dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_near_dups(d)
 
 
+def _clusters_oracle() -> str:
+    """Recursive-CTE transitive closure over the exact minhash pair list."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+        {_minhash_oracle()}
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), reach(node, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ), comp AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
+    """
+
+
+@query(
+    "dedup_near_clusters",
+    oracle=_clusters_oracle(),
+    doc="Near-dup cluster assignment: transitive closure of the MinHash "
+    "pair list (A~B, B~C => one cluster) via iterative min-label "
+    "propagation — each round one equi-join + one groupBy, converging at "
+    "the unique fixed point where every doc carries its component's min "
+    "id (operators/components.py; large-star/small-star is the documented "
+    "O(log n)-round upgrade for adversarial chain graphs). Oracle: "
+    "recursive CTE over the identical pair SQL. Output: every paired doc "
+    "with its cluster id and cluster size.",
+    tags=("dedup", "similarity", "iterative"),
+)
+def q_dedup_near_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from datafusion_flight_sql_server_spark.operators.components import (
+        connected_components,
+    )
+
+    d = tables(spark, sf)["documents"]
+    pairs = minhash_near_dups(d).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return comps.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("cluster_id"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )
+
+
 def _simhash_oracle(n_bits: int = 48, band_bits: int = 16, max_hamming: int = 3) -> str:
     """DuckDB SQL replicating ``simhash_near_dups`` bit-for-bit (same shingle
     hashes, same vote rule incl. ties-to-1, same banding)."""
