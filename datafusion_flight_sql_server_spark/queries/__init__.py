@@ -45,6 +45,8 @@ _PRIORITY = (
     "agg_percentile",
     "fn_date_bin",
     "dedup_near_clusters",
+    "window_range_frame",
+    "text_topk_tokens",
     "sim_topk_ivf",
     "sim_topk",
     "sim_topk_lsh",

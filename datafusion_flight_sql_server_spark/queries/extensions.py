@@ -948,3 +948,33 @@ _TIME_ROLLUP_SQL = """
 def q_event_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
     tables(spark, sf)
     return spark.sql(_TIME_ROLLUP_SQL.format(s="STRING"))
+
+
+@query(
+    "text_topk_tokens",
+    oracle="""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 100
+    """,
+    doc="Corpus vocabulary head: top-100 whitespace tokens by frequency "
+    "(vocab construction / stopword mining). Explode + count + top-k; the "
+    "groupBy is partial-aggregated map-side and the top-k collapses to "
+    "TakeOrderedAndProject, so the full token list never sorts globally. "
+    "Tie-broken on (count desc, token) for a total order.",
+    tags=("text",),
+)
+def q_text_topk_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(100)
+    )

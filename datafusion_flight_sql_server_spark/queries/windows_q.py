@@ -170,3 +170,49 @@ def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+        -- floor-divided whole seconds: DuckDB epoch() returns FRACTIONAL
+        -- seconds (a BIGINT cast would round, Spark truncates); integer
+        -- epoch_us // 1e6 floors identically in both engines
+        SELECT event_id, user_id,
+               epoch_us(ts) // 1000000 AS ep,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS trailing_1h_sum,
+               CAST(COUNT(*) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS trailing_1h_n
+        FROM events
+    """,
+    doc="RANGE-frame window (delegated surface, completes the ROWS/RANGE "
+    "frame row): per-user trailing one-hour sum/count over event time — "
+    "the trailing-window feature shape of training pipelines. RANGE "
+    "includes all peers of the boundary values, so same-second ties "
+    "aggregate identically in any execution order — deterministic without "
+    "a unique tie-break. Exact decimal sums cast to DOUBLE.",
+    tags=("window", "events"),
+)
+def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    ep = F.expr("unix_micros(ts) div 1000000")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(ep)
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        ep.cast("bigint").alias("ep"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_1h_n"),
+    )
