@@ -64,12 +64,17 @@ def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
                LAST_VALUE(o_totalprice) OVER
                    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-                   AS last_price
+                   AS last_price,
+               NTH_VALUE(o_totalprice, 2) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
-    doc="Analytic windows: lag/lead/first_value/last_value with explicit "
-    "full frame for last_value (delegated surface).",
+    doc="Analytic windows: lag/lead/first_value/last_value/nth_value with "
+    "explicit full frames for the from-the-end/positional ones (delegated "
+    "surface).",
     tags=("window",),
 )
 def q_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
@@ -83,6 +88,7 @@ def q_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
     )
 
 

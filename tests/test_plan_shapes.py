@@ -1,0 +1,87 @@
+"""Physical-plan shape assertions for the 100 TB design contract.
+
+Correctness is the oracle harness's job; these tests pin the *plans* —
+the properties that decide whether a query survives a 1000-executor
+scale-up: filters pushed into the parquet scan, columns pruned at the
+reader, ORDER BY+LIMIT fused to TakeOrderedAndProject, no nested-loop /
+cartesian joins in the TPC-H plans, and no forced broadcast of
+sf-proportional tables (AQE decides at runtime instead — round-1 review
+flagged exactly that anti-pattern).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_flight_sql_server_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _run(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMALL)
+
+
+class TestPlanShapes:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        plan = _executed_plan(_run(spark, "filter_compare"))
+        assert "PushedFilters: [" in plan
+        # at least one concrete predicate made it into the reader
+        assert "PushedFilters: []" not in plan
+
+    def test_column_pruning_in_reader(self, spark):
+        plan = _executed_plan(_run(spark, "scan_projection"))
+        read_schema = next(
+            line for line in plan.splitlines() if "ReadSchema" in line
+        )
+        # the projection needs 3 columns; the scan must not read the rest
+        assert "c_custkey" in read_schema and "c_name" in read_schema
+        assert "c_mktsegment" not in read_schema
+        assert "c_nationkey" not in read_schema
+
+    def test_topk_fuses_to_take_ordered(self, spark):
+        plan = _executed_plan(_run(spark, "topk"))
+        assert "TakeOrderedAndProject" in plan
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "tpch_q1_pricing_summary",
+            "tpch_q3_shipping_priority",
+            "tpch_q5_local_supplier",
+            "tpch_q10_returned_items",
+        ],
+    )
+    def test_tpch_no_nested_loop_join(self, spark, name):
+        plan = _executed_plan(_run(spark, name))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    @pytest.mark.parametrize(
+        "name", ["tpch_q3_shipping_priority", "tpch_q5_local_supplier"]
+    )
+    def test_tpch_no_forced_broadcast_hint(self, spark, name):
+        # the logical plan must carry no broadcast hints on fact-scale
+        # inputs; runtime broadcasts chosen by AQE from measured sizes are
+        # fine (and expected at test SF)
+        logical = str(
+            REGISTRY[name]
+            .fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .logical()
+        )
+        assert "UnresolvedHint" not in logical and "hints=[broadcast" not in logical
+
+    def test_similarity_candidates_are_blocked(self, spark):
+        # LSH candidate generation must be an equi-join on the bucket key,
+        # never an unblocked cross join over the corpus
+        plan = _executed_plan(_run(spark, "sim_topk_lsh"))
+        assert "CartesianProduct" not in plan
+
+    def test_dedup_minhash_band_join_is_hash_partitioned(self, spark):
+        plan = _executed_plan(_run(spark, "dedup_near_minhash"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
