@@ -47,6 +47,7 @@ _PRIORITY = (
     "dedup_near_clusters",
     "window_range_frame",
     "text_topk_tokens",
+    "agg_bool",
     "sim_topk_ivf",
     "sim_topk",
     "sim_topk_lsh",

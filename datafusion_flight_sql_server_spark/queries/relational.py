@@ -437,6 +437,30 @@ def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "agg_bool",
+    oracle="""
+        SELECT o_orderstatus,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_totalprice > 400000) AS any_over_400k,
+               CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT)
+                   AS n_urgent
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Boolean aggregates (delegated surface): bool_and / bool_or / "
+    "count_if per group — all partial-aggregatable JVM builtins.",
+    tags=("agg",),
+)
+def q_agg_bool(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )
+
+
+@query(
     "agg_rollup",
     oracle=f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
