@@ -48,6 +48,8 @@ _PRIORITY = (
     "window_range_frame",
     "text_topk_tokens",
     "agg_bool",
+    "agg_pivot",
+    "doc_split",
     "sim_topk_ivf",
     "sim_topk",
     "sim_topk_lsh",

@@ -978,3 +978,36 @@ def q_text_topk_tokens(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(100)
     )
+
+
+@query(
+    "doc_split",
+    oracle="""
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                        THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    doc="Deterministic train/val/test assignment: md5 of the stable id, "
+    "first hex byte compared lexicographically (fixed-width lowercase hex "
+    "sorts numerically) against 'cd'/'e6' thresholds for a ~80/10/10 "
+    "split. Row-local (no shuffle, no RNG state), reproducible across "
+    "engines, runs, and retries — the property sample()/rand() cannot "
+    "give a 100 TB pipeline.",
+    tags=("text", "sampling"),
+)
+def q_doc_split(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < "cd", F.lit("train"))
+        .when(bucket < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

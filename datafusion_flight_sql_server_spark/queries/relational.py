@@ -1852,3 +1852,47 @@ def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+               CAST(count_if(o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+               CAST(count_if(o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+               CAST(count_if(o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+                   AS p4,
+               CAST(count_if(o_orderpriority = '5-LOW') AS BIGINT) AS p5
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Pivot (long-to-wide counts): Spark's groupBy().pivot() with the "
+    "value list supplied explicitly — one shuffle, no second pass to "
+    "discover pivot values (the implicit-values form runs an extra "
+    "distinct job and is unbounded-width at scale). Oracle states the "
+    "equivalent conditional aggregation, which is also the shape "
+    "DataFusion users write since SQL has no PIVOT there.",
+    tags=("agg", "pivot"),
+)
+def q_agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .count()
+    )
+    return wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0))
+            .cast("bigint")
+            .alias(f"p{i + 1}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+    )
