@@ -50,6 +50,10 @@ _PRIORITY = (
     "agg_bool",
     "agg_pivot",
     "doc_split",
+    "sink_partitioned",
+    "embed_centroids",
+    "text_histogram",
+    "fn_string_distance",
     "sim_topk_ivf",
     "sim_topk",
     "sim_topk_lsh",

@@ -1011,3 +1011,77 @@ def q_doc_split(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@query(
+    "embed_centroids",
+    oracle="""
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(g.i - 1 AS BIGINT) AS pos,
+               ROUND(CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE)
+                                   AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS c
+        FROM embeddings, generate_series(1, 64) AS g(i)
+        GROUP BY label, g.i
+    """,
+    doc="Per-class mean embedding (centroids) in long form (label, pos, c) "
+    "— the class-prototype computation a curation pipeline runs before "
+    "centroid-distance filtering or IVF seeding. posexplode + one "
+    "partial-aggregatable groupBy((label, pos)): shuffle volume is "
+    "|labels| x dim partial sums, never the corpus. Decimal-cast sums make "
+    "the mean order-independent (exact across engines); division in DOUBLE "
+    "after, rounded to 6 dp. Long output keeps the driver's value hash on "
+    "scalars (array columns stringify engine-specifically). Oracle "
+    "hardcodes dim=64 (DuckDB's generate_series cannot take a lateral "
+    "len(embedding) arg); the Spark side is dim-agnostic.",
+    tags=("similarity", "embedding"),
+)
+def q_embed_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["embeddings"]
+    ex = e.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("c")
+    ).select("label", F.col("pos").cast("bigint").alias("pos"), "c")
+
+
+@query(
+    "text_histogram",
+    oracle="""
+        SELECT CAST(LEAST(n_chars // 64, 15) AS BIGINT) AS bucket,
+               CAST(LEAST(n_chars // 64, 15) * 64 AS BIGINT) AS lo,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    doc="Document-length histogram: fixed-width 64-char buckets with a "
+    "capped tail (LEAST caps the top bucket so outliers cannot explode "
+    "group cardinality) — the length-distribution profile a corpus "
+    "curation pass reads before setting min/max-length filters. Pure "
+    "row-local arithmetic bucketing (integer division, no width_bucket "
+    "dependency) + one partial-aggregatable groupBy.",
+    tags=("text", "profiling"),
+)
+def q_text_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    bucket = F.least(
+        F.floor(F.col("n_chars") / F.lit(64)).cast("bigint"),
+        F.lit(15).cast("bigint"),
+    )
+    return d.groupBy(
+        bucket.alias("bucket"), (bucket * 64).alias("lo")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -380,3 +380,33 @@ def q_fn_map(spark: SparkSession, sf: str) -> DataFrame:
         F.array_contains(F.map_keys(m), "name").alias("has_name"),
         F.array_contains(F.map_keys(m), "phone").alias("has_phone"),
     )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+        SELECT c_custkey,
+               CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev,
+               split_part(c_name, '#', 2) AS cust_num,
+               CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_id,
+               rpad(c_mktsegment, 12, '.') AS seg_padded
+        FROM customer
+    """,
+    doc="String-distance and structured-string functions from the "
+    "delegated scalar surface (SURVEY.md §2.B scalar list): levenshtein "
+    "(edit distance — the cheap fuzzy-match primitive), split_part, "
+    "strpos/instr, lpad/rpad. All JVM built-ins, row-local, "
+    "codegen-friendly; identical 1-based semantics in both engines.",
+    tags=("function", "string"),
+)
+def q_fn_string_distance(spark: SparkSession, sf: str) -> DataFrame:
+    c = tables(spark, sf)["customer"]
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", "c_mktsegment").cast("bigint").alias("lev"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.instr(F.col("c_name"), "#").cast("bigint").alias("hash_pos"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_id"),
+        F.rpad(F.col("c_mktsegment"), 12, ".").alias("seg_padded"),
+    )

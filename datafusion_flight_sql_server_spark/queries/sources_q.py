@@ -94,6 +94,53 @@ def q_scan_memtable(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sink_partitioned",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                   AS total
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+    doc="Partitioned parquet sink round-trip (operators/sink.py "
+    "write_partitioned): orders written hive-partitioned by o_orderstatus, "
+    "read back with a partition filter — the 'F' predicate prunes whole "
+    "directories at planning time (PartitionFilters in the scan, asserted "
+    "in tests/test_sink.py), which at 100 TB is the difference between "
+    "scanning everything and scanning one split. The reference's only sink "
+    "is the Flight stream (service.rs:230-236); this is the "
+    "training-pipeline materialization path layered on top. Decimal-cast "
+    "sum keeps the aggregate order-independent across the rewrite.",
+    tags=("sink",),
+)
+def q_sink_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from datafusion_flight_sql_server_spark.operators.sink import (
+        write_partitioned,
+    )
+
+    orders = tables(spark, sf)["orders"]
+    out = str(
+        Path(tempfile.gettempdir()) / f"sgraft_sink_orders_{Path(sf).name}"
+    )
+    write_partitioned(orders, out, ["o_orderstatus"])
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
     "param_bind_positional",
     oracle="""
         SELECT o_orderkey, o_totalprice

@@ -1,0 +1,115 @@
+"""Sink tests: partition pruning and shuffle-free bucketed joins.
+
+These pin the write-side layout contracts that matter at 100 TB: a reader
+filtering on a partition column must prune at planning time (zero I/O for
+other partitions), and two tables bucketed on the join key must
+sort-merge-join with no Exchange on either side.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_flight_sql_server_spark.operators.sink import (
+    write_bucketed,
+    write_partitioned,
+)
+from tests.conftest import SF_SMALL
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPartitionedSink:
+    def test_roundtrip_and_partition_pruning(self, spark, tmp_path):
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        out = str(tmp_path / "orders_by_status")
+        write_partitioned(orders, out, ["o_orderstatus"])
+
+        back = spark.read.parquet(out)
+        # values survive the round trip (partition col moves to the dir key)
+        assert back.count() == orders.count()
+        # decimal-cast sum: exact, order-independent (the write reorders rows)
+        exact = F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        assert back.agg(exact).first()[0] == orders.agg(exact).first()[0]
+
+        filtered = back.filter(F.col("o_orderstatus") == "F")
+        plan = _executed_plan(filtered)
+        # the predicate must prune directories at planning time, not filter rows
+        assert "PartitionFilters" in plan
+        assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        assert (
+            filtered.count()
+            == orders.filter(F.col("o_orderstatus") == "F").count()
+        )
+
+    def test_max_records_per_file_splits_output(self, spark, tmp_path):
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        out = str(tmp_path / "orders_split")
+        write_partitioned(
+            orders, out, ["o_orderstatus"], max_records_per_file=100
+        )
+        files = [
+            f
+            for f in (tmp_path / "orders_split").rglob("*.parquet")
+            if f.is_file()
+        ]
+        # 1500 rows / cap 100 => well more than one file per partition dir
+        assert len(files) > 3
+
+
+class TestBucketedSink:
+    @pytest.fixture()
+    def no_broadcast(self, spark):
+        """Force SMJ so the no-Exchange assertion tests bucketing, not AQE
+        broadcast conversion."""
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        yield
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path, no_broadcast):
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        write_bucketed(
+            orders.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+            "t_orders_bkt",
+            "o_orderkey",
+            4,
+            sort_cols=["o_orderkey"],
+            path=str(tmp_path / "orders_bkt"),
+        )
+        write_bucketed(
+            lineitem.select("l_orderkey", "l_quantity"),
+            "t_lineitem_bkt",
+            "l_orderkey",
+            4,
+            sort_cols=["l_orderkey"],
+            path=str(tmp_path / "lineitem_bkt"),
+        )
+        try:
+            joined = spark.table("t_lineitem_bkt").join(
+                spark.table("t_orders_bkt"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = _executed_plan(joined)
+            # the whole point of bucketing: co-located join, no shuffle
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            expected = lineitem.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            ).count()
+            assert joined.count() == expected
+
+            # aggregation on the bucket key also skips the shuffle
+            agg = (
+                spark.table("t_lineitem_bkt")
+                .groupBy("l_orderkey")
+                .agg(F.sum("l_quantity").alias("q"))
+            )
+            assert "Exchange" not in _executed_plan(agg)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+            spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
