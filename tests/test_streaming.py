@@ -49,3 +49,63 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     # value per key must equal the batch result, and all keys must be present
     assert set(got) == set(want)
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving after the watermark has passed its window must be
+    excluded from the append-mode result — the bounded-state contract that
+    lets the 100 TB streaming job not buffer history forever."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "ts TIMESTAMP, event_type STRING"
+
+    def write_batch(name, epochs):
+        df = spark.createDataFrame(
+            [(e,) for e in epochs], "ep BIGINT"
+        ).select(
+            F.timestamp_seconds("ep").alias("ts"),
+            F.lit("click").alias("event_type"),
+        )
+        df.coalesce(1).write.parquet(str(src / name))
+
+    base = 1_699_999_800  # multiple of 300s: window A = exactly [base, base+300)
+    # batch 1: five events in window A, plus one 30 min later that advances
+    # the watermark (max_ts - 10 min) past window A's end
+    write_batch("b1", [base, base + 60, base + 120, base + 180, base + 240,
+                       base + 1800])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "n",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one LATE event for window A (watermark already at
+        # base+1200) and one fresh event to trigger the batch
+        write_batch("b2", [base + 60, base + 2400])
+        q.processAllAvailable()
+        got = {
+            r.window_start: r.n
+            for r in spark.sql("SELECT * FROM late_out").collect()
+        }
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("late_out")
+
+    # window A was finalized with the 5 on-time events; the late 6th was
+    # dropped, not merged
+    assert got.get(base) == 5
