@@ -19,63 +19,18 @@ from datafusion_flight_sql_server_spark.queries import windows_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import extensions  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import sources_q  # noqa: F401
 
-#: Verification-priority prefix: never-checked and newly-added operators,
-#: then the flagship TPC-H set, then one representative per family. Everything
-#: not listed follows in registration order (all green in round 1).
+#: Verification-priority prefix: the round-1 driver produced CORRECTNESS
+#: rows for exactly the FIRST 50 registered queries, so ordering decides
+#: which operators get a row if that cap holds. Tiers: (1) the 8 queries
+#: round 1 registered but never checked (the round-1 review's explicit
+#: completion metric), (2) north-star similarity/dedup flagships, (3) new
+#: pipeline/extension operators, (4) source/param registrations the review
+#: marked untested, (5) remaining windows, (6) the TPC-H long tail —
+#: whatever falls past the cap stays covered by the local pytest oracle
+#: replica. Unlisted names follow in registration order (all already green
+#: in CORRECTNESS_r01.json).
 _PRIORITY = (
-    # new this round — no CORRECTNESS row yet
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipping_priority_class",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_suppliers_waiting",
-    "tpch_q22_global_sales",
-    "fn_map",
-    "event_asof_join",
-    "event_band_join",
-    "event_time_rollup",
-    "agg_percentile",
-    "fn_date_bin",
-    "dedup_near_clusters",
-    "window_range_frame",
-    "text_topk_tokens",
-    "agg_bool",
-    "agg_pivot",
-    "doc_split",
-    "sink_partitioned",
-    "embed_centroids",
-    "text_histogram",
-    "fn_string_distance",
-    "sim_topk_ivf",
-    "sim_topk",
-    "sim_topk_lsh",
-    "dedup_near_minhash",
-    "dedup_embed_cosine",
-    "multimodal_decode",
-    "dedup_exact_keeprow",
-    "event_sliding_window",
-    "scan_csv",
-    "scan_json",
-    "scan_memtable",
-    "param_bind_positional",
-    "param_bind_named",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "text_rolling_hash",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted",
-    "window_distribution",
-    # registered in round 1 but absent from CORRECTNESS_r01.json
+    # tier 1: registered in round 1 but absent from CORRECTNESS_r01.json
     "text_stats",
     "text_quality",
     "text_tokens",
@@ -84,6 +39,62 @@ _PRIORITY = (
     "multimodal_meta",
     "event_tumbling_window",
     "event_sessionize",
+    # tier 2: similarity search + near-dedup (round-1 review item #3)
+    "sim_topk",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "dedup_near_minhash",
+    "dedup_near_clusters",
+    "dedup_embed_cosine",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_exact_keeprow",
+    "multimodal_decode",
+    # tier 3: pipeline/extension operators added in round 2
+    "doc_split",
+    "sink_partitioned",
+    "embed_centroids",
+    "text_histogram",
+    "text_topk_tokens",
+    "text_rolling_hash",
+    "fn_string_distance",
+    "agg_pivot",
+    "agg_bool",
+    "agg_percentile",
+    "fn_date_bin",
+    "fn_map",
+    "event_asof_join",
+    "event_band_join",
+    "event_time_rollup",
+    "event_sliding_window",
+    # tier 4: source/param surfaces the round-1 review marked untested
+    "scan_csv",
+    "scan_json",
+    "scan_memtable",
+    "param_bind_positional",
+    "param_bind_named",
+    # tier 5: windows
+    "window_range_frame",
+    "window_distribution",
+    # tier 6: TPC-H long tail (bench-headline members first)
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q4_order_priority",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_priority_class",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q20_potential_promotion",
+    "tpch_q22_global_sales",
     # flagship + previously-green representatives
     "dedup_exact",
     "tpch_q1_pricing_summary",
