@@ -67,6 +67,7 @@ _PRIORITY = (
     "event_band_join",
     "event_time_rollup",
     "event_sliding_window",
+    "join_skew_salted",
     # tier 4: source/param surfaces the round-1 review marked untested
     "scan_csv",
     "scan_json",

@@ -1085,3 +1085,32 @@ def q_text_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+        SELECT d.doc_id, d.lang, CAST(lt.n AS BIGINT) AS lang_total
+        FROM documents d
+        JOIN (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) lt
+          ON d.lang = lt.lang
+    """,
+    doc="Skew-safe dimension join (operators/skew.py salted_join): lang is "
+    "a hot low-cardinality key (a handful of values over the whole corpus),"
+    " so an unsalted shuffle join lands each language on ONE reducer. The "
+    "salted form widens the join key with pmod(xxhash64(doc_id), 8) on the "
+    "fact side and an 8-way explode on the dimension side — each hot key "
+    "spreads over 8 reducers, deterministically (no RNG state). Semantics "
+    "are exactly the plain join, which is what the oracle states. "
+    "Complements AQE skew-join (runtime splitting of sort-merge "
+    "partitions) for cases known skewed up front.",
+    tags=("join", "skew"),
+)
+def q_join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.skew import salted_join
+
+    d = tables(spark, sf)["documents"]
+    dim = d.groupBy("lang").agg(F.count("*").alias("lang_total"))
+    return salted_join(
+        d.select("doc_id", "lang"), dim, ["lang"], "doc_id", n_salts=8
+    )

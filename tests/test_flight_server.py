@@ -295,6 +295,23 @@ class TestServerSideUdf:
         )
         assert table.column("amount2").to_pylist() == [100, 150, 200, 50]
 
+    def test_pre_registered_udtf_via_flight(self, spark, client):
+        """Table functions follow the same embedder-side policy: a Spark 4
+        Python UDTF registered on the served session is callable from any
+        Flight SQL client in the FROM clause."""
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="n int, sq int")
+        class Squares:
+            def eval(self, start: int, stop: int):
+                for n in range(start, stop):
+                    yield n, n * n
+
+        spark.udtf.register("squares", Squares)
+        table = client.execute("SELECT * FROM squares(1, 5) ORDER BY n")
+        assert table.column("n").to_pylist() == [1, 2, 3, 4]
+        assert table.column("sq").to_pylist() == [1, 4, 9, 16]
+
 
 def _cmd(sql: str):
     from datafusion_flight_sql_server_spark.protocol.flightsql import (
