@@ -27,6 +27,7 @@ read efficiently.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from pathlib import Path
 
 from pyspark.sql import DataFrame
 
@@ -49,6 +50,39 @@ def write_partitioned(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.partitionBy(*partition_cols).parquet(path)
+
+
+def compact(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a directory of (typically many small) parquet files into
+    ``ceil(total_bytes / target_file_bytes)`` evenly-sized files; returns
+    the output file count.
+
+    Small-files compaction is routine maintenance for any long-running
+    pipeline: streaming sinks and fine-grained partitioning produce
+    thousands of KB-scale files whose per-file open/footer overhead
+    dominates scan time. ``repartition(n)`` (round-robin shuffle) is used
+    rather than ``coalesce(n)`` deliberately: coalesce merges whole input
+    partitions without a shuffle, which is cheaper but inherits input skew
+    — for a maintenance job that runs rarely and is read many times, even
+    output sizes win.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    total = sum(
+        (Path(f.removeprefix("file:"))).stat().st_size
+        for f in df.inputFiles()
+        if f.startswith(("file:", "/"))
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n_files).write.mode(mode).parquet(dst_path)
+    return n_files
 
 
 def write_bucketed(

@@ -113,3 +113,25 @@ class TestBucketedSink:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
             spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
+
+
+class TestCompaction:
+    def test_compact_small_files(self, spark, tmp_path):
+        from datafusion_flight_sql_server_spark.operators.sink import compact
+
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        src = str(tmp_path / "fragmented")
+        # fragment: 50 partitions => 50 tiny files
+        orders.repartition(50).write.parquet(src)
+        n_in = len([f for f in (tmp_path / "fragmented").rglob("*.parquet")])
+        assert n_in >= 50
+
+        dst = str(tmp_path / "compacted")
+        n_declared = compact(spark, src, dst, target_file_bytes=256 * 1024)
+        files_out = [f for f in (tmp_path / "compacted").rglob("*.parquet")]
+        assert len(files_out) == n_declared < n_in
+
+        back = spark.read.parquet(dst)
+        exact = F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        assert back.count() == orders.count()
+        assert back.agg(exact).first()[0] == orders.agg(exact).first()[0]

@@ -109,3 +109,67 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # window A was finalized with the 5 on-time events; the late 6th was
     # dropped, not merged
     assert got.get(base) == 5
+
+
+def test_streaming_parquet_sink_with_checkpoint(spark, tmp_path):
+    """Stream → parquet-file sink with checkpointing: append-mode windowed
+    rows land as files an ordinary batch reader can consume, and the
+    checkpoint makes delivery resumable (the piece a 100 TB pipeline needs
+    for exactly-once file output)."""
+    src = tmp_path / "sink_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "ts TIMESTAMP, event_type STRING"
+
+    def write_batch(name, epochs):
+        df = spark.createDataFrame(
+            [(e,) for e in epochs], "ep BIGINT"
+        ).select(
+            F.timestamp_seconds("ep").alias("ts"),
+            F.lit("click").alias("event_type"),
+        )
+        df.coalesce(1).write.parquet(str(src / name))
+
+    base = 1_699_999_800
+    write_batch("b1", [base, base + 60, base + 120, base + 1800])
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(f"{src}/*")
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+                "n",
+            )
+        )
+        return (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart from the checkpoint; new data finalizes window A
+    write_batch("b2", [base + 2400])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.window_start: r.n
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got.get(base) == 3  # the three window-A events, emitted once
