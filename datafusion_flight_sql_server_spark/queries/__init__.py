@@ -52,6 +52,8 @@ _PRIORITY = (
     "multimodal_decode",
     # tier 3: pipeline/extension operators added in round 2
     "doc_split",
+    "text_contamination",
+    "text_redact",
     "sink_partitioned",
     "embed_centroids",
     "text_histogram",

@@ -1114,3 +1114,98 @@ def q_join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
     return salted_join(
         d.select("doc_id", "lang"), dim, ["lang"], "doc_id", n_salts=8
     )
+
+
+@query(
+    "text_contamination",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> array_to_string(w[i:i+2], ' ')))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM toks),
+        hashed AS (SELECT doc_id,
+                          list_distinct(list_transform(s, x ->
+                            ('0x' || substr(md5(x), 1, 12))::BIGINT)) AS h
+                   FROM sh),
+        ex AS (SELECT doc_id, len(h) AS n_sh, unnest(h) AS sh FROM hashed),
+        ev AS (SELECT doc_id AS eval_id, sh FROM ex WHERE doc_id % 53 = 0),
+        tr AS (SELECT * FROM ex WHERE doc_id % 53 <> 0)
+        SELECT tr.doc_id,
+               CAST(COUNT(DISTINCT tr.sh) AS BIGINT) AS n_shared,
+               CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs,
+               ROUND(COUNT(DISTINCT tr.sh)::DOUBLE / ANY_VALUE(tr.n_sh), 6)
+                   AS frac
+        FROM tr JOIN ev ON tr.sh = ev.sh
+        GROUP BY tr.doc_id
+    """,
+    doc="Benchmark decontamination (operators/contamination.py): training "
+    "docs sharing word-3-gram shingles with the eval slice (doc_id % 53 = "
+    "0 stands in for a benchmark id list), with leaked-shingle count, hit "
+    "eval-doc count, and leaked fraction of the doc's own shingle set. "
+    "Map-only zip_with shingling reused from the dedup pass; the one "
+    "data-sized shuffle is the equi-join on the 48-bit shingle hash; the "
+    "benchmark side is small so AQE broadcasts it — no hint, no cross "
+    "join. The standard pre-training leak check at corpus scale.",
+    tags=("text", "contamination", "dedup"),
+)
+def q_text_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    d = tables(spark, sf)["documents"]
+    return ngram_contamination(d, F.col("doc_id") % 53 == 0)
+
+
+@query(
+    "text_redact",
+    oracle="""
+        WITH aug AS (SELECT doc_id,
+                            text || ' contact user' || doc_id ||
+                            '@example.com or 555-123-4567.' AS t
+                     FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t,
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+        FROM aug
+    """,
+    doc="PII redaction: emails and phone-shaped numbers replaced with "
+    "typed placeholders, plus per-doc match counts for audit metrics. "
+    "Row-local regexp_replace/regexp_count — map-only, no shuffle, "
+    "whole-stage codegen. The fixture corpus contains no PII, so a "
+    "deterministic synthetic contact line is appended first to make the "
+    "redaction observable and hash-checkable. Patterns restricted to "
+    "syntax with identical semantics in Java regex and RE2.",
+    tags=("text", "privacy"),
+)
+def q_text_redact(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567."),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count(t, F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(phone)).cast("bigint").alias("n_phones"),
+    )
