@@ -145,3 +145,33 @@ def register_memtable(
     df = spark.createDataFrame(data, schema=schema)
     df.createOrReplaceTempView(name)
     return df
+
+
+def register_orc(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """ORC registration — the columnar-format sibling of the parquet scan.
+
+    Parity: the reference's SessionContext accepts any embedder-registered
+    provider (delegation: service.rs:140-141); DataFusion ships parquet/
+    CSV/JSON/Avro readers, Spark ships ORC natively. Schema comes from the
+    ORC footer (self-describing, like parquet) so predicate pushdown and
+    column pruning work unchanged.
+    """
+    df = spark.read.orc(path)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def register_binary_dir(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """Binary-file registration for multimodal ingestion.
+
+    Spark's ``binaryFile`` source reads each file as one row of (path,
+    modificationTime, length, content) — the ingestion edge for opaque
+    image/audio/video payloads that downstream mapInPandas decoders
+    (operators/multimodal.py) consume. Files larger than
+    ``spark.sql.files.maxPartitionBytes`` are NOT split (one file = one
+    row), so at 100 TB the unit of parallelism is the file: shard payloads
+    into many objects upstream rather than few huge archives.
+    """
+    df = spark.read.format("binaryFile").load(path)
+    df.createOrReplaceTempView(name)
+    return df

@@ -187,3 +187,84 @@ def q_param_bind_named(spark: SparkSession, sf: str) -> DataFrame:
         """,
         {"segment": "BUILDING", "min_bal": 1000},
     )
+
+
+def _stage_binary_fixture() -> str:
+    """Write four deterministic binary payloads under /tmp (idempotent).
+
+    Pure-Python staging at import/call time so the DuckDB oracle (which
+    reads the same files via read_blob) never depends on the Spark query
+    having run first.
+    """
+    import tempfile
+
+    out = Path(tempfile.gettempdir()) / "sgraft_binary_fixture"
+    out.mkdir(exist_ok=True)
+    for i in range(4):
+        p = out / f"blob_{i}.bin"
+        payload = bytes((i * 7 + j * 13) % 256 for j in range(256 + 64 * i))
+        if not p.exists() or p.stat().st_size != len(payload):
+            p.write_bytes(payload)
+    return str(out)
+
+
+_BINARY_DIR = _stage_binary_fixture()
+
+
+@query(
+    "scan_orc",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    doc="ORC source round-trip (engine/registry.py register_orc): nation "
+    "rewritten as ORC in a temp dir, registered, scanned back. Parity: "
+    "embedder-registered providers on the wrapped session (reference "
+    "service.rs:140-141 — DataFusion ships CSV/JSON/Avro alongside "
+    "parquet; Spark's native sibling format is ORC). The oracle reads the "
+    "original parquet view: a lossless round-trip means identical values "
+    "and types. ORC is self-describing like parquet, so pushdown/pruning "
+    "survive the format change.",
+    tags=("source",),
+)
+def q_scan_orc(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from datafusion_flight_sql_server_spark.engine.registry import register_orc
+
+    nation = tables(spark, sf)["nation"]
+    out = str(Path(tempfile.gettempdir()) / f"sgraft_orc_nation_{Path(sf).name}")
+    nation.write.mode("overwrite").orc(out)
+    df = register_orc(spark, "nation_orc", out)
+    return df.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "scan_binary",
+    oracle=f"""
+        SELECT parse_filename(filename) AS fname,
+               CAST(size AS BIGINT) AS n_bytes,
+               hex(content) AS content_hex
+        FROM read_blob('{_BINARY_DIR}/*.bin')
+    """,
+    doc="Binary-file source (engine/registry.py register_binary_dir): "
+    "Spark's binaryFile format reads opaque payloads one file per row — "
+    "the multimodal ingestion edge feeding the mapInPandas decoders in "
+    "operators/multimodal.py. Compared against DuckDB read_blob on the "
+    "same staged fixture by name, byte length, and full content hex. "
+    "binaryFile never splits a file, so at 100 TB parallelism = file "
+    "count: shard payloads into many objects, not few archives (noted in "
+    "the registry docstring).",
+    tags=("source", "multimodal"),
+)
+def q_scan_binary(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.engine.registry import (
+        register_binary_dir,
+    )
+
+    path = _stage_binary_fixture()
+    df = register_binary_dir(spark, "binary_fixture", path)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.hex(F.col("content")).alias("content_hex"),
+    )

@@ -173,3 +173,51 @@ def test_streaming_parquet_sink_with_checkpoint(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got.get(base) == 3  # the three window-A events, emitted once
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed events (at-least-once
+    sources duplicate on retry) are collapsed while the watermark bounds
+    the dedup state — the streaming counterpart of dedup_exact that a
+    100 TB ingest needs so state doesn't grow with the full history."""
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    schema = "ts TIMESTAMP, event_id BIGINT"
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, "ep BIGINT, event_id BIGINT").select(
+            F.timestamp_seconds("ep").alias("ts"), "event_id"
+        )
+        df.coalesce(1).write.parquet(str(src / name))
+
+    base = 1_700_000_000
+    # batch 1: three distinct events, one duplicated at-source
+    write_batch("b1", [(base, 1), (base, 1), (base + 60, 2), (base + 120, 3)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: replay event 2 within the watermark window plus a fresh
+        # event 4 — the replay must be suppressed, the fresh one kept
+        write_batch("b2", [(base + 180, 2), (base + 240, 4)])
+        q.processAllAvailable()
+        got = sorted(
+            r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect()
+        )
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("dedup_out")
+
+    assert got == [1, 2, 3, 4]
