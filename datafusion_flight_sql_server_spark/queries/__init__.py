@@ -54,6 +54,11 @@ _PRIORITY = (
     "doc_split",
     "text_contamination",
     "text_redact",
+    "text_quality_rules",
+    "doc_sample_stratified",
+    "embed_quantize",
+    "corpus_mix_report",
+    "pipeline_curate",
     "sink_partitioned",
     "embed_centroids",
     "text_histogram",
@@ -74,6 +79,8 @@ _PRIORITY = (
     "scan_csv",
     "scan_json",
     "scan_memtable",
+    "scan_orc",
+    "scan_binary",
     "param_bind_positional",
     "param_bind_named",
     # tier 5: windows

@@ -1209,3 +1209,296 @@ def q_text_redact(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_count(t, F.lit(email)).cast("bigint").alias("n_emails"),
         F.regexp_count(t, F.lit(phone)).cast("bigint").alias("n_phones"),
     )
+
+
+@query(
+    "text_quality_rules",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        m AS (SELECT doc_id,
+                     len(ws) AS n_words,
+                     list_sum(list_transform(ws, x -> len(x)))::DOUBLE
+                         / len(ws) AS mwl,
+                     len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                         ::DOUBLE / len(ws) AS alpha_frac,
+                     len(list_filter(ws,
+                         x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop
+              FROM w)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               ROUND(mwl, 6) AS mean_word_len,
+               ROUND(alpha_frac, 6) AS alpha_frac,
+               n_words BETWEEN 5 AND 1000 AS r_len,
+               mwl BETWEEN 2.0 AND 12.0 AS r_word_len,
+               alpha_frac >= 0.6 AS r_alpha,
+               n_stop >= 1 AS r_stopword,
+               (n_words BETWEEN 5 AND 1000) AND (mwl BETWEEN 2.0 AND 12.0)
+                   AND alpha_frac >= 0.6 AND n_stop >= 1 AS keep
+        FROM m
+    """,
+    doc="Rule-based quality gate (Gopher-style repetition/format rules, "
+    "Rae et al. 2021 public recipe): per-doc word count, mean word "
+    "length, alphabetic-word fraction, and stopword presence, each as an "
+    "explicit boolean rule plus the conjunctive keep decision — the "
+    "auditable filter a curation pipeline applies before training, as "
+    "opposed to text_quality's opaque score. Row-local JVM higher-order "
+    "functions (split/filter/aggregate), no shuffle, whole-stage codegen; "
+    "integer word-length sums are exact so the DOUBLE means are "
+    "bit-identical across engines.",
+    tags=("text", "quality"),
+)
+def q_text_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    wl_sum = F.aggregate(
+        F.transform(ws, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mwl = wl_sum.cast("double") / n
+    alpha = F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))).cast("double") / n
+    n_stop = F.size(
+        F.filter(ws, lambda x: x.isin("the", "a", "of", "and"))
+    )
+    r_len = (n >= 5) & (n <= 1000)
+    r_wl = (mwl >= 2.0) & (mwl <= 12.0)
+    r_alpha = alpha >= 0.6
+    r_stop = n_stop >= 1
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha, 6).alias("alpha_frac"),
+        r_len.alias("r_len"),
+        r_wl.alias("r_word_len"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopword"),
+        (r_len & r_wl & r_alpha & r_stop).alias("keep"),
+    )
+
+
+@query(
+    "doc_sample_stratified",
+    oracle="""
+        SELECT doc_id, lang,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN '80'
+                        ELSE 'ff' END
+    """,
+    doc="Stratified downsampling with per-language rates (en ~25%, zh "
+    "~50%, others ~99.6%) — the language-rebalancing step of a corpus "
+    "mix. Same md5-bucket idiom as doc_split: deterministic, row-local, "
+    "no RNG state, reproducible across engines/runs/retries, and the "
+    "rate table is a CASE over the stratum key so the filter stays a "
+    "pushable row-local predicate (no per-stratum windows or joins at "
+    "100 TB).",
+    tags=("text", "sampling"),
+)
+def q_doc_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    limit = (
+        F.when(F.col("lang") == "en", F.lit("40"))
+        .when(F.col("lang") == "zh", F.lit("80"))
+        .otherwise(F.lit("ff"))
+    )
+    return d.select("doc_id", "lang", bucket.alias("bucket"), limit.alias("_l")).filter(
+        F.col("bucket") < F.col("_l")
+    ).drop("_l")
+
+
+@query(
+    "embed_quantize",
+    oracle="""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     list_min(v) AS vmin, list_max(v) AS vmax,
+                     (list_max(v) - list_min(v)) / 255.0 AS scale
+              FROM e),
+        q AS (SELECT vec_id, vmin, vmax, scale,
+                     list_transform(v, x -> CAST(LEAST(FLOOR(
+                         (x - vmin) / scale), 255.0) AS BIGINT)) AS qv,
+                     v
+              FROM s)
+        SELECT vec_id,
+               ROUND(vmin, 6) AS vmin,
+               ROUND(vmax, 6) AS vmax,
+               CAST(list_min(qv) AS BIGINT) AS qmin,
+               CAST(list_max(qv) AS BIGINT) AS qmax,
+               ROUND(CAST(list_sum(qv) AS DOUBLE) / len(qv), 6) AS qmean,
+               ROUND(list_max(list_transform(range(1, len(v) + 1),
+                   i -> (v[i] - vmin) / scale - qv[i])), 6) AS max_err_levels
+        FROM q
+    """,
+    doc="Per-vector int8 scalar quantization (the storage/compute "
+    "compression step before ANN indexing at corpus scale): min-max "
+    "levels in [0,255] via FLOOR, plus a reconstruction-error audit in "
+    "level units (max of (x-vmin)/scale - q; multiply by scale for the "
+    "absolute error). Row-local transform/aggregate over the "
+    "embedding array — map-only, no shuffle, dim-agnostic on the Spark "
+    "side. FLOOR (not ROUND) for the level so the double arithmetic is "
+    "branch-free and bit-identical across engines; LEAST(...,255) guards "
+    "the vmax element's fp edge. Fixture vectors are non-constant so "
+    "scale > 0.",
+    tags=("similarity", "embedding"),
+)
+def q_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["embeddings"]
+    v = F.col("embedding").cast("array<double>")
+    df = e.select("vec_id", v.alias("v"))
+    # Raw intermediates keep underscore names: the output columns below
+    # reuse "vmin"/"vmax" for their ROUNDED forms, and Catalyst's project
+    # collapse would otherwise resolve the error lambda against the rounded
+    # alias (bitten: a silent 1e-4 systematic drift vs the oracle).
+    df = df.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("_vmin"),
+        F.array_max("v").alias("_vmax"),
+        ((F.array_max("v") - F.array_min("v")) / 255.0).alias("_scale"),
+    )
+    df = df.select(
+        "vec_id",
+        "v",
+        "_vmin",
+        "_vmax",
+        "_scale",
+        F.transform(
+            F.col("v"),
+            lambda x: F.least(
+                F.floor((x - F.col("_vmin")) / F.col("_scale")), F.lit(255.0)
+            ).cast("bigint"),
+        ).alias("qv"),
+    )
+    # Error reported in quantization LEVELS: (x - vmin)/scale - q, a
+    # sub/div/sub chain with no mul-add that a compiler could fuse (FMA) —
+    # the absolute-error form vmin + q*scale rounded differently between
+    # engines at the last ulp and flipped the 6-dp hash.
+    err = F.zip_with(
+        F.col("v"),
+        F.col("qv"),
+        lambda x, q: (x - F.col("_vmin")) / F.col("_scale") - q,
+    )
+    return df.select(
+        "vec_id",
+        F.round("_vmin", 6).alias("vmin"),
+        F.round("_vmax", 6).alias("vmax"),
+        F.array_min("qv").cast("bigint").alias("qmin"),
+        F.array_max("qv").cast("bigint").alias("qmax"),
+        F.round(
+            F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).cast(
+                "double"
+            )
+            / F.size("qv"),
+            6,
+        ).alias("qmean"),
+        F.round(F.array_max(err), 6).alias("max_err_levels"),
+    )
+
+
+@query(
+    "corpus_mix_report",
+    oracle="""
+        WITH per AS (SELECT lang, source,
+                            CAST(COUNT(*) AS BIGINT) AS n_docs,
+                            CAST(SUM(len(string_split(text, ' ')))
+                                 AS BIGINT) AS n_tokens
+                     FROM documents
+                     GROUP BY lang, source)
+        SELECT lang, source, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE)
+                     / SUM(n_tokens) OVER (), 6) AS token_share
+        FROM per
+    """,
+    doc="Data-mixture report: docs and whitespace tokens per (lang, "
+    "source) stratum with each stratum's share of total corpus tokens — "
+    "the table a pretraining run's sampling weights are tuned against. "
+    "One partial-aggregatable groupBy (shuffle volume = |strata|, never "
+    "the corpus); the global total is a window over the already-tiny "
+    "aggregate, so no second pass over the data. Integer token sums are "
+    "exact; the share division happens in DOUBLE on exact BIGINTs.",
+    tags=("text", "sampling", "profiling"),
+)
+def q_corpus_mix_report(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = tables(spark, sf)["documents"]
+    per = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / total, 6).alias(
+            "token_share"
+        ),
+    )
+
+
+@query(
+    "pipeline_curate",
+    oracle="""
+        WITH w AS (SELECT doc_id, lang, text,
+                          string_split(text, ' ') AS ws
+                   FROM documents),
+        gated AS (SELECT doc_id, lang, text FROM w
+                  WHERE len(ws) BETWEEN 5 AND 1000
+                    AND len(list_filter(ws,
+                        x -> x IN ('the', 'a', 'of', 'and'))) >= 1),
+        canon AS (SELECT MIN(doc_id) AS doc_id
+                  FROM gated GROUP BY md5(text)),
+        kept AS (SELECT g.doc_id, g.lang FROM gated g
+                 JOIN canon c ON g.doc_id = c.doc_id)
+        SELECT doc_id, lang,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                        THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept
+    """,
+    doc="End-to-end curation pipeline composing three operators: quality "
+    "gate (text_quality_rules subset) -> exact dedup canonical-keeper "
+    "(dedup_exact's MIN(doc_id)-per-md5 idiom) -> deterministic "
+    "train/val/test split (doc_split). The composition stays one Spark "
+    "job: the gate is a pushable row-local filter, dedup is the single "
+    "data-sized shuffle (on the text digest), and the split is another "
+    "row-local projection — exactly the lineage a 100 TB curation run "
+    "executes, demonstrated as one declarative plan rather than three "
+    "materialized passes.",
+    tags=("text", "pipeline", "dedup", "sampling"),
+)
+def q_pipeline_curate(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda x: x.isin("the", "a", "of", "and")))
+    gated = d.filter((n >= 5) & (n <= 1000) & (n_stop >= 1)).select(
+        "doc_id", "lang", "text"
+    )
+    canon = gated.groupBy(F.md5("text").alias("_dig")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = gated.join(canon.select("doc_id"), "doc_id").select("doc_id", "lang")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return kept.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < "cd", F.lit("train"))
+        .when(bucket < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
