@@ -59,6 +59,11 @@ _PRIORITY = (
     "embed_quantize",
     "corpus_mix_report",
     "pipeline_curate",
+    "cte_recursive",
+    "agg_corr_regr",
+    "agg_listagg",
+    "window_ignore_nulls",
+    "event_gapfill",
     "sink_partitioned",
     "embed_centroids",
     "text_histogram",

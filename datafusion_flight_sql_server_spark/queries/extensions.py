@@ -1502,3 +1502,64 @@ def q_pipeline_curate(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@query(
+    "event_gapfill",
+    oracle="""
+        WITH agg AS (SELECT event_type,
+                            (epoch_us(ts) // 1000000 // 3600) * 3600 AS b,
+                            CAST(COUNT(*) AS BIGINT) AS n_obs
+                     FROM events GROUP BY 1, 2),
+        bounds AS (SELECT event_type, MIN(b) AS mn, MAX(b) AS mx FROM agg
+                   GROUP BY event_type),
+        spine AS (SELECT event_type,
+                         unnest(generate_series(mn, mx, 3600)) AS b
+                  FROM bounds)
+        SELECT s.event_type,
+               CAST(s.b AS BIGINT) AS bucket,
+               COALESCE(a.n_obs, 0) AS n_obs,
+               a.n_obs IS NULL AS is_gap,
+               last_value(a.n_obs IGNORE NULLS)
+                   OVER (PARTITION BY s.event_type ORDER BY s.b)
+                   AS n_locf
+        FROM spine s LEFT JOIN agg a
+             ON s.event_type = a.event_type AND s.b = a.b
+    """,
+    doc="Time-series gap filling (the hypertable 'time_bucket_gapfill' "
+    "pattern): hourly observation counts per event type densified onto a "
+    "complete bucket spine between each type's first and last hour, with "
+    "gap flags and last-observation-carried-forward. Scale shape: the "
+    "corpus-sized work is ONE partial-aggregatable groupBy; the spine is "
+    "generated from the |types|-row bounds aggregate via "
+    "sequence+explode (rows = types x hours, independent of event "
+    "count), so the left join and LOCF window run on the tiny aggregate, "
+    "never the raw 100 TB stream.",
+    tags=("temporal", "gapfill"),
+)
+def q_event_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = tables(spark, sf)["events"]
+    b = ((F.unix_micros(F.col("ts")) / 1000000).cast("bigint") / 3600).cast(
+        "bigint"
+    ) * 3600
+    agg = e.groupBy(F.col("event_type"), b.alias("b")).agg(
+        F.count("*").alias("n_obs")
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("b").alias("mn"), F.max("b").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("b"),
+    )
+    joined = spine.join(agg, ["event_type", "b"], "left")
+    w = Window.partitionBy("event_type").orderBy("b")
+    return joined.select(
+        "event_type",
+        F.col("b").cast("bigint").alias("bucket"),
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+        F.col("n_obs").isNull().alias("is_gap"),
+        F.last("n_obs", ignorenulls=True).over(w).alias("n_locf"),
+    )

@@ -1896,3 +1896,156 @@ def q_agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
             for i, p in enumerate(_PRIORITIES)
         ],
     )
+
+
+@query(
+    "cte_recursive",
+    oracle="""
+        WITH RECURSIVE decay(rk, bal, step) AS (
+            SELECT n_regionkey AS rk,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+                       AS bal,
+                   0 AS step
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_regionkey
+            UNION ALL
+            SELECT rk, bal * 0.5, step + 1 FROM decay
+            WHERE bal * 0.5 >= 1000
+        )
+        SELECT CAST(rk AS BIGINT) AS rk,
+               CAST(step AS BIGINT) AS step,
+               ROUND(bal, 4) AS bal
+        FROM decay
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE, delegated surface — a "
+    "DataFusion client can submit recursive CTEs through service.rs:171 "
+    "since DataFusion 28): per-region account-balance halving schedule "
+    "until a floor, an iterate-until-converged computation inexpressible "
+    "in non-recursive SQL. Seeded from a decimal-exact aggregate; the "
+    "step multiplies by 0.5 (exact in binary floating point), so every "
+    "engine produces bit-identical DOUBLEs at every depth. Recursion "
+    "depth is data-independent of corpus size (log of the seed), so the "
+    "plan's iteration count stays bounded at 100 TB.",
+    tags=("cte", "recursion"),
+)
+def q_cte_recursive(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        WITH RECURSIVE decay(rk, bal, step) AS (
+            SELECT n_regionkey AS rk,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+                       AS bal,
+                   0 AS step
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_regionkey
+            UNION ALL
+            SELECT rk, bal * 0.5, step + 1 FROM decay
+            WHERE bal * 0.5 >= 1000
+        )
+        SELECT CAST(rk AS BIGINT) AS rk,
+               CAST(step AS BIGINT) AS step,
+               ROUND(bal, 4) AS bal
+        FROM decay
+        """
+    )
+
+
+@query(
+    "agg_corr_regr",
+    oracle="""
+        WITH s AS (SELECT l_returnflag,
+                          CAST(COUNT(*) AS DOUBLE) AS nd,
+                          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                               AS DOUBLE) AS sx,
+                          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                               AS DOUBLE) AS sy,
+                          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                                   * CAST(l_quantity AS DECIMAL(18,2)))
+                               AS DOUBLE) AS sxx,
+                          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * CAST(l_extendedprice AS DECIMAL(18,2)))
+                               AS DOUBLE) AS syy,
+                          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                                   * CAST(l_extendedprice AS DECIMAL(18,2)))
+                               AS DOUBLE) AS sxy
+                   FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               ROUND((sxy - sx * sy / nd) / nd, 6) AS covar_pop,
+               ROUND((sxy - sx * sy / nd) / (nd - 1), 6) AS covar_samp,
+               ROUND((nd * sxy - sx * sy)
+                     / SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+                     6) AS corr,
+               ROUND((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6)
+                   AS slope,
+               ROUND((sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx)
+                     / nd, 6) AS intercept
+        FROM s
+    """,
+    doc="Correlation / covariance / linear regression per group "
+    "(delegated surface: corr, covar_pop/samp, regr_slope/intercept). "
+    "NOT the built-in aggregates: their streaming co-moment updates "
+    "accumulate in partition order, so a distributed run and a "
+    "single-thread oracle disagree in the last bits. Instead the five "
+    "exact decimal power sums (n, Σx, Σy, Σx², Σy², Σxy) are computed "
+    "order-independently, then every statistic is derived with one "
+    "identical DOUBLE formula in both engines — the numerically-stable "
+    "AND reproducible shape for 100 TB (partial-aggregatable sums, one "
+    "shuffle of |groups| rows).",
+    tags=("agg", "stats"),
+)
+def q_agg_corr_regr(spark: SparkSession, sf: str) -> DataFrame:
+    li = tables(spark, sf)["lineitem"]
+    xd = F.col("l_quantity").cast("decimal(18,2)")
+    yd = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("nd"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    nd, sx, sy = F.col("nd"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        F.round((sxy - sx * sy / nd) / nd, 6).alias("covar_pop"),
+        F.round((sxy - sx * sy / nd) / (nd - 1), 6).alias("covar_samp"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("corr"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept"),
+    )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    doc="Ordered string aggregation (Spark 4 listagg WITHIN GROUP; "
+    "DuckDB/Postgres string_agg ORDER BY — delegated surface either "
+    "way). The explicit ORDER BY inside the aggregate is what makes a "
+    "concatenation deterministic on a distributed engine: without it the "
+    "result depends on partition arrival order.",
+    tags=("agg", "string"),
+)
+def q_agg_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                   AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )

@@ -222,3 +222,50 @@ def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
         .alias("trailing_1h_sum"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_1h_n"),
     )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id,
+                          CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep,
+                          CASE WHEN event_type = 'purchase'
+                               THEN ROUND(value, 6) END AS purchase_amt
+                   FROM events)
+        SELECT event_id, user_id, ep,
+               last_value(purchase_amt IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ep, event_id)
+                   AS last_purchase,
+               lead(purchase_amt IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ep, event_id)
+                   AS next_purchase
+        FROM e
+    """,
+    doc="IGNORE NULLS analytic windows (delegated surface): per user, "
+    "carry the last seen purchase amount forward (LOCF) and look ahead "
+    "to the next one — the standard sparse-signal densification over an "
+    "event stream. One shuffle on user_id serves both windows; ordering "
+    "by (epoch, event_id) is a total order so ties cannot reorder "
+    "between engines. Spark SQL text because the DataFrame lead/lag API "
+    "has no ignorenulls flag (F.last does; lead does not).",
+    tags=("window",),
+)
+def q_window_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        WITH e AS (SELECT event_id, user_id,
+                          unix_micros(ts) div 1000000 AS ep,
+                          CASE WHEN event_type = 'purchase'
+                               THEN ROUND(value, 6) END AS purchase_amt
+                   FROM events)
+        SELECT event_id, user_id, ep,
+               last_value(purchase_amt) IGNORE NULLS
+                   OVER (PARTITION BY user_id ORDER BY ep, event_id)
+                   AS last_purchase,
+               lead(purchase_amt) IGNORE NULLS
+                   OVER (PARTITION BY user_id ORDER BY ep, event_id)
+                   AS next_purchase
+        FROM e
+        """
+    )

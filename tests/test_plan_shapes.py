@@ -85,3 +85,37 @@ class TestPlanShapes:
         plan = _executed_plan(_run(spark, "dedup_near_minhash"))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_contamination_join_is_blocked(self, spark):
+        # shingle-hash equi-join only: never a cross join of train x eval
+        plan = _executed_plan(_run(spark, "text_contamination"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_stratified_sample_filter_is_row_local(self, spark):
+        # the per-stratum rate filter must stay a Filter over the scan —
+        # no shuffle (Exchange) anywhere: sampling is map-only at 100 TB
+        plan = _executed_plan(_run(spark, "doc_sample_stratified"))
+        assert "Exchange" not in plan
+
+    def test_quantize_is_map_only(self, spark):
+        plan = _executed_plan(_run(spark, "embed_quantize"))
+        assert "Exchange" not in plan
+
+    def test_pipeline_curate_single_data_shuffle(self, spark):
+        # gate -> dedup -> split composes into ONE job whose only
+        # data-sized shuffles are the digest aggregation + canonical join;
+        # no cartesian products, no nested loops
+        plan = _executed_plan(_run(spark, "pipeline_curate"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_gapfill_windows_run_on_aggregate_not_raw(self, spark):
+        # the LOCF window must consume the bucket spine (types x hours),
+        # not the raw event stream: the window's child may not be the
+        # parquet scan directly
+        plan = _executed_plan(_run(spark, "event_gapfill"))
+        assert "CartesianProduct" not in plan
+        # exactly one scan of events feeds the agg; the spine generation
+        # reuses the aggregate (no second full-table window)
+        assert plan.count("Scan parquet") <= 2
