@@ -64,6 +64,13 @@ _PRIORITY = (
     "agg_listagg",
     "window_ignore_nulls",
     "event_gapfill",
+    "multimodal_resize",
+    "multimodal_frames",
+    "event_session_window_native",
+    "fn_bitwise",
+    "agg_bitwise",
+    "fn_url",
+    "fn_hash_encode",
     "sink_partitioned",
     "embed_centroids",
     "text_histogram",

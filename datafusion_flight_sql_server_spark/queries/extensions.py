@@ -1563,3 +1563,131 @@ def q_event_gapfill(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_obs").isNull().alias("is_gap"),
         F.last("n_obs", ignorenulls=True).over(w).alias("n_locf"),
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+        WITH dec AS (SELECT doc_id,
+                            ('0x' || substr(sha256(text), 1, 4))::BIGINT
+                                % 1024 + 1 AS width,
+                            ('0x' || substr(sha256(text), 5, 4))::BIGINT
+                                % 1024 + 1 AS height
+                     FROM documents)
+        SELECT doc_id,
+               CAST(width AS BIGINT) AS width,
+               CAST(height AS BIGINT) AS height,
+               CAST(FLOOR(width / (CASE WHEN GREATEST(width, height) > 256
+                    THEN GREATEST(width, height) / 256.0 ELSE 1.0 END))
+                    AS BIGINT) AS target_w,
+               CAST(FLOOR(height / (CASE WHEN GREATEST(width, height) > 256
+                    THEN GREATEST(width, height) / 256.0 ELSE 1.0 END))
+                    AS BIGINT) AS target_h
+        FROM dec
+    """,
+    doc="Resize planning stage (operators/multimodal.py resize_meta): "
+    "aspect-preserving target dimensions capped at max_side=256, computed "
+    "from the decode stage's metadata. The planning half is pure JVM "
+    "column math (map-only, no Python); a real byte-level resize is the "
+    "follow-on mapInPandas stage consuming (payload, target_w, target_h). "
+    "Oracle replays the deterministic fake decoder's sha256-derived "
+    "dimensions, so the full decode->plan lineage is value-checked.",
+    tags=("multimodal",),
+)
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.multimodal import (
+        decode_images,
+        resize_meta,
+        with_blob,
+    )
+
+    d = tables(spark, sf)["documents"]
+    return resize_meta(decode_images(with_blob(d)), max_side=256)
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+        WITH dec AS (SELECT doc_id,
+                            ('0x' || substr(sha256(text), 1, 4))::BIGINT
+                                % 1024 + 1 AS width
+                     FROM documents)
+        SELECT doc_id, CAST(unnest(range(0, width, 10)) AS BIGINT)
+                   AS frame_idx
+        FROM dec
+    """,
+    doc="Frame-sampling stage for video payloads (operators/multimodal.py "
+    "sample_frames): every 10th frame index in [0, n_frames) exploded to "
+    "one row per sampled frame (the fake decode's width column stands in "
+    "for the frame count). sequence+explode is map-only fan-out — the "
+    "same plan shape a real ffmpeg-backed sampler produces, with output "
+    "rows proportional to sampled frames, not raw bytes.",
+    tags=("multimodal",),
+)
+def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.multimodal import (
+        decode_images,
+        sample_frames,
+        with_blob,
+    )
+
+    d = tables(spark, sf)["documents"]
+    return sample_frames(decode_images(with_blob(d)), "width", every_n=10)
+
+
+@query(
+    "event_session_window_native",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ep_us,
+                   CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                             - LAG(CAST(epoch_us(ts) AS BIGINT)) OVER w
+                             > 1800000000
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ep_us,
+                   SUM(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(MIN(ep_us) AS BIGINT) AS session_start_us,
+               CAST(MAX(ep_us) + 1800000000 AS BIGINT) AS session_end_us,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, sid
+    """,
+    doc="Spark's NATIVE session_window operator (30 min gap), batch form — "
+    "the built-in counterpart of event_sessionize's lag+cumsum. One "
+    "shuffle on user_id; MergingSessions aggregation needs no second "
+    "window pass, so it is the cheaper plan at 100 TB (and the same "
+    "expression works under readStream for the streaming form, cf. "
+    "streaming/stateful.py). Oracle replays Spark's merge rule exactly: "
+    "sessions split only when the inter-event gap strictly exceeds the "
+    "gap duration (an exactly-1800 s gap MERGES — verified empirically), "
+    "session end = last event + gap. Microsecond integer arithmetic end "
+    "to end, so the hash check is exact.",
+    tags=("events", "session", "streaming"),
+)
+def q_event_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start")
+            .cast("bigint")
+            .alias("session_start_us"),
+            F.unix_micros("session_window.end")
+            .cast("bigint")
+            .alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -410,3 +410,131 @@ def q_fn_string_distance(spark: SparkSession, sf: str) -> DataFrame:
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_id"),
         F.rpad(F.col("c_mktsegment"), 12, ".").alias("seg_padded"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderkey & 255 AS BIGINT) AS band,
+               CAST(o_orderkey | 4096 AS BIGINT) AS bor,
+               CAST(xor(o_orderkey, 1365) AS BIGINT) AS bxor,
+               CAST(o_orderkey << 3 AS BIGINT) AS shl,
+               CAST(o_orderkey >> 2 AS BIGINT) AS shr,
+               CAST(~o_orderkey AS BIGINT) AS bnot
+        FROM orders
+    """,
+    doc="Bitwise scalar surface (delegated: AND/OR/XOR/shifts/NOT reach "
+    "DataFusion through service.rs:171 unmodified). Row-local JVM integer "
+    "ops in whole-stage codegen; the idiom behind bucket masks, bloom "
+    "probes, and flag fields at scale.",
+    tags=("function", "bitwise"),
+)
+def q_fn_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("band"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("bor"),
+        k.bitwiseXOR(F.lit(1365)).cast("bigint").alias("bxor"),
+        F.shiftleft(k, 3).cast("bigint").alias("shl"),
+        F.shiftright(k, 2).cast("bigint").alias("shr"),
+        F.bitwise_not(k).cast("bigint").alias("bnot"),
+    )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(bit_and(o_custkey) AS BIGINT) AS all_mask,
+               CAST(bit_or(o_custkey) AS BIGINT) AS any_mask,
+               CAST(bit_xor(o_custkey) AS BIGINT) AS parity_mask
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Bitwise aggregates (bit_and/bit_or/bit_xor — delegated agg "
+    "surface). Associative+commutative, so partial aggregation is exact "
+    "and order-independent: unlike float sums these need no decimal "
+    "discipline to hash-match a single-threaded oracle.",
+    tags=("agg", "bitwise"),
+)
+def q_agg_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_custkey").cast("bigint").alias("all_mask"),
+        F.bit_or("o_custkey").cast("bigint").alias("any_mask"),
+        F.bit_xor("o_custkey").cast("bigint").alias("parity_mask"),
+    )
+
+
+@query(
+    "fn_url",
+    oracle="""
+        SELECT doc_id,
+               'https' AS proto,
+               source || '.example.com' AS host,
+               '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+               'lang=' || lang AS query,
+               lang AS lang_param
+        FROM documents
+    """,
+    doc="URL parsing (Spark parse_url over a deterministically synthesized "
+    "URL — the fixtures carry no URL column): protocol/host/path/query "
+    "extraction plus a named query parameter, the normalization step "
+    "before host-level dedup or per-domain quotas in a crawl pipeline. "
+    "Row-local JVM built-in. The oracle reconstructs each component from "
+    "the same parts the URL was built from, so the check validates "
+    "Spark's parser against ground truth rather than a second parser.",
+    tags=("function", "string", "url"),
+)
+def q_fn_url(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@query(
+    "fn_hash_encode",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS h_md5,
+               sha256(text) AS h_sha256,
+               base64(encode(text)) AS b64,
+               hex(encode(substr(text, 1, 8))) AS head_hex
+        FROM documents
+    """,
+    doc="Hashing and binary encodings from the delegated scalar surface: "
+    "md5, sha2-256, base64, hex over utf-8 payload bytes — the digest "
+    "primitives every content-addressed dedup/cache key path relies on. "
+    "Row-local, codegen; Spark emits uppercase hex so it is lowercased "
+    "to the common form both engines agree on.",
+    tags=("function", "hash"),
+)
+def q_fn_hash_encode(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.md5(t).alias("h_md5"),
+        F.sha2(t, 256).alias("h_sha256"),
+        F.base64(F.encode(t, "utf-8")).alias("b64"),
+        F.lower(F.hex(F.encode(F.substring(t, 1, 8), "utf-8"))).alias(
+            "head_hex"
+        ),
+    )

@@ -221,3 +221,67 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         spark.catalog.dropTempView("dedup_out")
 
     assert got == [1, 2, 3, 4]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks and an event-time range
+    condition: purchases attributed to the click that preceded them by at
+    most 10 minutes. Both sides carry watermarks so Spark can bound the
+    join state buffer — the attribution join a 100 TB event pipeline runs
+    continuously."""
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+
+    def write(d, name, rows, cols):
+        spark.createDataFrame(rows, cols).select(
+            F.timestamp_seconds(F.col(cols.split(",")[0].split()[0])).alias("ts"),
+            *[c.strip().split()[0] for c in cols.split(",")[1:]],
+        ).coalesce(1).write.parquet(str(d / name))
+
+    base = 1_700_000_000
+    write(clicks_dir, "b1", [(base, 1, 10), (base + 100, 2, 20)],
+          "ep BIGINT, user_id BIGINT, click_id BIGINT")
+    # purchase 1: 5 min after user 1's click (attributed); purchase 2:
+    # 20 min after user 2's click (outside the window, dropped)
+    write(buys_dir, "b1", [(base + 300, 1, 100), (base + 1300, 2, 200)],
+          "ep BIGINT, user_id BIGINT, buy_id BIGINT")
+
+    clicks = (
+        spark.readStream.schema("ts TIMESTAMP, user_id BIGINT, click_id BIGINT")
+        .parquet(f"{clicks_dir}/*")
+        .withWatermark("ts", "30 minutes")
+        .select(F.col("ts").alias("click_ts"), "user_id", "click_id")
+    )
+    buys = (
+        spark.readStream.schema("ts TIMESTAMP, user_id BIGINT, buy_id BIGINT")
+        .parquet(f"{buys_dir}/*")
+        .withWatermark("ts", "30 minutes")
+        .select(F.col("ts").alias("buy_ts"), "user_id", "buy_id")
+    )
+    joined = clicks.join(
+        buys,
+        (clicks.user_id == buys.user_id)
+        & (buys.buy_ts >= clicks.click_ts)
+        & (buys.buy_ts <= clicks.click_ts + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    q = (
+        joined.select("click_id", "buy_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.click_id, r.buy_id)
+            for r in spark.sql("SELECT * FROM attrib_out").collect()
+        }
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("attrib_out")
+
+    assert got == {(10, 100)}
