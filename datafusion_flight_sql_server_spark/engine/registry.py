@@ -45,6 +45,7 @@ def register_sf_tables(
         path = f"{sf_dir}/{name}.parquet"
         df = spark.read.parquet(path)
         df = _fix_nanos_ts(df, _nanos_ts_columns(path))
+        df = _fix_ntz_ts(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
@@ -107,6 +108,25 @@ def _fix_nanos_ts(df: DataFrame, nanos_cols: set[str]) -> DataFrame:
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
             )
+    return df
+
+
+def _fix_ntz_ts(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to session-zone TIMESTAMP.
+
+    Parquet ``timestamp[us]`` with ``isAdjustedToUTC=false`` surfaces as
+    TIMESTAMP_NTZ in Spark 4, which many chronological functions
+    (``unix_micros`` et al.) reject. The session timezone is pinned to UTC
+    (:func:`_ensure_runtime_confs`), so the cast reinterprets the naive
+    wall-clock as the same UTC instant — bit-identical values to what
+    DuckDB reads from the same file.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -10,8 +10,8 @@ self-join and no per-row subquery:
 1. the right side is deduplicated to one row per (key, timestamp), keeping
    the highest-id row (as-of with duplicate right timestamps is otherwise
    engine-ambiguous);
-2. both sides union into one stream ordered by (microsecond timestamp,
-   side-marker) — right rows sort BEFORE left rows at equal timestamps,
+2. both sides union into one stream ordered by (timestamp, side-marker)
+   — right rows sort BEFORE left rows at equal timestamps,
    which makes the join inclusive (right.ts <= left.ts);
 3. ``last(..., ignorenulls=True)`` over an unbounded-preceding row frame
    carries each key's latest right row forward; left rows read it, rows
@@ -62,7 +62,7 @@ def asof_join(
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
         W.partitionBy(on)
-        .orderBy(F.unix_micros(F.col(ts_col)), F.col("_is_l"))
+        .orderBy(F.col(ts_col), F.col("_is_l"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (

@@ -516,7 +516,7 @@ def q_fn_url(spark: SparkSession, sf: str) -> DataFrame:
                md5(text) AS h_md5,
                sha256(text) AS h_sha256,
                base64(encode(text)) AS b64,
-               hex(encode(substr(text, 1, 8))) AS head_hex
+               lower(hex(encode(substr(text, 1, 8)))) AS head_hex
         FROM documents
     """,
     doc="Hashing and binary encodings from the delegated scalar surface: "
@@ -533,7 +533,10 @@ def q_fn_hash_encode(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.md5(t).alias("h_md5"),
         F.sha2(t, 256).alias("h_sha256"),
-        F.base64(F.encode(t, "utf-8")).alias("b64"),
+        # Spark's base64 emits MIME-chunked output (CRLF every 76 chars) on
+        # some builds regardless of spark.sql.legacy.chunkBase64String.enabled;
+        # strip separators to the canonical RFC 4648 form DuckDB produces.
+        F.translate(F.base64(F.encode(t, "utf-8")), "\r\n", "").alias("b64"),
         F.lower(F.hex(F.encode(F.substring(t, 1, 8), "utf-8"))).alias(
             "head_hex"
         ),

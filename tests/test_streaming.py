@@ -19,11 +19,15 @@ from tests.conftest import SF_SMALL
 
 def test_streaming_tumbling_matches_batch(spark, tmp_path):
     # stage the events fixture as a parquet stream source with a streamable
-    # timestamp column (the raw fixture is TIMESTAMP(NANOS) → stage as ts)
-    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    # timestamp column (the raw fixture may be TIMESTAMP(NANOS) or NTZ —
+    # normalize through the registry's own conversion path)
+    from datafusion_flight_sql_server_spark.engine import registry
+
+    path = f"{SF_SMALL}/events.parquet"
+    events = spark.read.parquet(path)
     src = str(tmp_path / "events_stream")
-    staged = events.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    staged = registry._fix_ntz_ts(
+        registry._fix_nanos_ts(events, registry._nanos_ts_columns(path))
     )
     staged.write.parquet(src)
 
