@@ -1691,3 +1691,200 @@ def q_event_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document preparation: chunking, packing, n-grams, lexical entropy
+# ---------------------------------------------------------------------------
+
+#: doc_chunk window geometry: 64-word chunks every 48 words (16-word overlap).
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "doc_chunk",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+             s AS (SELECT doc_id, words,
+                          unnest(range(0, greatest(len(words), 1),
+                                 {CHUNK_STRIDE})) AS start
+                   FROM w)
+        SELECT doc_id,
+               CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(least({CHUNK_WORDS}, len(words) - start) AS BIGINT)
+                   AS n_words,
+               array_to_string(list_slice(words, start + 1,
+                                          start + {CHUNK_WORDS}), ' ')
+                   AS chunk_text
+        FROM s
+    """,
+    doc="Overlapping sliding-window chunking (64-word chunks, 48-word "
+    "stride) — the RAG/pretraining text-splitting primitive. Row-local: "
+    "split once, generate start offsets with sequence(), posexplode + "
+    "slice; no shuffle at all, so it scales embarrassingly (chunk count "
+    "per doc is data-independent of cluster size). Chunk identity = "
+    "(doc_id, chunk_idx) with chunk_idx = start/stride.",
+    tags=("text", "chunking"),
+)
+def q_doc_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    return (
+        d.select("doc_id", words.alias("words"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(CHUNK_WORDS), F.size("words") - F.col("start"))
+            .cast("bigint")
+            .alias("n_words"),
+            F.array_join(
+                F.slice(F.col("words"), F.col("start") + 1, CHUNK_WORDS), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+#: doc_pack bin capacity in estimated BPE tokens (chars/4, cf. text_tokens).
+PACK_CAPACITY = 2048
+
+
+@query(
+    "doc_pack",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source,
+                          CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS tokens
+                   FROM documents),
+             c AS (SELECT doc_id, source, tokens,
+                          SUM(tokens) OVER
+                            (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS cum_tokens
+                   FROM t)
+        SELECT doc_id, source, tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens,
+               CAST((cum_tokens - tokens) // {PACK_CAPACITY} AS BIGINT)
+                   AS bin_id,
+               CAST(cum_tokens - tokens
+                    - ((cum_tokens - tokens) // {PACK_CAPACITY})
+                      * {PACK_CAPACITY} AS BIGINT) AS bin_offset
+        FROM c
+    """,
+    doc="Greedy contiguous sequence packing: documents are laid end-to-end "
+    "per shard (source) in doc_id order and cut into 2048-token training "
+    "bins — bin_id/bin_offset give each doc its (sequence, position) slot. "
+    "The running sum is a single window per shard key, so parallelism = "
+    "shard count and no global sort exists; at 100 TB packing is per-shard "
+    "by construction (a global ORDER BY would serialize on one task, which "
+    "is why the window partitions by source).",
+    tags=("text", "packing"),
+)
+def q_doc_pack(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = tables(spark, sf)["documents"]
+    tokens = F.ceil(F.length("text") / 4.0).cast("bigint")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = d.select("doc_id", "source", tokens.alias("tokens"))
+    cum = F.sum("tokens").over(w)
+    start = cum - F.col("tokens")
+    return t.select(
+        "doc_id",
+        "source",
+        "tokens",
+        cum.cast("bigint").alias("cum_tokens"),
+        F.floor(start / PACK_CAPACITY).cast("bigint").alias("bin_id"),
+        (start - F.floor(start / PACK_CAPACITY) * PACK_CAPACITY)
+        .cast("bigint")
+        .alias("bin_offset"),
+    )
+
+
+@query(
+    "text_ngrams_top",
+    oracle="""
+        WITH w AS (SELECT list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '') AS words
+                   FROM documents),
+             i AS (SELECT words, unnest(range(1, len(words))) AS i FROM w)
+        SELECT list_extract(words, i) || ' ' || list_extract(words, i + 1)
+                   AS bigram,
+               COUNT(*) AS n
+        FROM i
+        GROUP BY 1
+        ORDER BY n DESC, bigram
+        LIMIT 50
+    """,
+    doc="Corpus top-50 bigrams: the n-gram sibling of text_topk_tokens "
+    "(collocation mining / contamination probes). Adjacent pairs come from "
+    "zip_with over two array slices — row-local, no self-join on token "
+    "position — then one partial-aggregated groupBy and a "
+    "TakeOrderedAndProject top-k; ties broken on (count desc, bigram).",
+    tags=("text",),
+)
+def q_text_ngrams_top(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    n1 = F.greatest(F.size(words) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, 1, n1),
+        F.slice(words, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+@query(
+    "text_entropy",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                     FROM documents),
+             cnt AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS c
+                     FROM tok WHERE w <> '' GROUP BY doc_id, w),
+             tot AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS vocab
+                     FROM cnt GROUP BY doc_id)
+        SELECT cnt.doc_id,
+               CAST(ANY_VALUE(vocab) AS BIGINT) AS vocab,
+               ROUND(log2(ANY_VALUE(n))
+                     - SUM(c * log2(c)) / ANY_VALUE(n), 6) AS token_entropy
+        FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        GROUP BY cnt.doc_id
+    """,
+    doc="Per-document token-distribution Shannon entropy plus vocabulary "
+    "size — the lexical-diversity quality signal (low entropy flags "
+    "boilerplate/repetition). Computed as log2(n) - sum(c*log2(c))/n from "
+    "integer counts so only one float division happens per doc; rounded "
+    "to 6 decimals (summation-order ulp discipline, same as the "
+    "similarity scores). Two partial-aggregatable shuffles on "
+    "(doc_id, token) then doc_id.",
+    tags=("text", "quality"),
+)
+def q_text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    cnt = tok.groupBy("doc_id", "w").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias("token_entropy"),
+    )
