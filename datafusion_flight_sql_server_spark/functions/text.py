@@ -80,3 +80,34 @@ def doc_fingerprint(text: Column) -> Column:
     """
     canon = F.array_join(F.array_sort(F.array_distinct(lower_words(text))), " ")
     return F.md5(canon)
+
+
+def chunk_words(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 64,
+    stride: int = 48,
+):
+    """Overlapping sliding-window chunking (see queries doc_chunk).
+
+    Row-local: split once, explode a sequence() of start offsets, slice.
+    Returns (id_col, chunk_idx, n_words, chunk_text); chunk_idx is dense
+    from 0 and chunk i covers words [i*stride, i*stride + chunk).
+    """
+    ws = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(ws) - 1, F.lit(0)), F.lit(stride)
+    )
+    return df.select(
+        id_col, ws.alias("_w"), F.explode(starts).alias("_s")
+    ).select(
+        id_col,
+        (F.col("_s") / stride).cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(chunk), F.size("_w") - F.col("_s"))
+        .cast("bigint")
+        .alias("n_words"),
+        F.array_join(F.slice(F.col("_w"), F.col("_s") + 1, chunk), " ").alias(
+            "chunk_text"
+        ),
+    )

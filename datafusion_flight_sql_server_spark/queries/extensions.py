@@ -1729,24 +1729,10 @@ CHUNK_STRIDE = 48
     tags=("text", "chunking"),
 )
 def q_doc_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.functions.text import chunk_words
+
     d = tables(spark, sf)["documents"]
-    words = F.split(F.col("text"), " ")
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
-    )
-    return (
-        d.select("doc_id", words.alias("words"), F.explode(starts).alias("start"))
-        .select(
-            "doc_id",
-            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
-            F.least(F.lit(CHUNK_WORDS), F.size("words") - F.col("start"))
-            .cast("bigint")
-            .alias("n_words"),
-            F.array_join(
-                F.slice(F.col("words"), F.col("start") + 1, CHUNK_WORDS), " "
-            ).alias("chunk_text"),
-        )
-    )
+    return chunk_words(d, chunk=CHUNK_WORDS, stride=CHUNK_STRIDE)
 
 
 #: doc_pack bin capacity in estimated BPE tokens (chars/4, cf. text_tokens).

@@ -2049,3 +2049,69 @@ def q_agg_listagg(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY r_name
         """
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+               l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+    doc="UNPIVOT / melt — wide-to-long reshaping, the inverse of agg_pivot. "
+    "Spark's native unpivot (Expand node: one pass over the input emitting "
+    "4 rows per input row, no join and no shuffle) vs the oracle's "
+    "4-way UNION ALL, which scans the table 4 times — the Expand form is "
+    "the 100 TB-honest plan.",
+    tags=("agg", "reshape"),
+)
+def q_agg_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    li = tables(spark, sf)["lineitem"]
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn("metric", F.replace(F.col("metric"), F.lit("l_"), F.lit("")))
+
+
+@query(
+    "join_lateral",
+    oracle="""
+        SELECT n.n_name, l.c_custkey, l.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) l
+    """,
+    doc="Correlated LATERAL join: top-2 customers by account balance per "
+    "nation, written as a per-row dependent subquery. Catalyst "
+    "decorrelates it into the same join + ranked-window plan as "
+    "window_topk_per_group — no per-nation re-execution survives into the "
+    "physical plan, which is what makes the construct safe at 100 TB "
+    "(a naive nested-loop would run the inner query once per outer row).",
+    tags=("join", "subquery"),
+)
+def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey, l.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) l
+        """
+    )
