@@ -108,3 +108,33 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_clustered(
+    df: DataFrame,
+    dst_path: str,
+    cluster_cols: Sequence[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on ``cluster_cols``: globally range-partitioned
+    across files, sorted within each file.
+
+    This is the data-layout half of data skipping: each output file (and
+    every row group inside it) covers a narrow, non-overlapping range of the
+    cluster key, so parquet footer min/max statistics let ANY reader —
+    Spark's parquet filter pushdown included — prune files and row groups a
+    selective predicate cannot touch. At 100 TB, clustering the storage by
+    the dominant filter key is the difference between a full scan and
+    reading a handful of files; tests/test_sink.py asserts the per-file
+    ranges are actually disjoint rather than trusting the writer.
+
+    ``repartitionByRange`` samples the key distribution, so skew collapses
+    to at-most-one straggler file per hot key instead of hash hotspots.
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(dst_path)
+    )

@@ -141,6 +141,52 @@ def q_sink_partitioned(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sink_clustered",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM events
+        WHERE user_id BETWEEN 100 AND 200
+        GROUP BY event_type
+    """,
+    doc="Clustered parquet sink round-trip (operators/sink.py "
+    "write_clustered): events range-partitioned across files on user_id "
+    "and sorted within each file, read back with a range predicate. The "
+    "layout gives every file a disjoint user_id range, so footer min/max "
+    "stats let the pushed filter skip whole files/row groups "
+    "(disjointness asserted in tests/test_sink.py) — the storage-side "
+    "data-skipping half of the 100 TB read path, complementing "
+    "sink_partitioned's directory pruning. Decimal-cast sum keeps the "
+    "aggregate order-independent across the rewrite.",
+    tags=("sink",),
+)
+def q_sink_clustered(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from datafusion_flight_sql_server_spark.operators.sink import (
+        write_clustered,
+    )
+
+    events = tables(spark, sf)["events"]
+    out = str(
+        Path(tempfile.gettempdir()) / f"sgraft_sink_events_{Path(sf).name}"
+    )
+    write_clustered(events, out, ["user_id"], n_files=8)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("user_id").between(100, 200))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
     "param_bind_positional",
     oracle="""
         SELECT o_orderkey, o_totalprice

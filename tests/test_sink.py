@@ -135,3 +135,56 @@ class TestCompaction:
         exact = F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
         assert back.count() == orders.count()
         assert back.agg(exact).first()[0] == orders.agg(exact).first()[0]
+
+
+class TestClusteredSink:
+    def test_file_ranges_are_disjoint_and_skippable(self, spark, tmp_path):
+        """Clustered layout contract: every output file covers a
+        non-overlapping user_id range (footer min/max proves any reader
+        can skip files), and a point predicate matches at most one file."""
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        from datafusion_flight_sql_server_spark.operators.sink import (
+            write_clustered,
+        )
+
+        events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        out = tmp_path / "events_clustered"
+        write_clustered(events, str(out), ["user_id"], n_files=4)
+
+        ranges = []
+        for f in sorted(Path(out).glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("user_id")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        assert len(ranges) > 1
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            # range partitioning may put a boundary key in either file but
+            # interiors must not interleave
+            assert hi1 <= lo2, f"overlapping file ranges {ranges}"
+
+        # a point lookup is containable in exactly one file's range
+        probe = ranges[1][0] + (ranges[1][1] - ranges[1][0]) // 2
+        holders = [r for r in ranges if r[0] <= probe <= r[1]]
+        assert len(holders) == 1
+
+    def test_roundtrip_preserves_rows(self, spark, tmp_path):
+        from datafusion_flight_sql_server_spark.operators.sink import (
+            write_clustered,
+        )
+
+        events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        out = str(tmp_path / "events_clustered_rt")
+        write_clustered(events, out, ["user_id"], n_files=4)
+        back = spark.read.parquet(out)
+        assert back.count() == events.count()
+        got = back.agg(F.sum("event_id")).collect()[0][0]
+        want = events.agg(F.sum("event_id")).collect()[0][0]
+        assert got == want
