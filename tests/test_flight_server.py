@@ -159,6 +159,12 @@ class TestIntegration:
         schema = client.get_table_schema("users")
         assert [f.name for f in schema] == ["id", "name"]
 
+    def test_table_names_inference(self, client):
+        # past-parity: lib.rs:85-89 leaves this stubbed; ours asks GetTables
+        names = client.table_names()
+        assert {"users", "orders"} <= set(names)
+        assert names == sorted(names)
+
     def test_unimplemented_action(self, client):
         # stub parity (service.rs:943-1011) — surfaces as gRPC UNIMPLEMENTED,
         # which pyarrow maps to ArrowNotImplementedError client-side
