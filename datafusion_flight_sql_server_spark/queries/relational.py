@@ -2115,3 +2115,66 @@ def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
         ) l
         """
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                    FILTER (WHERE o_totalprice > 150000) AS DOUBLE)
+                   AS big_total
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="SQL-standard FILTER clause on aggregates: per-group conditional "
+    "counts/sums in ONE pass over the input — the idiom that replaces N "
+    "self-joins or N scans for N conditions. Catalyst folds each FILTER "
+    "into the aggregate's accumulator condition, keeping partial "
+    "aggregation map-side; groups with no qualifying rows yield NULL "
+    "sums in both engines. Decimal-cast sum for order-independence.",
+    tags=("agg",),
+)
+def q_agg_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                    FILTER (WHERE o_totalprice > 150000) AS DOUBLE)
+                   AS big_total
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "agg_array",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list(n_name)) AS nations,
+               list_sort(list(DISTINCT substr(n_name, 1, 1))) AS initials
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="Array aggregation (collect_list / array_agg) with the determinism "
+    "discipline a distributed engine needs: the collected array is sorted "
+    "before comparison because collection order is partition-arrival order "
+    "— array_sort(collect_list(..)) is the only stable contract. DISTINCT "
+    "variant via collect_set. Rows stay one-per-group (no explode), so "
+    "the shuffle carries |groups| rows however wide the arrays get.",
+    tags=("agg", "array"),
+)
+def q_agg_array(spark: SparkSession, sf: str) -> DataFrame:
+    n = tables(spark, sf)["nation"]
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_sort(F.collect_set(F.substring("n_name", 1, 1))).alias(
+            "initials"
+        ),
+    )
