@@ -541,3 +541,46 @@ def q_fn_hash_encode(spark: SparkSession, sf: str) -> DataFrame:
             "head_hex"
         ),
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(NULL AS DOUBLE) AS div_zero,
+               FLOOR((l_extendedprice / l_quantity) * 1000000) / 1000000
+                   AS div_ok,
+               TRY_CAST(l_returnflag AS INT) AS cast_bad,
+               TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS cast_ok,
+               CASE WHEN l_orderkey <= 0
+                    THEN 9223372036854775807 + l_orderkey
+                    ELSE CAST(NULL AS BIGINT) END AS add_overflow
+        FROM lineitem
+    """,
+    doc="Error-safe ANSI arithmetic (try_divide / try_add / try_cast): "
+    "NULL instead of runtime failure for division by zero, bigint "
+    "overflow, and malformed casts — what keeps a 1000-executor job from "
+    "dying on one bad row under ANSI mode. Row-local, codegen'd; the "
+    "oracle pins the NULL-producing cases as typed NULL literals where "
+    "DuckDB would raise instead of yielding NULL.",
+    tags=("function", "ansi"),
+)
+def q_fn_try(spark: SparkSession, sf: str) -> DataFrame:
+    li = tables(spark, sf)["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity"))
+        .alias("div_zero"),
+        # floor-truncate instead of round: ROUND ties resolve half-up in
+        # Spark but half-even in DuckDB; floor is tie-free
+        (F.floor(F.try_divide("l_extendedprice", "l_quantity") * 1000000)
+         / 1000000).alias("div_ok"),
+        F.col("l_returnflag").try_cast("int").alias("cast_bad"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("cast_ok"),
+        # literal written in SQL so it parses as a BIGINT (a python-int lit
+        # this large round-trips as DOUBLE and would never overflow)
+        F.expr("try_add(9223372036854775807L, l_orderkey)").alias(
+            "add_overflow"
+        ),
+    )

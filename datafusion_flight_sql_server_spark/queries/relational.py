@@ -2157,24 +2157,66 @@ def q_agg_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
     "agg_array",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(n_name)) AS nations,
-               list_sort(list(DISTINCT substr(n_name, 1, 1))) AS initials
+               CAST(len(list(n_name)) AS BIGINT) AS n_nations,
+               array_to_string(list_sort(list(n_name)), ',') AS nations,
+               array_to_string(list_sort(list(DISTINCT substr(n_name, 1, 1))),
+                               ',') AS initials
         FROM nation
         GROUP BY n_regionkey
     """,
-    doc="Array aggregation (collect_list / array_agg) with the determinism "
-    "discipline a distributed engine needs: the collected array is sorted "
-    "before comparison because collection order is partition-arrival order "
-    "— array_sort(collect_list(..)) is the only stable contract. DISTINCT "
-    "variant via collect_set. Rows stay one-per-group (no explode), so "
-    "the shuffle carries |groups| rows however wide the arrays get.",
+    doc="Array aggregation (collect_list / array_agg + collect_set) with "
+    "the determinism discipline a distributed engine needs: the collected "
+    "array is sorted before use because collection order is "
+    "partition-arrival order — array_sort(collect_list(..)) is the only "
+    "stable contract. Rows stay one-per-group (no explode), so the "
+    "shuffle carries |groups| rows however wide the arrays get; arrays "
+    "reduced to joined scalars for portable hashing (repo convention, "
+    "cf. fn_array).",
     tags=("agg", "array"),
 )
 def q_agg_array(spark: SparkSession, sf: str) -> DataFrame:
     n = tables(spark, sf)["nation"]
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
-        F.array_sort(F.collect_set(F.substring("n_name", 1, 1))).alias(
-            "initials"
+        F.size(F.collect_list("n_name")).cast("bigint").alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
         ),
+        F.array_join(
+            F.array_sort(F.collect_set(F.substring("n_name", 1, 1))), ","
+        ).alias("initials"),
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
+        FROM lineitem
+        GROUP BY l_suppkey
+    """,
+    doc="EXACT distinct counting via mergeable bitmaps (Spark 4 bitmap_* "
+    "aggregates): values bucket into 32k-bit bitmap segments keyed by "
+    "bitmap_bucket_number, each segment OR-merges associatively map-side, "
+    "and bitmap_count sums per group. Unlike approx_count_distinct this "
+    "is exact, and unlike COUNT(DISTINCT) the partial state is a fixed "
+    "4KB segment per bucket instead of a shuffle of every distinct value "
+    "— the same persist-partials-then-merge rollup contract as the HLL "
+    "sketch path (tests/test_sketches.py), verified here against the "
+    "plain COUNT(DISTINCT) oracle.",
+    tags=("agg", "sketch"),
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_suppkey, SUM(seg_cnt) AS n_parts
+        FROM (
+            SELECT l_suppkey,
+                   bitmap_count(bitmap_construct_agg(
+                       bitmap_bit_position(l_partkey))) AS seg_cnt
+            FROM lineitem
+            GROUP BY l_suppkey, bitmap_bucket_number(l_partkey)
+        )
+        GROUP BY l_suppkey
+        """
     )
