@@ -50,6 +50,19 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_exact_keeprow",
     "multimodal_decode",
+    # tier 2.5: round-2-late additions — no CORRECTNESS row yet
+    "doc_chunk",
+    "doc_pack",
+    "text_ngrams_top",
+    "text_entropy",
+    "graph_pagerank",
+    "agg_unpivot",
+    "join_lateral",
+    "agg_filter_clause",
+    "agg_array",
+    "agg_bitmap_distinct",
+    "fn_try",
+    "sink_clustered",
     # tier 3: pipeline/extension operators added in round 2
     "doc_split",
     "text_contamination",
