@@ -584,3 +584,32 @@ def q_fn_try(spark: SparkSession, sf: str) -> DataFrame:
             "add_overflow"
         ),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(props->>'k' AS BIGINT) AS k,
+               CAST(NULL AS BIGINT) AS missing,
+               (props->>'k') IS NOT NULL AS has_k
+        FROM events
+    """,
+    doc="Semi-structured VARIANT columns (Spark 4): parse_json once into "
+    "the binary variant encoding, then typed path extraction with "
+    "variant_get / try_variant_get (missing path -> NULL, no error). At "
+    "100 TB variant beats re-parsing JSON strings per access: the parse "
+    "cost is paid once per row and extractions are O(path) over the "
+    "binary form; shredded parquet writes can push them to the scan. "
+    "Oracle uses DuckDB's JSON path operators over the same payload.",
+    tags=("function", "json", "variant"),
+)
+def q_fn_variant(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
+        F.variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
+    )

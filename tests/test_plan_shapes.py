@@ -119,3 +119,21 @@ class TestPlanShapes:
         # exactly one scan of events feeds the agg; the spine generation
         # reuses the aggregate (no second full-table window)
         assert plan.count("Scan parquet") <= 2
+
+
+class TestAdaptiveBroadcast:
+    def test_aqe_converts_small_side_to_broadcast_at_runtime(self, spark):
+        """The no-forced-hints posture (tpch_q3/q5 carry no broadcast()
+        on sf-proportional tables) relies on AQE promoting genuinely
+        small sides to broadcast at runtime. Execute q3 and assert the
+        FINAL adaptive plan contains a BroadcastHashJoin — proving the
+        optimization happens without the scale-unsafe static hint."""
+        from datafusion_flight_sql_server_spark.queries import REGISTRY
+        from tests.conftest import SF_SMALL
+
+        df = REGISTRY["tpch_q3_shipping_priority"].fn(spark, SF_SMALL)
+        df.collect()  # materialize so AQE finalizes the plan
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan" in final
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final
