@@ -2220,3 +2220,55 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY l_suppkey
         """
     )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+        WITH mx AS (
+            SELECT l_suppkey, l_orderkey AS max_order,
+                   l_extendedprice AS max_price
+            FROM (SELECT l_suppkey, l_orderkey, l_extendedprice,
+                         ROW_NUMBER() OVER
+                           (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice DESC, l_orderkey DESC)
+                           AS rn
+                  FROM lineitem)
+            WHERE rn = 1
+        ),
+        mn AS (
+            SELECT l_suppkey, l_orderkey AS min_order,
+                   l_extendedprice AS min_price
+            FROM (SELECT l_suppkey, l_orderkey, l_extendedprice,
+                         ROW_NUMBER() OVER
+                           (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice ASC, l_orderkey ASC)
+                           AS rn
+                  FROM lineitem)
+            WHERE rn = 1
+        )
+        SELECT mx.l_suppkey, max_order, max_price, min_order, min_price
+        FROM mx JOIN mn ON mx.l_suppkey = mn.l_suppkey
+    """,
+    doc="Argument-extremum aggregates (max_by / min_by, a.k.a. "
+    "arg_max/arg_min): the order line carrying each supplier's "
+    "highest/lowest extended price in ONE partial-aggregatable pass — no "
+    "window, no self-join, shuffle carries one struct per group. Ordering "
+    "keys are (price, orderkey) structs so ties resolve deterministically "
+    "on any engine (max_by on the bare price would be partition-arrival-"
+    "dependent); the oracle replicates that exact tie-break with ranked "
+    "windows, which is also what the operator replaces at scale.",
+    tags=("agg",),
+)
+def q_agg_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
+    li = tables(spark, sf)["lineitem"]
+    return li.groupBy("l_suppkey").agg(
+        F.expr(
+            "max_by(l_orderkey, struct(l_extendedprice, l_orderkey))"
+        ).alias("max_order"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.expr(
+            "min_by(l_orderkey, struct(l_extendedprice, l_orderkey))"
+        ).alias("min_order"),
+        F.min("l_extendedprice").alias("min_price"),
+    )
