@@ -325,3 +325,14 @@ def _cmd(sql: str):
     )
 
     return CommandStatementQuery(query=sql)
+
+
+class TestExplainOverWire:
+    def test_explain_select_returns_plan_text(self, client):
+        # DataFusion serves EXPLAIN through the same statement path; so do
+        # we — the gate admits it (read-only) and the plan text streams
+        # back as an ordinary single-column result
+        table = client.execute("EXPLAIN SELECT id FROM users WHERE id > 1")
+        assert table.num_rows >= 1
+        text = " ".join(str(v) for v in table.column(0).to_pylist())
+        assert "Filter" in text or "Physical Plan" in text

@@ -148,3 +148,57 @@ def test_doc_chunk_geometry_reconstructs_document(spark, words):
     # trailing chunks overlap the document tail; dedupe the overlap by
     # truncating to the original length before comparing
     assert rebuilt[: len(words)] == words
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 1),            # user
+        st.integers(0, 10_000),       # epoch second
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_events)
+def test_sessionize_matches_python_reference(spark, rows):
+    """Gap-based sessionization (30 min) must agree with a sequential
+    single-machine reference on session count and per-session bounds."""
+    from datafusion_flight_sql_server_spark.streaming.sessionize import (
+        sessionize,
+    )
+
+    pdf = pd.DataFrame(
+        [(i, u, pd.Timestamp(ts, unit="s")) for i, (u, ts) in enumerate(rows)],
+        columns=["event_id", "user_id", "ts"],
+    )
+    df = spark.createDataFrame(pdf, schema="event_id long, user_id long, ts timestamp")
+    got = sorted(
+        (r.user_id, r.session_id, r.n_events, r.duration_s)
+        for r in sessionize(df, gap_seconds=1800).collect()
+    )
+
+    want = []
+    for user, grp in pdf.groupby("user_id"):
+        times = sorted(grp["ts"])
+        sessions: list[list] = [[times[0]]]
+        for t in times[1:]:
+            if (t - sessions[-1][-1]).total_seconds() > 1800:
+                sessions.append([t])
+            else:
+                sessions[-1].append(t)
+        for sid, sess in enumerate(sessions, start=1):
+            want.append(
+                (
+                    user,
+                    sid,
+                    len(sess),
+                    int((sess[-1] - sess[0]).total_seconds()),
+                )
+            )
+    assert got == sorted(want)
