@@ -62,6 +62,9 @@ _PRIORITY = (
     "agg_array",
     "agg_bitmap_distinct",
     "fn_try",
+    "fn_variant",
+    "agg_minmax_by",
+    "profile_table",
     "sink_clustered",
     # tier 3: pipeline/extension operators added in round 2
     "doc_split",

@@ -1969,3 +1969,66 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     return r.select("node", F.round("r", 6).alias("rank"))
+
+
+def _profile_oracle() -> str:
+    cols = {
+        "o_orderkey": "o_orderkey",
+        "o_custkey": "o_custkey",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice": "o_totalprice",
+        "o_orderdate": "CAST(o_orderdate AS DATE)",
+        "o_orderpriority": "o_orderpriority",
+    }
+    parts = [
+        f"""SELECT '{name}' AS col_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT({expr}) AS BIGINT) AS n_nonnull,
+                   CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+                   CAST(MIN({expr}) AS VARCHAR) AS min_val,
+                   CAST(MAX({expr}) AS VARCHAR) AS max_val
+            FROM orders"""
+        for name, expr in cols.items()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "profile_table",
+    oracle=_profile_oracle(),
+    doc="Per-column data profiling (the pre-curation health check): row "
+    "count, non-null count, exact distinct count, stringified min/max for "
+    "every column of orders — in ONE pass over the table. All per-column "
+    "aggregates run in a single Aggregate node and stack() reshapes the "
+    "1-row result to long form row-locally, vs the oracle's N UNION ALL "
+    "scans — at 100 TB that is 1 scan vs |columns| scans. Timestamp "
+    "column profiled at DATE grain for engine-portable string forms.",
+    tags=("profiling",),
+)
+def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    specs = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice": F.col("o_totalprice"),
+        "o_orderdate": F.col("o_orderdate").cast("date"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, c in specs.items():
+        aggs.append(F.count(c).cast("bigint").alias(f"nn_{name}"))
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{name}"))
+        aggs.append(F.min(c).cast("string").alias(f"mn_{name}"))
+        aggs.append(F.max(c).cast("string").alias(f"mx_{name}"))
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{n}', nn_{n}, nd_{n}, mn_{n}, mx_{n}" for n in specs
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(specs)}, {stack}) AS "
+            "(col_name, n_nonnull, n_distinct, min_val, max_val)"
+        ),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
