@@ -108,3 +108,90 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState form (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+#: Output schema for the running per-user aggregate.
+COUNTER_SCHEMA = "user_id BIGINT, n BIGINT, total DOUBLE"
+
+try:  # Spark 4.0+ only
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningUserTotals(StatefulProcessor):
+        """Per-key running (count, sum) via the transformWithState API —
+        the successor of applyInPandasWithState: typed per-key value
+        state in the state store (RocksDB provider), explicit init/close
+        lifecycle, and composable state primitives (value/list/map state,
+        timers) instead of one opaque tuple.
+
+        Emits the updated running totals for a key whenever a micro-batch
+        touches it; state is O(active keys) and partitioned by the
+        grouping key exactly like the batch groupBy it mirrors, so the
+        operator scales with the key space, not the event count.
+        """
+
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = 0
+            total = 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            if self._state.exists():
+                prev_n, prev_total = self._state.get()
+                n += int(prev_n)
+                total += float(prev_total)
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState runs the processor in a dedicated Python
+    # driver-worker process that unpickles this class; cloudpickle
+    # serializes classes from importable modules BY REFERENCE, so without
+    # this the worker needs the repo on ITS import path (same gotcha as
+    # sources/flight_table.py — ship the module by value instead).
+    import sys as _sys
+
+    try:  # pragma: no cover - vendored path is stable in pyspark>=3.3
+        from pyspark import cloudpickle as _cloudpickle
+
+        _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:  # noqa: BLE001 - --py-files deploys still work
+        pass
+
+except ImportError:  # pragma: no cover - pre-4.0 fallback
+    RunningUserTotals = None  # type: ignore[assignment]
+
+
+def running_totals_stream(events_stream, query_name: str = "totals_out"):
+    """events stream → in-memory table of running per-user (count, sum).
+
+    transformWithStateInPandas requires the RocksDB state store provider
+    (set in the session conf by the caller/test).
+    """
+    return (
+        events_stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningUserTotals(),
+            outputStructType=COUNTER_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .start()
+    )
