@@ -53,6 +53,9 @@ HEADLINE = (
     "tpch_q19_discounted",
     "dedup_near_minhash",
     "sim_topk",
+    # round-2-late additions
+    "doc_chunk",
+    "graph_pagerank",
 )
 
 WARMUP_RUNS = 1

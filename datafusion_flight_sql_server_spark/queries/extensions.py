@@ -1942,8 +1942,18 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     ).distinct()
     e = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg")).select(
-        F.col("src").alias("node"), "deg"
+    # e and deg feed EVERY iteration plus the final projection. Exchange
+    # reuse dedupes some of the repeated subplans within the single query,
+    # but persisting the loop invariants is still faster (A/B at sf0.1:
+    # 2.7-5.5 s vs 5.0-6.1 s) and is the rule that holds for deeper loops,
+    # where AQE replanning breaks exchange reuse; use MEMORY_AND_DISK for
+    # graphs larger than executor memory.
+    e = e.persist()
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").cast("double").alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+        .persist()
     )
     n_tbl = deg.agg(F.count("*").cast("double").alias("n"))
     # 1-row N broadcast-joined onto every node (no driver-side collect)
