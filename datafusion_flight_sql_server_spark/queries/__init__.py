@@ -65,6 +65,8 @@ _PRIORITY = (
     "fn_variant",
     "agg_minmax_by",
     "profile_table",
+    "event_funnel",
+    "event_retention",
     "sink_clustered",
     # tier 3: pipeline/extension operators added in round 2
     "doc_split",

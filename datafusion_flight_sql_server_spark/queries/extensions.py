@@ -2042,3 +2042,107 @@ def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.col("n_rows").cast("bigint").alias("n_rows"),
     ).select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
+
+
+@query(
+    "event_funnel",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_stage1,
+               CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_stage2,
+               CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_stage3
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase): users "
+    "counted at each stage only if the stage event happened strictly "
+    "after their previous-stage entry time. Three chained "
+    "aggregate+semi-join steps, each one shuffle on user_id with the "
+    "events scan reused — the declarative form of the sequential-pattern "
+    "scan every product-analytics engine special-cases. At 100 TB all "
+    "three stages co-partition on user_id, so AQE folds the joins into "
+    "the same exchange layout.",
+    tags=("events", "funnel"),
+)
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").cast("bigint").alias("n_stage1"))
+        .crossJoin(s2.agg(F.count("*").cast("bigint").alias("n_stage2")))
+        .crossJoin(s3.agg(F.count("*").cast("bigint").alias("n_stage3")))
+    )
+
+
+@query(
+    "event_retention",
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(d0 AS VARCHAR) AS cohort_day,
+               CAST(date_diff('day', d0, CAST(date_trunc('day', e.ts) AS DATE))
+                    AS BIGINT) AS day_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        FROM events e JOIN first_day USING (user_id)
+        GROUP BY d0, day_offset
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+    "activity counted per day-offset from that cohort day — the "
+    "retention curve table behind every DAU/stickiness dashboard. One "
+    "window-free aggregate for the cohort assignment, one co-partitioned "
+    "join back (same user_id exchange), one distinct-count aggregate; "
+    "cohort day stringified for engine-portable hashing.",
+    tags=("events", "retention"),
+)
+def q_event_retention(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    first_day = e.groupBy("user_id").agg(F.min(day).alias("d0"))
+    return (
+        e.join(first_day, "user_id")
+        .select(
+            F.col("d0"),
+            F.datediff(day, F.col("d0")).cast("bigint").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("d0", "day_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .select(
+            F.col("d0").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+        )
+    )
