@@ -67,6 +67,7 @@ _PRIORITY = (
     "profile_table",
     "event_funnel",
     "event_retention",
+    "event_transitions",
     "sink_clustered",
     # tier 3: pipeline/extension operators added in round 2
     "doc_split",

@@ -2146,3 +2146,45 @@ def q_event_retention(spark: SparkSession, sf: str) -> DataFrame:
             "n_active",
         )
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
+    doc="Event-sequence transition counts (the Markov-chain transition "
+    "matrix over per-user event streams): lag() over the (ts, event_id) "
+    "total order pairs each event with its predecessor, then one "
+    "partial-aggregatable groupBy on the (prev, next) pair — the "
+    "behavioral-modeling sibling of text_ngrams_top's token bigrams. One "
+    "shuffle on user_id for the window, one on the pair; the tie-break "
+    "on event_id keeps same-second sequences deterministic across "
+    "engines (same discipline as sessionization).",
+    tags=("events", "sequence"),
+)
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = tables(spark, sf)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
