@@ -91,12 +91,25 @@ class Engine:
     def execute_stream(self, df: DataFrame, batch_rows: int = 65536):
         """Yield the result as Arrow record batches with bounded driver memory.
 
-        Parity: the reference pipes batch-at-a-time (service.rs:186-191,
-        230-236) and never materializes the full result (SURVEY §7 H1).
-        ``toLocalIterator`` pulls one partition at a time from the executors,
-        so peak driver memory is one partition + one in-flight batch — a
-        1000-executor result streams through a bounded window instead of
-        landing whole on the driver the way ``collect()``/``toArrow()`` would.
+        Parity: the reference pipes batch-at-a-time (service.rs:186-236) and
+        never materializes the full result (SURVEY §7 H1). Two properties:
+
+        - **Arrow end-to-end**: executors serialize their own columnar
+          batches to IPC via ``mapInArrow`` (``_ipc_encode_batches``); the
+          driver never touches individual cells — it deserializes whole
+          batches and re-chunks to ``batch_rows`` with zero-copy slices.
+          This matches the reference's batch-at-a-time RecordBatch pipe
+          (service.rs:186-191) instead of moving every value through Python
+          dicts (the round-2 per-row ``asDict``/``from_pylist`` path, which
+          capped DoGet throughput at driver-CPU row decode speed).
+        - **Bounded memory**: ``toLocalIterator`` pulls one partition at a
+          time, so peak driver memory is one partition of IPC blobs + the
+          re-chunk buffer — a 1000-executor result streams through a bounded
+          window instead of landing whole on the driver the way
+          ``collect()``/``toArrow()`` would.
+
+        Falls back to the row-at-a-time path only if the plan's types cannot
+        pass Spark's Arrow conversion (``mapInArrow`` analysis error).
         """
         import pyarrow as pa
 
@@ -105,6 +118,62 @@ class Engine:
         )
 
         schema = arrow_schema_for_df(df)
+
+        def _ipc_encode_batches(iterator):
+            # Executor-side (closure → cloudpickled by value, no repo import
+            # needed on workers): wrap each columnar batch as one IPC-stream
+            # payload — one binary cell per ~10k-row batch, never per row.
+            import pyarrow as pa  # noqa: F811 — worker-local import
+
+            out_schema = pa.schema([("ipc", pa.binary())])
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, batch.schema) as writer:
+                    writer.write_batch(batch)
+                yield pa.record_batch(
+                    [pa.array([sink.getvalue().to_pybytes()], pa.binary())],
+                    schema=out_schema,
+                )
+
+        try:
+            ipc_df = df.mapInArrow(_ipc_encode_batches, "ipc binary")
+        except Exception:
+            yield from self._execute_stream_rows(df, batch_rows, schema)
+            return
+
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+        for row in ipc_df.toLocalIterator(prefetchPartitions=True):
+            for batch in pa.ipc.open_stream(row.ipc):
+                if batch.num_rows == 0:
+                    continue
+                if not batch.schema.equals(schema, check_metadata=False):
+                    batch = (
+                        pa.Table.from_batches([batch])
+                        .cast(pa.schema([f.remove_metadata() for f in schema]))
+                        .combine_chunks()
+                        .to_batches()[0]
+                    )
+                buf.append(batch)
+                buffered += batch.num_rows
+                while buffered >= batch_rows:
+                    tbl = pa.Table.from_batches(buf).combine_chunks()
+                    yield tbl.slice(0, batch_rows).to_batches()[0]
+                    rest = tbl.slice(batch_rows)
+                    buf = rest.to_batches()
+                    buffered = rest.num_rows
+        if buffered:
+            tbl = pa.Table.from_batches(buf).combine_chunks()
+            for batch in tbl.to_batches(max_chunksize=batch_rows):
+                yield batch
+
+    def _execute_stream_rows(self, df: DataFrame, batch_rows: int, schema):
+        """Row-at-a-time fallback for plans whose types can't cross Spark's
+        Arrow boundary (rare; same bounded-memory contract, slower)."""
+        import pyarrow as pa
+
         buf: list[dict] = []
         for row in df.toLocalIterator(prefetchPartitions=True):
             buf.append(row.asDict(recursive=True))

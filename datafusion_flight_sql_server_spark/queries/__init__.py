@@ -19,71 +19,22 @@ from datafusion_flight_sql_server_spark.queries import windows_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import extensions  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import sources_q  # noqa: F401
 
-#: Verification-priority prefix: the round-1 driver produced CORRECTNESS
-#: rows for exactly the FIRST 50 registered queries, so ordering decides
-#: which operators get a row if that cap holds. Tiers: (1) the 8 queries
-#: round 1 registered but never checked (the round-1 review's explicit
-#: completion metric), (2) north-star similarity/dedup flagships, (3) new
-#: pipeline/extension operators, (4) source/param registrations the review
-#: marked untested, (5) remaining windows, (6) the TPC-H long tail —
-#: whatever falls past the cap stays covered by the local pytest oracle
-#: replica. Unlisted names follow in registration order (all already green
-#: in CORRECTNESS_r01.json).
+#: Verification-priority prefix: the driver produces CORRECTNESS rows for
+#: the FIRST 50 registered queries each round, so ordering decides which
+#: operators get a row. Round-3 order (per the round-2 review's explicit
+#: instruction): positions 1-50 are EXACTLY the 49 queries that have never
+#: received a driver row (absent from CORRECTNESS_r01.json and
+#: CORRECTNESS_r02.json) plus ``agg_approx_distinct`` (err: no_oracle since
+#: round 1; its contract is now the error-bound boolean both engines can
+#: reproduce) — green rows here bring driver verification to 149/149.
+#: Position 51+ holds queries first registered in round 3 (they ride the
+#: local pytest oracle until round 4), then every r1/r2-green name in its
+#: old order.
 _PRIORITY = (
-    # tier 1: registered in round 1 but absent from CORRECTNESS_r01.json
-    "text_stats",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "text_langid",
-    "multimodal_meta",
-    "event_tumbling_window",
-    "event_sessionize",
-    # tier 2: similarity search + near-dedup (round-1 review item #3)
-    "sim_topk",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "dedup_near_minhash",
-    "dedup_near_clusters",
-    "dedup_embed_cosine",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_exact_keeprow",
-    "multimodal_decode",
-    # tier 2.5: round-2-late additions — no CORRECTNESS row yet
-    "doc_chunk",
-    "doc_pack",
-    "text_ngrams_top",
-    "text_entropy",
-    "graph_pagerank",
-    "agg_unpivot",
-    "join_lateral",
-    "agg_filter_clause",
-    "agg_array",
-    "agg_bitmap_distinct",
-    "fn_try",
-    "fn_variant",
-    "agg_minmax_by",
-    "profile_table",
-    "event_funnel",
-    "event_retention",
-    "event_transitions",
-    "sink_clustered",
-    # tier 3: pipeline/extension operators added in round 2
-    "doc_split",
-    "text_contamination",
-    "text_redact",
-    "text_quality_rules",
-    "doc_sample_stratified",
-    "embed_quantize",
-    "corpus_mix_report",
-    "pipeline_curate",
-    "cte_recursive",
-    "agg_corr_regr",
-    "agg_listagg",
-    "window_ignore_nulls",
-    "event_gapfill",
-    "multimodal_resize",
+    # tier 1: the one erroring row — approx_count_distinct with its new
+    # oracle-checkable error-bound contract
+    "agg_approx_distinct",
+    # tier 2: extension/pipeline operators never driver-checked (r1+r2 cap)
     "multimodal_frames",
     "event_session_window_native",
     "fn_bitwise",
@@ -106,7 +57,8 @@ _PRIORITY = (
     "event_time_rollup",
     "event_sliding_window",
     "join_skew_salted",
-    # tier 4: source/param surfaces the round-1 review marked untested
+    # tier 3: source/param registrations — the reference's own exercised
+    # surface (integration_test.rs:148-171, examples/flight-sql.rs:25-27)
     "scan_csv",
     "scan_json",
     "scan_memtable",
@@ -114,10 +66,10 @@ _PRIORITY = (
     "scan_binary",
     "param_bind_positional",
     "param_bind_named",
-    # tier 5: windows
+    # tier 4: remaining windows
     "window_range_frame",
     "window_distribution",
-    # tier 6: TPC-H long tail (bench-headline members first)
+    # tier 5: TPC-H long tail (bench-headline members first)
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_effect",
     "tpch_q18_large_volume",
@@ -136,12 +88,9 @@ _PRIORITY = (
     "tpch_q17_small_quantity",
     "tpch_q20_potential_promotion",
     "tpch_q22_global_sales",
-    # flagship + previously-green representatives
-    "dedup_exact",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q10_returned_items",
+    # ---- position 51+: new-in-round-3 registrations (local oracle until
+    # the round-4 driver window), then the r1/r2-green set in legacy order.
+    "agg_percentile_approx",
 )
 
 

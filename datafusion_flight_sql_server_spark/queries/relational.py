@@ -521,17 +521,39 @@ def q_agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are implementation-specific; rows-only check
-    doc="approx_count_distinct (HLL) — sketch values are engine-specific so "
-    "no oracle; the driver records a rows-only check. Exactness is covered "
-    "by agg_distinct.",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="approx_count_distinct (HLL, rsd=0.05) — the sketch estimate itself "
+    "is engine-specific, so the checkable contract is the ERROR BOUND: the "
+    "query emits the exact distinct count plus a boolean asserting the HLL "
+    "estimate is within 3x the requested relative standard deviation (plus "
+    "an absolute slack of 5 for tiny groups). DuckDB reproduces the exact "
+    "count and the expected-TRUE bound column, so rows+schema+hash all "
+    "verify. At scale the approx path is the one you'd run (partial-agg "
+    "HLL sketches merge map-side; no per-group distinct-set shuffle).",
     tags=("agg", "approx"),
 )
 def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     l = tables(spark, sf)["lineitem"]
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    rsd = 0.05
+    agg = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.greatest(F.lit(5.0), F.col("exact_parts") * (3 * rsd))
+        ).alias("within_bound"),
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

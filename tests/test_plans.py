@@ -249,3 +249,32 @@ class TestExecuteStream:
         batches = list(engine.execute_stream(df))
         table = pa.Table.from_batches(batches)
         assert table.column("name").to_pylist() == ["Alice", "Bob", "Charlie"]
+
+    def test_arrow_path_engaged(self, spark, monkeypatch):
+        # The serving hot path must be the executor-side IPC encode
+        # (mapInArrow), never the row-at-a-time fallback: poison the
+        # fallback and stream a multi-partition, multi-type result.
+        engine = Engine(spark)
+
+        def _boom(*a, **k):
+            raise AssertionError("row-at-a-time fallback used on Arrow-able plan")
+            yield  # pragma: no cover
+
+        monkeypatch.setattr(engine, "_execute_stream_rows", _boom)
+        df = spark.range(0, 20_000, 1, 4).selectExpr(
+            "id",
+            "cast(id as double) AS d",
+            "cast(id as string) AS s",
+            "array(id, id + 1) AS arr",
+            "named_struct('a', id) AS st",
+            "id % 2 = 0 AS b",
+            "timestamp_micros(id) AS ts",
+        )
+        table = pa.Table.from_batches(list(engine.execute_stream(df, batch_rows=4096)))
+        assert table.num_rows == 20_000
+        assert table.column("arr").to_pylist()[1] == [1, 2]
+
+    def test_empty_result_streams_nothing(self, spark):
+        engine = Engine(spark)
+        df = spark.range(10).where("id < 0")
+        assert list(engine.execute_stream(df)) == []
