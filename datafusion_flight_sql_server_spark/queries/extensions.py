@@ -1880,9 +1880,20 @@ def q_text_entropy(spark: SparkSession, sf: str) -> DataFrame:
 # Iterative graph algorithms
 # ---------------------------------------------------------------------------
 
-#: PageRank parameters: damping, fixed unrolled iteration count.
+#: PageRank parameters: damping, fixed unrolled iteration count, and the
+#: lineage-control cadence: every PR_CHECKPOINT_EVERY-th iteration the rank
+#: frame is localCheckpoint(eager)ed so plan depth stays bounded for deep
+#: loops (at the default 3 iterations the cadence never fires — the unrolled
+#: plan is cheaper than an extra materialization job).
 PR_DAMPING = 0.85
 PR_ITERS = 3
+PR_CHECKPOINT_EVERY = 4
+#: Rank-vector rows below this count are broadcast into the per-step edge
+#: join (killing the per-iteration |E| shuffle); above it the step falls
+#: back to the co-partitioned shuffle join — the broadcast is ~24 B/row, so
+#: 2M rows ≈ 50 MB, a safe executor broadcast. |V| ≪ |E| holds for most
+#: real graphs, but the fallback keeps billion-node graphs correct.
+PR_BROADCAST_MAX_NODES = 2_000_000
 
 
 def _pagerank_oracle() -> str:
@@ -1897,7 +1908,7 @@ def _pagerank_oracle() -> str:
             ),
             r{k} AS (
                 SELECT d.node, d.deg,
-                       (SELECT 0.15 / n FROM n) + {PR_DAMPING} * COALESCE(it{k}.c, 0) AS r
+                       (SELECT {1 - PR_DAMPING} / n FROM n) + {PR_DAMPING} * COALESCE(it{k}.c, 0) AS r
                 FROM deg d LEFT JOIN it{k} ON d.node = it{k}.node
             )"""
         )
@@ -1924,30 +1935,33 @@ def _pagerank_oracle() -> str:
     oracle=_pagerank_oracle(),
     doc="Iterative algorithm on DataFrames: PageRank over the undirected "
     "part-supplier bipartite graph (edges = distinct lineitem pairs, both "
-    "directions), 3 fixed iterations at d=0.85, unrolled into the plan — "
-    "each step is one equi-join + one partial-aggregated shuffle on the "
-    "node id, nothing driver-side. Every node has outdegree >= 1 by "
-    "construction (no dangling mass). At 100 TB the same loop runs with "
-    "localCheckpoint()/persist() between steps to cut lineage growth "
-    "(documented, not needed at 3 steps); contribution sums drift only in "
-    "the last ulp between engines, absorbed by the 6-decimal round. The "
-    "connected-components sibling (dedup_near_clusters) uses the same "
-    "iterate-join shape.",
+    "directions), 3 fixed iterations at d=0.85. Node ids are packed into "
+    "BIGINT (part p -> 2p, supplier s -> 2s+1) so every join/agg hashes "
+    "and shuffles fixed-width ints; the 'p../s..' strings are rebuilt only "
+    "in the final projection. Per step the rank vector (|V| rows) is "
+    "broadcast into the edge join when |V| <= PR_BROADCAST_MAX_NODES — the "
+    "edge table then never re-shuffles after construction — falling back "
+    "to the co-partitioned shuffle join for billion-node graphs. Every "
+    "node has outdegree >= 1 by construction (no dangling mass). Deep "
+    "loops localCheckpoint the rank frame every PR_CHECKPOINT_EVERY steps "
+    "(lineage control; no-op at 3). The result is materialized eagerly and "
+    "the e/deg invariant caches are unpersisted before returning, so "
+    "long-lived sessions don't accumulate cache blocks per invocation "
+    "(round-2 ADVICE). Contribution sums drift only in the last ulp "
+    "between engines, absorbed by the 6-decimal round.",
     tags=("graph", "iterative"),
 )
 def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     li = tables(spark, sf)["lineitem"]
     e0 = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
     e = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # e and deg feed EVERY iteration plus the final projection. Exchange
-    # reuse dedupes some of the repeated subplans within the single query,
-    # but persisting the loop invariants is still faster (A/B at sf0.1:
-    # 2.7-5.5 s vs 5.0-6.1 s) and is the rule that holds for deeper loops,
-    # where AQE replanning breaks exchange reuse; use MEMORY_AND_DISK for
-    # graphs larger than executor memory.
+    # e and deg feed EVERY iteration plus the final projection; persist the
+    # invariants (MEMORY_AND_DISK default spills for graphs larger than
+    # executor memory) — exchange reuse alone breaks under AQE replanning
+    # for deeper loops.
     e = e.persist()
     deg = (
         e.groupBy("src")
@@ -1955,20 +1969,25 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("src").alias("node"), "deg")
         .persist()
     )
+    # One cheap job on the cached invariant: materializes deg AND yields the
+    # node count that picks the per-step join strategy (broadcast vs
+    # co-partitioned shuffle) — an adaptive choice, not a blind hint.
+    n_nodes = deg.count()
+    rank_side = F.broadcast if n_nodes <= PR_BROADCAST_MAX_NODES else (lambda df: df)
     n_tbl = deg.agg(F.count("*").cast("double").alias("n"))
     # 1-row N broadcast-joined onto every node (no driver-side collect)
     r = deg.crossJoin(F.broadcast(n_tbl)).select(
         "node", "deg", (F.lit(1.0) / F.col("n")).alias("r")
     )
-    for _ in range(PR_ITERS):
+    for i in range(1, PR_ITERS + 1):
         contrib = (
-            e.join(r, e["src"] == r["node"])
+            e.join(rank_side(r), e["src"] == r["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
         )
         r = (
             deg.crossJoin(F.broadcast(n_tbl))
-            .join(contrib, deg["node"] == contrib["dst"], "left")
+            .join(rank_side(contrib), deg["node"] == contrib["dst"], "left")
             .select(
                 "node",
                 "deg",
@@ -1978,7 +1997,29 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return r.select("node", F.round("r", 6).alias("rank"))
+        if i % PR_CHECKPOINT_EVERY == 0 and i < PR_ITERS:
+            # Deep-loop lineage control: truncate the growing plan so the
+            # optimizer re-plans a bounded tree (and executors never replay
+            # earlier steps). No-op at the default 3 iterations.
+            r = r.localCheckpoint(eager=True)
+    out = r.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("p"), (F.col("node") / 2).cast("long")),
+        )
+        .otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+        .alias("node"),
+        F.round("r", 6).alias("rank"),
+    )
+    # Materialize the result once (lineage-truncated), then free the loop
+    # invariants immediately — without this every invocation leaves e/deg
+    # cache blocks behind until GC-driven ContextCleaner reclaim, inflating
+    # executor memory across a long-lived session (round-2 ADVICE). The
+    # returned handle's own blocks are |V| rows and go with the handle.
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    deg.unpersist()
+    return out
 
 
 def _profile_oracle() -> str:

@@ -436,6 +436,63 @@ def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: approx_percentile accuracy: guarantees rank error <= 1/ACC, so the
+#: returned element's true rank lies within p ± 1/ACC of the target.
+_APPROX_PCT_ACC = 1000
+
+
+@query(
+    "agg_percentile_approx",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS p50_in_bound,
+               TRUE AS p90_in_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="approx_percentile (mergeable quantile sketch, partial aggregation "
+    "— the 100 TB scale path agg_percentile's docstring promises): sketch "
+    "outputs are engine-specific, so like agg_approx_distinct the checkable "
+    "contract is the ERROR BOUND — approx_percentile(p, acc=1000) "
+    "guarantees rank error <= 1/acc, so the returned element must lie "
+    "between the exact continuous quantiles at p ∓ 2/acc; both engines "
+    "agree the bound holds (TRUE). The exact-percentile columns exist only "
+    "to evaluate the bound; the production artifact is the approx "
+    "aggregation alone, whose partial-agg plan shape (no per-group value "
+    "buffers in the exchange) is pinned by "
+    "tests/test_plan_shapes.py::test_approx_percentile_partial_agg.",
+    tags=("agg", "approx"),
+)
+def q_agg_percentile_approx(spark: SparkSession, sf: str) -> DataFrame:
+    l = tables(spark, sf)["lineitem"]
+    acc = _APPROX_PCT_ACC
+    eps = 2.0 / acc
+    agg = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(f"approx_percentile(l_quantity, 0.5D, {acc})").alias("ap50"),
+        F.expr(f"approx_percentile(l_quantity, 0.9D, {acc})").alias("ap90"),
+        F.expr(f"percentile(l_quantity, {0.5 - eps}D)").alias("lo50"),
+        F.expr(f"percentile(l_quantity, {0.5 + eps}D)").alias("hi50"),
+        F.expr(f"percentile(l_quantity, {0.9 - eps}D)").alias("lo90"),
+        F.expr(f"percentile(l_quantity, {0.9 + eps}D)").alias("hi90"),
+    )
+    slack = 1e-6
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        (
+            (F.col("ap50") >= F.col("lo50") - slack)
+            & (F.col("ap50") <= F.col("hi50") + slack)
+        ).alias("p50_in_bound"),
+        (
+            (F.col("ap90") >= F.col("lo90") - slack)
+            & (F.col("ap90") <= F.col("hi90") + slack)
+        ).alias("p90_in_bound"),
+    ).orderBy("l_returnflag")
+
+
 @query(
     "agg_bool",
     oracle="""

@@ -121,6 +121,48 @@ class TestPlanShapes:
         assert plan.count("Scan parquet") <= 2
 
 
+class TestApproxAggregation:
+    def test_approx_percentile_partial_agg(self, spark):
+        """The scale path for quantiles is approx_percentile ALONE: its
+        sketch must partial-aggregate map-side (partial_approx_percentile
+        before the exchange) so the shuffle carries one sketch per
+        group/partition, never per-group value buffers. (The registered
+        agg_percentile_approx query additionally computes exact bounds —
+        that's the verification contract, not the production artifact.)"""
+        from datafusion_flight_sql_server_spark.engine.registry import (
+            register_sf_tables,
+        )
+
+        l = register_sf_tables(spark, SF_SMALL)["lineitem"]
+        df = l.groupBy("l_returnflag").agg(
+            __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                "approx_percentile(l_quantity, 0.5D, 1000)"
+            ).alias("ap50")
+        )
+        plan = _executed_plan(df)
+        lowered = plan.lower()
+        assert "approx_percentile" in lowered
+        # partial (pre-shuffle) aggregation present → mergeable sketches
+        assert "partial_approx_percentile" in lowered
+        # and the exact buffering form is absent
+        assert "partial_percentile(" not in lowered
+
+    def test_approx_distinct_partial_agg(self, spark):
+        """Same property for approx_count_distinct: HLL sketches merge
+        map-side (partial_approx_count_distinct before the exchange)."""
+        from datafusion_flight_sql_server_spark.engine.registry import (
+            register_sf_tables,
+        )
+        from pyspark.sql import functions as F
+
+        l = register_sf_tables(spark, SF_SMALL)["lineitem"]
+        df = l.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_partkey", 0.05).alias("ap")
+        )
+        plan = _executed_plan(df).lower()
+        assert "partial_approx_count_distinct" in plan
+
+
 class TestAdaptiveBroadcast:
     def test_aqe_converts_small_side_to_broadcast_at_runtime(self, spark):
         """The no-forced-hints posture (tpch_q3/q5 carry no broadcast()
