@@ -22,6 +22,7 @@ from datafusion_flight_sql_server_spark.protocol.flightsql import (
     ActionCreatePreparedStatementResult,
     CommandGetCatalogs,
     CommandGetDbSchemas,
+    CommandGetSqlInfo,
     CommandGetTables,
     CommandGetTableTypes,
     CommandPreparedStatementQuery,
@@ -78,8 +79,11 @@ class FlightSQLExecutor:
         The reference leaves this as a stub (lib.rs:85-89: 'Implement table
         inference'); the server-side catalog endpoint it needs exists in
         both implementations, so this goes one step past parity and asks it.
+        Filters to base tables plus session temp views (the JDBC getTables
+        convention — without the filter a catalog exposing views/system
+        tables would over-report them as queryable tables).
         """
-        tables = self.get_tables()
+        tables = self.get_tables(table_types=["BASE TABLE", "TABLE", "TEMPORARY"])
         return sorted(tables.column("table_name").to_pylist())
 
     @property
@@ -145,6 +149,11 @@ class FlightSQLExecutor:
 
     def get_table_types(self) -> pa.Table:
         return self._metadata_query(CommandGetTableTypes())
+
+    def get_sql_info(self, info: list[int] | None = None) -> pa.Table:
+        """Server name/version/read-only rows (GetSqlInfo; the server's
+        parity-plus minimal fill — the reference stubs the endpoint)."""
+        return self._metadata_query(CommandGetSqlInfo(info=info or []))
 
     # -- plumbing -----------------------------------------------------------
 

@@ -47,13 +47,18 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidate_margin: int = 64,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
 
     ``queries`` is a small DataFrame with the same (id, vector) columns —
     a handful of user query vectors, never the corpus; it is collected and
-    shipped in the UDF closure. Self-matches are excluded. Ranking is over
-    the ROUNDED similarity with neighbor-id tie-break, total-ordered.
+    shipped in the UDF closure. ``max_query_rows`` guards that contract:
+    collecting more than that many query vectors raises instead of silently
+    OOMing the driver (round-2 review item — a caller passing the corpus as
+    ``queries`` gets a ValueError pointing at the LSH/IVF variants, not a
+    dead driver). Self-matches are excluded. Ranking is over the ROUNDED
+    similarity with neighbor-id tie-break, total-ordered.
 
     Two-stage exact evaluation:
 
@@ -76,6 +81,16 @@ def brute_force_topk(
     candidate set through one per-query window.
     """
     m = k + candidate_margin
+    # Guarded collect: count first (cheap aggregate) so an oversized query
+    # side fails fast instead of materializing on the driver.
+    n_queries = queries.count()
+    if n_queries > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk collects the query side to the driver; got "
+            f"{n_queries} query rows > max_query_rows={max_query_rows}. "
+            f"For corpus-sized query sets use lsh_topk/ivf_topk (bucketed "
+            f"join, nothing driver-side) or raise max_query_rows explicitly."
+        )
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     spark = emb.sparkSession
     out_cols = "query_id bigint, neighbor_id bigint, sim double, rank bigint"

@@ -23,6 +23,24 @@ datafusion-flight-sql-server/src/service.rs:194-1014) on
 
 Results stream batch-at-a-time via ``Engine.execute_stream`` — the driver
 never holds a whole result (service.rs:186-191 behavior; SURVEY §7 H1).
+
+Declared divergences (client-compat debugging starts here):
+
+- **Substrait** (SURVEY §7 H4, decision kept in round 3): the reference
+  consumes serialized Substrait plans (``get_flight_info_substrait_plan``
+  service.rs:349-386, DoGet branch service.rs:274-303,
+  ``parse_substrait_bytes`` service.rs:1018-1029). Spark has no Substrait
+  consumer; this server answers those commands UNIMPLEMENTED. Clients on
+  JDBC/ADBC-over-Substrait stacks must send SQL text instead. If a future
+  round needs it, the cheapest route is a Substrait→SQL unparse in front of
+  the existing statement path — the ticket dispatch below already routes the
+  commands to one place.
+- **Dictionary hydration** (service.rs:1072-1083): the reference re-encodes
+  dictionary-encoded result fields to their value types before shipping
+  ("hydration"). Spark's Arrow export never emits dictionary-encoded
+  fields, so no hydration pass exists here; a client comparing GetFlightInfo
+  schemas against DoGet data will see value types in both, which is exactly
+  the reference's post-hydration wire shape.
 """
 
 from __future__ import annotations
@@ -41,6 +59,7 @@ from datafusion_flight_sql_server_spark.protocol.flightsql import (
     ActionCreatePreparedStatementResult,
     CommandGetCatalogs,
     CommandGetDbSchemas,
+    CommandGetSqlInfo,
     CommandGetTables,
     CommandGetTableTypes,
     CommandPreparedStatementQuery,
@@ -88,6 +107,81 @@ GET_TABLES_SCHEMA_WITH_SCHEMA = GET_TABLES_SCHEMA.append(
     pa.field("table_schema", pa.binary(), nullable=False)
 )
 GET_TABLE_TYPES_SCHEMA = pa.schema([pa.field("table_type", pa.utf8(), nullable=False)])
+
+#: GetSqlInfo result schema (Arrow Flight SQL spec): value is a dense union
+#: keyed by the spec's type codes. Only the string branch is populated by
+#: the minimal server-info fill below, but the full union shape is required
+#: for ADBC/JDBC clients to decode the stream.
+_SQL_INFO_VALUE_TYPE = pa.dense_union(
+    [
+        pa.field("string_value", pa.utf8()),
+        pa.field("bool_value", pa.bool_()),
+        pa.field("bigint_value", pa.int64()),
+        pa.field("int32_bitmask", pa.int32()),
+        pa.field("string_list", pa.list_(pa.utf8())),
+        pa.field(
+            "int32_to_int32_list_map", pa.map_(pa.int32(), pa.list_(pa.int32()))
+        ),
+    ],
+    type_codes=[0, 1, 2, 3, 4, 5],
+)
+GET_SQL_INFO_SCHEMA = pa.schema(
+    [
+        pa.field("info_name", pa.uint32(), nullable=False),
+        pa.field("value", _SQL_INFO_VALUE_TYPE, nullable=False),
+    ]
+)
+
+#: Minimal server info (parity-plus: the reference stubs GetSqlInfo —
+#: service.rs:518-530 — but filling the two name/version rows plus
+#:  read-only costs nothing and makes ADBC clients behave; round-2 review
+#: item #8). Spec ids: 0=SERVER_NAME, 1=SERVER_VERSION, 2=ARROW_VERSION,
+#: 3=READ_ONLY.
+def _sql_info_entries() -> list[tuple[int, object]]:
+    from datafusion_flight_sql_server_spark import __version__
+
+    return [
+        (0, "datafusion-flight-sql-server-spark"),
+        (1, __version__),
+        (2, pa.__version__),
+        (3, True),
+    ]
+
+
+def _sql_info_table(requested: list[int]) -> pa.Table:
+    entries = _sql_info_entries()
+    if requested:
+        wanted = set(requested)
+        entries = [e for e in entries if e[0] in wanted]
+    names, type_ids, offsets = [], [], []
+    strings, bools = [], []
+    for info_id, value in entries:
+        names.append(info_id)
+        if isinstance(value, bool):
+            type_ids.append(1)
+            offsets.append(len(bools))
+            bools.append(value)
+        else:
+            type_ids.append(0)
+            offsets.append(len(strings))
+            strings.append(str(value))
+    value_arr = pa.UnionArray.from_dense(
+        pa.array(type_ids, type=pa.int8()),
+        pa.array(offsets, type=pa.int32()),
+        [
+            pa.array(strings, type=pa.utf8()),
+            pa.array(bools, type=pa.bool_()),
+            pa.array([], type=pa.int64()),
+            pa.array([], type=pa.int32()),
+            pa.array([], type=pa.list_(pa.utf8())),
+            pa.array([], type=pa.map_(pa.int32(), pa.list_(pa.int32()))),
+        ],
+        [f.name for f in _SQL_INFO_VALUE_TYPE],
+        _SQL_INFO_VALUE_TYPE.type_codes,
+    )
+    return pa.Table.from_arrays(
+        [pa.array(names, type=pa.uint32()), value_arr], schema=GET_SQL_INFO_SCHEMA
+    )
 
 
 def encode_schema(schema: pa.Schema) -> bytes:
@@ -161,8 +255,12 @@ class FlightSqlServer(fl.FlightServerBase):
                 return self._info_metadata(command, schema, descriptor)
             if isinstance(command, CommandGetTableTypes):
                 return self._info_metadata(command, GET_TABLE_TYPES_SCHEMA, descriptor)
-            # sql_info / keys / xdbc / substrait: stub parity
-            # (service.rs:518-592,349-386)
+            if isinstance(command, CommandGetSqlInfo):
+                # parity-plus: reference stubs this (service.rs:518-530);
+                # we answer the minimal name/version/read-only rows
+                return self._info_metadata(command, GET_SQL_INFO_SCHEMA, descriptor)
+            # keys / xdbc / substrait: stub parity
+            # (service.rs:532-592,349-386)
             raise NotImplementedError(
                 f"Implement get_flight_info for {type(command).__name__}"
             )
@@ -224,6 +322,8 @@ class FlightSqlServer(fl.FlightServerBase):
                 return self._get_tables(engine, command)
             if isinstance(command, CommandGetTableTypes):
                 return self._get_table_types(engine)
+            if isinstance(command, CommandGetSqlInfo):
+                return fl.RecordBatchStream(_sql_info_table(command.info))
             raise NotImplementedError(
                 f"Implement do_get for {type(command).__name__}"
             )

@@ -338,6 +338,24 @@ class TestExplainOverWire:
         assert "Filter" in text or "Physical Plan" in text
 
 
+class TestGetSqlInfo:
+    def test_sql_info_minimal_fill(self, client):
+        # parity-plus (reference stubs GetSqlInfo, service.rs:518-530):
+        # name/version/arrow-version/read-only rows, spec dense-union schema
+        table = client.get_sql_info()
+        assert table.num_rows == 4
+        ids = table.column("info_name").to_pylist()
+        assert ids == [0, 1, 2, 3]
+        values = table.column("value").to_pylist()
+        assert values[0] == "datafusion-flight-sql-server-spark"
+        assert values[3] is True  # read-only: DML answers are stubs
+
+    def test_sql_info_filter(self, client):
+        table = client.get_sql_info([1])
+        assert table.num_rows == 1
+        assert table.column("info_name").to_pylist() == [1]
+
+
 class TestScaleServing:
     """Serving-layer scale checks (round-2 review items #2 and #7):
     Arrow-native streaming of a large DoGet and isolation under concurrent

@@ -71,6 +71,15 @@ class TestBruteForceTopK:
         top = {r.query_id: r.neighbor_id for r in out}
         assert top == {0: 1, 1: 0}
 
+    def test_oversized_query_side_rejected(self, spark):
+        # the query side is collected to the driver; passing a big frame
+        # must raise (pointing at lsh/ivf), never OOM the driver
+        df = spark.range(10).selectExpr(
+            "id AS vec_id", "array(cast(id as float)) AS embedding"
+        )
+        with pytest.raises(ValueError, match="max_query_rows"):
+            brute_force_topk(df, df, k=1, max_query_rows=5)
+
 
 class TestLshTopK:
     def test_recall_vs_brute_force(self, embeddings):
