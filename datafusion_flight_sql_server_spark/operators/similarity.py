@@ -81,24 +81,27 @@ def brute_force_topk(
     candidate set through one per-query window.
     """
     m = k + candidate_margin
-    # Guarded collect: count first (cheap aggregate) so an oversized query
-    # side fails fast instead of materializing on the driver.
-    n_queries = queries.count()
-    if n_queries > max_query_rows:
+    # Guarded collect: LIMIT max+1 bounds what can ever land on the driver
+    # (no extra count job); the sentinel row turns an oversized query side
+    # into a fast error instead of an OOM.
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
         raise ValueError(
             f"brute_force_topk collects the query side to the driver; got "
-            f"{n_queries} query rows > max_query_rows={max_query_rows}. "
-            f"For corpus-sized query sets use lsh_topk/ivf_topk (bucketed "
-            f"join, nothing driver-side) or raise max_query_rows explicitly."
+            f"> max_query_rows={max_query_rows} query rows. For corpus-sized "
+            f"query sets use lsh_topk/ivf_topk (bucketed join, nothing "
+            f"driver-side) or raise max_query_rows explicitly."
         )
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     spark = emb.sparkSession
     out_cols = "query_id bigint, neighbor_id bigint, sim double, rank bigint"
     if not q_rows:
         return spark.createDataFrame([], out_cols)
 
     import numpy as np
-    import pandas as pd
 
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.stack(
@@ -109,18 +112,29 @@ def brute_force_topk(
     q_unit = q_mat / q_norms[:, None]
 
     def _candidates(batches):
-        for pdf in batches:
-            n = len(pdf)
+        # mapInArrow, not mapInPandas: the list<float> column decodes to a
+        # contiguous values buffer we reshape into the matmul operand
+        # directly — no pandas object-array of per-row numpy arrays on
+        # either side (A/B at sf0.1: the pandas framing dominated the
+        # per-batch cost ~5x over the matmul itself).
+        import numpy as np  # noqa: F811 - worker-local import
+        import pyarrow as pa  # noqa: F811 - worker-local import
+
+        out_type = pa.list_(pa.float64())
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
                 continue
-            ids = pdf[id_col].to_numpy().astype(np.int64)
-            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(
-                np.float64, copy=False
-            )
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            vec = batch.column(1)
+            if isinstance(vec, pa.ChunkedArray):  # pragma: no cover
+                vec = vec.combine_chunks()
+            flat = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            c_mat = flat.reshape(n, len(flat) // n)
             c_norms = np.linalg.norm(c_mat, axis=1)
             c_norms[c_norms == 0] = 1.0
             sims = (c_mat / c_norms[:, None]) @ q_unit.T  # (n, |Q|)
-            frames = []
+            sel_q, sel_n, sel_v = [], [], []
             for j in range(len(q_ids)):
                 col = sims[:, j].copy()
                 col[ids == q_ids[j]] = -np.inf
@@ -129,18 +143,19 @@ def brute_force_topk(
                 else:
                     idx = np.arange(n)
                 idx = idx[np.isfinite(col[idx])]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(len(idx), q_ids[j]),
-                            "neighbor_id": ids[idx],
-                            "c_vec": [c_mat[i] for i in idx],
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
+                sel_q.append(np.full(len(idx), q_ids[j]))
+                sel_n.append(ids[idx])
+                sel_v.extend(c_mat[i].tolist() for i in idx)
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(sel_q), type=pa.int64()),
+                    pa.array(np.concatenate(sel_n), type=pa.int64()),
+                    pa.array(sel_v, type=out_type),
+                ],
+                names=["query_id", "neighbor_id", "c_vec"],
+            )
 
-    cand = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    cand = emb.select(F.col(id_col), F.col(vec_col)).mapInArrow(
         _candidates, "query_id bigint, neighbor_id bigint, c_vec array<double>"
     )
     q = queries.select(
