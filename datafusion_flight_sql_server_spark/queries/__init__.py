@@ -91,6 +91,8 @@ _PRIORITY = (
     # ---- position 51+: new-in-round-3 registrations (local oracle until
     # the round-4 driver window), then the r1/r2-green set in legacy order.
     "agg_percentile_approx",
+    "text_repetition",
+    "doc_sample_temperature",
 )
 
 

@@ -1876,6 +1876,176 @@ def q_text_entropy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "text_repetition",
+    oracle="""
+        WITH w AS (SELECT doc_id,
+                          unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents),
+             wc AS (SELECT doc_id, word, COUNT(*) AS c
+                    FROM w WHERE word <> '' GROUP BY doc_id, word),
+             tot AS (SELECT doc_id,
+                            CAST(SUM(c) AS BIGINT) AS n_words,
+                            CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                            SUM(len(word) * c) AS word_chars
+                     FROM wc GROUP BY doc_id),
+             top AS (SELECT doc_id, word, c,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, word) AS rn
+                     FROM wc),
+             ws AS (SELECT doc_id,
+                           list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '') AS a
+                    FROM documents),
+             bg AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i + 1])) AS bigram
+                    FROM ws WHERE len(a) >= 2),
+             bc AS (SELECT doc_id, bigram, COUNT(*) AS c
+                    FROM bg GROUP BY doc_id, bigram),
+             btop AS (SELECT doc_id,
+                             MAX(c) AS top_c,
+                             CAST(SUM(c) AS BIGINT) AS n_bigrams
+                      FROM bc GROUP BY doc_id)
+        SELECT t.doc_id,
+               t.n_words,
+               ROUND(CAST(p.c * len(p.word) AS DOUBLE) / t.word_chars, 6)
+                   AS top_word_char_frac,
+               ROUND(1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_words, 6)
+                   AS dup_word_frac,
+               ROUND(CAST(b.top_c AS DOUBLE) / b.n_bigrams, 6)
+                   AS top_bigram_frac
+        FROM tot t
+        JOIN top p ON p.doc_id = t.doc_id AND p.rn = 1
+        JOIN btop b ON b.doc_id = t.doc_id
+    """,
+    doc="Repetition quality signals per document, the word-level analogues "
+    "of the Gopher repetition filters (fraction of characters in the most "
+    "frequent word, duplicate-word fraction, most-frequent-bigram "
+    "coverage) — high values flag machine-generated/boilerplate text for "
+    "the curation gate. Tie-break for the top word is (count DESC, word) "
+    "so both engines pick the same word. Plan: explode -> two "
+    "partial-aggregated shuffles keyed (doc_id, token) then doc_id — the "
+    "same shape as text_entropy; bigrams are built row-locally with "
+    "zip_with over array slices (no self-join). Docs with < 2 words are "
+    "excluded (no bigram denominator), matching the oracle's len>=2.",
+    tags=("text", "quality"),
+)
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    words = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("a"),
+    )
+    w = words.select("doc_id", F.explode("a").alias("word"))
+    wc = w.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    tot = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.length("word") * F.col("c")).alias("word_chars"),
+    )
+    from pyspark.sql import Window as W
+
+    top = (
+        wc.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("c").desc(), "word")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_word"), F.col("c").alias("top_word_c"))
+    )
+    bg = words.filter(F.size("a") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(a, 1, size(a) - 1),"
+                "         slice(a, 2, size(a) - 1),"
+                "         (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bigram"),
+    )
+    bc = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    btop = bc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+    )
+    return (
+        tot.join(top, "doc_id")
+        .join(btop, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                (F.col("top_word_c") * F.length("top_word")).cast("double")
+                / F.col("word_chars"),
+                6,
+            ).alias("top_word_char_frac"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words"),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.col("top_c").cast("double") / F.col("n_bigrams"), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+#: Temperature exponent for the language-mix flattener (doc_sample_temperature):
+#: post-sample counts target ∝ n_lang^alpha.
+MIX_TEMPERATURE_ALPHA = 0.5
+
+
+@query(
+    "doc_sample_temperature",
+    oracle=f"""
+        WITH lc AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+                    FROM documents GROUP BY lang),
+             mn AS (SELECT MIN(n) AS n_min FROM lc),
+             rate AS (SELECT lang,
+                             POWER(n / (SELECT n_min FROM mn),
+                                   {MIX_TEMPERATURE_ALPHA} - 1.0) AS keep_rate
+                      FROM lc)
+        SELECT d.doc_id, d.lang, ROUND(r.keep_rate, 6) AS keep_rate
+        FROM documents d JOIN rate r ON d.lang = r.lang
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) / 65536.0 < r.keep_rate
+    """,
+    doc="Temperature-flattened language mixture (the multilingual-corpus "
+    "rebalancing step): keep-rate per language = (n_lang/n_min)^(alpha-1) "
+    "with alpha=0.5, so the rarest language keeps 100% and dominant "
+    "languages are downsampled toward counts ∝ n^alpha. Selection reuses "
+    "the deterministic md5-bucket idiom (first 4 hex chars as a uniform "
+    "[0,1) draw) — reproducible across engines/runs/retries, no RNG "
+    "state. Plan: one tiny language-count aggregate broadcast back onto "
+    "the corpus; the keep decision is a row-local pushable predicate "
+    "(no per-stratum windows at 100 TB).",
+    tags=("text", "sampling"),
+)
+def q_doc_sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    lc = d.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    n_min = lc.agg(F.min("n").alias("n_min"))
+    rate = lc.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.pow(F.col("n") / F.col("n_min"), F.lit(MIX_TEMPERATURE_ALPHA - 1.0)).alias(
+            "keep_rate"
+        ),
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("double")
+        / F.lit(65536.0)
+    )
+    return (
+        d.join(F.broadcast(rate), "lang")
+        .filter(draw < F.col("keep_rate"))
+        .select("doc_id", "lang", F.round("keep_rate", 6).alias("keep_rate"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Iterative graph algorithms
 # ---------------------------------------------------------------------------
