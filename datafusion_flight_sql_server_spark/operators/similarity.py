@@ -285,27 +285,69 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` cells,
-    probe the ``n_probe`` best cells per query, exact-cosine re-rank.
+    """IVF ANN: coarse-quantize the corpus into ``n_cells`` cells, probe
+    the ``n_probe`` best cells per query, exact-cosine re-rank.
 
-    The coarse quantizer is DETERMINISTIC — the ``n_cells`` lowest-id
-    vectors serve as centroids — so unlike a trained k-means IVF the whole
-    operator is reproducible across engines and the driver can hash-check
-    it against an ANSI oracle (quality of the quantizer is secondary to the
-    partition/probe structure; swap in k-means centroids at deployment).
+    The coarse quantizer initializes DETERMINISTICALLY (the ``n_cells``
+    lowest-id vectors seed the centroids) and, with ``train_iters > 0``,
+    refines them with that many spherical k-means (Lloyd) steps: assign
+    every corpus vector to its nearest centroid by cosine, recompute each
+    cell's element-wise mean, ROUND each mean to 6 decimals. The rounding
+    is what keeps a *trained* quantizer engine-reproducible: partial-agg
+    summation order drifts means by ~1e-15, far below the 5e-7 rounding
+    step, so both engines see bit-identical centroids and therefore
+    identical discrete assignments — the driver can hash-check trained-IVF
+    output against an ANSI oracle that unrolls the same steps.
 
     100 TB posture:
     - assignment is an aggregation-only argmax (``max(struct(...))`` —
       partial-aggregatable, no window sort over the corpus); the per-vector
       cost is ``n_cells`` dot products, the IVF standard;
+    - each training step is one scan + one tiny (n_cells × dim) aggregate;
+      centroids localCheckpoint eagerly per step (16-row materialization)
+      so lineage stays bounded for deep training runs;
     - centroids and the probed query cells broadcast (both tiny);
     - candidate generation is an equi-join on the cell id — the scanned
       fraction is ~``n_probe/n_cells`` of the corpus, never a cross join.
     """
     cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cent_vec")
     )
+    if train_iters > 0:
+        if dim is None:
+            row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = int(row["d"]) if row is not None else 0
+        train = emb.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("tv")
+        )
+        for _ in range(train_iters):
+            best = (
+                train.join(F.broadcast(cents))
+                .select(
+                    "vid",
+                    F.struct(
+                        round_cosine(F.col("tv"), F.col("cent_vec")).alias("cs"),
+                        (-F.col("cent_id")).alias("neg_cent"),
+                        F.col("tv").alias("v"),
+                    ).alias("s"),
+                )
+                .groupBy("vid")
+                .agg(F.max("s").alias("s"))
+                .select((-F.col("s.neg_cent")).alias("cell"), F.col("s.v").alias("tv"))
+            )
+            means = best.groupBy("cell").agg(
+                *[
+                    F.round(F.avg(F.element_at("tv", i + 1)), 6).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            cents = means.select(
+                F.col("cell").alias("cent_id"),
+                F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cent_vec"),
+            ).localCheckpoint(eager=True)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )

@@ -123,19 +123,53 @@ def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
 
-@query(
-    "sim_topk_ivf",
-    oracle=f"""
-        WITH cents AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
-                       FROM embeddings WHERE vec_id < 16),
+#: Lloyd refinement steps for the registered trained-IVF query (and its
+#: unrolled oracle — keep in sync via _ivf_oracle()).
+IVF_TRAIN_ITERS = 2
+
+
+def _ivf_oracle(
+    k: int = 5, n_cells: int = 16, n_probe: int = 4, iters: int = IVF_TRAIN_ITERS
+) -> str:
+    """DuckDB SQL unrolling the EXACT spherical-k-means IVF pipeline of
+    ``operators.similarity.ivf_topk(train_iters=iters)``: seed centroids =
+    lowest-id vectors, then per step an argmax assignment (cosine DESC,
+    cent_id tie-break) and element-wise means ROUNDED to 6 decimals — the
+    rounding absorbs summation-order ulp drift, so both engines produce
+    bit-identical centroids and the same discrete assignments (same
+    determinism idiom as _pagerank_oracle's unrolled CTE chain)."""
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""a{t} AS (SELECT neighbor_id, v, cent_id AS cell FROM (
+                 SELECT e.neighbor_id, e.v, c.cent_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.neighbor_id
+                            ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC,
+                                     c.cent_id) AS rn
+                 FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+             c{t} AS (SELECT cell AS cent_id,
+                             list(m ORDER BY idx) AS cv
+                      FROM (SELECT cell, idx, ROUND(AVG(x), 6) AS m
+                            FROM (SELECT cell, unnest(v) AS x,
+                                         unnest(range(1, len(v) + 1)) AS idx
+                                  FROM a{t})
+                            GROUP BY cell, idx)
+                      GROUP BY cell)"""
+        )
+        prev = f"c{t}"
+    chain = (",\n             " + ",\n             ".join(steps)) if steps else ""
+    return f"""
+        WITH c0 AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < {n_cells}),
              e AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings){chain},
              asg AS (SELECT neighbor_id, v, cent_id AS cell FROM (
                  SELECT e.neighbor_id, e.v, c.cent_id,
                         ROW_NUMBER() OVER (PARTITION BY e.neighbor_id
                             ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC,
                                      c.cent_id) AS rn
-                 FROM e CROSS JOIN cents c) WHERE rn = 1),
+                 FROM e CROSS JOIN {prev} c) WHERE rn = 1),
              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id < 8),
              probe AS (SELECT query_id, qv, cell FROM (
@@ -143,7 +177,7 @@ def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
                         ROW_NUMBER() OVER (PARTITION BY q.query_id
                             ORDER BY {_COS.format(a="q.qv", b="c.cv")} DESC,
                                      c.cent_id) AS rn
-                 FROM q CROSS JOIN cents c) WHERE rn <= 4),
+                 FROM q CROSS JOIN {prev} c) WHERE rn <= {n_probe}),
              cand AS (SELECT p.query_id, p.qv, a.neighbor_id, a.v
                       FROM probe p JOIN asg a ON a.cell = p.cell
                       WHERE a.neighbor_id <> p.query_id),
@@ -154,18 +188,33 @@ def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
                                        neighbor_id) AS rnk
                    FROM cand)
         SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
-        FROM r WHERE rnk <= 5
-    """,
-    doc="IVF-style ANN: deterministic coarse quantizer (16 seed-vector "
-    "cells), aggregation-only argmax assignment, 4-cell probe per query, "
-    "exact cosine re-rank — candidate fraction ~n_probe/n_cells of the "
-    "corpus, no cross join (operators/similarity.py ivf_topk). Fully "
-    "deterministic, so hash-checkable unlike trained-k-means IVF.",
+        FROM r WHERE rnk <= {k}
+    """
+
+
+@query(
+    "sim_topk_ivf",
+    oracle=_ivf_oracle(),
+    doc="Trained IVF ANN (round 3: real spherical k-means, no longer a "
+    "seed-only stand-in): deterministic seed centroids (16 lowest-id "
+    "vectors) refined by 2 Lloyd steps — aggregation-only argmax "
+    "assignment, per-cell element-wise means rounded to 6 decimals so the "
+    "trained centroids are bit-identical across engines — then 4-cell "
+    "probe per query and exact cosine re-rank. Candidate fraction "
+    "~n_probe/n_cells of the corpus, no cross join; each training step is "
+    "one corpus scan + one (n_cells x dim) aggregate with centroids "
+    "localCheckpointed per step (operators/similarity.py ivf_topk).",
     tags=("similarity", "approx"),
 )
 def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     e = tables(spark, sf)["embeddings"]
-    return ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+    return ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < 8),
+        k=5,
+        train_iters=IVF_TRAIN_ITERS,
+        dim=64,
+    )
 
 
 def _lsh_oracle(

@@ -216,6 +216,31 @@ class TestIvfTopK:
         b = sorted(map(tuple, ivf_topk(embeddings, queries, k=3).collect()))
         assert a == b
 
+    def test_trained_quantizer_recall_not_worse(self, embeddings):
+        # 2 Lloyd steps must not lose recall vs the seed-only quantizer
+        # (on random data the gain is modest; the floor pins no-regression)
+        queries = embeddings.filter(F.col("vec_id") < 8)
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in brute_force_topk(embeddings, queries, k=5).collect()}
+        seed = {(r.query_id, r.neighbor_id)
+                for r in ivf_topk(embeddings, queries, k=5).collect()}
+        trained = {(r.query_id, r.neighbor_id)
+                   for r in ivf_topk(embeddings, queries, k=5,
+                                     train_iters=2).collect()}
+        recall_seed = len(exact & seed) / len(exact)
+        recall_trained = len(exact & trained) / len(exact)
+        assert recall_trained >= recall_seed - 0.1, (
+            f"training regressed recall: {recall_seed} -> {recall_trained}"
+        )
+
+    def test_trained_deterministic_across_runs(self, embeddings):
+        queries = embeddings.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple,
+                       ivf_topk(embeddings, queries, k=3, train_iters=2).collect()))
+        b = sorted(map(tuple,
+                       ivf_topk(embeddings, queries, k=3, train_iters=2).collect()))
+        assert a == b
+
     def test_no_cartesian_product_in_plan(self, embeddings):
         plan = (
             ivf_topk(embeddings, embeddings.filter(F.col("vec_id") < 2))
