@@ -121,6 +121,25 @@ class TestPlanShapes:
         assert plan.count("Scan parquet") <= 2
 
 
+class TestPipelineOpPlans:
+    def test_text_repetition_no_cartesian(self, spark):
+        # bigrams are built row-locally (zip_with over slices), never by
+        # self-joining the token stream
+        plan = _executed_plan(_run(spark, "text_repetition"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_temperature_sampler_broadcasts_rates(self, spark):
+        # the per-language rate table must reach the corpus as a broadcast
+        # (it is |languages| rows); the keep decision is a row-local filter,
+        # so the corpus itself never shuffles
+        df = _run(spark, "doc_sample_temperature")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
 class TestApproxAggregation:
     def test_approx_percentile_partial_agg(self, spark):
         """The scale path for quantiles is approx_percentile ALONE: its
