@@ -16,10 +16,11 @@ Scale posture (100 TB / 1000-executor design, tested on local[N]):
   mapInPandas) is Arrow-batched, never row-pickled.
 - Session timezone pinned to UTC so timestamp semantics are engine-portable
   (DuckDB/Arrow are UTC-naive).
-- Broadcast threshold left at default (10 MB) — dimension tables (region,
-  nation, supplier, part at most SFs) broadcast automatically; AQE converts
-  sort-merge to broadcast joins at runtime when a shuffle side turns out
-  small.
+- Broadcast threshold raised to 64 MB (default 10 MB) — dimension tables
+  (region, nation, supplier, part at most SFs) broadcast automatically, and
+  AQE converts sort-merge to broadcast joins at runtime when a shuffle side
+  turns out small; 64 MB is still a safe executor broadcast at cluster
+  memory sizes.
 """
 
 from __future__ import annotations
