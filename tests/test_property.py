@@ -202,3 +202,123 @@ def test_sessionize_matches_python_reference(spark, rows):
                 )
             )
     assert got == sorted(want)
+
+
+_docs = st.lists(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=2), min_size=2, max_size=30),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(docs=_docs)
+def test_text_repetition_matches_python_reference(spark, docs):
+    """Repetition fractions must match an independent pure-Python count on
+    arbitrary word soups: top-word chosen by (count desc, word), fractions
+    in [0, 1], bigram denominators = n_words - 1."""
+    from collections import Counter
+
+    from datafusion_flight_sql_server_spark.queries.extensions import (
+        q_text_repetition,
+    )
+    from datafusion_flight_sql_server_spark.engine import registry as reg
+
+    rows = [(i, " ".join(ws), "en", "src", len(" ".join(ws))) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # route the registered query at a temp view level: monkeying tables()
+    # is heavier than just replicating its body on the frame
+    from pyspark.sql import functions as F
+
+    import datafusion_flight_sql_server_spark.queries.extensions as ext
+
+    orig_tables = ext.tables
+    try:
+        ext.tables = lambda s, sf: {"documents": df}
+        got = {
+            r.doc_id: r
+            for r in q_text_repetition(spark, "ignored").collect()
+        }
+    finally:
+        ext.tables = orig_tables
+
+    for i, ws in enumerate(docs):
+        words = [w.lower() for w in ws]
+        c = Counter(words)
+        top_word = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        word_chars = sum(len(w) for w in words)
+        bigrams = Counter(
+            f"{words[j]} {words[j+1]}" for j in range(len(words) - 1)
+        )
+        r = got[i]
+        assert r.n_words == len(words)
+        assert r.top_word_char_frac == round(
+            top_word[1] * len(top_word[0]) / word_chars, 6
+        )
+        assert r.dup_word_frac == round(1.0 - len(c) / len(words), 6)
+        assert r.top_bigram_frac == round(
+            max(bigrams.values()) / (len(words) - 1), 6
+        )
+        assert 0.0 <= r.top_word_char_frac <= 1.0
+        assert 0.0 <= r.dup_word_frac < 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+
+
+def test_temperature_sampler_rates(spark):
+    """Rate law invariants on a constructed corpus: the rarest language
+    keeps rate exactly 1.0, rates decrease monotonically with language
+    frequency, and kept rows per language never exceed ceil(rate * n)."""
+    import math
+
+    from datafusion_flight_sql_server_spark.queries.extensions import (
+        MIX_TEMPERATURE_ALPHA,
+        q_doc_sample_temperature,
+    )
+
+    counts = {"en": 64, "zh": 16, "de": 4, "rr": 1}
+    rows, i = [], 0
+    for lang, n in counts.items():
+        for _ in range(n):
+            rows.append((i, f"t{i}", lang, "s", 2))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import datafusion_flight_sql_server_spark.queries.extensions as ext
+
+    orig_tables = ext.tables
+    try:
+        ext.tables = lambda s, sf: {"documents": df}
+        out = q_doc_sample_temperature(spark, "ignored").collect()
+    finally:
+        ext.tables = orig_tables
+
+    n_min = min(counts.values())
+    expect_rate = {
+        lang: round((n / n_min) ** (MIX_TEMPERATURE_ALPHA - 1.0), 6)
+        for lang, n in counts.items()
+    }
+    got_rate = {r.lang: r.keep_rate for r in out}
+    # rarest keeps everything → its rate is exactly 1 and all its docs kept
+    assert expect_rate["rr"] == 1.0
+    kept = {lang: sum(1 for r in out if r.lang == lang) for lang in counts}
+    assert kept["rr"] == counts["rr"]
+    for lang, rate in got_rate.items():
+        assert rate == expect_rate[lang]
+    # monotone: more frequent → smaller rate
+    assert (
+        expect_rate["en"] < expect_rate["zh"] < expect_rate["de"] < expect_rate["rr"]
+    )
+    for lang, n in counts.items():
+        # the md5 draw is uniform, not stratified-exact: allow 3-sigma
+        # binomial deviation around n*rate
+        p = expect_rate[lang]
+        assert kept[lang] <= math.ceil(n * p + 3 * math.sqrt(n * p * (1 - p)) + 1)
+    # dominant language is genuinely downsampled
+    assert kept["en"] < counts["en"]
