@@ -338,6 +338,28 @@ class TestExplainOverWire:
         assert "Filter" in text or "Physical Plan" in text
 
 
+class TestCatalogSqlOverWire:
+    """DataFusion admits SHOW TABLES / DESCRIBE through the plain statement
+    path (they plan as information_schema queries, not gated Statements);
+    Spark's equivalents must flow through the same DoGet pipeline, while
+    session-mutating statements (SET and friends) stay rejected by the
+    gate (SQLOptions.allow_statements=False default, gate.py)."""
+
+    def test_show_tables_lists_fixtures(self, client):
+        table = client.execute("SHOW TABLES")
+        names = set(table.column("tableName").to_pylist())
+        assert {"users", "orders"} <= names
+
+    def test_describe_table_returns_columns(self, client):
+        table = client.execute("DESCRIBE users")
+        cols = set(table.column("col_name").to_pylist())
+        assert {"id", "name"} <= cols
+
+    def test_set_statement_rejected(self, client):
+        with pytest.raises(fl.FlightError):
+            client.execute("SET spark.sql.shuffle.partitions=1")
+
+
 class TestGetSqlInfo:
     def test_sql_info_minimal_fill(self, client):
         # parity-plus (reference stubs GetSqlInfo, service.rs:518-530):
