@@ -1549,7 +1549,7 @@ def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT c.c_nationkey AS cntrycode,
                COUNT(*) AS numcust,
-               CAST(SUM(c.c_acctbal) AS DOUBLE) AS totacctbal
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         FROM customer c
         WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
           AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
@@ -1588,7 +1588,7 @@ def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum("c_acctbal").cast("double").alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )

@@ -154,16 +154,23 @@ def q_window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT c_custkey,
                c_nationkey,
-               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               CAST(FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) AS BIGINT)
+                   AS pct_rank_micros,
+               CAST(FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) AS BIGINT)
+                   AS cume_micros,
                CAST(NTILE(4) OVER w AS BIGINT) AS quartile
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
     doc="Distribution window functions (delegated surface): percent_rank / "
     "cume_dist / ntile over a per-nation total order (tie-broken on the key "
-    "so bucket boundaries are engine-stable); fractions rounded to 6 "
-    "decimals.",
+    "so bucket boundaries are engine-stable). Fractions are emitted as "
+    "BIGINT micros via floor(x*1e6+0.5) rather than ROUND(double, 6): the "
+    "ratios k/n are bit-identical IEEE doubles in both engines, and "
+    "mul/add/floor are all IEEE-exact, so the micros match everywhere — "
+    "while ROUND on a double that sits on the .5 ulp boundary (e.g. "
+    "cume_dist = 0.5203125 at sf0.1) disagrees between Spark's "
+    "BigDecimal(HALF_UP on shortest repr) and DuckDB's binary rounding.",
     tags=("window",),
 )
 def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
@@ -172,8 +179,12 @@ def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("pct_rank_micros"),
+        F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cume_micros"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 
