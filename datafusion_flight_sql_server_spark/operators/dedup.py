@@ -44,6 +44,28 @@ def dedup_exact_keep_row(df: DataFrame, key: str, id_col: str) -> DataFrame:
     return df.join(winners.select(id_col), on=id_col, how="left_semi")
 
 
+def dedup_exact_keep_best(
+    df: DataFrame, key: str, id_col: str, score_col: str
+) -> DataFrame:
+    """Exact dedup keeping the highest-quality duplicate per content digest
+    (``score_col`` DESC, ``id_col`` ASC tie-break) — the form a training
+    pipeline uses when duplicates differ in metadata quality (longer crawl,
+    better source) and "first seen" is the wrong keep rule.
+
+    Same window-free shape as :func:`dedup_exact_keep_row`: the winner per
+    digest is chosen with ``max_by`` over a (score, -id) struct — a
+    partial-aggregatable argmax, no full-row window sort — then a semi-join
+    recovers the canonical rows. Two narrow shuffles at any scale.
+    """
+    winners = df.groupBy(F.md5(F.col(key)).alias("_digest")).agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni")),
+        ).alias(id_col)
+    )
+    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
 def rebalance_for_compute(df: DataFrame, key_col: str) -> DataFrame:
     """Repartition before CPU-heavy per-row work when the scan yields fewer
     partitions than the session's shuffle width.

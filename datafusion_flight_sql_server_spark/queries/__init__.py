@@ -93,6 +93,7 @@ _PRIORITY = (
     "agg_percentile_approx",
     "text_repetition",
     "doc_sample_temperature",
+    "dedup_exact_keepbest",
 )
 
 

@@ -36,7 +36,10 @@ from datafusion_flight_sql_server_spark.operators.similarity import (
     lsh_topk,
     projection_tables,
 )
-from datafusion_flight_sql_server_spark.operators.dedup import dedup_exact_keep_row
+from datafusion_flight_sql_server_spark.operators.dedup import (
+    dedup_exact_keep_best,
+    dedup_exact_keep_row,
+)
 from datafusion_flight_sql_server_spark.streaming.sessionize import sessionize
 from datafusion_flight_sql_server_spark.streaming.windows import (
     sliding_counts,
@@ -80,6 +83,32 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_exact_keeprow(spark: SparkSession, sf: str) -> DataFrame:
     d = tables(spark, sf)["documents"]
     return dedup_exact_keep_row(d, key="text", id_col="doc_id")
+
+
+@query(
+    "dedup_exact_keepbest",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                       ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents)
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)
+    """,
+    doc="Quality-ranked exact dedup: per content digest keep the duplicate "
+    "with the highest quality score (n_chars here; any score column in "
+    "production), doc_id tie-break — the keep rule training pipelines "
+    "actually want when duplicates differ in source quality. max_by over "
+    "a (score, -id) struct is a partial-aggregatable argmax, so the plan "
+    "stays two narrow shuffles (digest agg + semi-join), window-free "
+    "(operators/dedup.py dedup_exact_keep_best).",
+    tags=("dedup",),
+)
+def q_dedup_exact_keepbest(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    return dedup_exact_keep_best(d, key="text", id_col="doc_id", score_col="n_chars")
 
 
 # ---------------------------------------------------------------------------

@@ -34,3 +34,50 @@ class TestConnectedComponents:
             for r in connected_components(edges).collect()
         }
         assert got == {(2, 2), (9, 2)}
+
+
+class TestDedupKeepBest:
+    """Quality-ranked exact dedup (operators/dedup.py dedup_exact_keep_best).
+
+    The documents fixture can't distinguish keep-best from keep-row (exact
+    duplicates share text, hence the same n_chars score) — these constructed
+    frames pin that the score actually decides, with the id tie-break."""
+
+    def test_highest_score_wins(self, spark):
+        from datafusion_flight_sql_server_spark.operators.dedup import (
+            dedup_exact_keep_best,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "aaa", 10),
+                (2, "aaa", 30),  # winner: best score, NOT min id
+                (3, "aaa", 20),
+                (4, "bbb", 5),
+            ],
+            "id long, text string, score long",
+        )
+        kept = sorted(
+            r.id
+            for r in dedup_exact_keep_best(
+                df, key="text", id_col="id", score_col="score"
+            ).collect()
+        )
+        assert kept == [2, 4]
+
+    def test_score_tie_breaks_to_min_id(self, spark):
+        from datafusion_flight_sql_server_spark.operators.dedup import (
+            dedup_exact_keep_best,
+        )
+
+        df = spark.createDataFrame(
+            [(9, "x", 7), (3, "x", 7), (5, "x", 7)],
+            "id long, text string, score long",
+        )
+        kept = [
+            r.id
+            for r in dedup_exact_keep_best(
+                df, key="text", id_col="id", score_col="score"
+            ).collect()
+        ]
+        assert kept == [3]
