@@ -147,7 +147,10 @@ def main() -> int:
         split_dir = Path(tempfile.gettempdir()) / f"bench_presplit_{Path(sf_dir).name}"
         for f in sorted(Path(sf_dir).glob("*.parquet")):
             out = split_dir / f.name
-            if not out.exists():
+            # rebuild when missing OR stale (driver may regenerate fixtures
+            # between rounds; a cached copy of old data would silently
+            # decouple the two measurements)
+            if not out.exists() or out.stat().st_mtime < f.stat().st_mtime:
                 split_dir.mkdir(parents=True, exist_ok=True)
                 tbl = pq.read_table(f)
                 pq.write_table(
