@@ -94,6 +94,7 @@ _PRIORITY = (
     "text_repetition",
     "doc_sample_temperature",
     "dedup_exact_keepbest",
+    "scan_flight",
 )
 
 

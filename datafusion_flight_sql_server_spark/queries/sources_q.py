@@ -314,3 +314,67 @@ def q_scan_binary(spark: SparkSession, sf: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.hex(F.col("content")).alias("content_hex"),
     )
+
+
+# -- federation: Spark reading its own Flight SQL server ---------------------
+
+#: One in-process Flight SQL server per driver application, started lazily on
+#: the first scan_flight invocation and bound to that session's Engine
+#: (daemon thread; lives for the process). Keyed by applicationId, NOT id()
+#: (the round-1 id()-keyed-cache defect class).
+_FLIGHT_SINGLETON: dict[str, object] = {}
+
+
+def _flight_server(spark: SparkSession):
+    import threading
+
+    from datafusion_flight_sql_server_spark.engine.core import Engine
+    from datafusion_flight_sql_server_spark.server import FlightSqlServer
+
+    app_id = spark.sparkContext.applicationId
+    entry = _FLIGHT_SINGLETON.get(app_id)
+    if entry is None:
+        srv = FlightSqlServer(Engine(spark), location="grpc://0.0.0.0:0")
+        threading.Thread(target=srv.serve, daemon=True).start()
+        entry = srv
+        _FLIGHT_SINGLETON[app_id] = srv
+    return entry
+
+
+@query(
+    "scan_flight",
+    oracle="""
+        SELECT l_orderkey, l_partkey, CAST(l_quantity AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_quantity >= 45
+    """,
+    doc="Federation round-trip as a driver-checked row (parity: the "
+    "reference's federation example, examples/flight-sql.rs:18-63, and "
+    "the table-provider crate lib.rs:33-105): Spark reads lineitem BACK "
+    "through the full wire stack — Python DataSource 'flightsql' → "
+    "GetFlightInfo → DoGet over real TCP against an in-process Flight SQL "
+    "server → Engine.execute_stream's executor-side Arrow IPC — and the "
+    "result must hash-match DuckDB reading the parquet directly. The "
+    "WHERE clause rides the DataSource filter pushdown into the remote "
+    "SQL. One daemon server per application, started lazily.",
+    tags=("source", "protocol"),
+)
+def q_scan_flight(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.sources import FlightSQLDataSource
+
+    tables(spark, sf)  # register sf tables on the (shared) session
+    srv = _flight_server(spark)
+    # runtime-settable; a vanilla session (the driver's) has it off and
+    # Spark hard-errors on any reader that implements pushFilters
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FlightSQLDataSource)
+    return (
+        spark.read.format("flightsql")
+        .option("uri", f"grpc://localhost:{srv.port}")
+        .option(
+            "query",
+            "SELECT l_orderkey, l_partkey, CAST(l_quantity AS DOUBLE) AS qty "
+            "FROM lineitem WHERE l_quantity >= 45",
+        )
+        .load()
+    )
