@@ -95,6 +95,7 @@ _PRIORITY = (
     "doc_sample_temperature",
     "dedup_exact_keepbest",
     "scan_flight",
+    "event_anomaly",
 )
 
 

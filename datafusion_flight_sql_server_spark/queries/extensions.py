@@ -817,6 +817,78 @@ def q_event_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "event_anomaly",
+    oracle="""
+        WITH w AS (
+            SELECT event_id, user_id, value,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        OVER win AS DOUBLE) AS s,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))
+                            * CAST(value AS DECIMAL(18,6)))
+                        OVER win AS DOUBLE) AS q,
+                   COUNT(*) OVER win AS n
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id,
+               CAST(FLOOR((value - s / n)
+                          / sqrt(GREATEST(q / n - (s / n) * (s / n), 1e-12))
+                          * 1000000 + 0.5) AS BIGINT) AS z_micros
+        FROM w
+        WHERE n >= 5
+          AND q / n - (s / n) * (s / n) > 1e-12
+    """,
+    doc="Per-user trailing z-score anomaly signal (the metric-stream "
+    "outlier detector of an event pipeline): each event scored against "
+    "the mean/std of its user's previous 20 events (current row excluded; "
+    "needs >= 5 priors and non-degenerate variance). Determinism "
+    "discipline: the window sums are EXACT decimal sums (value and "
+    "value^2) cast to double after, so mean/var/sqrt/divide start from "
+    "bit-identical doubles in both engines, and the score is emitted as "
+    "BIGINT micros via the IEEE-exact floor(x*1e6+0.5) idiom (no ROUND-on-"
+    "double boundary risk). Plan: one hash-partitioned window over "
+    "(user_id), no joins.",
+    tags=("events", "window", "quality"),
+)
+def q_event_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = tables(spark, sf)["events"]
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = F.col("value").cast("decimal(18,6)")
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(v).over(win).cast("double").alias("s"),
+        F.sum(v * v).over(win).cast("double").alias("q"),
+        F.count("*").over(win).alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("q") / F.col("n") - mean * mean
+    return (
+        scored.filter((F.col("n") >= 5) & (var > 1e-12))
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(
+                (F.col("value") - mean)
+                / F.sqrt(F.greatest(var, F.lit(1e-12)))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("z_micros"),
+        )
+    )
+
+
+@query(
     "event_sliding_window",
     oracle="""
         SELECT ws AS window_start, event_type, COUNT(*) AS n
