@@ -90,6 +90,10 @@ _PRIORITY = (
     "tpch_q22_global_sales",
     # ---- position 51+: new-in-round-3 registrations (local oracle until
     # the round-4 driver window), then the r1/r2-green set in legacy order.
+    # ROUND-4 TODO: once CORRECTNESS_r03 lands green, reorder again — move
+    # these 6 round-3 additions (plus anything round 4 adds) into positions
+    # 1-50 and the r3-green names behind, so every registered query keeps a
+    # driver row within one round of its registration.
     "agg_percentile_approx",
     "text_repetition",
     "doc_sample_temperature",
