@@ -439,3 +439,51 @@ class TestScaleServing:
             results = list(pool.map(run, range(12)))
         for k, amounts in zip(range(12), results):
             assert amounts == expect[k % 3 + 1]
+
+
+class TestMalformedInputs:
+    """Wire robustness: garbage and truncated protobuf payloads must map to
+    clean Flight errors (the reference's blanket INTERNAL mapping,
+    service.rs:1107-1121), never take the server down. Each case runs a
+    valid query afterwards to prove the server survived."""
+
+    def test_garbage_ticket_rejected_cleanly(self, client):
+        with pytest.raises(fl.FlightError):
+            client._client.do_get(
+                fl.Ticket(b"\xde\xad\xbe\xef" * 5), client._options
+            ).read_all()
+        assert client.execute("SELECT 1 AS x").num_rows == 1
+
+    def test_empty_ticket_rejected_cleanly(self, client):
+        with pytest.raises(fl.FlightError):
+            client._client.do_get(fl.Ticket(b""), client._options).read_all()
+        assert client.execute("SELECT 1 AS x").num_rows == 1
+
+    def test_garbage_descriptor_rejected_cleanly(self, client):
+        with pytest.raises(fl.FlightError):
+            client._client.get_flight_info(
+                fl.FlightDescriptor.for_command(b"\x00\xff\x13garbage"),
+                client._options,
+            )
+        assert client.execute("SELECT 1 AS x").num_rows == 1
+
+    def test_truncated_prepared_handle_rejected_cleanly(self, client):
+        from datafusion_flight_sql_server_spark.protocol.flightsql import (
+            CommandPreparedStatementQuery,
+        )
+
+        bad = CommandPreparedStatementQuery(prepared_statement_handle=b"\x01")
+        with pytest.raises(fl.FlightError):
+            client.flight_info(bad)
+        assert client.execute("SELECT 1 AS x").num_rows == 1
+
+    def test_unknown_action_rejected_cleanly(self, client):
+        # UNIMPLEMENTED surfaces as ArrowNotImplementedError client-side
+        # (same mapping as test_unimplemented_action)
+        with pytest.raises((fl.FlightError, pa.lib.ArrowNotImplementedError)):
+            list(
+                client._client.do_action(
+                    fl.Action("NoSuchAction", b""), client._options
+                )
+            )
+        assert client.execute("SELECT 1 AS x").num_rows == 1
