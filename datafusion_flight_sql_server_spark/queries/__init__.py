@@ -100,6 +100,7 @@ _PRIORITY = (
     "dedup_exact_keepbest",
     "scan_flight",
     "event_anomaly",
+    "pipeline_curate_v2",
 )
 
 

@@ -123,6 +123,11 @@ _COS = (
     "ELSE 0.0 END, 6)"
 )
 
+#: Temperature exponent for the language-mix flatteners
+#: (doc_sample_temperature, pipeline_curate_v2): post-sample counts target
+#: ∝ n_lang^alpha.
+MIX_TEMPERATURE_ALPHA = 0.5
+
 
 @query(
     "sim_topk",
@@ -1655,6 +1660,84 @@ def q_pipeline_curate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pipeline_curate_v2",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, lang, text, n_chars,
+                          list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '') AS ws
+                   FROM documents),
+        gated AS (SELECT doc_id, lang, text, n_chars FROM w
+                  WHERE len(ws) BETWEEN 5 AND 1000
+                    AND 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                              / len(ws) <= 0.4),
+        best AS (SELECT doc_id,
+                        ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id) AS rn
+                 FROM gated),
+        kept AS (SELECT g.doc_id, g.lang FROM gated g
+                 JOIN best b ON b.doc_id = g.doc_id AND b.rn = 1),
+        lc AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM kept
+               GROUP BY lang),
+        mn AS (SELECT MIN(n) AS n_min FROM lc),
+        rate AS (SELECT lang,
+                        POWER(n / (SELECT n_min FROM mn),
+                              {MIX_TEMPERATURE_ALPHA} - 1.0) AS keep_rate
+                 FROM lc)
+        SELECT k.doc_id, k.lang
+        FROM kept k JOIN rate r ON k.lang = r.lang
+        WHERE CAST(('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) / 65536.0 < r.keep_rate
+    """,
+    doc="Round-3 curation pipeline: composes the round's new operators in "
+    "ONE declarative plan — repetition gate (row-local dup-word fraction "
+    "via array_distinct, no token shuffle), quality-ranked exact dedup "
+    "(dedup_exact_keepbest's max_by argmax on the text digest — the only "
+    "corpus-sized shuffle), temperature-flattened language sampling "
+    "(doc_sample_temperature's tiny broadcast rate table + row-local "
+    "md5-bucket keep). Threshold comparisons on raw doubles are safe "
+    "cross-engine (identical IEEE inputs compare identically; only "
+    "ROUND diverges) so no rounding appears anywhere in the plan. This "
+    "is the lineage a 100 TB curation run executes as a single job.",
+    tags=("text", "pipeline", "dedup", "sampling"),
+)
+def q_pipeline_curate_v2(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    ws = F.expr("filter(split(lower(text), ' '), x -> x != '')")
+    n = F.size(ws)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n
+    gated = d.filter((n >= 5) & (n <= 1000) & (dup_frac <= 0.4)).select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    winners = gated.groupBy(F.md5("text").alias("_dig")).agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("n_chars").alias("s"), (-F.col("doc_id")).alias("ni")),
+        ).alias("doc_id")
+    )
+    kept = gated.join(winners.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "lang"
+    )
+    lc = kept.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    n_min = lc.agg(F.min("n").alias("n_min"))
+    rate = lc.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.pow(F.col("n") / F.col("n_min"), F.lit(MIX_TEMPERATURE_ALPHA - 1.0)).alias(
+            "keep_rate"
+        ),
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("double")
+        / F.lit(65536.0)
+    )
+    return (
+        kept.join(F.broadcast(rate), "lang")
+        .filter(draw < F.col("keep_rate"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
     "event_gapfill",
     oracle="""
         WITH agg AS (SELECT event_type,
@@ -2141,11 +2224,6 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
-
-
-#: Temperature exponent for the language-mix flattener (doc_sample_temperature):
-#: post-sample counts target ∝ n_lang^alpha.
-MIX_TEMPERATURE_ALPHA = 0.5
 
 
 @query(
