@@ -129,6 +129,21 @@ class TestPipelineOpPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_event_anomaly_single_window_no_joins(self, spark):
+        # one hash-partitioned window over user_id; no join operators
+        plan = _executed_plan(_run(spark, "event_anomaly"))
+        assert "Join" not in plan
+        assert plan.count("Window") >= 1
+
+    def test_curate_v2_broadcasts_rates_no_cartesian(self, spark):
+        # the only corpus-sized shuffle is the digest argmax; the rate
+        # table reaches the kept rows as a broadcast
+        df = _run(spark, "pipeline_curate_v2")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
     def test_temperature_sampler_broadcasts_rates(self, spark):
         # the per-language rate table must reach the corpus as a broadcast
         # (it is |languages| rows); the keep decision is a row-local filter,
