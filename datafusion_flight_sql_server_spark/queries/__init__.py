@@ -21,79 +21,16 @@ from datafusion_flight_sql_server_spark.queries import sources_q  # noqa: F401
 
 #: Verification-priority prefix: the driver produces CORRECTNESS rows for
 #: the FIRST 50 registered queries each round, so ordering decides which
-#: operators get a row. Round-3 order (per the round-2 review's explicit
-#: instruction): positions 1-50 are EXACTLY the 49 queries that have never
-#: received a driver row (absent from CORRECTNESS_r01.json and
-#: CORRECTNESS_r02.json) plus ``agg_approx_distinct`` (err: no_oracle since
-#: round 1; its contract is now the error-bound boolean both engines can
-#: reproduce) — green rows here bring driver verification to 149/149.
-#: Position 51+ holds queries first registered in round 3 (they ride the
-#: local pytest oracle until round 4), then every r1/r2-green name in its
-#: old order.
+#: operators get a row. Round-4 order (per the round-3 review's item #1):
+#: positions 1-50 are the 7 queries registered in round 3 (the only names
+#: with no driver row — CORRECTNESS_r03 was green on all 50 checked), any
+#: round-4 registrations, then a rotation of the OLDEST r1-green rows as
+#: regression insurance — preferring queries whose implementation files
+#: (``relational.py``, ``windows_q.py``) changed since round 1.  Green here
+#: → 156/156 registered queries driver-verified at least once.  Position
+#: 51+ holds the r2/r3-green names in their legacy order.
 _PRIORITY = (
-    # tier 1: the one erroring row — approx_count_distinct with its new
-    # oracle-checkable error-bound contract
-    "agg_approx_distinct",
-    # tier 2: extension/pipeline operators never driver-checked (r1+r2 cap)
-    "multimodal_frames",
-    "event_session_window_native",
-    "fn_bitwise",
-    "agg_bitwise",
-    "fn_url",
-    "fn_hash_encode",
-    "sink_partitioned",
-    "embed_centroids",
-    "text_histogram",
-    "text_topk_tokens",
-    "text_rolling_hash",
-    "fn_string_distance",
-    "agg_pivot",
-    "agg_bool",
-    "agg_percentile",
-    "fn_date_bin",
-    "fn_map",
-    "event_asof_join",
-    "event_band_join",
-    "event_time_rollup",
-    "event_sliding_window",
-    "join_skew_salted",
-    # tier 3: source/param registrations — the reference's own exercised
-    # surface (integration_test.rs:148-171, examples/flight-sql.rs:25-27)
-    "scan_csv",
-    "scan_json",
-    "scan_memtable",
-    "scan_orc",
-    "scan_binary",
-    "param_bind_positional",
-    "param_bind_named",
-    # tier 4: remaining windows
-    "window_range_frame",
-    "window_distribution",
-    # tier 5: TPC-H long tail (bench-headline members first)
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q21_suppliers_waiting",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q4_order_priority",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipping_priority_class",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q20_potential_promotion",
-    "tpch_q22_global_sales",
-    # ---- position 51+: new-in-round-3 registrations (local oracle until
-    # the round-4 driver window), then the r1/r2-green set in legacy order.
-    # ROUND-4 TODO: once CORRECTNESS_r03 lands green, reorder again — move
-    # these 6 round-3 additions (plus anything round 4 adds) into positions
-    # 1-50 and the r3-green names behind, so every registered query keeps a
-    # driver row within one round of its registration.
+    # tier 1: round-3 registrations, never driver-checked (one-round lag)
     "agg_percentile_approx",
     "text_repetition",
     "doc_sample_temperature",
@@ -101,6 +38,63 @@ _PRIORITY = (
     "scan_flight",
     "event_anomaly",
     "pipeline_curate_v2",
+    # tier 2: round-4 registrations go HERE as they land (keep the prefix
+    # at exactly 50 by trimming the tier-3 rotation tail below).
+    # tier 3: r1-green rotation — not re-checked since round 1 while
+    # relational.py / windows_q.py changed under them (regression insurance,
+    # verdict r3 item #7).  TPC-H headliners and join/agg families first.
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "window_rank",
+    "window_analytic",
+    "window_running",
+    "window_topk_per_group",
+    "dedup_exact",
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_theta",
+    "join_derived",
+    "agg_group_multi",
+    "agg_having",
+    "agg_distinct",
+    "agg_stats",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_approx_distinct",
+    "topk",
+    "subquery_scalar",
+    "subquery_in",
+    "subquery_exists",
+    "subquery_correlated_scalar",
+    "fn_string",
+    "fn_regex",
+    "fn_datetime",
+    "fn_math",
+    "fn_conditional",
+    "fn_cast",
+    "fn_array",
+    "fn_explode",
+    "fn_json",
+    "fn_struct",
+    "scan_star",
+    "scan_projection",
+    "filter_compare",
+    # ---- position 51+: r1 simple set-ops/filters, then r2/r3-green names
+    # in legacy order (all have driver rows already).
+    "filter_predicates",
+    "join_cross",
+    "agg_count_star",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
 )
 
 
