@@ -109,7 +109,12 @@ class Engine:
           ``collect()``/``toArrow()`` would.
 
         Falls back to the row-at-a-time path only if the plan's types cannot
-        pass Spark's Arrow conversion (``mapInArrow`` analysis error).
+        pass Spark's Arrow conversion. The try scope covers the FIRST pull
+        from ``toLocalIterator`` as well as ``mapInArrow`` analysis: under
+        lazy analysis (Spark Connect) or a runtime Arrow-conversion failure
+        the error surfaces on the first fetch, not at plan build — falling
+        back is only safe before any batch has been yielded, so a failure
+        after the first successful pull propagates instead.
         """
         import pyarrow as pa
 
@@ -137,15 +142,25 @@ class Engine:
                     schema=out_schema,
                 )
 
+        _sentinel = object()
         try:
             ipc_df = df.mapInArrow(_ipc_encode_batches, "ipc binary")
+            rows_iter = iter(ipc_df.toLocalIterator(prefetchPartitions=True))
+            first_row = next(rows_iter, _sentinel)
         except Exception:
             yield from self._execute_stream_rows(df, batch_rows, schema)
             return
 
+        import itertools
+
+        if first_row is _sentinel:
+            rows = iter(())
+        else:
+            rows = itertools.chain((first_row,), rows_iter)
+
         buf: list[pa.RecordBatch] = []
         buffered = 0
-        for row in ipc_df.toLocalIterator(prefetchPartitions=True):
+        for row in rows:
             for batch in pa.ipc.open_stream(row.ipc):
                 if batch.num_rows == 0:
                     continue

@@ -77,13 +77,19 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
 
     Callers (the driver harness included) may hand us a vanilla
     SparkSession built without ``engine.session.build_session``; these
-    three are runtime-settable and required: nanos timestamps readable,
-    UTC semantics (DuckDB/Arrow are UTC-naive), Arrow-batched transfers.
+    are runtime-settable and required: nanos timestamps readable,
+    UTC semantics (DuckDB/Arrow are UTC-naive), Arrow-batched transfers,
+    and Python DataSource filter pushdown (off by default in Spark 4, but
+    Spark HARD-ERRORS at action time on any registered reader that
+    implements ``pushFilters`` while it is off — and the conf is read at
+    execution, not at ``.load()``, so it cannot be scoped per-query; it
+    belongs here in session setup, not as a query-build side effect).
     """
     for key, value in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ):
         try:
             spark.conf.set(key, value)

@@ -129,8 +129,25 @@ def brute_force_topk(
             vec = batch.column(1)
             if isinstance(vec, pa.ChunkedArray):  # pragma: no cover
                 vec = vec.combine_chunks()
+            # ListArray.flatten() silently drops null entries, so a null or
+            # ragged-length embedding would misalign every vector after it
+            # while len(flat) can still happen to divide n — validate before
+            # the reshape instead of producing wrong similarities.
+            dim = q_unit.shape[1]
+            if vec.null_count:
+                raise ValueError(
+                    f"brute_force_topk: embedding column contains "
+                    f"{vec.null_count} null vector(s); drop or impute them "
+                    f"before the search."
+                )
             flat = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            c_mat = flat.reshape(n, len(flat) // n)
+            if len(flat) != n * dim:
+                raise ValueError(
+                    f"brute_force_topk: ragged embeddings — batch of {n} "
+                    f"rows flattened to {len(flat)} values, expected "
+                    f"{n}*{dim} (query dimension {dim})."
+                )
+            c_mat = flat.reshape(n, dim)
             c_norms = np.linalg.norm(c_mat, axis=1)
             c_norms[c_norms == 0] = 1.0
             sims = (c_mat / c_norms[:, None]) @ q_unit.T  # (n, |Q|)
@@ -295,12 +312,15 @@ def ivf_topk(
     lowest-id vectors seed the centroids) and, with ``train_iters > 0``,
     refines them with that many spherical k-means (Lloyd) steps: assign
     every corpus vector to its nearest centroid by cosine, recompute each
-    cell's element-wise mean, ROUND each mean to 6 decimals. The rounding
-    is what keeps a *trained* quantizer engine-reproducible: partial-agg
-    summation order drifts means by ~1e-15, far below the 5e-7 rounding
-    step, so both engines see bit-identical centroids and therefore
-    identical discrete assignments — the driver can hash-check trained-IVF
-    output against an ANSI oracle that unrolls the same steps.
+    cell's element-wise mean, quantize each mean to micros via
+    ``floor(x*1e6+0.5)/1e6``. The quantization is what keeps a *trained*
+    quantizer engine-reproducible: partial-agg summation order drifts means
+    by ~1e-15, far below the 5e-7 step, and the floor form (unlike
+    ``ROUND(double, 6)``, which Spark evaluates on the shortest decimal
+    repr and DuckDB on the binary value) is IEEE-exact on bit-identical
+    inputs — so both engines see bit-identical centroids and therefore
+    identical discrete assignments, and the driver can hash-check
+    trained-IVF output against an ANSI oracle that unrolls the same steps.
 
     100 TB posture:
     - assignment is an aggregation-only argmax (``max(struct(...))`` —
@@ -338,9 +358,19 @@ def ivf_topk(
                 .agg(F.max("s").alias("s"))
                 .select((-F.col("s.neg_cent")).alias("cell"), F.col("s.v").alias("tv"))
             )
+            # floor(x*1e6+0.5)/1e6, not ROUND(x, 6): Spark rounds the
+            # shortest decimal repr (BigDecimal HALF_UP) while DuckDB rounds
+            # the binary value, and they disagree exactly when a mean lands
+            # on a non-dyadic 7-digit decimal ending in 5 — one flipped
+            # centroid bit cascades into different assignments. The floor
+            # form is IEEE-exact on bit-identical inputs (same idiom as
+            # window_distribution / event_anomaly).
             means = best.groupBy("cell").agg(
                 *[
-                    F.round(F.avg(F.element_at("tv", i + 1)), 6).alias(f"m{i}")
+                    (
+                        F.floor(F.avg(F.element_at("tv", i + 1)) * 1000000.0 + 0.5)
+                        / 1000000.0
+                    ).alias(f"m{i}")
                     for i in range(dim)
                 ]
             )

@@ -168,10 +168,12 @@ def _ivf_oracle(
     """DuckDB SQL unrolling the EXACT spherical-k-means IVF pipeline of
     ``operators.similarity.ivf_topk(train_iters=iters)``: seed centroids =
     lowest-id vectors, then per step an argmax assignment (cosine DESC,
-    cent_id tie-break) and element-wise means ROUNDED to 6 decimals — the
-    rounding absorbs summation-order ulp drift, so both engines produce
-    bit-identical centroids and the same discrete assignments (same
-    determinism idiom as _pagerank_oracle's unrolled CTE chain)."""
+    cent_id tie-break) and element-wise means quantized to micros via
+    floor(x*1e6+0.5)/1e6 — the quantization absorbs summation-order ulp
+    drift and, unlike ROUND(double, 6), evaluates IEEE-exactly in both
+    engines, so they produce bit-identical centroids and the same discrete
+    assignments (same determinism idiom as _pagerank_oracle's unrolled CTE
+    chain)."""
     steps = []
     prev = "c0"
     for t in range(1, iters + 1):
@@ -184,7 +186,8 @@ def _ivf_oracle(
                  FROM e CROSS JOIN {prev} c) WHERE rn = 1),
              c{t} AS (SELECT cell AS cent_id,
                              list(m ORDER BY idx) AS cv
-                      FROM (SELECT cell, idx, ROUND(AVG(x), 6) AS m
+                      FROM (SELECT cell, idx,
+                                   FLOOR(AVG(x) * 1000000.0 + 0.5) / 1000000.0 AS m
                             FROM (SELECT cell, unnest(v) AS x,
                                          unnest(range(1, len(v) + 1)) AS idx
                                   FROM a{t})
@@ -232,7 +235,8 @@ def _ivf_oracle(
     doc="Trained IVF ANN (round 3: real spherical k-means, no longer a "
     "seed-only stand-in): deterministic seed centroids (16 lowest-id "
     "vectors) refined by 2 Lloyd steps — aggregation-only argmax "
-    "assignment, per-cell element-wise means rounded to 6 decimals so the "
+    "assignment, per-cell element-wise means quantized to micros "
+    "(floor(x*1e6+0.5)/1e6, IEEE-exact in both engines) so the "
     "trained centroids are bit-identical across engines — then 4-cell "
     "probe per query and exact cosine re-rank. Candidate fraction "
     "~n_probe/n_cells of the corpus, no cross join; each training step is "

@@ -323,6 +323,7 @@ def q_scan_binary(spark: SparkSession, sf: str) -> DataFrame:
 #: (daemon thread; lives for the process). Keyed by applicationId, NOT id()
 #: (the round-1 id()-keyed-cache defect class).
 _FLIGHT_SINGLETON: dict[str, object] = {}
+_FLIGHT_LOCK = None  # created lazily so module import stays threading-free
 
 
 def _flight_server(spark: SparkSession):
@@ -331,13 +332,30 @@ def _flight_server(spark: SparkSession):
     from datafusion_flight_sql_server_spark.engine.core import Engine
     from datafusion_flight_sql_server_spark.server import FlightSqlServer
 
+    global _FLIGHT_LOCK
+    if _FLIGHT_LOCK is None:
+        _FLIGHT_LOCK = threading.Lock()
+
     app_id = spark.sparkContext.applicationId
-    entry = _FLIGHT_SINGLETON.get(app_id)
-    if entry is None:
-        srv = FlightSqlServer(Engine(spark), location="grpc://0.0.0.0:0")
-        threading.Thread(target=srv.serve, daemon=True).start()
-        entry = srv
-        _FLIGHT_SINGLETON[app_id] = srv
+    with _FLIGHT_LOCK:
+        entry = _FLIGHT_SINGLETON.get(app_id)
+        if entry is None:
+            srv = FlightSqlServer(Engine(spark), location="grpc://0.0.0.0:0")
+            threading.Thread(target=srv.serve, daemon=True).start()
+            # The socket binds in __init__ (so srv.port is valid here) but
+            # gRPC only accepts requests once serve() is running on the
+            # thread — hand the port out before that and the first
+            # GetFlightInfo races the thread start. Block until the server
+            # answers.
+            import pyarrow.flight as _fl
+
+            client = _fl.FlightClient(f"grpc://localhost:{srv.port}")
+            try:
+                client.wait_for_available(timeout=10)
+            finally:
+                client.close()
+            _FLIGHT_SINGLETON[app_id] = srv
+            entry = srv
     return entry
 
 
@@ -362,11 +380,12 @@ def _flight_server(spark: SparkSession):
 def q_scan_flight(spark: SparkSession, sf: str) -> DataFrame:
     from datafusion_flight_sql_server_spark.sources import FlightSQLDataSource
 
-    tables(spark, sf)  # register sf tables on the (shared) session
+    # register sf tables; session setup (_ensure_runtime_confs) also enables
+    # Python DataSource filter pushdown — required at ACTION time for any
+    # reader implementing pushFilters, so it lives in session setup rather
+    # than as a query-build conf mutation (round-3 review nit #3)
+    tables(spark, sf)
     srv = _flight_server(spark)
-    # runtime-settable; a vanilla session (the driver's) has it off and
-    # Spark hard-errors on any reader that implements pushFilters
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FlightSQLDataSource)
     return (
         spark.read.format("flightsql")

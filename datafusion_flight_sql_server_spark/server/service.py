@@ -344,6 +344,12 @@ class FlightSqlServer(fl.FlightServerBase):
         return CommandTicket.try_decode(raw).command
 
     def _stream_df(self, engine: Engine, df) -> fl.FlightDataStream:
+        # No dictionary-hydration pass here, deliberately: the reference
+        # re-encodes dictionary fields to value types before shipping
+        # (service.rs:1072-1083); Spark's Arrow export never emits
+        # dictionary-encoded fields, so this stream is already in the
+        # reference's post-hydration wire shape (module docstring,
+        # "Declared divergences").
         schema = arrow_schema_for_df(df)
         batches = engine.execute_stream(df, batch_rows=self.config.batch_rows)
         return fl.GeneratorStream(schema, batches)
