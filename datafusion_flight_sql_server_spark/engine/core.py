@@ -116,35 +116,15 @@ class Engine:
         back is only safe before any batch has been yielded, so a failure
         after the first successful pull propagates instead.
         """
-        import pyarrow as pa
-
         from datafusion_flight_sql_server_spark.plans.schema import (
             arrow_schema_for_df,
         )
 
         schema = arrow_schema_for_df(df)
 
-        def _ipc_encode_batches(iterator):
-            # Executor-side (closure → cloudpickled by value, no repo import
-            # needed on workers): wrap each columnar batch as one IPC-stream
-            # payload — one binary cell per ~10k-row batch, never per row.
-            import pyarrow as pa  # noqa: F811 — worker-local import
-
-            out_schema = pa.schema([("ipc", pa.binary())])
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                sink = pa.BufferOutputStream()
-                with pa.ipc.new_stream(sink, batch.schema) as writer:
-                    writer.write_batch(batch)
-                yield pa.record_batch(
-                    [pa.array([sink.getvalue().to_pybytes()], pa.binary())],
-                    schema=out_schema,
-                )
-
         _sentinel = object()
         try:
-            ipc_df = df.mapInArrow(_ipc_encode_batches, "ipc binary")
+            ipc_df = df.mapInArrow(_make_ipc_encoder(), "ipc binary")
             rows_iter = iter(ipc_df.toLocalIterator(prefetchPartitions=True))
             first_row = next(rows_iter, _sentinel)
         except Exception:
@@ -157,32 +137,73 @@ class Engine:
             rows = iter(())
         else:
             rows = itertools.chain((first_row,), rows_iter)
+        yield from _rechunk_ipc_rows(rows, schema, batch_rows)
 
-        buf: list[pa.RecordBatch] = []
-        buffered = 0
-        for row in rows:
-            for batch in pa.ipc.open_stream(row.ipc):
-                if batch.num_rows == 0:
-                    continue
-                if not batch.schema.equals(schema, check_metadata=False):
-                    batch = (
-                        pa.Table.from_batches([batch])
-                        .cast(pa.schema([f.remove_metadata() for f in schema]))
-                        .combine_chunks()
-                        .to_batches()[0]
-                    )
-                buf.append(batch)
-                buffered += batch.num_rows
-                while buffered >= batch_rows:
-                    tbl = pa.Table.from_batches(buf).combine_chunks()
-                    yield tbl.slice(0, batch_rows).to_batches()[0]
-                    rest = tbl.slice(batch_rows)
-                    buf = rest.to_batches()
-                    buffered = rest.num_rows
-        if buffered:
-            tbl = pa.Table.from_batches(buf).combine_chunks()
-            for batch in tbl.to_batches(max_chunksize=batch_rows):
-                yield batch
+    # -- multi-endpoint partitioned results ---------------------------------
+
+    def prepare_partitioned_result(
+        self, df: DataFrame, max_endpoints: int
+    ) -> tuple[DataFrame, int]:
+        """Stage ``df`` for bucket-parallel DoGet; return (staged, n_buckets).
+
+        OUR extension beyond the reference (its FlightInfo always carries one
+        endpoint; its own *client* already merges several —
+        table-provider/src/lib.rs:43-53): executors IPC-encode their
+        partitions once (same encoder as ``execute_stream``), tagged with
+        ``spark_partition_id``, and the result persists MEMORY_AND_DISK.
+        Bucket ``b`` of ``n`` serves partitions with ``pid % n == b``, so
+        the union over buckets is exactly the result and buckets are
+        disjoint.
+
+        Laziness contract: NO job runs here — GetFlightInfo stays a
+        plan-only call (clients use it as a schema probe). That is also why
+        the bucket count is taken from config rather than the plan's actual
+        partition count: inspecting it (``df.rdd``) finalizes the AQE plan,
+        which can execute shuffle stages. A result with fewer partitions
+        than buckets just serves some empty streams — one cheap RPC each.
+        The first DoGet wave computes and caches the partitions; Spark's
+        block-level cache locking keeps concurrent bucket reads from
+        recomputing a partition. At 1000-executor scale this is the lever
+        that stops one driver-side ``toLocalIterator`` from being the
+        result-transfer bottleneck: each bucket streams through its own
+        gRPC call, driver memory stays one partition per concurrent stream.
+
+        LOOPBACK caveat: if the *same* Spark application both serves the
+        result and scans it back (the in-process federation pattern), keep
+        ``max_endpoints`` strictly below the app's task slots — the scan's
+        tasks block on DoGet while the server needs free slots to compute
+        the staged partitions, so claiming every slot deadlocks the app.
+        Serving a separate application (the real deployment) has no such
+        coupling.
+        """
+        from pyspark import StorageLevel
+        from pyspark.sql import functions as F
+
+        staged = (
+            df.mapInArrow(_make_ipc_encoder(), "ipc binary")
+            .withColumn("pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_buckets = max(1, int(max_endpoints))
+        return staged, n_buckets
+
+    @staticmethod
+    def stream_result_bucket(
+        staged: DataFrame, bucket: int, n_buckets: int, schema, batch_rows: int
+    ):
+        """Yield re-chunked Arrow batches for one bucket of a staged result."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            staged.filter(F.col("pid") % n_buckets == bucket)
+            .select("ipc")
+            .toLocalIterator(prefetchPartitions=True)
+        )
+        yield from _rechunk_ipc_rows(rows, schema, batch_rows)
+
+    @staticmethod
+    def release_partitioned_result(staged: DataFrame) -> None:
+        staged.unpersist()
 
     def _execute_stream_rows(self, df: DataFrame, batch_rows: int, schema):
         """Row-at-a-time fallback for plans whose types can't cross Spark's
@@ -356,3 +377,63 @@ def _sql_like(value: str, pattern: str) -> bool:
         else:
             out.append(re.escape(ch))
     return re.fullmatch("".join(out), value) is not None
+
+
+def _make_ipc_encoder():
+    """Executor-side Arrow-IPC encoder for ``mapInArrow``.
+
+    Returned as a NESTED function on purpose: cloudpickle serializes nested
+    functions by value, so workers need pyarrow only — no repo import (the
+    same worker-deployment posture as ``sources/flight_table.py``)."""
+
+    def _ipc_encode_batches(iterator):
+        # Wrap each columnar batch as one IPC-stream payload — one binary
+        # cell per ~10k-row batch, never per row.
+        import pyarrow as pa  # worker-local import
+
+        out_schema = pa.schema([("ipc", pa.binary())])
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, batch.schema) as writer:
+                writer.write_batch(batch)
+            yield pa.record_batch(
+                [pa.array([sink.getvalue().to_pybytes()], pa.binary())],
+                schema=out_schema,
+            )
+
+    return _ipc_encode_batches
+
+
+def _rechunk_ipc_rows(rows, schema, batch_rows: int):
+    """Decode driver-side rows of IPC blobs into ``batch_rows``-sized Arrow
+    batches with zero-copy slicing (shared by ``execute_stream`` and the
+    multi-endpoint bucket streams)."""
+    import pyarrow as pa
+
+    buf: list[pa.RecordBatch] = []
+    buffered = 0
+    for row in rows:
+        for batch in pa.ipc.open_stream(row.ipc):
+            if batch.num_rows == 0:
+                continue
+            if not batch.schema.equals(schema, check_metadata=False):
+                batch = (
+                    pa.Table.from_batches([batch])
+                    .cast(pa.schema([f.remove_metadata() for f in schema]))
+                    .combine_chunks()
+                    .to_batches()[0]
+                )
+            buf.append(batch)
+            buffered += batch.num_rows
+            while buffered >= batch_rows:
+                tbl = pa.Table.from_batches(buf).combine_chunks()
+                yield tbl.slice(0, batch_rows).to_batches()[0]
+                rest = tbl.slice(batch_rows)
+                buf = rest.to_batches()
+                buffered = rest.num_rows
+    if buffered:
+        tbl = pa.Table.from_batches(buf).combine_chunks()
+        for batch in tbl.to_batches(max_chunksize=batch_rows):
+            yield batch

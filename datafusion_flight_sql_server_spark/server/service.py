@@ -45,6 +45,10 @@ Declared divergences (client-compat debugging starts here):
 
 from __future__ import annotations
 
+import uuid
+from collections import OrderedDict
+from dataclasses import dataclass
+
 import pyarrow as pa
 import pyarrow.flight as fl
 
@@ -71,7 +75,11 @@ from datafusion_flight_sql_server_spark.protocol.flightsql import (
     ProtobufAny,
     TYPE_URL_PREFIX,
 )
-from datafusion_flight_sql_server_spark.protocol.state import CommandTicket, QueryHandle
+from datafusion_flight_sql_server_spark.protocol.state import (
+    CommandTicket,
+    PartitionedResultTicket,
+    QueryHandle,
+)
 from datafusion_flight_sql_server_spark.server.session import (
     SessionStateProvider,
     StaticSessionStateProvider,
@@ -79,11 +87,27 @@ from datafusion_flight_sql_server_spark.server.session import (
 
 
 class FlightSqlServiceConfig:
-    """Service configuration (reference: config.rs:1-14)."""
+    """Service configuration (reference: config.rs:1-14).
 
-    def __init__(self, schema_with_metadata: bool = False, batch_rows: int = 65536):
+    ``result_endpoints`` (OUR extension; default 1 = reference behavior):
+    when > 1, GetFlightInfo for a statement returns up to that many
+    FlightEndpoints, each ticket naming one bucket of a server-staged
+    partitioned result, so clients stream big results over parallel DoGet
+    calls instead of one driver-side iterator. The reference's client
+    already merges multi-endpoint FlightInfos
+    (table-provider/src/lib.rs:43-53), as do ours and ADBC's."""
+
+    def __init__(
+        self,
+        schema_with_metadata: bool = False,
+        batch_rows: int = 65536,
+        result_endpoints: int = 1,
+        max_staged_results: int = 16,
+    ):
         self.schema_with_metadata = schema_with_metadata
         self.batch_rows = batch_rows
+        self.result_endpoints = result_endpoints
+        self.max_staged_results = max_staged_results
 
 
 # Flight SQL metadata result schemas (Arrow Flight SQL specification; the
@@ -193,6 +217,15 @@ def decode_schema_bytes(data: bytes) -> pa.Schema:
     return pa.ipc.read_schema(pa.BufferReader(data))
 
 
+@dataclass
+class _StagedResult:
+    """A persisted, partition-tagged result serving a multi-endpoint DoGet."""
+
+    staged: object  # DataFrame of (ipc binary, pid int)
+    n_buckets: int
+    schema: pa.Schema
+
+
 def _to_flight_error(exc: Exception) -> Exception:
     """Blanket INTERNAL mapping, like the reference (service.rs:1107-1121)."""
     if isinstance(exc, (fl.FlightError, NotImplementedError)):
@@ -219,6 +252,14 @@ class FlightSqlServer(fl.FlightServerBase):
             provider = StaticSessionStateProvider(engine)
         self._provider = provider
         self.config = config or FlightSqlServiceConfig()
+        # Staged multi-endpoint results: result_id -> _StagedResult. Guarded
+        # by a lock (gRPC serves handlers on a thread pool); LRU-capped with
+        # unpersist-on-evict, and released early once every bucket has been
+        # fully streamed.
+        import threading
+
+        self._staged: "OrderedDict[str, _StagedResult]" = OrderedDict()
+        self._staged_lock = threading.Lock()
 
     # -- context mint (service.rs:133-151) ----------------------------------
 
@@ -270,11 +311,40 @@ class FlightSqlServer(fl.FlightServerBase):
     def _info_statement(
         self, engine: Engine, command: CommandStatementQuery, descriptor
     ) -> fl.FlightInfo:
-        """service.rs:313-347: plan, derive schema, mint stateless ticket."""
+        """service.rs:313-347: plan, derive schema, mint stateless ticket.
+
+        With ``config.result_endpoints > 1`` the single stateless ticket is
+        replaced by one endpoint per result bucket (see
+        ``Engine.prepare_partitioned_result``); still no job runs here."""
         df = engine.sql_to_plan(command.query)
         schema = arrow_schema_for_df(df, self.config.schema_with_metadata)
+        if self.config.result_endpoints > 1:
+            return self._info_statement_partitioned(engine, df, schema, descriptor)
         ticket = CommandTicket(command=command).try_encode()
         return self._flight_info(schema, descriptor, ticket)
+
+    def _info_statement_partitioned(
+        self, engine: Engine, df, schema: pa.Schema, descriptor
+    ) -> fl.FlightInfo:
+        staged, n_buckets = engine.prepare_partitioned_result(
+            df, self.config.result_endpoints
+        )
+        result_id = uuid.uuid4().hex
+        with self._staged_lock:
+            self._staged[result_id] = _StagedResult(staged, n_buckets, schema)
+            while len(self._staged) > self.config.max_staged_results:
+                _, old = self._staged.popitem(last=False)
+                Engine.release_partitioned_result(old.staged)
+        endpoints = [
+            fl.FlightEndpoint(
+                fl.Ticket(
+                    PartitionedResultTicket(result_id, b, n_buckets).encode()
+                ),
+                [],
+            )
+            for b in range(n_buckets)
+        ]
+        return fl.FlightInfo(schema, descriptor, endpoints, -1, -1)
 
     def _info_prepared(
         self, engine: Engine, command: CommandPreparedStatementQuery, descriptor
@@ -303,7 +373,10 @@ class FlightSqlServer(fl.FlightServerBase):
 
     def do_get(self, context, ticket) -> fl.FlightDataStream:
         try:
-            command = self._decode_ticket(bytes(ticket.ticket))
+            raw = bytes(ticket.ticket)
+            if PartitionedResultTicket.matches(raw):
+                return self._do_get_partitioned(PartitionedResultTicket.try_decode(raw))
+            command = self._decode_ticket(raw)
             engine = self._ctx(context)
             if isinstance(command, CommandStatementQuery):
                 # service.rs:220-236: re-plan and stream
@@ -342,6 +415,55 @@ class FlightSqlServer(fl.FlightServerBase):
         except Exception:
             pass
         return CommandTicket.try_decode(raw).command
+
+    def _do_get_partitioned(
+        self, t: PartitionedResultTicket
+    ) -> fl.FlightDataStream:
+        """Stream one bucket of a staged multi-endpoint result.
+
+        Tickets stay REPLAYABLE while the result is staged (clients re-read
+        endpoints legitimately — Spark replays a scan's partition tickets
+        once per action, retries and speculative tasks replay them too, and
+        the reference's stateless tickets allow infinite replay). Results
+        are only dropped by the ``max_staged_results`` LRU, whose eviction
+        unpersists the staging; a ticket outliving that gets a clean
+        'expired' error telling the client to re-issue GetFlightInfo — the
+        documented cost of the result affinity this mode trades for
+        fan-out."""
+        with self._staged_lock:
+            entry = self._staged.get(t.result_id)
+            if entry is not None:
+                self._staged.move_to_end(t.result_id)
+        if entry is None:
+            raise fl.FlightServerError(
+                f"unknown or expired partitioned result {t.result_id!r}; "
+                f"re-issue GetFlightInfo"
+            )
+        if not 0 <= t.bucket < entry.n_buckets or t.n_buckets != entry.n_buckets:
+            raise fl.FlightServerError(
+                f"bucket {t.bucket}/{t.n_buckets} out of range for result "
+                f"{t.result_id!r} ({entry.n_buckets} buckets)"
+            )
+        batches = Engine.stream_result_bucket(
+            entry.staged,
+            t.bucket,
+            entry.n_buckets,
+            entry.schema,
+            self.config.batch_rows,
+        )
+        return fl.GeneratorStream(entry.schema, batches)
+
+    def shutdown(self, *args, **kwargs):
+        """Release staged multi-endpoint results, then stop serving."""
+        with self._staged_lock:
+            staged = list(self._staged.values())
+            self._staged.clear()
+        for entry in staged:
+            try:
+                Engine.release_partitioned_result(entry.staged)
+            except Exception:  # noqa: BLE001 - shutdown is best-effort
+                pass
+        return super().shutdown(*args, **kwargs)
 
     def _stream_df(self, engine: Engine, df) -> fl.FlightDataStream:
         # No dictionary-hydration pass here, deliberately: the reference

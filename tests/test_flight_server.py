@@ -487,3 +487,160 @@ class TestMalformedInputs:
                 )
             )
         assert client.execute("SELECT 1 AS x").num_rows == 1
+
+
+class TestMultiEndpoint:
+    """Opt-in multi-endpoint DoGet (round-3 review item #6): with
+    ``result_endpoints > 1`` the server stages the result partition-tagged
+    and returns one FlightEndpoint per bucket, so big results stream over
+    parallel DoGet calls instead of one driver-side iterator. The default
+    stays single-endpoint (reference parity); the reference's own client
+    merges multi-endpoint FlightInfos (table-provider/src/lib.rs:43-53),
+    as do ours and the flightsql DataSource."""
+
+    SQL = "SELECT id, grp FROM wide_result"
+    N = 200_000
+
+    @pytest.fixture(scope="class")
+    def multi_server(self, spark):
+        _register_fixtures(spark)
+        spark.range(0, self.N).selectExpr(
+            "id", "CAST(id % 97 AS INT) AS grp"
+        ).repartition(8, "grp").createOrReplaceTempView("wide_result")
+        srv = FlightSqlServer(
+            Engine(spark),
+            location="grpc://0.0.0.0:0",
+            config=FlightSqlServiceConfig(result_endpoints=4),
+        )
+        threading.Thread(target=srv.serve, daemon=True).start()
+        yield srv
+        srv.shutdown()
+
+    @pytest.fixture(scope="class")
+    def multi_client(self, multi_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{multi_server.port}")
+        yield ex
+        ex.close()
+
+    def test_flight_info_returns_configured_endpoints(self, multi_client):
+        from datafusion_flight_sql_server_spark.protocol.flightsql import (
+            CommandStatementQuery,
+        )
+
+        info = multi_client.flight_info(CommandStatementQuery(query=self.SQL))
+        assert len(info.endpoints) == 4
+        # every ticket distinct, all buckets of one result
+        tickets = [bytes(ep.ticket.ticket) for ep in info.endpoints]
+        assert len(set(tickets)) == 4
+
+    def test_multi_endpoint_merge_matches_single_endpoint(
+        self, multi_client, server
+    ):
+        multi = multi_client.execute(self.SQL).sort_by("id").combine_chunks()
+        single_ex = FlightSQLExecutor(f"grpc://localhost:{server.port}")
+        try:
+            single = single_ex.execute(self.SQL).sort_by("id").combine_chunks()
+        finally:
+            single_ex.close()
+        assert multi.num_rows == single.num_rows == self.N
+        assert multi.schema.equals(single.schema)
+        assert multi.equals(single)
+
+    def test_buckets_disjoint_complete_and_replayable(
+        self, multi_server, multi_client
+    ):
+        from datafusion_flight_sql_server_spark.protocol.flightsql import (
+            CommandStatementQuery,
+        )
+
+        info = multi_client.flight_info(
+            CommandStatementQuery(query="SELECT id FROM wide_result")
+        )
+        raw = fl.FlightClient(f"grpc://localhost:{multi_server.port}")
+        try:
+            counts = []
+            ids: list[int] = []
+            for ep in info.endpoints:
+                bucket_ids = raw.do_get(ep.ticket).read_all().column("id").to_pylist()
+                counts.append(len(bucket_ids))
+                ids.extend(bucket_ids)
+            # union over buckets is exactly the result, no dup, no loss
+            assert sorted(ids) == list(range(self.N))
+            # tickets replay while staged (Spark re-reads a scan's
+            # partition tickets once per action; retries replay them too)
+            replay = raw.do_get(info.endpoints[0].ticket).read_all()
+            assert replay.num_rows == counts[0]
+        finally:
+            raw.close()
+
+    def test_lru_eviction_expires_tickets(self, spark):
+        from datafusion_flight_sql_server_spark.protocol.flightsql import (
+            CommandStatementQuery,
+        )
+
+        srv = FlightSqlServer(
+            Engine(spark),
+            location="grpc://0.0.0.0:0",
+            config=FlightSqlServiceConfig(
+                result_endpoints=2, max_staged_results=1
+            ),
+        )
+        threading.Thread(target=srv.serve, daemon=True).start()
+        ex = FlightSQLExecutor(f"grpc://localhost:{srv.port}")
+        try:
+            old = ex.flight_info(CommandStatementQuery(query="SELECT 1 AS x"))
+            ex.flight_info(CommandStatementQuery(query="SELECT 2 AS y"))  # evicts
+            with pytest.raises(fl.FlightError, match="expired|unknown"):
+                ex._client.do_get(old.endpoints[0].ticket, ex._options).read_all()
+        finally:
+            ex.close()
+            srv.shutdown()
+
+    def test_unknown_and_garbage_partition_tickets(self, multi_client):
+        from datafusion_flight_sql_server_spark.protocol.state import (
+            _PART_TICKET_MAGIC,
+            PartitionedResultTicket,
+        )
+
+        bogus = PartitionedResultTicket("no-such-result", 0, 4).encode()
+        with pytest.raises(fl.FlightError, match="expired|unknown"):
+            multi_client._client.do_get(
+                fl.Ticket(bogus), multi_client._options
+            ).read_all()
+        with pytest.raises(fl.FlightError):
+            multi_client._client.do_get(
+                fl.Ticket(_PART_TICKET_MAGIC + b"\x0c\xde\xad"),
+                multi_client._options,
+            ).read_all()
+        # server survived both
+        assert multi_client.execute("SELECT 1 AS x").num_rows == 1
+
+    def test_datasource_reads_endpoints_as_partitions(self, spark, multi_server):
+        # Loopback scan (same app serves and reads): endpoints must stay
+        # below the task-slot count (local[4] here) or the scan's blocked
+        # DoGet tasks starve the inner jobs that produce the staged result
+        # (prepare_partitioned_result docstring) — so this server serves 2.
+        from datafusion_flight_sql_server_spark.sources import FlightSQLDataSource
+
+        srv = FlightSqlServer(
+            Engine(spark),
+            location="grpc://0.0.0.0:0",
+            config=FlightSqlServiceConfig(result_endpoints=2),
+        )
+        threading.Thread(target=srv.serve, daemon=True).start()
+        try:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+            spark.dataSource.register(FlightSQLDataSource)
+            df = (
+                spark.read.format("flightsql")
+                .option("uri", f"grpc://localhost:{srv.port}")
+                .option("query", self.SQL)
+                .load()
+            )
+            # one Spark input partition per Flight endpoint
+            assert df.rdd.getNumPartitions() == 2
+            assert df.count() == self.N
+            total = df.agg({"id": "sum"}).collect()[0][0]
+            assert total == self.N * (self.N - 1) // 2
+        finally:
+            srv.shutdown()
