@@ -109,6 +109,32 @@ class TicketStatementQuery(Message):
     statement_handle: bytes = b""
 
 
+@dataclass
+class SubstraitPlan(Message):
+    """FlightSql.proto SubstraitPlan: serialized plan + producer version."""
+
+    FIELDS = (
+        Field(1, "plan", "bytes"),
+        Field(2, "version", "string"),
+    )
+    plan: bytes = b""
+    version: str | None = None
+
+
+@dataclass
+class CommandStatementSubstraitPlan(Message):
+    """FlightSql.proto CommandStatementSubstraitPlan (the command the
+    reference consumes at service.rs:349-386; our server consumes the
+    read/project/fetch subset via plans/substrait.py)."""
+
+    FIELDS = (
+        Field(1, "plan", "message", message_type=SubstraitPlan),
+        Field(2, "transaction_id", "bytes"),
+    )
+    plan: SubstraitPlan | None = None
+    transaction_id: bytes | None = None
+
+
 # --- metadata commands -----------------------------------------------------
 
 
@@ -274,6 +300,7 @@ COMMAND_TYPES: dict[str, type[Message]] = {
         CommandPreparedStatementQuery,
         CommandStatementUpdate,
         CommandPreparedStatementUpdate,
+        CommandStatementSubstraitPlan,
         TicketStatementQuery,
         CommandGetCatalogs,
         CommandGetDbSchemas,

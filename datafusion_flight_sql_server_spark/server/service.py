@@ -26,15 +26,16 @@ never holds a whole result (service.rs:186-191 behavior; SURVEY §7 H1).
 
 Declared divergences (client-compat debugging starts here):
 
-- **Substrait** (SURVEY §7 H4, decision kept in round 3): the reference
-  consumes serialized Substrait plans (``get_flight_info_substrait_plan``
-  service.rs:349-386, DoGet branch service.rs:274-303,
-  ``parse_substrait_bytes`` service.rs:1018-1029). Spark has no Substrait
-  consumer; this server answers those commands UNIMPLEMENTED. Clients on
-  JDBC/ADBC-over-Substrait stacks must send SQL text instead. If a future
-  round needs it, the cheapest route is a Substrait→SQL unparse in front of
-  the existing statement path — the ticket dispatch below already routes the
-  commands to one place.
+- **Substrait** (SURVEY §7 H4; narrowed in round 4): the reference hands
+  serialized Substrait plans to DataFusion's full consumer
+  (``get_flight_info_substrait_plan`` service.rs:349-386, DoGet branch
+  service.rs:274-303, ``parse_substrait_bytes`` service.rs:1018-1029).
+  Spark has no Substrait consumer, so this server CONSUMES the
+  read/project/fetch subset via a Substrait→SQL front-end
+  (``plans/substrait.py``) delegating to the statement path, and answers
+  everything beyond it (joins, filters, aggregates, expressions, DML)
+  NOT_IMPLEMENTED with the unsupported construct named — those clients
+  must send SQL text instead.
 - **Dictionary hydration** (service.rs:1072-1083): the reference re-encodes
   dictionary-encoded result fields to their value types before shipping
   ("hydration"). Spark's Arrow export never emits dictionary-encoded
@@ -69,6 +70,7 @@ from datafusion_flight_sql_server_spark.protocol.flightsql import (
     CommandPreparedStatementQuery,
     CommandPreparedStatementUpdate,
     CommandStatementQuery,
+    CommandStatementSubstraitPlan,
     DoPutPreparedStatementResult,
     DoPutUpdateResult,
     Message,
@@ -300,8 +302,9 @@ class FlightSqlServer(fl.FlightServerBase):
                 # parity-plus: reference stubs this (service.rs:518-530);
                 # we answer the minimal name/version/read-only rows
                 return self._info_metadata(command, GET_SQL_INFO_SCHEMA, descriptor)
-            # keys / xdbc / substrait: stub parity
-            # (service.rs:532-592,349-386)
+            if isinstance(command, CommandStatementSubstraitPlan):
+                return self._info_substrait(engine, command, descriptor)
+            # keys / xdbc: stub parity (service.rs:532-592)
             raise NotImplementedError(
                 f"Implement get_flight_info for {type(command).__name__}"
             )
@@ -358,6 +361,27 @@ class FlightSqlServer(fl.FlightServerBase):
         schema = arrow_schema_for_df(df, self.config.schema_with_metadata)
         ticket = CommandTicket(command=command).try_encode()
         return self._flight_info(schema, descriptor, ticket)
+
+    def _info_substrait(
+        self, engine: Engine, command: CommandStatementSubstraitPlan, descriptor
+    ) -> fl.FlightInfo:
+        """Substrait front-end (reference: service.rs:349-386): translate the
+        read/project/fetch subset to SQL (plans/substrait.py) and delegate to
+        the statement path — the minted ticket round-trips as a plain
+        statement, so DoGet needs no Substrait branch (the reference re-plans
+        Substrait bytes at DoGet, service.rs:274-303; we re-plan the
+        translated SQL, same re-plan-per-DoGet contract). Plans outside the
+        subset get NOT_IMPLEMENTED with the unsupported construct named."""
+        from datafusion_flight_sql_server_spark.plans.substrait import (
+            substrait_to_sql,
+        )
+
+        if command.plan is None or not command.plan.plan:
+            raise ValueError("CommandStatementSubstraitPlan without plan bytes")
+        sql = substrait_to_sql(command.plan.plan)
+        return self._info_statement(
+            engine, CommandStatementQuery(query=sql), descriptor
+        )
 
     def _info_metadata(self, command: Message, schema: pa.Schema, descriptor):
         """service.rs:427-516: metadata tickets are the bare Any command."""

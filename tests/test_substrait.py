@@ -1,0 +1,253 @@
+"""Substrait front-end tests: the read/project/fetch subset executes, and
+everything outside it is rejected by name.
+
+The container has no Substrait producer library, so these tests carry their
+own tiny producer built on the repo's protobuf wire codec, with field
+numbers from the public substrait.io protos (plan.proto / algebra.proto /
+type.proto) — independent constants from the consumer's, so a wrong field
+number on either side fails the round-trip rather than cancelling out.
+
+Reference parity: service.rs:349-386 (GetFlightInfo substrait),
+service.rs:274-303 (DoGet re-plan); our consumer is plans/substrait.py.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pyarrow.flight as fl
+import pytest
+
+from datafusion_flight_sql_server_spark.client import FlightSQLExecutor
+from datafusion_flight_sql_server_spark.engine.core import Engine
+from datafusion_flight_sql_server_spark.engine.registry import register_memtable
+from datafusion_flight_sql_server_spark.plans.substrait import (
+    SubstraitMalformed,
+    SubstraitUnsupported,
+    substrait_to_sql,
+)
+from datafusion_flight_sql_server_spark.protocol.flightsql import (
+    CommandStatementSubstraitPlan,
+    SubstraitPlan,
+)
+from datafusion_flight_sql_server_spark.protocol.wire import encode_varint
+from datafusion_flight_sql_server_spark.server import FlightSqlServer
+
+
+# -- minimal test-side Substrait producer ------------------------------------
+
+
+def _len_field(num: int, payload: bytes) -> bytes:
+    return encode_varint((num << 3) | 2) + encode_varint(len(payload)) + payload
+
+
+def _varint_field(num: int, value: int) -> bytes:
+    return encode_varint((num << 3) | 0) + encode_varint(value)
+
+
+def _string_field(num: int, value: str) -> bytes:
+    return _len_field(num, value.encode("utf-8"))
+
+
+def named_struct(names: list[str]) -> bytes:
+    return b"".join(_string_field(1, n) for n in names)
+
+
+def read_rel(table: list[str], columns: list[str], extra: bytes = b"") -> bytes:
+    named_table = b"".join(_string_field(1, n) for n in table)
+    return (
+        _len_field(2, named_struct(columns))  # base_schema
+        + _len_field(7, named_table)  # named_table
+        + extra
+    )
+
+
+def field_ref(index: int) -> bytes:
+    struct_field = _varint_field(1, index)
+    segment = _len_field(2, struct_field)  # ReferenceSegment.struct_field
+    reference = _len_field(1, segment)  # FieldReference.direct_reference
+    return _len_field(2, reference)  # Expression.selection
+
+
+def project_rel(input_rel: bytes, expr_indexes: list[int], emit: list[int] | None) -> bytes:
+    body = _len_field(2, input_rel)
+    for i in expr_indexes:
+        body += _len_field(3, field_ref(i))
+    if emit is not None:
+        emit_msg = b"".join(_varint_field(1, i) for i in emit)
+        body = _len_field(1, _len_field(2, emit_msg)) + body  # RelCommon.emit
+    return body
+
+
+def fetch_rel(input_rel: bytes, count: int, offset: int = 0) -> bytes:
+    body = _len_field(2, input_rel)
+    if offset:
+        body += _varint_field(3, offset)
+    body += _varint_field(4, count)
+    return body
+
+
+def rel(kind: int, body: bytes) -> bytes:
+    return _len_field(kind, body)
+
+
+def plan_bytes(rel_msg: bytes, root_names: list[str] | None = None) -> bytes:
+    if root_names is None:
+        plan_rel = _len_field(1, rel_msg)  # PlanRel.rel
+    else:
+        root = _len_field(1, rel_msg) + b"".join(
+            _string_field(2, n) for n in root_names
+        )
+        plan_rel = _len_field(2, root)  # PlanRel.root
+    return _len_field(3, plan_rel)  # Plan.relations
+
+
+USERS_READ = rel(1, read_rel(["users"], ["id", "name"]))
+
+
+# -- unit: translation -------------------------------------------------------
+
+
+class TestTranslate:
+    def test_read_only(self):
+        sql = substrait_to_sql(plan_bytes(USERS_READ))
+        assert sql == "SELECT `id`, `name` FROM `users`"
+
+    def test_root_names_alias(self):
+        sql = substrait_to_sql(plan_bytes(USERS_READ, ["user_id", "user_name"]))
+        assert sql == (
+            "SELECT `id` AS `user_id`, `name` AS `user_name` FROM `users`"
+        )
+
+    def test_project_emit_remap(self):
+        # project [name] over (id, name): combined = (id, name, name),
+        # emit [2] keeps only the expression output — DataFusion's shape
+        p = rel(7, project_rel(USERS_READ, [1], emit=[2]))
+        assert substrait_to_sql(plan_bytes(p)) == "SELECT `name` FROM `users`"
+
+    def test_fetch_limit(self):
+        p = rel(3, fetch_rel(rel(7, project_rel(USERS_READ, [0], [2])), 2))
+        assert substrait_to_sql(plan_bytes(p)) == (
+            "SELECT `id` FROM `users` LIMIT 2"
+        )
+
+    def test_multipart_table_name(self):
+        r = rel(1, read_rel(["spark_catalog", "default", "users"], ["id"]))
+        assert substrait_to_sql(plan_bytes(r)) == (
+            "SELECT `id` FROM `spark_catalog`.`default`.`users`"
+        )
+
+    def test_rejects_join(self):
+        join_body = _len_field(2, USERS_READ) + _len_field(3, USERS_READ)
+        with pytest.raises(SubstraitUnsupported, match="join"):
+            substrait_to_sql(plan_bytes(rel(6, join_body)))
+
+    def test_rejects_filter_rel(self):
+        with pytest.raises(SubstraitUnsupported, match="filter"):
+            substrait_to_sql(plan_bytes(rel(2, _len_field(2, USERS_READ))))
+
+    def test_rejects_read_filter(self):
+        r = rel(1, read_rel(["users"], ["id"], extra=_len_field(3, field_ref(0))))
+        with pytest.raises(SubstraitUnsupported, match="filter"):
+            substrait_to_sql(plan_bytes(r))
+
+    def test_rejects_virtual_table(self):
+        body = _len_field(2, named_struct(["a"])) + _len_field(5, b"")
+        with pytest.raises(SubstraitUnsupported, match="virtual_table"):
+            substrait_to_sql(plan_bytes(rel(1, body)))
+
+    def test_rejects_scalar_function_expression(self):
+        scalar_fn = _len_field(3, _varint_field(1, 0))  # Expression.scalar_function
+        p = rel(7, _len_field(2, USERS_READ) + _len_field(3, scalar_fn))
+        with pytest.raises(SubstraitUnsupported, match="scalar_function"):
+            substrait_to_sql(plan_bytes(p))
+
+    def test_rejects_fetch_offset(self):
+        p = rel(3, fetch_rel(USERS_READ, 5, offset=3))
+        with pytest.raises(SubstraitUnsupported, match="offset"):
+            substrait_to_sql(plan_bytes(p))
+
+    def test_rejects_multiple_relations(self):
+        two = plan_bytes(USERS_READ) + plan_bytes(USERS_READ)
+        with pytest.raises(SubstraitUnsupported, match="1 plan relation"):
+            substrait_to_sql(two)
+
+    def test_malformed_bytes(self):
+        with pytest.raises(SubstraitMalformed):
+            substrait_to_sql(b"\xde\xad\xbe\xef")
+        with pytest.raises(SubstraitMalformed):
+            substrait_to_sql(b"")
+
+    def test_out_of_range_field_ref(self):
+        p = rel(7, project_rel(USERS_READ, [9], [2]))
+        with pytest.raises(SubstraitUnsupported, match="out of range"):
+            substrait_to_sql(plan_bytes(p))
+
+
+# -- integration: over real TCP ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def substrait_server(spark):
+    register_memtable(
+        spark,
+        "users",
+        [(1, "Alice"), (2, "Bob"), (3, "Charlie")],
+        "id INT NOT NULL, name STRING NOT NULL",
+    )
+    srv = FlightSqlServer(Engine(spark), location="grpc://0.0.0.0:0")
+    threading.Thread(target=srv.serve, daemon=True).start()
+    yield srv
+    srv.shutdown()
+
+
+def _substrait_command(p: bytes) -> CommandStatementSubstraitPlan:
+    return CommandStatementSubstraitPlan(plan=SubstraitPlan(plan=p, version="0.1"))
+
+
+class TestOverWire:
+    def test_project_limit_round_trip(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            p = plan_bytes(
+                rel(3, fetch_rel(rel(7, project_rel(USERS_READ, [1], [2])), 2)),
+                ["who"],
+            )
+            info = ex.flight_info(_substrait_command(p))
+            assert [f.name for f in info.schema] == ["who"]
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert table.num_rows == 2
+            assert set(table.column("who").to_pylist()) <= {
+                "Alice", "Bob", "Charlie"
+            }
+        finally:
+            ex.close()
+
+    def test_unsupported_plan_rejected_over_wire(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            # NotImplementedError maps to ArrowNotImplementedError (itself a
+            # NotImplementedError) client-side — same shape as the server's
+            # other stubs (test_unimplemented_action)
+            join_body = _len_field(2, USERS_READ) + _len_field(3, USERS_READ)
+            with pytest.raises(NotImplementedError, match="join"):
+                ex.flight_info(_substrait_command(plan_bytes(rel(6, join_body))))
+            # server survived
+            assert ex.execute("SELECT 1 AS x").num_rows == 1
+        finally:
+            ex.close()
+
+    def test_garbage_plan_bytes_over_wire(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            # protobuf garbage either fails to parse (INTERNAL FlightError)
+            # or parses to an empty plan (NOT_IMPLEMENTED) — both clean
+            with pytest.raises((fl.FlightError, NotImplementedError)):
+                ex.flight_info(_substrait_command(b"\x00garbage"))
+            with pytest.raises((fl.FlightError, NotImplementedError)):
+                ex.flight_info(_substrait_command(b"\xde\xad\xbe\xef"))
+            assert ex.execute("SELECT 1 AS x").num_rows == 1
+        finally:
+            ex.close()
