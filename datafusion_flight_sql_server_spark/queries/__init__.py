@@ -18,6 +18,7 @@ from datafusion_flight_sql_server_spark.queries import functions_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import windows_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import extensions  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import sources_q  # noqa: F401
+from datafusion_flight_sql_server_spark.queries import pipeline_q  # noqa: F401
 
 #: Verification-priority prefix: the driver produces CORRECTNESS rows for
 #: the FIRST 50 registered queries each round, so ordering decides which
@@ -38,8 +39,16 @@ _PRIORITY = (
     "scan_flight",
     "event_anomaly",
     "pipeline_curate_v2",
-    # tier 2: round-4 registrations go HERE as they land (keep the prefix
-    # at exactly 50 by trimming the tier-3 rotation tail below).
+    # tier 2: round-4 registrations (never driver-checked; the tier-3 tail
+    # below is trimmed to keep the prefix at exactly 50).
+    "text_lm_unigram",
+    "dedup_substring",
+    "embed_matryoshka",
+    "agg_topk_sketch",
+    "event_scd2",
+    "event_attribution",
+    "agg_mode",
+    "sink_zorder",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
     # verdict r3 item #7).  TPC-H headliners and join/agg families first.
@@ -78,6 +87,9 @@ _PRIORITY = (
     "fn_datetime",
     "fn_math",
     "fn_conditional",
+    # ---- position 51+: r1 rotation overflow (trimmed for the round-4
+    # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
+    # in legacy order (all have driver rows already).
     "fn_cast",
     "fn_array",
     "fn_explode",
@@ -86,8 +98,6 @@ _PRIORITY = (
     "scan_star",
     "scan_projection",
     "filter_compare",
-    # ---- position 51+: r1 simple set-ops/filters, then r2/r3-green names
-    # in legacy order (all have driver rows already).
     "filter_predicates",
     "join_cross",
     "agg_count_star",

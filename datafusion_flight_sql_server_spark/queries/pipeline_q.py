@@ -1,0 +1,461 @@
+"""Round-4 query additions: training-data curation signals and warehouse
+modeling operators.
+
+Beyond-reference extensions (SURVEY.md §2.C): the reference engine's SQL
+surface (reference: datafusion-flight-sql-server/src/service.rs:214-247
+delegates to the embedded engine) has no LM-scoring / substring-dedup /
+recall-evaluation / CDC primitives — these are the operators a large-scale
+training-data pipeline layers on top, expressed Spark-first.
+
+Exactness discipline (catalog.py module docstring): every score that must
+hash-match the DuckDB oracle is integer/decimal arithmetic (ppm values via
+BIGINT integer division, micros via unix_micros/epoch_us) — no libm in the
+compared output. Cosines reuse the round-6 idiom already driver-verified by
+``dedup_embed_cosine``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from datafusion_flight_sql_server_spark.queries.catalog import query, tables
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model quality score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_lm_unigram",
+    oracle="""
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_filter(string_split(lower(text), ' '),
+                                               x -> x <> '')) AS word
+                     FROM documents),
+             gc AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+             tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                            CAST(COUNT(*) AS BIGINT) AS v
+                     FROM gc),
+             per_doc AS (SELECT t.doc_id,
+                                CAST(COUNT(*) AS BIGINT) AS n_tok,
+                                CAST(SUM(g.c) AS BIGINT) AS sum_c
+                         FROM tok t JOIN gc g ON t.word = g.word
+                         GROUP BY t.doc_id)
+        SELECT d.doc_id, d.n_tok,
+               CAST((1000000 * (d.sum_c + d.n_tok))
+                    // (d.n_tok * (tot.n + tot.v)) AS BIGINT) AS lm_score_ppm
+        FROM per_doc d CROSS JOIN tot
+    """,
+    doc="CCNet-style unigram language-model quality score: train token "
+    "frequencies over the corpus itself, then score each document by its "
+    "mean add-one-smoothed token probability, reported in exact ppm — "
+    "(sum_c + n_tok) * 1e6 DIV (n_tok * (N + V)). Common/fluent text "
+    "scores high; rare-token noise scores low — the standard perplexity "
+    "filter with the log replaced by an exact rational mean so both "
+    "engines hash-match bit-for-bit (no libm). Scale: the count table is "
+    "vocab-sized; scoring is one (word) equi-join shuffle of the exploded "
+    "token stream plus one doc_id aggregation; the corpus-total spine is "
+    "a broadcast 1-row cross join. No all-pairs, no UDF.",
+    tags=("text", "quality", "lm"),
+)
+def q_text_lm_unigram(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("word"),
+    )
+    gc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = gc.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    per_doc = (
+        tok.join(gc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("c").cast("bigint").alias("sum_c"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            "CAST((1000000 * (sum_c + n_tok)) DIV (n_tok * (n + v)) AS BIGINT)"
+        ).alias("lm_score_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-substring dedup signal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_substring",
+    oracle="""
+        WITH w AS (SELECT doc_id,
+                          list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '') AS a
+                   FROM documents),
+             sh AS (SELECT doc_id,
+                           md5(unnest(list_transform(range(1, len(a) - 3),
+                               i -> array_to_string(a[i:i+4], ' ')))) AS sid
+                    FROM w WHERE len(a) >= 5),
+             df AS (SELECT sid, COUNT(DISTINCT doc_id) AS ndoc
+                    FROM sh GROUP BY sid)
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN df.ndoc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               CAST((1000000 * SUM(CASE WHEN df.ndoc >= 2 THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT) AS dup_ppm
+        FROM sh s JOIN df ON s.sid = df.sid
+        GROUP BY s.doc_id
+    """,
+    doc="Exact-substring dedup signal (the word-shingle form of Lee et al. "
+    "2021 'Deduplicating Training Data Makes Language Models Better'): "
+    "every 5-word shingle is fingerprinted (md5), shingles occurring in "
+    ">= 2 distinct documents are 'duplicated spans', and each document "
+    "reports its duplicated-shingle fraction in exact ppm. Downstream "
+    "gates drop or trim high-dup_ppm docs. Scale: suffix arrays don't "
+    "distribute; shingle fingerprints do — the plan is explode (map-side) "
+    "-> one (sid) shuffle for doc-frequency -> one (sid) equi-join back "
+    "-> one doc_id aggregation. Shingle strings never shuffle (only "
+    "128-bit fingerprints); no all-pairs comparison exists anywhere.",
+    tags=("dedup", "text"),
+)
+def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    sh = (
+        d.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("a"),
+        )
+        .filter(F.size("a") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 4),"
+                    "          i -> md5(concat_ws(' ', slice(a, i, 5))))"
+                )
+            ).alias("sid"),
+        )
+    )
+    df = sh.groupBy("sid").agg(F.count_distinct("doc_id").alias("ndoc"))
+    return (
+        sh.join(df, "sid")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("ndoc") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.expr("CAST((1000000 * n_dup) DIV n_shingles AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-truncation recall evaluation
+# ---------------------------------------------------------------------------
+
+_DOT = "list_dot_product({a}, {b})"
+_COS6 = (
+    "ROUND(CASE WHEN sqrt(list_dot_product({a},{a})) > 0 "
+    "AND sqrt(list_dot_product({b},{b})) > 0 "
+    "THEN list_dot_product({a},{b}) / "
+    "(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) "
+    "ELSE 0.0 END, 6)"
+)
+
+
+@query(
+    "embed_matryoshka",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+             q AS (SELECT vec_id AS q_id, v AS qv, v[1:32] AS qh
+                   FROM e WHERE vec_id <= 8),
+             c AS (SELECT vec_id AS c_id, v AS cv, v[1:32] AS ch
+                   FROM e WHERE vec_id > 8),
+             p AS (SELECT q_id, c_id,
+                          {_COS6.format(a="qv", b="cv")} AS cos_full,
+                          {_COS6.format(a="qh", b="ch")} AS cos_half
+                   FROM q CROSS JOIN c),
+             rf AS (SELECT q_id, c_id,
+                           ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_full DESC, c_id) AS rn
+                    FROM p),
+             rh AS (SELECT q_id, c_id,
+                           ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_half DESC, c_id) AS rn
+                    FROM p)
+        SELECT f.q_id,
+               CAST(COUNT(h.c_id) AS BIGINT) AS n_overlap,
+               CAST((1000000 * COUNT(h.c_id)) // 10 AS BIGINT) AS recall_ppm
+        FROM (SELECT * FROM rf WHERE rn <= 10) f
+        LEFT JOIN (SELECT * FROM rh WHERE rn <= 10) h
+               ON f.q_id = h.q_id AND f.c_id = h.c_id
+        GROUP BY f.q_id
+    """,
+    doc="Matryoshka-embedding evaluation: for 8 probe queries, compare "
+    "exact cosine top-10 under the full 64-dim embedding vs the first-32-"
+    "dims truncation (cosine is scale-invariant, so truncation needs no "
+    "renormalization for ranking) and report recall@10 in exact ppm. This "
+    "is the measurement that justifies storing/searching truncated "
+    "vectors at 100 TB (half the bytes, ~2x the scan rate). Scale: an "
+    "EVALUATION harness by design — the probe set is a tiny broadcast "
+    "side (8 rows) against the corpus, so the 'cross join' is a "
+    "broadcast nested loop over a sampled probe set, never corpus x "
+    "corpus; ranks are per-query windows over candidate rows. Cosine "
+    "round-6 with c_id tie-break, the idiom driver-verified by "
+    "dedup_embed_cosine.",
+    tags=("similarity", "embedding", "eval"),
+)
+def q_embed_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.functions.vector import cosine
+
+    e = tables(spark, sf)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qs = e.filter(F.col("vec_id") <= 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.slice("v", 1, 32).alias("qh"),
+    )
+    cs = e.filter(F.col("vec_id") > 8).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.slice("v", 1, 32).alias("ch"),
+    )
+    pairs = F.broadcast(qs).crossJoin(cs).select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_full"),
+        F.round(cosine(F.col("qh"), F.col("ch")), 6).alias("cos_half"),
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("cos_full").desc(), "c_id")
+    wh = W.partitionBy("q_id").orderBy(F.col("cos_half").desc(), "c_id")
+    top_f = (
+        pairs.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id")
+    )
+    top_h = (
+        pairs.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", F.col("c_id").alias("h_id"))
+    )
+    return (
+        top_f.join(
+            top_h,
+            (top_f.q_id == top_h.q_id) & (top_f.c_id == top_h.h_id),
+            "left",
+        )
+        .groupBy(top_f.q_id.alias("q_id"))
+        .agg(F.count("h_id").cast("bigint").alias("n_overlap"))
+        .select(
+            "q_id",
+            "n_overlap",
+            F.expr("CAST((1000000 * n_overlap) DIV 10 AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable heavy-hitter sketch (Misra-Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+_MG_CAPACITY = 256
+_MG_TOPK = 20
+
+
+@query(
+    "agg_topk_sketch",
+    oracle=f"""
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS word
+              FROM documents)
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT {_MG_TOPK}
+    """,
+    doc=f"Sketch-based heavy hitters: per-partition Misra-Gries summaries "
+    f"(capacity {_MG_CAPACITY} counters, Arrow-batched mapInArrow — the "
+    f"mergeable summary of Agarwal et al. 2012) nominate candidates, then "
+    f"an exact recount restricted to the candidate set (broadcast semi-"
+    f"join) emits the top-{_MG_TOPK}. Guarantee: any token with global "
+    f"count > N/{_MG_CAPACITY} must exceed its partition's local "
+    f"threshold somewhere (pigeonhole), so it survives into the candidate "
+    f"set — the output is provably the EXACT top-{_MG_TOPK} whenever the "
+    f"{_MG_TOPK}th true count clears N/{_MG_CAPACITY}, which the operator "
+    f"verifies at runtime and raises otherwise (no silent approximation). "
+    f"Scale: pass 1 shuffles only {_MG_CAPACITY} counters per partition "
+    f"(vs a full (word) shuffle of the token stream); pass 2 shuffles "
+    f"only candidate-token rows. At 100 TB that's the difference between "
+    f"shuffling ~100 TB of tokens and shuffling megabytes.",
+    tags=("agg", "sketch", "text"),
+)
+def q_agg_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.heavy_hitters import (
+        topk_exact_via_sketch,
+    )
+
+    d = tables(spark, sf)["documents"]
+    tok = d.select(
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("word")
+    )
+    return topk_exact_via_sketch(
+        tok, "word", k=_MG_TOPK, capacity=_MG_CAPACITY
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 dimension build from an event stream (CDC pattern)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_scd2",
+    oracle="""
+        WITH o AS (SELECT user_id, event_type,
+                          CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                          LAG(event_type) OVER w AS prev
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             seg AS (SELECT user_id, event_type, ts_us
+                     FROM o WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id,
+               event_type AS state,
+               ts_us AS valid_from_us,
+               LEAD(ts_us) OVER w2 AS valid_to_us,
+               CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+        FROM seg
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)
+    """,
+    doc="Slowly-changing-dimension type-2 build (the CDC merge pattern): "
+    "collapse each user's event stream into versioned state intervals — "
+    "a new version opens whenever event_type changes; valid_to_us is the "
+    "next version's open (NULL = current). Timestamps are exact epoch "
+    "micros; ordering ties break on event_id. Scale: two windows over "
+    "the same (user_id) partitioning — Catalyst reuses one Exchange; no "
+    "joins, no driver state. This is how a 100 TB event log becomes a "
+    "point-in-time-queryable dimension table.",
+    tags=("events", "cdc", "warehouse"),
+)
+def q_event_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    ev = tables(spark, sf)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").cast("bigint").alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    seg = o.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w2 = W.partitionBy("user_id").orderBy("ts_us")
+    return seg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+@query(
+    "event_attribution",
+    oracle=f"""
+        WITH o AS (SELECT user_id, event_type, value,
+                          CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                          LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                          THEN struct_pack(
+                                              ts_us := CAST(epoch_us(ts) AS BIGINT),
+                                              etype := event_type) END IGNORE NULLS)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS touch
+                   FROM events),
+             p AS (SELECT CASE WHEN touch IS NOT NULL
+                               AND ts_us - touch.ts_us <= {_ATTR_WINDOW_US}
+                               THEN touch.etype ELSE 'direct' END AS channel,
+                          value
+                   FROM o WHERE event_type = 'purchase')
+        SELECT channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM p
+        GROUP BY channel
+    """,
+    doc="Last-touch marketing attribution: each purchase is credited to "
+    "the user's most recent preceding view/click within a 7-day window "
+    "(else 'direct'), then purchases and exact-decimal revenue aggregate "
+    "per channel. The carried touch is a (ts, type) struct through a "
+    "running last_value IGNORE NULLS window — micros arithmetic, no "
+    "libm. Scale: one window over (user_id) partitions plus one tiny "
+    "channel aggregation; the event stream shuffles once.",
+    tags=("events", "warehouse"),
+)
+def q_event_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    ev = tables(spark, sf)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("view", "click"),
+            F.struct(
+                F.unix_micros("ts").cast("bigint").alias("ts_us"),
+                F.col("event_type").alias("etype"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    o = ev.select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").cast("bigint").alias("ts_us"),
+        touch.alias("touch"),
+    )
+    p = o.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch").isNotNull()
+            & (F.col("ts_us") - F.col("touch.ts_us") <= F.lit(_ATTR_WINDOW_US)),
+            F.col("touch.etype"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    return p.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue"),
+    )

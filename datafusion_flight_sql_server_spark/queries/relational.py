@@ -518,6 +518,42 @@ def q_agg_bool(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "agg_mode",
+    oracle="""
+        WITH wc AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+                    FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        SELECT o_orderstatus,
+               MAX(struct_pack(c := c, o_orderpriority := o_orderpriority))
+                   .o_orderpriority AS mode_priority,
+               CAST(MAX(struct_pack(c := c,
+                                    o_orderpriority := o_orderpriority))
+                   .c AS BIGINT) AS mode_count
+        FROM wc
+        GROUP BY o_orderstatus
+    """,
+    doc="Exact per-group mode with a deterministic tie-break: the modal "
+    "o_orderpriority per order status, ties broken toward the lexically "
+    "larger value so the struct-max argmax is total. Spark's built-in "
+    "mode() is non-deterministic on ties, so the portable form is count + "
+    "max(struct(c, value)) — both stages partial-aggregate map-side (no "
+    "window, no per-group buffers), the same scale shape as "
+    "dedup_exact_keepbest. Shuffle: (status, priority) counts then a "
+    "status-keyed argmax.",
+    tags=("agg",),
+)
+def q_agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    wc = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    best = F.max(F.struct(F.col("c"), F.col("o_orderpriority")))
+    return wc.groupBy("o_orderstatus").agg(
+        best.getField("o_orderpriority").alias("mode_priority"),
+        best.getField("c").cast("bigint").alias("mode_count"),
+    )
+
+
+@query(
     "agg_rollup",
     oracle=f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -186,6 +186,75 @@ def q_sink_clustered(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from datafusion_flight_sql_server_spark.operators.sink import zorder_sql
+
+    z = zorder_sql("xs", "ys", bits=16, idiv="//")
+    bucket_div = (1 << 32) // 8
+    return f"""
+        WITH mm AS (SELECT MIN(l_partkey) AS xmin, MAX(l_partkey) AS xmax,
+                           MIN(l_suppkey) AS ymin, MAX(l_suppkey) AS ymax
+                    FROM lineitem),
+             s AS (SELECT ((l_partkey - xmin) * 65535)
+                              // GREATEST(xmax - xmin, 1) AS xs,
+                          ((l_suppkey - ymin) * 65535)
+                              // GREATEST(ymax - ymin, 1) AS ys
+                   FROM lineitem CROSS JOIN mm),
+             z AS (SELECT xs, ys, {z} AS zv FROM s)
+        SELECT CAST(zv // {bucket_div} AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(xs) AS BIGINT) AS xs_min,
+               CAST(MAX(xs) AS BIGINT) AS xs_max,
+               CAST(MIN(ys) AS BIGINT) AS ys_min,
+               CAST(MAX(ys) AS BIGINT) AS ys_max
+        FROM z
+        GROUP BY bucket
+    """
+
+
+@query(
+    "sink_zorder",
+    oracle=_zorder_oracle(),
+    doc="Z-order-clustered parquet sink round-trip (operators/sink.py "
+    "write_zorder): lineitem written with (l_partkey, l_suppkey) Morton-"
+    "interleaved into 8 z-buckets, one directory per bucket, z-sorted "
+    "within. Each bucket covers a small RECTANGLE of the 2-D key space "
+    "(per-bucket bounding boxes asserted <= 1/8 of the full area in "
+    "tests/test_sink.py), so footer min/max stats skip files for "
+    "predicates on EITHER key — the Delta/Iceberg OPTIMIZE ZORDER layout "
+    "on stock parquet, complementing sink_clustered's single-key "
+    "clustering. The z code is pure integer arithmetic (zorder_sql) that "
+    "evaluates bit-identically on Spark (DIV) and DuckDB (//); bucket "
+    "boundaries are deterministic top-z-bits, not sampled ranges. The "
+    "query aggregates the READ-BACK files, so the driver hash certifies "
+    "the round-tripped layout, not the in-memory plan.",
+    tags=("sink",),
+)
+def q_sink_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from datafusion_flight_sql_server_spark.operators.sink import write_zorder
+
+    li = tables(spark, sf)["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    out = str(
+        Path(tempfile.gettempdir()) / f"sgraft_sink_zorder_{Path(sf).name}"
+    )
+    write_zorder(li, out, "l_partkey", "l_suppkey", bits=16, n_buckets=8)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("__zbucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("__zx").cast("bigint").alias("xs_min"),
+            F.max("__zx").cast("bigint").alias("xs_max"),
+            F.min("__zy").cast("bigint").alias("ys_min"),
+            F.max("__zy").cast("bigint").alias("ys_max"),
+        )
+    )
+
+
 @query(
     "param_bind_positional",
     oracle="""

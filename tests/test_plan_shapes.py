@@ -155,6 +155,52 @@ class TestPipelineOpPlans:
         assert "SortMergeJoin" not in plan
 
 
+class TestRound4PlanShapes:
+    def test_dedup_substring_no_cartesian_equi_joins_only(self, spark):
+        # shingle doc-frequency joins back on the md5 fingerprint — an
+        # equi-join on a hash key, never an all-pairs comparison
+        plan = _executed_plan(_run(spark, "dedup_substring"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_text_lm_unigram_corpus_totals_broadcast(self, spark):
+        # the (N, V) spine is a 1-row broadcast; the token->count join is
+        # an equi-join (broadcast at test SF, shuffle-hash at scale)
+        plan = _executed_plan(_run(spark, "text_lm_unigram"))
+        assert "IdentityBroadcastMode" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_embed_matryoshka_probes_build_broadcast_side(self, spark):
+        # the 8-row probe set must be the BUILD side of the nested-loop
+        # join (corpus streams, probes broadcast); top-10 per probe must
+        # engage the rank-limit pushdown rather than ranking all pairs
+        plan = _executed_plan(_run(spark, "embed_matryoshka"))
+        assert "BroadcastNestedLoopJoin BuildLeft" in plan
+        assert "CartesianProduct" not in plan
+        assert "WindowGroupLimit" in plan
+
+    def test_event_scd2_one_exchange_no_joins(self, spark):
+        # both windows run on the same (user_id) partitioning: Catalyst
+        # must plan exactly one shuffle and zero joins
+        plan = _executed_plan(_run(spark, "event_scd2"))
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_event_attribution_no_joins(self, spark):
+        # touch carry is a running window, not a self-join; the only
+        # shuffles are (user_id) for the window and the tiny channel agg
+        plan = _executed_plan(_run(spark, "event_attribution"))
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 2
+
+    def test_agg_mode_no_window(self, spark):
+        # argmax via max(struct): two partial-aggregated aggregations,
+        # no per-group window sort of the raw stream
+        plan = _executed_plan(_run(spark, "agg_mode"))
+        assert "Join" not in plan
+        assert "Window" not in plan
+
+
 class TestApproxAggregation:
     def test_approx_percentile_partial_agg(self, spark):
         """The scale path for quantiles is approx_percentile ALONE: its
