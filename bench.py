@@ -56,6 +56,11 @@ HEADLINE = (
     # round-2-late additions
     "doc_chunk",
     "graph_pagerank",
+    # round-4 additions (DuckDB baselines recorded in BASELINE.md round-4
+    # section; dedup_substring is the second query with ~1 s of real
+    # baseline work)
+    "dedup_substring",
+    "text_lm_unigram",
 )
 
 WARMUP_RUNS = 1

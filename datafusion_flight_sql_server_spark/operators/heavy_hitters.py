@@ -1,4 +1,4 @@
-"""Mergeable heavy-hitter sketch: distributed Misra-Gries candidates with an
+"""Mergeable heavy-hitter sketch: distributed Space-Saving candidates with an
 exact verification pass.
 
 The reference engine exposes no frequent-items surface (its aggregate set is
@@ -12,13 +12,17 @@ scale (trillions of shingles / n-grams), so the exact plan's shuffle IS the
 bottleneck. The sketch plan shuffles ``capacity`` counters per partition in
 pass 1 and only candidate-key rows in pass 2 — megabytes, not terabytes.
 
-Algorithm (Misra-Gries 1982; mergeability per Agarwal et al., "Mergeable
-Summaries", PODS 2012):
+Algorithm (Space-Saving, Metwally et al. 2005; mergeability per Agarwal et
+al., "Mergeable Summaries", PODS 2012):
 
-- pass 1 (mapInArrow, one summary per partition): maintain ``capacity``
-  counters; on overflow decrement all and evict zeros. Each surviving counter
-  is a lower bound on the partition-local count, undercounting by at most
-  ``n_p / capacity``.
+- pass 1 (mapInArrow, one summary per partition): each Arrow batch is
+  pre-aggregated vectorized (``value_counts`` — the Python loop touches
+  distinct-keys-per-batch, not rows), then folded into ``capacity``
+  counters with weighted Space-Saving updates (an unseen key evicts the
+  minimum counter and inherits its value as overestimation). Every key
+  whose partition-local count exceeds ``n_p / capacity`` is guaranteed
+  present in the summary (the min counter never exceeds ``n_p /
+  capacity``).
 - candidate union: any key whose GLOBAL count exceeds ``N / capacity`` must
   exceed ``n_p / capacity`` in at least one partition (pigeonhole), so it
   appears in at least one partition summary. The union of summaries is
@@ -27,8 +31,9 @@ Summaries", PODS 2012):
   semi-join pushes the filter map-side) and take the exact top-k.
 
 The result is provably the exact top-k whenever the k-th true count clears
-``N / capacity``; the operator checks that bound at runtime and raises
-instead of silently degrading.
+``N / capacity``; the operator checks that bound at runtime — using the
+partition totals carried inside the summaries, no extra corpus scan — and
+raises instead of silently degrading.
 """
 
 from __future__ import annotations
@@ -38,9 +43,19 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Key of the in-band partition-total row in a summary (empty string cannot
+#: collide: the operators feed tokenized non-empty keys, and the total row is
+#: tagged with w = -n so it is unambiguous even if an empty key slipped in).
+_TOTAL_KEY = ""
 
-def misra_gries_partials(df: DataFrame, col: str, capacity: int) -> DataFrame:
-    """Per-partition Misra-Gries summaries: (key, weight lower bound)."""
+
+def space_saving_partials(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Per-partition Space-Saving summaries: (key, count upper bound ``w``).
+
+    Each summary also carries one total row ``(key='', w=-n_p)`` recording
+    the partition's item count, so callers can reconstruct the global N
+    without re-scanning the input.
+    """
     import pyarrow as pa
 
     schema = pa.schema(
@@ -48,27 +63,35 @@ def misra_gries_partials(df: DataFrame, col: str, capacity: int) -> DataFrame:
     )
 
     def summarize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
         counters: dict[str, int] = {}
+        total = 0
         for batch in batches:
-            for key in batch.column(0).to_pylist():
+            # vectorized pre-aggregation: the fold below iterates over the
+            # batch's DISTINCT keys, not its rows
+            vc = pc.value_counts(batch.column(0))
+            for item in vc.to_pylist():
+                key = item["values"]
                 if key is None:
                     continue
+                w = item["counts"]
+                total += w
                 if key in counters:
-                    counters[key] += 1
+                    counters[key] += w
                 elif len(counters) < capacity:
-                    counters[key] = 1
+                    counters[key] = w
                 else:
-                    # decrement-all step; evict zeroed counters
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
-        if counters:
+                    # weighted Space-Saving eviction: replace the minimum
+                    # counter; the newcomer inherits its value (overestimate)
+                    victim = min(counters, key=counters.get)
+                    counters[key] = counters.pop(victim) + w
+        if total:
             yield pa.RecordBatch.from_pydict(
-                {"key": list(counters), "w": list(counters.values())},
+                {
+                    "key": [_TOTAL_KEY, *counters],
+                    "w": [-total, *counters.values()],
+                },
                 schema=schema,
             )
 
@@ -90,13 +113,15 @@ def topk_exact_via_sketch(
             f"topk_exact_via_sketch: k={k} must be < capacity={capacity} "
             f"for the N/capacity guarantee to be meaningful."
         )
-    # Candidate union: every key surviving any partition summary. Weights are
-    # only used to prune nothing here — correctness needs the full union.
-    candidates = (
-        misra_gries_partials(df, col, capacity)
-        .groupBy("key")
-        .agg(F.sum("w").alias("w_lb"))
-        .select("key")
+    # One pass over the partials: negative-weight rows sum to -N; the rest
+    # form the candidate union (every key surviving any partition summary —
+    # correctness needs the full union, so nothing is pruned here).
+    partials = space_saving_partials(df, col, capacity).collect()
+    total = -sum(r.w for r in partials if r.w < 0)
+    candidate_keys = sorted({r.key for r in partials if r.w > 0})
+    spark = df.sparkSession
+    candidates = spark.createDataFrame(
+        [(key,) for key in candidate_keys], "key string"
     )
     exact = (
         df.join(
@@ -109,7 +134,6 @@ def topk_exact_via_sketch(
 
     # Runtime certificate: the k-th exact count must clear N / capacity, else
     # a non-candidate key could in principle belong in the top-k.
-    total = df.where(F.col(col).isNotNull()).count()
     rows = top.collect()  # k rows — driver-sized by construction
     if len(rows) == k and rows[-1]["n"] * capacity <= total:
         raise ValueError(
@@ -117,5 +141,4 @@ def topk_exact_via_sketch(
             f"{rows[-1]['n']} <= N/capacity = {total}/{capacity}; raise "
             f"capacity."
         )
-    spark = df.sparkSession
     return spark.createDataFrame(rows, schema=top.schema)

@@ -55,10 +55,14 @@ from datafusion_flight_sql_server_spark.queries.catalog import query, tables
     "(sum_c + n_tok) * 1e6 DIV (n_tok * (N + V)). Common/fluent text "
     "scores high; rare-token noise scores low — the standard perplexity "
     "filter with the log replaced by an exact rational mean so both "
-    "engines hash-match bit-for-bit (no libm). Scale: the count table is "
-    "vocab-sized; scoring is one (word) equi-join shuffle of the exploded "
-    "token stream plus one doc_id aggregation; the corpus-total spine is "
-    "a broadcast 1-row cross join. No all-pairs, no UDF.",
+    "engines hash-match bit-for-bit (no libm). Scale: the token stream is "
+    "exploded ONCE and immediately partial-aggregated to distinct "
+    "(doc_id, word) pairs; corpus frequencies come from a (word)-"
+    "partitioned window over those pairs (no token-stream self-join), the "
+    "doc score is one doc_id aggregation, and the 1-row (N, V) corpus "
+    "spine — derived from the same word-partitioned pass, whose exchange "
+    "Catalyst reuses — reaches every doc as a broadcast. No all-pairs, "
+    "no UDF.",
     tags=("text", "quality", "lm"),
 )
 def q_text_lm_unigram(spark: SparkSession, sf: str) -> DataFrame:
@@ -69,17 +73,18 @@ def q_text_lm_unigram(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("filter(split(lower(text), ' '), x -> x != '')")
         ).alias("word"),
     )
-    gc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    tot = gc.agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.count(F.lit(1)).cast("bigint").alias("v"),
+    dc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
+    wdc = dc.withColumn("c", F.sum("k").over(W.partitionBy("word")))
+    per_doc = wdc.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_tok"),
+        F.sum(F.col("k") * F.col("c")).cast("bigint").alias("sum_c"),
     )
-    per_doc = (
-        tok.join(gc, "word")
-        .groupBy("doc_id")
+    tot = (
+        wdc.groupBy("word")
+        .agg(F.first("c").alias("c"))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
-            F.sum("c").cast("bigint").alias("sum_c"),
+            F.sum("c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("v"),
         )
     )
     return per_doc.crossJoin(F.broadcast(tot)).select(
@@ -124,10 +129,15 @@ def q_text_lm_unigram(spark: SparkSession, sf: str) -> DataFrame:
     ">= 2 distinct documents are 'duplicated spans', and each document "
     "reports its duplicated-shingle fraction in exact ppm. Downstream "
     "gates drop or trim high-dup_ppm docs. Scale: suffix arrays don't "
-    "distribute; shingle fingerprints do — the plan is explode (map-side) "
-    "-> one (sid) shuffle for doc-frequency -> one (sid) equi-join back "
-    "-> one doc_id aggregation. Shingle strings never shuffle (only "
-    "128-bit fingerprints); no all-pairs comparison exists anywhere.",
+    "distribute; shingle fingerprints do — the plan is one straight-line "
+    "lineage: explode+md5 (map-side, computed ONCE) -> partial-aggregated "
+    "(doc_id, sid) instance counts -> a (sid)-partitioned window for "
+    "doc-frequency (pairs are distinct per doc after the aggregate, so "
+    "count(*) over the sid partition IS the doc-frequency; no self-join, "
+    "no second pass over the corpus) -> one doc_id aggregation. Shingle "
+    "strings never shuffle (only 128-bit fingerprints), and only distinct "
+    "(doc, shingle) pairs cross the wire after the first partial "
+    "aggregation; no all-pairs comparison exists anywhere.",
     tags=("dedup", "text"),
 )
 def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
@@ -148,13 +158,14 @@ def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("sid"),
         )
     )
-    df = sh.groupBy("sid").agg(F.count_distinct("doc_id").alias("ndoc"))
+    pairs = sh.groupBy("doc_id", "sid").agg(F.count(F.lit(1)).alias("inst"))
+    ndoc = F.count(F.lit(1)).over(W.partitionBy("sid"))
     return (
-        sh.join(df, "sid")
+        pairs.withColumn("ndoc", ndoc)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(F.when(F.col("ndoc") >= 2, 1).otherwise(0))
+            F.sum("inst").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("ndoc") >= 2, F.col("inst")).otherwise(0))
             .cast("bigint")
             .alias("n_dup"),
         )
@@ -279,7 +290,7 @@ def q_embed_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Mergeable heavy-hitter sketch (Misra-Gries candidates + exact verify)
+# Mergeable heavy-hitter sketch (Space-Saving candidates + exact verify)
 # ---------------------------------------------------------------------------
 
 _MG_CAPACITY = 256
@@ -297,9 +308,10 @@ _MG_TOPK = 20
         ORDER BY n DESC, word
         LIMIT {_MG_TOPK}
     """,
-    doc=f"Sketch-based heavy hitters: per-partition Misra-Gries summaries "
-    f"(capacity {_MG_CAPACITY} counters, Arrow-batched mapInArrow — the "
-    f"mergeable summary of Agarwal et al. 2012) nominate candidates, then "
+    doc=f"Sketch-based heavy hitters: per-partition Space-Saving summaries "
+    f"(capacity {_MG_CAPACITY} counters, Arrow-batched mapInArrow with "
+    f"vectorized value_counts pre-aggregation — the mergeable summary "
+    f"family of Agarwal et al. 2012) nominate candidates, then "
     f"an exact recount restricted to the candidate set (broadcast semi-"
     f"join) emits the top-{_MG_TOPK}. Guarantee: any token with global "
     f"count > N/{_MG_CAPACITY} must exceed its partition's local "

@@ -1,4 +1,4 @@
-"""Misra-Gries heavy-hitter operator: sketch guarantee, exactness
+"""Space-Saving heavy-hitter operator: sketch guarantee, exactness
 certificate, and adversarial streams (operators/heavy_hitters.py)."""
 
 from __future__ import annotations
@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datafusion_flight_sql_server_spark.operators.heavy_hitters import (
-    misra_gries_partials,
+    space_saving_partials,
     topk_exact_via_sketch,
 )
 
@@ -18,30 +18,35 @@ def _stream(spark, items, partitions=4):
     ).repartition(partitions)
 
 
-class TestMisraGries:
+class TestSpaceSaving:
     def test_partials_contain_every_partition_heavy_key(self, spark):
         # 'hot' is > n/capacity globally, so it must survive into the union
         items = ["hot"] * 400 + [f"cold{i}" for i in range(900)]
         df = _stream(spark, items, partitions=4)
-        partials = misra_gries_partials(df, "word", capacity=8).collect()
-        keys = {r.key for r in partials}
+        partials = space_saving_partials(df, "word", capacity=8).collect()
+        keys = {r.key for r in partials if r.w > 0}
         assert "hot" in keys
-        # summaries are bounded: at most capacity counters per partition
-        assert len(partials) <= 8 * 4
+        # summaries are bounded: at most capacity counters + 1 total row
+        # per partition, and the total rows reconstruct N exactly
+        assert len(partials) <= (8 + 1) * 4
+        assert -sum(r.w for r in partials if r.w < 0) == len(items)
 
-    def test_weights_are_lower_bounds(self, spark):
+    def test_weights_are_upper_bounds(self, spark):
+        # Space-Saving counters OVERestimate (an evicted minimum's value is
+        # inherited), and a key's counter is always >= its true local count
         items = ["a"] * 100 + ["b"] * 50 + [f"x{i}" for i in range(200)]
         df = _stream(spark, items, partitions=2)
         merged = {
             r.key: r.w
-            for r in misra_gries_partials(df, "word", capacity=16)
+            for r in space_saving_partials(df, "word", capacity=16)
+            .filter(F.col("w") > 0)
             .groupBy("key")
             .agg(F.sum("w").alias("w"))
             .collect()
         }
         true = {"a": 100, "b": 50}
         for k, n in true.items():
-            assert merged.get(k, 0) <= n
+            assert merged.get(k, 0) >= n
 
     def test_topk_is_exact_when_certified(self, spark):
         items = (
