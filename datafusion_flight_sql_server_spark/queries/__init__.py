@@ -49,6 +49,10 @@ _PRIORITY = (
     "event_attribution",
     "agg_mode",
     "sink_zorder",
+    "dedup_source_overlap",
+    "corpus_drift",
+    "text_tfidf",
+    "multimodal_dedup",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
     # verdict r3 item #7).  TPC-H headliners and join/agg families first.
@@ -83,13 +87,13 @@ _PRIORITY = (
     "subquery_exists",
     "subquery_correlated_scalar",
     "fn_string",
+    # ---- position 51+: r1 rotation overflow (trimmed for the round-4
+    # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
+    # in legacy order (all have driver rows already).
     "fn_regex",
     "fn_datetime",
     "fn_math",
     "fn_conditional",
-    # ---- position 51+: r1 rotation overflow (trimmed for the round-4
-    # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
-    # in legacy order (all have driver rows already).
     "fn_cast",
     "fn_array",
     "fn_explode",

@@ -471,3 +471,233 @@ def q_event_attribution(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-source overlap matrix (curation diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_source_overlap",
+    oracle="""
+        WITH w AS (SELECT source,
+                          list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '') AS a
+                   FROM documents),
+             sh AS (SELECT DISTINCT source,
+                           md5(unnest(list_transform(range(1, len(a) - 3),
+                               i -> array_to_string(a[i:i+4], ' ')))) AS sid
+                    FROM w WHERE len(a) >= 5)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_shingles
+        FROM sh a JOIN sh b ON a.sid = b.sid AND a.source < b.source
+        GROUP BY a.source, b.source
+    """,
+    doc="Inter-source contamination matrix: for every pair of corpus "
+    "sources, the number of distinct 5-word shingles they share — the "
+    "diagnostic that tells a curation team WHICH feeds duplicate each "
+    "other (mirror sites, scraped re-posts) before choosing what to "
+    "drop. Scale: the join key is the 128-bit shingle fingerprint and "
+    "the join INPUT is the distinct (shingle, source) projection — at "
+    "most |sources| rows per shingle, so the self-join fans out "
+    "quadratically only in the per-shingle source count (bounded, "
+    "small), never in corpus size. Same fingerprint discipline as "
+    "dedup_substring: shingle text never shuffles.",
+    tags=("dedup", "text", "diagnostic"),
+)
+def q_dedup_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    sh = (
+        d.select(
+            "source",
+            F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("a"),
+        )
+        .filter(F.size("a") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 4),"
+                    "          i -> md5(concat_ws(' ', slice(a, i, 5))))"
+                )
+            ).alias("sid"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("source_a"), "sid")
+    b = sh.select(F.col("source").alias("source_b"), "sid")
+    return (
+        a.join(b, "sid")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: per-source total-variation distance from the corpus mix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_drift",
+    oracle="""
+        WITH tok AS (SELECT source,
+                            unnest(list_filter(string_split(lower(text), ' '),
+                                               x -> x <> '')) AS word
+                     FROM documents),
+             sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS k
+                    FROM tok GROUP BY source, word),
+             gc AS (SELECT word, CAST(SUM(k) AS BIGINT) AS c
+                    FROM sw GROUP BY word),
+             tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gc),
+             src AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n_s
+                     FROM sw GROUP BY source),
+             per_src AS (SELECT s.source,
+                                CAST(SUM(s.k) AS BIGINT) AS n_tok,
+                                SUM(ABS(s.k * t.n - g.c * r.n_s))
+                                    AS present_num,
+                                CAST(SUM(g.c) AS BIGINT) AS c_present
+                         FROM sw s
+                         JOIN gc g ON s.word = g.word
+                         JOIN src r ON s.source = r.source
+                         CROSS JOIN tot t
+                         GROUP BY s.source)
+        SELECT p.source, p.n_tok,
+               CAST((1000000 * (p.present_num
+                                + p.n_tok * (t.n - p.c_present)))
+                    // (2 * p.n_tok * t.n) AS BIGINT) AS tv_ppm
+        FROM per_src p CROSS JOIN tot t
+    """,
+    doc="Data-drift monitor: per-source total-variation distance between "
+    "the source's token distribution and the whole-corpus distribution, "
+    "in exact ppm. TV = 0.5 * sum_w |k_w/n_s - c_w/N| is computed as the "
+    "integer identity sum|k_w*N - c_w*n_s| / (2*n_s*N), with the "
+    "absent-word tail folded in algebraically (n_s * (N - sum of c_w "
+    "over words present in the source)) — no full outer join against the "
+    "vocabulary, no floats until the final cast. High tv_ppm flags a "
+    "feed whose language mix shifted (scraper drift, encoding breakage) "
+    "before it contaminates a training mix. Scale: same single-lineage "
+    "shape as text_lm_unigram — one explode, partial-aggregated "
+    "(source, word) pairs, word-keyed frequency join, source-keyed "
+    "final aggregation; the 1-row N spine broadcasts.",
+    tags=("text", "quality", "diagnostic"),
+)
+def q_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    tok = d.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("word"),
+    )
+    sw = tok.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    gc = sw.groupBy("word").agg(F.sum("k").cast("bigint").alias("c"))
+    tot = gc.agg(F.sum("c").cast("bigint").alias("n"))
+    ns = F.sum("k").over(W.partitionBy("source"))
+    per_src = (
+        sw.join(gc, "word")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_s", ns)
+        .groupBy("source", "n")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tok"),
+            F.sum(
+                F.abs(F.col("k") * F.col("n") - F.col("c") * F.col("n_s"))
+            ).alias("present_num"),
+            F.sum("c").cast("bigint").alias("c_present"),
+        )
+    )
+    return per_src.select(
+        "source",
+        "n_tok",
+        F.expr(
+            "CAST((1000000 * (present_num + n_tok * (n - c_present)))"
+            " DIV (2 * n_tok * n) AS BIGINT)"
+        ).alias("tv_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction (rational tf-idf, deterministic top-3 per doc)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_filter(string_split(lower(text), ' '),
+                                               x -> x <> '')) AS word
+                     FROM documents),
+             dc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+                    FROM tok GROUP BY doc_id, word),
+             dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+                     FROM dc GROUP BY word),
+             nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+                    FROM dc),
+             dl AS (SELECT doc_id, word, k,
+                           SUM(k) OVER (PARTITION BY doc_id) AS doc_len
+                    FROM dc),
+             scored AS (SELECT d.doc_id, d.word,
+                               CAST((d.k * 1000000 * nd.n_docs)
+                                    // (d.doc_len * f.df)
+                                    AS BIGINT) AS score_ppm
+                        FROM dl d
+                        JOIN dfq f ON d.word = f.word
+                        CROSS JOIN nd),
+             ranked AS (SELECT doc_id, word, score_ppm,
+                               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_ppm DESC, word) AS rn
+                        FROM scored)
+        SELECT doc_id, word, score_ppm, CAST(rn AS BIGINT) AS rank
+        FROM ranked WHERE rn <= 3
+    """,
+    doc="Keyword extraction: deterministic top-3 terms per document by a "
+    "rational tf-idf variant — score_ppm = (tf * 1e6 * N_docs) DIV "
+    "(doc_len * df) — which is order-equivalent to tf * (N/df) and, "
+    "being pure integer arithmetic, hash-matches across engines with no "
+    "log() (the idf log is monotone in N/df, so top-k by the rational "
+    "score selects the same terms as classic tf-idf whenever df ties "
+    "don't span the cut; ties break on the word). Scale: the "
+    "single-lineage pair-aggregate shape again — explode once, "
+    "(doc, word) partial aggregation, df from a word-keyed aggregation "
+    "of the pairs, per-doc rank via WindowGroupLimit (top-3 prunes "
+    "map-side, the full scored list never sorts).",
+    tags=("text", "quality"),
+)
+def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("word"),
+    )
+    dc = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    wdc = dc.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("word"))
+    ).withColumn("doc_len", F.sum("k").over(W.partitionBy("doc_id")))
+    n_docs = dc.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    scored = wdc.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "word",
+        F.expr(
+            "CAST((k * 1000000 * n_docs) DIV (doc_len * df) AS BIGINT)"
+        ).alias("score_ppm"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("score_ppm").desc(), "word")
+    )
+    return (
+        scored.withColumn("rank", rn.cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "score_ppm", "rank")
+    )

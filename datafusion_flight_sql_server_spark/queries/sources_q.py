@@ -385,6 +385,76 @@ def q_scan_binary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stage_dup_binary_fixture() -> str:
+    """Ten deterministic binary payloads with planted duplicates (idempotent):
+    contents A,A,A,B,B,C,D,E,F,F under distinct filenames — the media-dedup
+    case where the SAME image/audio bytes arrive under different names."""
+    import tempfile
+
+    out = Path(tempfile.gettempdir()) / "sgraft_binary_dups"
+    out.mkdir(exist_ok=True)
+    groups = [0, 0, 0, 1, 1, 2, 3, 4, 5, 5]
+    for i, g in enumerate(groups):
+        p = out / f"media_{i:02d}.bin"
+        payload = bytes((g * 31 + j * 7) % 256 for j in range(512 + 32 * g))
+        if not p.exists() or p.stat().st_size != len(payload):
+            p.write_bytes(payload)
+    return str(out)
+
+
+_DUP_BINARY_DIR = _stage_dup_binary_fixture()
+
+
+@query(
+    "multimodal_dedup",
+    oracle=f"""
+        WITH b AS (SELECT parse_filename(filename) AS fname,
+                          md5(hex(content)) AS digest,
+                          CAST(size AS BIGINT) AS n_bytes
+                   FROM read_blob('{_DUP_BINARY_DIR}/*.bin'))
+        SELECT digest,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(fname) AS keeper,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        FROM b
+        GROUP BY digest
+    """,
+    doc="Exact content dedup for opaque media payloads (the binary-column "
+    "sibling of dedup_exact): binaryFile-scanned blobs are digested with "
+    "md5 over the hex encoding (DuckDB's md5 is VARCHAR-only, so hex() "
+    "first makes the digest engine-portable), grouped by digest, and each "
+    "group reports its copy count, deterministic keeper (min filename) "
+    "and reclaimable bytes. This is the first pass of any multimodal "
+    "ingest — the same bytes arriving under different names/URLs. Scale: "
+    "only (digest, name, size) tuples shuffle, never payload bytes — the "
+    "digest is computed map-side next to the scan; the shuffle is "
+    "16-byte keys regardless of object size. binaryFile parallelism = "
+    "file count (registry docstring), which is exactly the sharding a "
+    "100 TB media corpus already has.",
+    tags=("dedup", "multimodal"),
+)
+def q_multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.engine.registry import (
+        register_binary_dir,
+    )
+
+    path = _stage_dup_binary_fixture()
+    df = register_binary_dir(spark, "binary_dups", path)
+    return (
+        df.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+            F.md5(F.hex(F.col("content"))).alias("digest"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("fname").alias("keeper"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+    )
+
+
 # -- federation: Spark reading its own Flight SQL server ---------------------
 
 #: One in-process Flight SQL server per driver application, started lazily on

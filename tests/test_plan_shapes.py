@@ -193,6 +193,28 @@ class TestRound4PlanShapes:
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") == 2
 
+    def test_dedup_source_overlap_equi_join_only(self, spark):
+        # the self-join runs on the 128-bit shingle fingerprint over the
+        # distinct (shingle, source) projection — equi-join, no all-pairs
+        plan = _executed_plan(_run(spark, "dedup_source_overlap"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_corpus_drift_single_spine_no_cartesian(self, spark):
+        # the only nested-loop is the 1-row broadcast N spine; word
+        # frequencies come from an equi-join of pair aggregates
+        plan = _executed_plan(_run(spark, "corpus_drift"))
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+        assert "IdentityBroadcastMode" in plan
+
+    def test_text_tfidf_rank_limit_pushdown(self, spark):
+        # top-3 per doc must engage WindowGroupLimit so the scored pairs
+        # never globally sort; no all-pairs joins
+        plan = _executed_plan(_run(spark, "text_tfidf"))
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+
     def test_agg_mode_no_window(self, spark):
         # argmax via max(struct): two partial-aggregated aggregations,
         # no per-group window sort of the raw stream
