@@ -1,4 +1,5 @@
-"""Minimal Substrait plan consumer: read/project/fetch subset → SQL text.
+"""Minimal Substrait plan consumer: read/filter/project/sort/fetch subset
+→ SQL text.
 
 The reference consumes serialized Substrait plans
 (reference: datafusion-flight-sql-server/src/service.rs:349-386 GetFlightInfo,
@@ -9,28 +10,41 @@ substrait.io) protobuf wire format directly — the same hand-rolled-codec
 discipline as ``protocol/wire.py`` — and **unparse the plan to SQL text**
 for the existing statement path, where Catalyst plans it natively.
 
-Scope is deliberately a strict subset, with everything else rejected by a
-descriptive ``SubstraitUnsupported`` (mapped to NOT_IMPLEMENTED at the
-Flight boundary, like every other stub):
+Scope is deliberately a strict subset — the single-table query class —
+with everything else rejected by a descriptive ``SubstraitUnsupported``
+(mapped to NOT_IMPLEMENTED at the Flight boundary, like every other stub):
 
-- one plan relation: ``RelRoot``/``Rel`` over ``[FetchRel?] [ProjectRel?]
-  ReadRel``;
-- ``ReadRel`` must read a ``NamedTable`` (no virtual tables / local files),
-  with no filter and no mask projection;
-- ``ProjectRel`` expressions must be direct struct-field references
-  (``FieldReference.direct_reference.struct_field`` with no nested child),
-  with optional ``RelCommon.emit`` output remapping;
-- ``FetchRel`` must carry a literal count (→ ``LIMIT``) and no offset;
+- one plan relation: ``RelRoot``/``Rel`` over any nesting of
+  ``FetchRel`` / ``SortRel`` / ``FilterRel`` / ``ProjectRel`` above a
+  ``ReadRel`` (fetch must be outermost of the clause-bearing rels; one
+  sort; filters compose with AND);
+- ``ReadRel`` must read a ``NamedTable`` (no virtual tables / local
+  files); an embedded ``ReadRel.filter`` / ``best_effort_filter`` is
+  consumed through the same expression subset (applying a best-effort
+  filter is always-valid per the spec); no mask projection;
+- ``ProjectRel`` expressions must be direct struct-field references with
+  optional ``RelCommon.emit`` output remapping;
+- ``FilterRel`` conditions (and read filters) support field references,
+  literals (bool / i8-i64 / fp32 / fp64 / string), and the comparison /
+  boolean scalar functions ``and or not equal not_equal gt gte lt lte
+  is_null is_not_null between`` resolved through the plan's extension
+  declarations (compound names like ``gt:any_any`` match on the base
+  name, per the spec's naming convention);
+- ``SortRel`` sorts direct field references with the four
+  ASC/DESC × NULLS FIRST/LAST directions;
+- ``FetchRel`` must carry literal count/offset (→ ``LIMIT .. OFFSET ..``);
 - ``RelRoot.names`` become output aliases.
 
-That covers the projection/limit class of plans ADBC/JDBC-over-Substrait
-front-ends emit for schema probes and simple scans; joins, filters,
-aggregates, expressions and DML are rejected with a message naming the
+That covers the filtered-scan class ADBC/JDBC-over-Substrait front-ends
+emit for probes, previews and predicate-pushdown scans; joins, aggregates,
+computed projections and DML are rejected with a message naming the
 unsupported construct. Field numbers below come from the public
-``substrait/plan.proto`` / ``algebra.proto`` / ``type.proto``.
+``substrait/plan.proto`` / ``algebra.proto`` / ``extensions.proto``.
 """
 
 from __future__ import annotations
+
+import struct
 
 from datafusion_flight_sql_server_spark.protocol.wire import decode_varint
 
@@ -114,55 +128,88 @@ def _quote(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
-# -- relation interpreters ---------------------------------------------------
+# -- extension declarations (function anchor → name) -------------------------
 
-#: algebra.proto Rel oneof arms we refuse, by field number, for messages.
-_REL_ARMS = {
-    1: "read",
-    2: "filter",
-    3: "fetch",
-    4: "aggregate",
-    5: "sort",
-    6: "join",
-    7: "project",
-    8: "set",
-    9: "extension_single",
-    10: "extension_multi",
-    11: "extension_leaf",
-    12: "cross",
+
+def _function_names(plan_fields) -> dict[int, str]:
+    """Plan.extensions → {function_anchor: base function name}.
+
+    extensions.proto: SimpleExtensionDeclaration.extension_function = 3
+    (ExtensionFunction: extension_uri_reference=1, function_anchor=2,
+    name=3). Compound names like ``gt:any_any`` reduce to the base name
+    before the colon, per the spec's function-naming convention.
+    """
+    out: dict[int, str] = {}
+    for _, decl in plan_fields.get(2, []):
+        df = _fields(decl)
+        ext_fn = _one(df, 3)
+        if ext_fn is None:
+            continue  # type / type-variation declarations are irrelevant here
+        ff = _fields(ext_fn)
+        anchor = _one(ff, 2) or 0
+        raw = _one(ff, 3)
+        if raw is None:
+            continue
+        name = raw.decode("utf-8", "replace")
+        out[int(anchor)] = name.split(":", 1)[0]
+    return out
+
+
+# -- expressions -------------------------------------------------------------
+
+#: scalar functions consumed by the filter subset → SQL emitters
+_BINARY_OPS = {
+    "equal": "=",
+    "not_equal": "<>",
+    "gt": ">",
+    "gte": ">=",
+    "lt": "<",
+    "lte": "<=",
+}
+
+_LITERAL_ARMS = {
+    1: "boolean",
+    2: "i8",
+    3: "i16",
+    5: "i32",
+    7: "i64",
+    10: "fp32",
+    11: "fp64",
+    12: "string",
 }
 
 
-def _read_rel(read: bytes) -> tuple[str, list[str]]:
-    """ReadRel → (FROM clause, input column names)."""
-    f = _fields(read)
-    for num, label in ((3, "read filter"), (11, "best-effort filter"), (4, "mask projection")):
-        if num in f:
-            raise SubstraitUnsupported(
-                f"Substrait consumer: ReadRel {label} is not supported; "
-                f"send SQL text instead"
-            )
-    for num, label in ((5, "virtual_table"), (6, "local_files"), (8, "extension_table")):
-        if num in f:
-            raise SubstraitUnsupported(
-                f"Substrait consumer: ReadRel read type {label!r} is not "
-                f"supported (only named_table)"
-            )
-    named = _one(f, 7)
-    if named is None:
+def _literal_to_sql(lit: bytes) -> str:
+    f = _fields(lit)
+    present = [n for n in f if n in _LITERAL_ARMS]
+    if len(present) != 1:
+        arms = ", ".join(str(n) for n in sorted(f))
         raise SubstraitUnsupported(
-            "Substrait consumer: ReadRel without named_table is not supported"
+            f"Substrait consumer: unsupported literal (fields [{arms}]); "
+            f"supported: boolean, i8/i16/i32/i64, fp32/fp64, string"
         )
-    names = _strings(_fields(named), 1)
-    if not names:
-        raise SubstraitMalformed("NamedTable carries no name")
-    table = ".".join(_quote(n) for n in names)
-
-    cols: list[str] = []
-    base_schema = _one(f, 2)
-    if base_schema is not None:
-        cols = _strings(_fields(base_schema), 1)  # NamedStruct.names
-    return table, cols
+    num = present[0]
+    kind = _LITERAL_ARMS[num]
+    wt, raw = f[num][-1]
+    if kind == "boolean":
+        return "TRUE" if raw else "FALSE"
+    if kind in ("i8", "i16", "i32", "i64"):
+        # protobuf int64 varints are two's-complement on the wire
+        value = int(raw)
+        if value >= 1 << 63:
+            value -= 1 << 64
+        return str(value)
+    if kind == "fp32":
+        if wt != WT_I32:
+            raise SubstraitMalformed("fp32 literal with wrong wire type")
+        return repr(struct.unpack("<f", raw)[0])
+    if kind == "fp64":
+        if wt != WT_I64:
+            raise SubstraitMalformed("fp64 literal with wrong wire type")
+        return repr(struct.unpack("<d", raw)[0])
+    # string
+    text = raw.decode("utf-8", "strict") if isinstance(raw, bytes) else str(raw)
+    return "'" + text.replace("'", "''") + "'"
 
 
 def _field_ref_index(expr: bytes) -> int:
@@ -175,7 +222,7 @@ def _field_ref_index(expr: bytes) -> int:
         present = [arms.get(n, f"expression field {n}") for n in f]
         raise SubstraitUnsupported(
             f"Substrait consumer: only direct field references are supported "
-            f"in projections; got {', '.join(present) or 'empty expression'}"
+            f"here; got {', '.join(present) or 'empty expression'}"
         )
     ref = _fields(sel)
     direct = _one(ref, 1)  # FieldReference.direct_reference (ReferenceSegment)
@@ -200,6 +247,171 @@ def _field_ref_index(expr: bytes) -> int:
     return int(idx or 0)
 
 
+def _col_at(cols: list[str], i: int) -> str:
+    if i < len(cols):
+        return cols[i]
+    raise SubstraitUnsupported(
+        f"Substrait consumer: field reference {i} is out of range for the "
+        f"input schema ({len(cols)} columns)"
+    )
+
+
+def _expr_to_sql(expr: bytes, cols: list[str], funcs: dict[int, str]) -> str:
+    """Filter-subset Expression → SQL text (field refs, literals,
+    comparison/boolean scalar functions)."""
+    f = _fields(expr)
+    if 2 in f:  # selection
+        return _quote(_col_at(cols, _field_ref_index(expr)))
+    if 1 in f:  # literal
+        return _literal_to_sql(_one(f, 1))
+    if 3 in f:  # scalar_function
+        return _scalar_fn_to_sql(_one(f, 3), cols, funcs)
+    arms = {5: "window_function", 6: "if_then", 11: "cast", 12: "subquery"}
+    present = [arms.get(n, f"expression field {n}") for n in f]
+    raise SubstraitUnsupported(
+        f"Substrait consumer: unsupported expression "
+        f"({', '.join(present) or 'empty expression'}); supported: field "
+        f"reference, literal, comparison/boolean scalar function"
+    )
+
+
+def _scalar_fn_to_sql(
+    body: bytes, cols: list[str], funcs: dict[int, str]
+) -> str:
+    f = _fields(body)
+    anchor = int(_one(f, 1) or 0)
+    name = funcs.get(anchor)
+    if name is None:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: scalar function anchor {anchor} has no "
+            f"extension declaration in the plan"
+        )
+    args: list[bytes] = []
+    for _, arg in f.get(4, []):  # FunctionArgument
+        af = _fields(arg)
+        value = _one(af, 3)  # FunctionArgument.value (Expression)
+        if value is None:
+            kinds = {1: "enum", 2: "type"}
+            present = [kinds.get(n, f"argument field {n}") for n in af]
+            raise SubstraitUnsupported(
+                f"Substrait consumer: non-expression function argument "
+                f"({', '.join(present)}) for {name!r}"
+            )
+        args.append(value)
+    if not args:  # deprecated ScalarFunction.args (Expression, field 2)
+        args = [v for _, v in f.get(2, [])]
+
+    def a(i: int) -> str:
+        return _expr_to_sql(args[i], cols, funcs)
+
+    if name in ("and", "or"):
+        if len(args) < 2:
+            raise SubstraitMalformed(f"{name} with {len(args)} arguments")
+        joiner = " AND " if name == "and" else " OR "
+        return "(" + joiner.join(a(i) for i in range(len(args))) + ")"
+    if name == "not":
+        if len(args) != 1:
+            raise SubstraitMalformed(f"not with {len(args)} arguments")
+        return f"(NOT {a(0)})"
+    if name in _BINARY_OPS:
+        if len(args) != 2:
+            raise SubstraitMalformed(f"{name} with {len(args)} arguments")
+        return f"({a(0)} {_BINARY_OPS[name]} {a(1)})"
+    if name in ("is_null", "is_not_null"):
+        if len(args) != 1:
+            raise SubstraitMalformed(f"{name} with {len(args)} arguments")
+        op = "IS NULL" if name == "is_null" else "IS NOT NULL"
+        return f"({a(0)} {op})"
+    if name == "between":
+        if len(args) != 3:
+            raise SubstraitMalformed(f"between with {len(args)} arguments")
+        return f"({a(0)} BETWEEN {a(1)} AND {a(2)})"
+    raise SubstraitUnsupported(
+        f"Substrait consumer: scalar function {name!r} is not in the "
+        f"filter subset (and or not equal not_equal gt gte lt lte is_null "
+        f"is_not_null between)"
+    )
+
+
+# -- relation interpreters ---------------------------------------------------
+
+#: algebra.proto Rel oneof arms, by field number.
+_REL_ARMS = {
+    1: "read",
+    2: "filter",
+    3: "fetch",
+    4: "aggregate",
+    5: "sort",
+    6: "join",
+    7: "project",
+    8: "set",
+    9: "extension_single",
+    10: "extension_multi",
+    11: "extension_leaf",
+    12: "cross",
+}
+
+#: sort direction enum → SQL (algebra.proto SortField.SortDirection)
+_SORT_DIRECTIONS = {
+    1: "ASC NULLS FIRST",
+    2: "ASC NULLS LAST",
+    3: "DESC NULLS FIRST",
+    4: "DESC NULLS LAST",
+}
+
+
+class _State:
+    """Accumulated clauses while walking the rel tree inward→outward."""
+
+    __slots__ = ("table", "cols", "where", "order", "limit", "offset")
+
+    def __init__(self, table: str, cols: list[str]):
+        self.table = table
+        self.cols = cols
+        self.where: list[str] = []
+        self.order: list[str] = []
+        self.limit: int | None = None
+        self.offset: int | None = None
+
+
+def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
+    """ReadRel → initial state (FROM clause, base columns, read filters)."""
+    f = _fields(read)
+    if 4 in f:
+        raise SubstraitUnsupported(
+            "Substrait consumer: ReadRel mask projection is not supported; "
+            "send SQL text instead"
+        )
+    for num, label in ((5, "virtual_table"), (6, "local_files"), (8, "extension_table")):
+        if num in f:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: ReadRel read type {label!r} is not "
+                f"supported (only named_table)"
+            )
+    named = _one(f, 7)
+    if named is None:
+        raise SubstraitUnsupported(
+            "Substrait consumer: ReadRel without named_table is not supported"
+        )
+    names = _strings(_fields(named), 1)
+    if not names:
+        raise SubstraitMalformed("NamedTable carries no name")
+    table = ".".join(_quote(n) for n in names)
+
+    cols: list[str] = []
+    base_schema = _one(f, 2)
+    if base_schema is not None:
+        cols = _strings(_fields(base_schema), 1)  # NamedStruct.names
+    state = _State(table, cols)
+    # ReadRel.filter (3) is a required filter; best_effort_filter (11) MAY
+    # be applied — applying it is always spec-valid, so both land in WHERE.
+    for num in (3, 11):
+        cond = _one(f, num)
+        if cond is not None:
+            state.where.append(_expr_to_sql(cond, cols, funcs))
+    return state
+
+
 def _emit_mapping(common: bytes | None) -> list[int] | None:
     """RelCommon → emit output_mapping (None = direct emit)."""
     if common is None:
@@ -211,8 +423,8 @@ def _emit_mapping(common: bytes | None) -> list[int] | None:
     return _packed_ints(_fields(emit), 1)
 
 
-def _interpret_rel(rel: bytes) -> tuple[str, list[str], int | None]:
-    """Rel → (FROM clause, output column names, limit)."""
+def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
+    """Rel → accumulated clause state."""
     f = _fields(rel)
     present = [n for n in f if n in _REL_ARMS]
     if len(present) != 1:
@@ -226,67 +438,116 @@ def _interpret_rel(rel: bytes) -> tuple[str, list[str], int | None]:
     body = _one(f, arm)
 
     if kind == "read":
-        table, cols = _read_rel(body)
-        return table, cols, None
+        return _read_rel(body, funcs)
 
     if kind == "project":
         pf = _fields(body)
         inp = _one(pf, 2)
         if inp is None:
             raise SubstraitMalformed("ProjectRel without input")
-        table, in_cols, limit = _interpret_rel(inp)
+        state = _interpret_rel(inp, funcs)
         exprs = [_field_ref_index(v) for _, v in pf.get(3, [])]
-
-        def col_at(i: int) -> str:
-            if i < len(in_cols):
-                return in_cols[i]
-            raise SubstraitUnsupported(
-                f"Substrait consumer: field reference {i} is out of range "
-                f"for the read schema ({len(in_cols)} columns)"
-            )
-
         # ProjectRel output = input columns ++ expression columns; emit
         # remaps over that concatenation (RelCommon.Emit semantics).
-        combined = list(in_cols) + [col_at(i) for i in exprs]
+        combined = list(state.cols) + [_col_at(state.cols, i) for i in exprs]
         emit = _emit_mapping(_one(pf, 1))
         if emit is None:
-            out_cols = combined
+            state.cols = combined
         else:
             try:
-                out_cols = [combined[i] for i in emit]
+                state.cols = [combined[i] for i in emit]
             except IndexError as exc:
                 raise SubstraitMalformed(
                     f"emit mapping {emit} out of range for {len(combined)} "
                     f"columns"
                 ) from exc
-        return table, out_cols, limit
+        return state
+
+    if kind == "filter":
+        ff = _fields(body)
+        inp = _one(ff, 2)
+        if inp is None:
+            raise SubstraitMalformed("FilterRel without input")
+        state = _interpret_rel(inp, funcs)
+        if state.limit is not None:
+            raise SubstraitUnsupported(
+                "Substrait consumer: FilterRel above FetchRel is not "
+                "supported (filter-after-limit has no single-SELECT form)"
+            )
+        cond = _one(ff, 3)
+        if cond is None:
+            raise SubstraitMalformed("FilterRel without condition")
+        state.where.append(_expr_to_sql(cond, state.cols, funcs))
+        return state
+
+    if kind == "sort":
+        sf = _fields(body)
+        inp = _one(sf, 2)
+        if inp is None:
+            raise SubstraitMalformed("SortRel without input")
+        state = _interpret_rel(inp, funcs)
+        if state.limit is not None:
+            raise SubstraitUnsupported(
+                "Substrait consumer: SortRel above FetchRel is not supported"
+            )
+        if state.order:
+            raise SubstraitUnsupported(
+                "Substrait consumer: multiple SortRels are not supported"
+            )
+        for _, sort_field in sf.get(3, []):
+            sff = _fields(sort_field)
+            expr = _one(sff, 1)
+            if expr is None:
+                raise SubstraitMalformed("SortField without expression")
+            if _one(sff, 3) is not None:
+                raise SubstraitUnsupported(
+                    "Substrait consumer: comparison-function sorts are not "
+                    "supported"
+                )
+            direction = int(_one(sff, 2) or 0)
+            sql_dir = _SORT_DIRECTIONS.get(direction)
+            if sql_dir is None:
+                raise SubstraitUnsupported(
+                    f"Substrait consumer: sort direction {direction} is not "
+                    f"supported"
+                )
+            col = _quote(_col_at(state.cols, _field_ref_index(expr)))
+            state.order.append(f"{col} {sql_dir}")
+        if not state.order:
+            raise SubstraitMalformed("SortRel without sort fields")
+        return state
 
     if kind == "fetch":
         ff = _fields(body)
         inp = _one(ff, 2)
         if inp is None:
             raise SubstraitMalformed("FetchRel without input")
-        if _one(ff, 3):  # non-zero offset
-            raise SubstraitUnsupported(
-                "Substrait consumer: FetchRel offset is not supported"
-            )
         if 6 in ff or 5 in ff:  # count_expr / offset_expr arms
             raise SubstraitUnsupported(
                 "Substrait consumer: FetchRel expression offsets/counts are "
-                "not supported (literal count only)"
+                "not supported (literal count/offset only)"
             )
-        table, cols, _ = _interpret_rel(inp)
+        state = _interpret_rel(inp, funcs)
+        if state.limit is not None:
+            raise SubstraitUnsupported(
+                "Substrait consumer: nested FetchRels are not supported"
+            )
         count = _one(ff, 4)
         if count is None:
             raise SubstraitUnsupported(
                 "Substrait consumer: FetchRel without a literal count"
             )
-        return table, cols, int(count)
+        state.limit = int(count)
+        offset = _one(ff, 3)
+        if offset:
+            state.offset = int(offset)
+        return state
 
     raise SubstraitUnsupported(
         f"Substrait consumer: relation type {kind!r} is not supported "
-        f"(supported: read of a named table, project of direct field "
-        f"references, fetch with a literal count); send SQL text instead"
+        f"(supported: read of a named table, filter, project of direct "
+        f"field references, sort, fetch with literal count/offset); send "
+        f"SQL text instead"
     )
 
 
@@ -299,6 +560,7 @@ def substrait_to_sql(plan_bytes: bytes) -> str:
     if not plan_bytes:
         raise SubstraitMalformed("empty Substrait plan")
     plan = _fields(plan_bytes)
+    funcs = _function_names(plan)
     relations = plan.get(3, [])  # Plan.relations
     if len(relations) != 1:
         raise SubstraitUnsupported(
@@ -319,30 +581,37 @@ def substrait_to_sql(plan_bytes: bytes) -> str:
             raise SubstraitMalformed("PlanRel carries neither rel nor root")
         out_names = []
 
-    table, cols, limit = _interpret_rel(rel)
+    state = _interpret_rel(rel, funcs)
 
-    if not cols:
+    if not state.cols:
         select = "*"
         if out_names:
             raise SubstraitUnsupported(
-                "Substrait consumer: RelRoot names without a readable "
-                "column list (ReadRel.base_schema) are not supported"
+                "Substrait consumer: RelRoot names require a read schema to "
+                "alias against"
             )
     else:
-        if out_names and len(out_names) != len(cols):
-            raise SubstraitMalformed(
-                f"RelRoot names arity {len(out_names)} != output arity "
-                f"{len(cols)}"
+        cols = state.cols
+        if out_names:
+            if len(out_names) != len(cols):
+                raise SubstraitMalformed(
+                    f"RelRoot has {len(out_names)} names for {len(cols)} "
+                    f"output columns"
+                )
+            select = ", ".join(
+                f"{_quote(c)} AS {_quote(alias)}"
+                for c, alias in zip(cols, out_names)
             )
-        parts = []
-        for i, col in enumerate(cols):
-            if out_names and out_names[i] != col:
-                parts.append(f"{_quote(col)} AS {_quote(out_names[i])}")
-            else:
-                parts.append(_quote(col))
-        select = ", ".join(parts)
+        else:
+            select = ", ".join(_quote(c) for c in cols)
 
-    sql = f"SELECT {select} FROM {table}"
-    if limit is not None:
-        sql += f" LIMIT {int(limit)}"
+    sql = f"SELECT {select} FROM {state.table}"
+    if state.where:
+        sql += " WHERE " + " AND ".join(state.where)
+    if state.order:
+        sql += " ORDER BY " + ", ".join(state.order)
+    if state.limit is not None:
+        sql += f" LIMIT {state.limit}"
+    if state.offset is not None:
+        sql += f" OFFSET {state.offset}"
     return sql

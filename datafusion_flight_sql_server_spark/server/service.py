@@ -31,9 +31,11 @@ Declared divergences (client-compat debugging starts here):
   (``get_flight_info_substrait_plan`` service.rs:349-386, DoGet branch
   service.rs:274-303, ``parse_substrait_bytes`` service.rs:1018-1029).
   Spark has no Substrait consumer, so this server CONSUMES the
-  read/project/fetch subset via a Substrait→SQL front-end
+  read/filter/project/sort/fetch subset (the single-table query class —
+  field refs, literals, comparison/boolean functions resolved through the
+  plan's extension declarations) via a Substrait→SQL front-end
   (``plans/substrait.py``) delegating to the statement path, and answers
-  everything beyond it (joins, filters, aggregates, expressions, DML)
+  everything beyond it (joins, aggregates, computed projections, DML)
   NOT_IMPLEMENTED with the unsupported construct named — those clients
   must send SQL text instead.
 - **Dictionary hydration** (service.rs:1072-1083): the reference re-encodes
@@ -366,7 +368,8 @@ class FlightSqlServer(fl.FlightServerBase):
         self, engine: Engine, command: CommandStatementSubstraitPlan, descriptor
     ) -> fl.FlightInfo:
         """Substrait front-end (reference: service.rs:349-386): translate the
-        read/project/fetch subset to SQL (plans/substrait.py) and delegate to
+        read/filter/project/sort/fetch subset to SQL (plans/substrait.py)
+        and delegate to
         the statement path — the minted ticket round-trips as a plain
         statement, so DoGet needs no Substrait branch (the reference re-plans
         Substrait bytes at DoGet, service.rs:274-303; we re-plan the

@@ -1,5 +1,5 @@
-"""Substrait front-end tests: the read/project/fetch subset executes, and
-everything outside it is rejected by name.
+"""Substrait front-end tests: the read/filter/project/sort/fetch subset
+executes, and everything outside it is rejected by name.
 
 The container has no Substrait producer library, so these tests carry their
 own tiny producer built on the repo's protobuf wire codec, with field
@@ -79,6 +79,52 @@ def project_rel(input_rel: bytes, expr_indexes: list[int], emit: list[int] | Non
     return body
 
 
+def literal(kind: str, value) -> bytes:
+    """Expression.literal for the consumed subset (field numbers from
+    algebra.proto Literal)."""
+    import struct as _struct
+
+    if kind == "boolean":
+        body = _varint_field(1, 1 if value else 0)
+    elif kind == "i32":
+        body = _varint_field(5, value & ((1 << 64) - 1))
+    elif kind == "i64":
+        body = _varint_field(7, value & ((1 << 64) - 1))
+    elif kind == "fp64":
+        body = encode_varint((11 << 3) | 1) + _struct.pack("<d", value)
+    elif kind == "string":
+        body = _string_field(12, value)
+    else:  # pragma: no cover - test bug
+        raise AssertionError(kind)
+    return _len_field(1, body)  # Expression.literal
+
+
+def scalar_fn(anchor: int, args: list[bytes]) -> bytes:
+    """Expression.scalar_function with FunctionArgument.value args."""
+    body = _varint_field(1, anchor)
+    for a in args:
+        body += _len_field(4, _len_field(3, a))
+    return _len_field(3, body)
+
+
+def extension_function(anchor: int, name: str) -> bytes:
+    """Plan.extensions entry declaring a function anchor."""
+    ext_fn = _varint_field(2, anchor) + _string_field(3, name)
+    return _len_field(2, _len_field(3, ext_fn))  # Plan.extensions[..].extension_function
+
+
+def filter_rel(input_rel: bytes, condition: bytes) -> bytes:
+    return _len_field(2, input_rel) + _len_field(3, condition)
+
+
+def sort_rel(input_rel: bytes, sorts: list[tuple[int, int]]) -> bytes:
+    body = _len_field(2, input_rel)
+    for col_idx, direction in sorts:
+        sf = _len_field(1, field_ref(col_idx)) + _varint_field(2, direction)
+        body += _len_field(3, sf)
+    return body
+
+
 def fetch_rel(input_rel: bytes, count: int, offset: int = 0) -> bytes:
     body = _len_field(2, input_rel)
     if offset:
@@ -91,7 +137,11 @@ def rel(kind: int, body: bytes) -> bytes:
     return _len_field(kind, body)
 
 
-def plan_bytes(rel_msg: bytes, root_names: list[str] | None = None) -> bytes:
+def plan_bytes(
+    rel_msg: bytes,
+    root_names: list[str] | None = None,
+    extensions: bytes = b"",
+) -> bytes:
     if root_names is None:
         plan_rel = _len_field(1, rel_msg)  # PlanRel.rel
     else:
@@ -99,7 +149,7 @@ def plan_bytes(rel_msg: bytes, root_names: list[str] | None = None) -> bytes:
             _string_field(2, n) for n in root_names
         )
         plan_rel = _len_field(2, root)  # PlanRel.root
-    return _len_field(3, plan_rel)  # Plan.relations
+    return extensions + _len_field(3, plan_rel)  # Plan.relations
 
 
 USERS_READ = rel(1, read_rel(["users"], ["id", "name"]))
@@ -142,14 +192,76 @@ class TestTranslate:
         with pytest.raises(SubstraitUnsupported, match="join"):
             substrait_to_sql(plan_bytes(rel(6, join_body)))
 
-    def test_rejects_filter_rel(self):
-        with pytest.raises(SubstraitUnsupported, match="filter"):
-            substrait_to_sql(plan_bytes(rel(2, _len_field(2, USERS_READ))))
+    def test_filter_rel_comparison(self):
+        cond = scalar_fn(1, [field_ref(0), literal("i64", 5)])
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, cond)),
+            extensions=extension_function(1, "gt:any_any"),
+        )
+        assert (
+            substrait_to_sql(p)
+            == "SELECT `id`, `name` FROM `users` WHERE (`id` > 5)"
+        )
 
-    def test_rejects_read_filter(self):
-        r = rel(1, read_rel(["users"], ["id"], extra=_len_field(3, field_ref(0))))
-        with pytest.raises(SubstraitUnsupported, match="filter"):
-            substrait_to_sql(plan_bytes(r))
+    def test_filter_and_or_not_null_string(self):
+        cond = scalar_fn(
+            3,
+            [
+                scalar_fn(1, [field_ref(1), literal("string", "bo'b")]),
+                scalar_fn(2, [field_ref(0)]),
+            ],
+        )
+        exts = (
+            extension_function(1, "equal:any_any")
+            + extension_function(2, "is_not_null:any")
+            + extension_function(3, "and:bool")
+        )
+        p = plan_bytes(rel(2, filter_rel(USERS_READ, cond)), extensions=exts)
+        assert substrait_to_sql(p) == (
+            "SELECT `id`, `name` FROM `users` "
+            "WHERE ((`name` = 'bo''b') AND (`id` IS NOT NULL))"
+        )
+
+    def test_read_filter_consumed(self):
+        cond = scalar_fn(7, [field_ref(0), literal("i32", 3)])
+        r = rel(1, read_rel(["users"], ["id", "name"], extra=_len_field(3, cond)))
+        p = plan_bytes(r, extensions=extension_function(7, "lt:any_any"))
+        assert (
+            substrait_to_sql(p)
+            == "SELECT `id`, `name` FROM `users` WHERE (`id` < 3)"
+        )
+
+    def test_sort_directions(self):
+        p = plan_bytes(rel(5, sort_rel(USERS_READ, [(0, 4), (1, 1)])))
+        assert substrait_to_sql(p) == (
+            "SELECT `id`, `name` FROM `users` "
+            "ORDER BY `id` DESC NULLS LAST, `name` ASC NULLS FIRST"
+        )
+
+    def test_filter_above_fetch_rejected(self):
+        cond = scalar_fn(1, [field_ref(0), literal("i64", 5)])
+        inner = rel(3, fetch_rel(USERS_READ, 5))
+        p = plan_bytes(
+            rel(2, filter_rel(inner, cond)),
+            extensions=extension_function(1, "gt:any_any"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="above FetchRel"):
+            substrait_to_sql(p)
+
+    def test_unknown_function_name_rejected(self):
+        cond = scalar_fn(1, [field_ref(0), literal("i64", 5)])
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, cond)),
+            extensions=extension_function(1, "add:i64_i64"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="'add'"):
+            substrait_to_sql(p)
+
+    def test_undeclared_anchor_rejected(self):
+        cond = scalar_fn(9, [field_ref(0), literal("i64", 5)])
+        p = plan_bytes(rel(2, filter_rel(USERS_READ, cond)))
+        with pytest.raises(SubstraitUnsupported, match="anchor 9"):
+            substrait_to_sql(p)
 
     def test_rejects_virtual_table(self):
         body = _len_field(2, named_struct(["a"])) + _len_field(5, b"")
@@ -162,10 +274,12 @@ class TestTranslate:
         with pytest.raises(SubstraitUnsupported, match="scalar_function"):
             substrait_to_sql(plan_bytes(p))
 
-    def test_rejects_fetch_offset(self):
+    def test_fetch_offset_translates(self):
         p = rel(3, fetch_rel(USERS_READ, 5, offset=3))
-        with pytest.raises(SubstraitUnsupported, match="offset"):
+        assert (
             substrait_to_sql(plan_bytes(p))
+            == "SELECT `id`, `name` FROM `users` LIMIT 5 OFFSET 3"
+        )
 
     def test_rejects_multiple_relations(self):
         two = plan_bytes(USERS_READ) + plan_bytes(USERS_READ)
@@ -249,5 +363,26 @@ class TestOverWire:
             with pytest.raises((fl.FlightError, NotImplementedError)):
                 ex.flight_info(_substrait_command(b"\xde\xad\xbe\xef"))
             assert ex.execute("SELECT 1 AS x").num_rows == 1
+        finally:
+            ex.close()
+
+    def test_filtered_sorted_scan_round_trip(self, substrait_server):
+        """A filter+sort+fetch plan executes through the full wire stack
+        and returns exactly the predicate-matching rows in order."""
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            cond = scalar_fn(1, [field_ref(0), literal("i64", 1)])
+            filtered = rel(2, filter_rel(USERS_READ, cond))
+            ordered = rel(5, sort_rel(filtered, [(0, 4)]))  # id DESC NULLS LAST
+            p = plan_bytes(
+                rel(3, fetch_rel(ordered, 10)),
+                extensions=extension_function(1, "gt:any_any"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert table.column("id").to_pylist() == [3, 2]
+            assert table.column("name").to_pylist() == ["Charlie", "Bob"]
         finally:
             ex.close()
