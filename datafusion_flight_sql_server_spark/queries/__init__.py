@@ -53,6 +53,8 @@ _PRIORITY = (
     "corpus_drift",
     "text_tfidf",
     "multimodal_dedup",
+    "agg_hll_rollup",
+    "event_islands",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
     # verdict r3 item #7).  TPC-H headliners and join/agg families first.
@@ -85,11 +87,11 @@ _PRIORITY = (
     "subquery_scalar",
     "subquery_in",
     "subquery_exists",
-    "subquery_correlated_scalar",
-    "fn_string",
     # ---- position 51+: r1 rotation overflow (trimmed for the round-4
     # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
     # in legacy order (all have driver rows already).
+    "subquery_correlated_scalar",
+    "fn_string",
     "fn_regex",
     "fn_datetime",
     "fn_math",

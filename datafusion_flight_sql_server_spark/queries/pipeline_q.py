@@ -701,3 +701,63 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "word", "score_ppm", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands: consecutive-activity-day streaks per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_islands",
+    oracle="""
+        WITH days AS (SELECT DISTINCT user_id,
+                             CAST(date_trunc('day', ts) AS DATE) AS d
+                      FROM events),
+             ranked AS (SELECT user_id, d,
+                               ROW_NUMBER() OVER (PARTITION BY user_id
+                                                  ORDER BY d) AS rn
+                        FROM days),
+             islands AS (SELECT user_id, d - CAST(rn AS INTEGER) AS anchor,
+                                MIN(d) AS island_start,
+                                MAX(d) AS island_end,
+                                CAST(COUNT(*) AS BIGINT) AS n_days
+                         FROM ranked
+                         GROUP BY user_id, d - CAST(rn AS INTEGER))
+        SELECT user_id,
+               CAST(island_start AS VARCHAR) AS island_start,
+               CAST(island_end AS VARCHAR) AS island_end,
+               n_days
+        FROM islands
+    """,
+    doc="Gaps-and-islands (the classic warehouse streak pattern): each "
+    "user's distinct activity days collapse into maximal runs of "
+    "consecutive days via the date-minus-row_number anchor trick — "
+    "consecutive days share an anchor, any gap starts a new island. "
+    "Retention/streak features (n_days per island) come out of one "
+    "aggregation. Dates are emitted as strings (repo date-compare "
+    "convention). Scale: one (user_id) window plus one (user_id, anchor) "
+    "aggregation over the DISTINCT (user, day) projection — the raw "
+    "event stream collapses map-side before any shuffle; no joins, no "
+    "spine densification needed (contrast event_gapfill, which fills the "
+    "gaps this query measures).",
+    tags=("events", "warehouse"),
+)
+def q_event_islands(spark: SparkSession, sf: str) -> DataFrame:
+    ev = tables(spark, sf)["events"]
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    ranked = days.withColumn(
+        "rn", F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    )
+    return (
+        ranked.withColumn("anchor", F.expr("date_sub(d, rn)"))
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").cast("string").alias("island_start"),
+            F.max("d").cast("string").alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .select("user_id", "island_start", "island_end", "n_days")
+    )

@@ -649,6 +649,58 @@ def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+@query(
+    "agg_hll_rollup",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Hierarchical distinct-count rollup via mergeable HLL sketches "
+    "(Spark 4 Apache DataSketches builtins): per-(day, event_type) "
+    "hll_sketch_agg sketches are UNIONED up to per-event_type totals with "
+    "hll_union_agg — the continuous-aggregate pattern where fine-grain "
+    "sketches are persisted once and every coarser rollup is a sketch "
+    "merge, never a re-scan of raw data (at 100 TB the daily sketches are "
+    "KBs; re-counting distincts over a year is a full-corpus shuffle). "
+    "The estimate is engine-specific, so like agg_approx_distinct the "
+    "checkable contract is the ERROR BOUND: |merged estimate - exact| <= "
+    "max(5, 5% of exact), with the exact side computed only as the "
+    "verification twin. DuckDB reproduces the exact counts and the "
+    "expected-TRUE bound.",
+    tags=("agg", "approx", "sketch"),
+)
+def q_agg_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = tables(spark, sf)["events"]
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.greatest(F.lit(5.0), F.col("exact_users") * 0.05)
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit / top-k
 # ---------------------------------------------------------------------------
