@@ -28,7 +28,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from datafusion_flight_sql_server_spark.functions.vector import cosine
+from datafusion_flight_sql_server_spark.functions.vector import cosine, dot
 
 
 def _as_double(col):
@@ -439,4 +439,180 @@ def ivf_topk(
             "sim",
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 8,
+    n_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    train_iters: int = 1,
+) -> DataFrame:
+    """Product-quantization ANN: train per-subspace codebooks, encode the
+    corpus to ``m`` small codes per vector, rank by asymmetric distance
+    computation (ADC) over the codes, exact-cosine re-rank the best
+    ``n_candidates``.
+
+    PQ is the memory-compression leg of the ANN triad (alongside the
+    LSH-bucketing and IVF-partitioning legs already implemented): a
+    ``dim``-float vector collapses to ``m`` sub-byte codes, so the scan
+    that ranks candidates touches ~``m`` bytes per vector instead of
+    ``4*dim`` — at 100 TB of embeddings that is the difference between
+    scanning the corpus and scanning a 3% sidecar. This operator
+    implements the ADC kernel over the full corpus for a bounded query
+    batch (an EVAL/rerank harness); the production composition at scale is
+    IVF-PQ — route queries through ``ivf_topk``'s cell assignment first
+    and run this same ADC over the probed cells only.
+
+    Determinism contract (the same discipline as trained IVF):
+
+    - codebooks seed from the ``n_codes`` lowest-id vectors' subvectors and
+      refine with ``train_iters`` Lloyd steps; per-dimension means quantize
+      to micros via ``floor(x*1e6+0.5)/1e6`` (IEEE-exact both engines, and
+      the 5e-7 step absorbs partial-agg summation-order drift);
+    - ALL distance comparisons (assignment argmin, ADC ranking) use
+      micro-quantized squared-L2 BIGINTs (``floor(d2*1e6+0.5)``), computed
+      from the dot-product identity ``d(a,a) - 2*d(a,b) + d(b,b)`` whose
+      fold order matches DuckDB's ``list_dot_product``; integer sums are
+      order-free, so the ADC total is engine-identical;
+    - every ranking tie-breaks on the id.
+
+    The result therefore hash-matches an ANSI oracle that unrolls the same
+    training, encoding and ADC steps.
+    """
+    sub_w = dim // m
+    if sub_w * m != dim:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m {m}")
+
+    def d2u(a, b):
+        # micro-quantized squared L2 via the dot identity (see docstring)
+        d2 = dot(a, a) - 2 * dot(a, b) + dot(b, b)
+        return F.floor(d2 * 1000000.0 + 0.5).cast("bigint")
+
+    e = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # long-form subvectors: (vid, m, sub)
+    subs = e.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sub_m"),
+                        F.slice("v", i * sub_w + 1, sub_w).alias("sv"),
+                    )
+                    for i in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vid", F.col("s.sub_m").alias("sub_m"), F.col("s.sv").alias("sv"))
+
+    # seed codebooks: subvectors of the n_codes lowest-id vectors
+    cb = subs.filter(F.col("vid") < n_codes).select(
+        "sub_m", F.col("vid").alias("code"), F.col("sv").alias("cv")
+    )
+    for _ in range(train_iters):
+        best = (
+            subs.join(F.broadcast(cb), "sub_m")
+            .select(
+                "vid",
+                "sub_m",
+                F.struct(
+                    (-d2u(F.col("sv"), F.col("cv"))).alias("neg_du"),
+                    (-F.col("code")).alias("neg_code"),
+                    F.col("sv").alias("sv"),
+                ).alias("s"),
+            )
+            .groupBy("vid", "sub_m")
+            .agg(F.max("s").alias("s"))
+            .select("sub_m", (-F.col("s.neg_code")).alias("code"), F.col("s.sv").alias("sv"))
+        )
+        means = best.groupBy("sub_m", "code").agg(
+            *[
+                (
+                    F.floor(F.avg(F.element_at("sv", i + 1)) * 1000000.0 + 0.5)
+                    / 1000000.0
+                ).alias(f"m{i}")
+                for i in range(sub_w)
+            ]
+        )
+        cb = means.select(
+            "sub_m",
+            "code",
+            F.array(*[F.col(f"m{i}") for i in range(sub_w)]).alias("cv"),
+        ).localCheckpoint(eager=True)
+
+    # encode: nearest code per (vector, subspace) — partial-agg argmin
+    codes = (
+        subs.join(F.broadcast(cb), "sub_m")
+        .select(
+            "vid",
+            "sub_m",
+            F.struct(
+                (-d2u(F.col("sv"), F.col("cv"))).alias("neg_du"),
+                (-F.col("code")).alias("neg_code"),
+            ).alias("s"),
+        )
+        .groupBy("vid", "sub_m")
+        .agg(F.max("s").alias("s"))
+        .select("vid", "sub_m", (-F.col("s.neg_code")).alias("code"))
+    )
+
+    # per-query ADC tables: du to every codeword (|Q| x m x n_codes rows)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    qsubs = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sub_m"),
+                        F.slice("qv", i * sub_w + 1, sub_w).alias("qsv"),
+                    )
+                    for i in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.sub_m").alias("sub_m"), F.col("s.qsv").alias("qsv"))
+    dt = qsubs.join(F.broadcast(cb), "sub_m").select(
+        "query_id", "sub_m", "code", d2u(F.col("qsv"), F.col("cv")).alias("du")
+    )
+
+    # ADC scan: codes ⋈ dist-table → integer sum over subspaces (order-free)
+    adc = (
+        codes.join(F.broadcast(dt), ["sub_m", "code"])
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("du").alias("adc"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
+    cand = adc.withColumn("crnk", F.row_number().over(wc)).filter(
+        F.col("crnk") <= n_candidates
+    )
+
+    # exact re-rank of the candidate pool
+    rer = (
+        cand.join(e.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("nv")), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("bigint").alias("rank"))
     )

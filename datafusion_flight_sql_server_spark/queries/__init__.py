@@ -55,6 +55,7 @@ _PRIORITY = (
     "multimodal_dedup",
     "agg_hll_rollup",
     "event_islands",
+    "sim_topk_pq",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
     # verdict r3 item #7).  TPC-H headliners and join/agg families first.
@@ -86,10 +87,10 @@ _PRIORITY = (
     "topk",
     "subquery_scalar",
     "subquery_in",
-    "subquery_exists",
     # ---- position 51+: r1 rotation overflow (trimmed for the round-4
     # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
     # in legacy order (all have driver rows already).
+    "subquery_exists",
     "subquery_correlated_scalar",
     "fn_string",
     "fn_regex",

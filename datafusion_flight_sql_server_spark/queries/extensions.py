@@ -255,6 +255,107 @@ def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_D2U = (
+    "CAST(FLOOR((list_dot_product({a},{a}) - 2*list_dot_product({a},{b}) "
+    "+ list_dot_product({b},{b})) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def _pq_oracle(
+    k: int = 5, m: int = 4, sub_w: int = 16, n_codes: int = 8,
+    n_candidates: int = 20,
+) -> str:
+    """DuckDB SQL unrolling the EXACT product-quantization pipeline of
+    ``operators.similarity.pq_topk`` (train_iters=1): per-subspace seed
+    codebooks from the lowest-id vectors, one Lloyd step with floor-micros
+    mean quantization, argmin encoding, BIGINT ADC sums, exact cosine
+    re-rank — every comparison either integer or micro-quantized, so both
+    engines produce identical codes, candidates and ranks (see pq_topk's
+    determinism contract)."""
+    d2 = _D2U.format(a="s.sv", b="c.cv")
+    d2q = _D2U.format(a="s.qsv", b="c.cv")
+    return f"""
+        WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+             ms AS (SELECT unnest(range(0, {m})) AS sub_m),
+             subs AS (SELECT vid, sub_m,
+                             v[(sub_m*{sub_w}+1):((sub_m+1)*{sub_w})] AS sv
+                      FROM e CROSS JOIN ms),
+             cb0 AS (SELECT sub_m, vid AS code, sv AS cv
+                     FROM subs WHERE vid < {n_codes}),
+             best1 AS (SELECT sub_m, code, sv FROM (
+                 SELECT s.sub_m, c.code, s.sv,
+                        ROW_NUMBER() OVER (PARTITION BY s.vid, s.sub_m
+                            ORDER BY {d2} ASC, c.code) AS rn
+                 FROM subs s JOIN cb0 c ON s.sub_m = c.sub_m) WHERE rn = 1),
+             cb1 AS (SELECT sub_m, code, list(mm ORDER BY idx) AS cv FROM (
+                 SELECT sub_m, code, idx,
+                        FLOOR(AVG(x) * 1000000.0 + 0.5) / 1000000.0 AS mm
+                 FROM (SELECT sub_m, code, unnest(sv) AS x,
+                              unnest(range(1, len(sv) + 1)) AS idx
+                       FROM best1)
+                 GROUP BY sub_m, code, idx) GROUP BY sub_m, code),
+             codes AS (SELECT vid, sub_m, code FROM (
+                 SELECT s.vid, s.sub_m, c.code,
+                        ROW_NUMBER() OVER (PARTITION BY s.vid, s.sub_m
+                            ORDER BY {d2} ASC, c.code) AS rn
+                 FROM subs s JOIN cb1 c ON s.sub_m = c.sub_m) WHERE rn = 1),
+             q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 8),
+             qsubs AS (SELECT query_id, sub_m,
+                              qv[(sub_m*{sub_w}+1):((sub_m+1)*{sub_w})] AS qsv
+                       FROM q CROSS JOIN ms),
+             dt AS (SELECT s.query_id, c.sub_m, c.code, {d2q} AS du
+                    FROM qsubs s JOIN cb1 c ON s.sub_m = c.sub_m),
+             adc AS (SELECT d.query_id, cd.vid AS neighbor_id,
+                            SUM(d.du) AS adc
+                     FROM codes cd
+                     JOIN dt d ON d.sub_m = cd.sub_m AND d.code = cd.code
+                     WHERE cd.vid <> d.query_id
+                     GROUP BY d.query_id, cd.vid),
+             cand AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc, neighbor_id) AS crnk
+                 FROM adc) WHERE crnk <= {n_candidates}),
+             r AS (SELECT c.query_id, c.neighbor_id,
+                          {_COS.format(a="q.qv", b="e.v")} AS sim,
+                          ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY {_COS.format(a="q.qv", b="e.v")} DESC,
+                                       c.neighbor_id) AS rnk
+                   FROM cand c
+                   JOIN e ON e.vid = c.neighbor_id
+                   JOIN q ON q.query_id = c.query_id)
+        SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= {k}
+    """
+
+
+@query(
+    "sim_topk_pq",
+    oracle=_pq_oracle(),
+    doc="Product-quantization ANN (the memory-compression leg of the ANN "
+    "triad, after LSH bucketing and IVF partitioning): 4 subspaces x 8 "
+    "codewords trained with one Lloyd step (floor-micros means, the "
+    "trained-IVF determinism idiom), corpus encoded to 4 codes/vector, "
+    "candidates ranked by BIGINT asymmetric-distance sums (integer, "
+    "order-free), best 20 re-ranked by exact cosine. A 64-float vector "
+    "collapses to 4 codes, so the ranking scan reads ~3% of the raw "
+    "bytes; at 100 TB the production form is IVF-PQ (route via ivf_topk "
+    "cells, run the same ADC per probed cell — this operator is that ADC "
+    "kernel plus the eval harness). Every comparison is integer or "
+    "micro-quantized with id tie-breaks, so the trained pipeline "
+    "hash-matches the unrolled ANSI oracle (operators/similarity.py "
+    "pq_topk).",
+    tags=("similarity", "approx"),
+)
+def q_sim_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.similarity import pq_topk
+
+    e = tables(spark, sf)["embeddings"]
+    return pq_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
 def _lsh_oracle(
     k: int = 5, n_tables: int = 8, n_bits: int = 4, dim: int = 64, seed: int = 42
 ) -> str:

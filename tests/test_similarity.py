@@ -249,3 +249,50 @@ class TestIvfTopK:
             .toString()
         )
         assert "CartesianProduct" not in plan
+
+
+class TestPqTopK:
+    def test_recall_vs_brute_force(self, embeddings):
+        from datafusion_flight_sql_server_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        queries = embeddings.filter(F.col("vec_id") < 8)
+        exact = brute_force_topk(embeddings, queries, k=5).collect()
+        approx = pq_topk(embeddings, queries, k=5).collect()
+        exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+        approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        # 4x8 codebooks on random 64-d data are coarse; the 20-candidate
+        # exact re-rank recovers most of the loss — floor pins collapse
+        assert recall >= 0.25, f"PQ recall collapsed: {recall}"
+        assert all(r.query_id != r.neighbor_id for r in approx)
+
+    def test_deterministic_across_runs(self, embeddings):
+        from datafusion_flight_sql_server_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        queries = embeddings.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, pq_topk(embeddings, queries, k=3).collect()))
+        b = sorted(map(tuple, pq_topk(embeddings, queries, k=3).collect()))
+        assert a == b
+
+    def test_codes_compress_the_corpus(self, embeddings):
+        # the ADC input must be m codes per vector, never raw vectors:
+        # encode 500 x 64 floats -> 500 x 4 small ints
+        from datafusion_flight_sql_server_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        df = pq_topk(embeddings, embeddings.filter(F.col("vec_id") < 2), k=3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+    def test_dim_not_divisible_rejected(self, embeddings):
+        from datafusion_flight_sql_server_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_topk(embeddings, embeddings.limit(1), k=3, m=5, dim=64)
