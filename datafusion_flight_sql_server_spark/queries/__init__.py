@@ -56,6 +56,8 @@ _PRIORITY = (
     "agg_hll_rollup",
     "event_islands",
     "sim_topk_pq",
+    "doc_sample_weighted",
+    "event_scd2_lookup",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
     # verdict r3 item #7).  TPC-H headliners and join/agg families first.
@@ -86,10 +88,10 @@ _PRIORITY = (
     "agg_approx_distinct",
     "topk",
     "subquery_scalar",
-    "subquery_in",
     # ---- position 51+: r1 rotation overflow (trimmed for the round-4
     # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
     # in legacy order (all have driver rows already).
+    "subquery_in",
     "subquery_exists",
     "subquery_correlated_scalar",
     "fn_string",

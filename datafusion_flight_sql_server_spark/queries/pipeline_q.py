@@ -761,3 +761,138 @@ def q_event_islands(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("user_id", "island_start", "island_end", "n_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (deterministic Duffield-Lund-Thorup analog)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_sample_weighted",
+    oracle="""
+        WITH h AS (SELECT doc_id, n_chars,
+                          ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 12))::BIGINT AS hv
+                   FROM documents)
+        SELECT doc_id, n_chars,
+               CAST((n_chars * 281474976710656) // (hv + 1) AS BIGINT)
+                   AS priority
+        FROM h
+        ORDER BY priority DESC, doc_id
+        LIMIT 100
+    """,
+    doc="Weight-proportional sampling without replacement (the "
+    "priority-sampling scheme of Duffield/Lund/Thorup, with the uniform "
+    "draw derandomized to the md5-bucket idiom): each doc gets priority "
+    "w * 2^48 DIV (h + 1) where w = n_chars and h is a 48-bit md5 "
+    "fraction — order-equivalent to w/u, so long/high-quality docs are "
+    "proportionally favored while every doc keeps a nonzero chance. "
+    "Pure integer arithmetic (no pow/log), so the sample is bit-"
+    "reproducible across engines, runs and retries — the property a "
+    "100 TB curation pipeline needs to make sampling auditable. Scale: "
+    "priority is row-local; top-n collapses to TakeOrderedAndProject "
+    "(no global sort).",
+    tags=("sampling",),
+)
+def q_doc_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    return (
+        d.select("doc_id", "n_chars", hv.alias("hv"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "CAST(n_chars * 281474976710656 DIV (hv + 1) AS BIGINT)"
+            ).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time lookup against the SCD-2 dimension
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_scd2_lookup",
+    oracle="""
+        WITH o AS (SELECT user_id, event_id, event_type,
+                          CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                          LAG(event_type) OVER w AS prev
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             seg AS (SELECT user_id, event_type, ts_us
+                     FROM o WHERE prev IS NULL OR prev <> event_type),
+             dim AS (SELECT user_id,
+                            event_type AS state,
+                            ts_us AS valid_from_us,
+                            LEAD(ts_us) OVER w2 AS valid_to_us,
+                            CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+                     FROM seg
+                     WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)),
+             p AS (SELECT user_id, event_id,
+                          CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                   FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts_us,
+               d.state AS state_at_purchase, d.version
+        FROM p JOIN dim d
+          ON p.user_id = d.user_id
+         AND d.valid_from_us <= p.ts_us
+         AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
+    """,
+    doc="Point-in-time (temporal) lookup: each purchase joins to the SCD-2 "
+    "state interval valid AT its event time — the query every SCD-2 "
+    "dimension exists to answer (event_scd2 builds the dimension; this "
+    "consumes it). The interval predicate rides an equi-join on user_id, "
+    "so candidates are each user's own handful of versions, never a "
+    "range cross-join; every purchase matches exactly one interval "
+    "because the versions partition the user's timeline. Scale: dim and "
+    "probe shuffle once on user_id (co-partitioned); at 100 TB the "
+    "dimension would be written bucketed on user_id (operators/sink.py "
+    "write_bucketed) making this join Exchange-free.",
+    tags=("events", "cdc", "warehouse"),
+)
+def q_event_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = tables(spark, sf)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").cast("bigint").alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    seg = o.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w2 = W.partitionBy("user_id").orderBy("ts_us")
+    dim = seg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").cast("bigint").alias("ts_us"),
+    )
+    return (
+        p.join(
+            dim,
+            (F.col("p_user") == dim.user_id)
+            & (dim.valid_from_us <= F.col("ts_us"))
+            & (dim.valid_to_us.isNull() | (F.col("ts_us") < dim.valid_to_us)),
+        )
+        .select(
+            "event_id",
+            F.col("p_user").alias("user_id"),
+            "ts_us",
+            F.col("state").alias("state_at_purchase"),
+            "version",
+        )
+    )
