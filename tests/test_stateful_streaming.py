@@ -185,3 +185,125 @@ def test_transform_with_state_plan_construction(spark, tmp_path):
     )
     assert out.isStreaming
     assert [f.name for f in out.schema.fields] == ["user_id", "n", "total"]
+
+
+def test_scd2_stream_matches_batch_closed_versions(spark, tmp_path):
+    """Incremental SCD-2 maintenance (streaming/scd2.py): the closed version
+    rows emitted by the stateful stream must equal the batch window build's
+    closed rows on the same events (the open versions live in state)."""
+    from pyspark.sql import Window as W
+
+    from datafusion_flight_sql_server_spark.streaming.scd2 import scd2_stream
+
+    rows = []
+    base = 1_700_000_000_000_000  # micros
+    states = ["view", "view", "click", "purchase", "purchase", "view", "error"]
+    eid = 0
+    for u in (1, 2, 3, 4):
+        t = base + u * 1_000_000
+        for s in states[: 3 + u]:  # users get different-length histories
+            rows.append((eid, u, s, t))
+            eid += 1
+            t += 60_000_000
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, event_type STRING, ep_us BIGINT"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros("ep_us").alias("ts"),
+    )
+    src = str(tmp_path / "scd2_events")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        scd2_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scd2_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql(
+                "SELECT user_id, state, valid_from_us, valid_to_us, version "
+                "FROM scd2_out"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    # batch reference: the event_scd2 window build, closed rows only
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = df.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").cast("bigint").alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    seg = o.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w2 = W.partitionBy("user_id").orderBy("ts_us")
+    batch = (
+        seg.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts_us").alias("valid_from_us"),
+            F.lead("ts_us").over(w2).alias("valid_to_us"),
+            F.row_number().over(w2).cast("bigint").alias("version"),
+        )
+        .filter(F.col("valid_to_us").isNotNull())
+    )
+    expected = {tuple(r) for r in batch.collect()}
+    assert got == expected
+    assert expected, "fixture should close at least one version"
+
+
+def test_scd2_stream_drops_late_events(spark, tmp_path):
+    """A late event older than the open version must be dropped, not
+    rewrite already-emitted history (the documented late-data policy)."""
+    from datafusion_flight_sql_server_spark.streaming.scd2 import scd2_stream
+
+    base = 1_700_000_000_000_000
+    b1 = [(0, 1, "view", base), (1, 1, "click", base + 60_000_000)]
+    # batch 2 delivers an event BEFORE the open version's start
+    b2 = [(2, 1, "error", base + 30_000_000)]
+    src = tmp_path / "late_events"
+    src.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "event_id BIGINT, user_id BIGINT, event_type STRING, ep_us BIGINT"
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros("ep_us").alias("ts"),
+        ).coalesce(1).write.parquet(str(src / name))
+
+    write("b1", b1)
+    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    q = (
+        scd2_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scd2_late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b2", b2)
+        q.processAllAvailable()
+        got = [
+            tuple(r)
+            for r in spark.sql(
+                "SELECT state, valid_to_us FROM scd2_late_out ORDER BY valid_from_us"
+            ).collect()
+        ]
+    finally:
+        q.stop()
+    # only the view->click close; the late 'error' changed nothing
+    assert got == [("view", base + 60_000_000)]
