@@ -896,3 +896,73 @@ def q_event_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
             "version",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding QC: distance-to-centroid outliers
+# ---------------------------------------------------------------------------
+
+_COS6_Q = (
+    "ROUND(CASE WHEN sqrt(list_dot_product({a},{a})) > 0 "
+    "AND sqrt(list_dot_product({b},{b})) > 0 "
+    "THEN list_dot_product({a},{b}) / "
+    "(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) "
+    "ELSE 0.0 END, 6)"
+)
+
+
+@query(
+    "embed_outliers",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+             c AS (SELECT label, idx,
+                          FLOOR(AVG(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+                   FROM (SELECT label, unnest(v) AS x,
+                                unnest(range(1, len(v) + 1)) AS idx
+                         FROM e)
+                   GROUP BY label, idx),
+             cv AS (SELECT label, list(m ORDER BY idx) AS cvec
+                    FROM c GROUP BY label)
+        SELECT e.vec_id, e.label,
+               {_COS6_Q.format(a="e.v", b="cv.cvec")} AS sim_to_centroid,
+               {_COS6_Q.format(a="e.v", b="cv.cvec")} < 0.0 AS is_outlier
+        FROM e JOIN cv ON e.label = cv.label
+    """,
+    doc="Embedding quality control: each vector's cosine similarity to its "
+    "own label centroid, flagging vectors that point AWAY from their "
+    "cluster (sim < 0) — the standard screen for mislabeled rows, "
+    "corrupted embeddings, and drifted encoder versions before vectors "
+    "enter an index. Centroids are element-wise means quantized to "
+    "micros (the trained-IVF floor idiom, bit-identical across engines); "
+    "similarity is round-6 cosine. Scale: one partial-aggregated "
+    "(label) mean pass, centroids broadcast back — two scans, one tiny "
+    "shuffle, no pairwise anything.",
+    tags=("embedding", "quality"),
+)
+def q_embed_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.functions.vector import cosine
+
+    e = tables(spark, sf)["embeddings"].select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = 64
+    means = e.groupBy("label").agg(
+        *[
+            (
+                F.floor(F.avg(F.element_at("v", i + 1)) * 1000000.0 + 0.5)
+                / 1000000.0
+            ).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    )
+    cents = means.select(
+        "label", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec")
+    )
+    sim = F.round(cosine(F.col("v"), F.col("cvec")), 6)
+    return e.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        sim.alias("sim_to_centroid"),
+        (sim < 0.0).alias("is_outlier"),
+    )

@@ -2390,6 +2390,78 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "agg_bitmap_intersect",
+    oracle="""
+        WITH v AS (SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                              AS day, user_id
+                   FROM events WHERE event_type = 'view'),
+             p AS (SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                              AS day, user_id
+                   FROM events WHERE event_type = 'purchase'),
+             b AS (SELECT day, COUNT(*) AS n_both
+                   FROM (SELECT DISTINCT day, user_id FROM v
+                         INTERSECT
+                         SELECT DISTINCT day, user_id FROM p)
+                   GROUP BY day)
+        SELECT d.day,
+               CAST(d.n_view AS BIGINT) AS n_view,
+               CAST(d.n_purchase AS BIGINT) AS n_purchase,
+               CAST(COALESCE(b.n_both, 0) AS BIGINT) AS n_both
+        FROM (SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                         AS day,
+                     COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                         THEN user_id END) AS n_view,
+                     COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                         THEN user_id END) AS n_purchase
+              FROM events GROUP BY 1) d
+        LEFT JOIN b ON d.day = b.day
+    """,
+    doc="EXACT audience-overlap counting via mergeable bitmaps: per day, "
+    "how many users both viewed AND purchased. Spark 4 has bitmap OR "
+    "merges but no bitmap AND, so the intersection comes from "
+    "inclusion-exclusion — per (day, bitmap bucket): |view| + |purchase| "
+    "- |view OR purchase|, each side a conditional "
+    "bitmap_construct_agg whose 4KB segments partial-aggregate map-side; "
+    "bucket counts then sum per day. One pass over the events, fixed-size "
+    "partial state — at 100 TB the alternative (a distinct-pair self-join "
+    "per day) shuffles the raw stream twice. The oracle computes the "
+    "same overlap independently via INTERSECT, so the identity itself is "
+    "cross-checked, not assumed.",
+    tags=("agg", "sketch"),
+)
+def q_agg_bitmap_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT day,
+               CAST(SUM(v_cnt) AS BIGINT) AS n_view,
+               CAST(SUM(p_cnt) AS BIGINT) AS n_purchase,
+               CAST(SUM(v_cnt + p_cnt - u_cnt) AS BIGINT) AS n_both
+        FROM (
+            SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day,
+                   bitmap_count(bitmap_construct_agg(
+                       CASE WHEN event_type = 'view'
+                            THEN bitmap_bit_position(user_id) END))
+                       AS v_cnt,
+                   bitmap_count(bitmap_construct_agg(
+                       CASE WHEN event_type = 'purchase'
+                            THEN bitmap_bit_position(user_id) END))
+                       AS p_cnt,
+                   bitmap_count(bitmap_construct_agg(
+                       CASE WHEN event_type IN ('view', 'purchase')
+                            THEN bitmap_bit_position(user_id) END))
+                       AS u_cnt
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
+            GROUP BY CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING),
+                     bitmap_bucket_number(user_id)
+        )
+        GROUP BY day
+        """
+    )
+
+
+@query(
     "agg_minmax_by",
     oracle="""
         WITH mx AS (
