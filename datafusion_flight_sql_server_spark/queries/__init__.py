@@ -60,6 +60,7 @@ _PRIORITY = (
     "event_scd2_lookup",
     "embed_outliers",
     "agg_bitmap_intersect",
+    "pipeline_curate_v3",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
     # verdict r3 item #7).  TPC-H headliners and join/agg families first.
@@ -86,10 +87,10 @@ _PRIORITY = (
     "agg_stats",
     "agg_rollup",
     "agg_cube",
-    "agg_grouping_sets",
     # ---- position 51+: r1 rotation overflow (trimmed for the round-4
     # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
     # in legacy order (all have driver rows already).
+    "agg_grouping_sets",
     "agg_approx_distinct",
     "topk",
     "subquery_scalar",

@@ -966,3 +966,161 @@ def q_embed_outliers(spark: SparkSession, sf: str) -> DataFrame:
         sim.alias("sim_to_centroid"),
         (sim < 0.0).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v3: round-4 signals composed into one declarative job
+# ---------------------------------------------------------------------------
+
+#: v3 gates: documents keep iff duplicated-shingle fraction below this and
+#: unigram-LM commonness within this band (drops both rare-token noise and
+#: degenerate all-stopword text); survivors are weight-sampled to the cap.
+CURATE_V3_DUP_PPM_MAX = 500_000
+CURATE_V3_LM_PPM_MIN = 20_000
+CURATE_V3_SAMPLE_N = 200
+
+
+@query(
+    "pipeline_curate_v3",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, n_chars,
+                          list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '') AS a
+                   FROM documents),
+             sh AS (SELECT doc_id,
+                           md5(unnest(list_transform(range(1, len(a) - 3),
+                               i -> array_to_string(a[i:i+4], ' ')))) AS sid
+                    FROM w WHERE len(a) >= 5),
+             sp AS (SELECT doc_id, sid, COUNT(*) AS inst
+                    FROM sh GROUP BY doc_id, sid),
+             spd AS (SELECT doc_id, sid, inst,
+                            COUNT(*) OVER (PARTITION BY sid) AS ndoc
+                     FROM sp),
+             dup AS (SELECT doc_id,
+                            CAST((1000000 * SUM(CASE WHEN ndoc >= 2
+                                                     THEN inst ELSE 0 END))
+                                 // SUM(inst) AS BIGINT) AS dup_ppm
+                     FROM spd GROUP BY doc_id),
+             tok AS (SELECT doc_id, unnest(a) AS word FROM w),
+             dc AS (SELECT doc_id, word, COUNT(*) AS k
+                    FROM tok GROUP BY doc_id, word),
+             dcc AS (SELECT doc_id, word, k,
+                            SUM(k) OVER (PARTITION BY word) AS c
+                     FROM dc),
+             tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n,
+                            CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+                     FROM dc),
+             lm AS (SELECT d.doc_id,
+                           CAST((1000000 * (SUM(d.k * d.c) + SUM(d.k)))
+                                // (SUM(d.k) * (t.n + t.v)) AS BIGINT)
+                               AS lm_score_ppm
+                    FROM dcc d CROSS JOIN tot t
+                    GROUP BY d.doc_id, t.n, t.v),
+             gated AS (SELECT w.doc_id, w.n_chars,
+                              dup.dup_ppm, lm.lm_score_ppm
+                       FROM w
+                       JOIN dup ON w.doc_id = dup.doc_id
+                       JOIN lm ON w.doc_id = lm.doc_id
+                       WHERE dup.dup_ppm <= {CURATE_V3_DUP_PPM_MAX}
+                         AND lm.lm_score_ppm >= {CURATE_V3_LM_PPM_MIN})
+        SELECT doc_id, n_chars, dup_ppm, lm_score_ppm,
+               CAST((n_chars * 281474976710656)
+                    // (('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 12))::BIGINT + 1)
+                    AS BIGINT) AS priority
+        FROM gated
+        ORDER BY priority DESC, doc_id
+        LIMIT {CURATE_V3_SAMPLE_N}
+    """,
+    doc="One-job curation v3, composing the round-4 signals: repeated-"
+    "substring gate (dup_ppm <= 50%), unigram-LM commonness gate "
+    "(lm_score_ppm >= 2%), then weight-proportional priority sampling to "
+    "a fixed budget — dedup signal, fluency signal, and auditable "
+    "sampling as ONE declarative plan Catalyst schedules as a single "
+    "job. Scale: the corpus text is read once per tokenization (shingle "
+    "+ word — different explodes, unavoidable), every side artifact is "
+    "keyed by fingerprint/word and collapses to doc_id-keyed ppm "
+    "columns, the three doc_id-keyed joins co-partition on one "
+    "exchange, and the final sample is TakeOrderedAndProject (no global "
+    "sort). All comparisons are exact integers, so the selected set is "
+    "bit-reproducible — an auditable sample at 100 TB.",
+    tags=("pipeline", "dedup", "quality", "sampling"),
+)
+def q_pipeline_curate_v3(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    w = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("a"),
+    )
+    # dup_ppm (dedup_substring's single-lineage shape)
+    sh = w.filter(F.size("a") >= 5).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 4),"
+                "          i -> md5(concat_ws(' ', slice(a, i, 5))))"
+            )
+        ).alias("sid"),
+    )
+    sp = sh.groupBy("doc_id", "sid").agg(F.count(F.lit(1)).alias("inst"))
+    spd = sp.withColumn("ndoc", F.count(F.lit(1)).over(W.partitionBy("sid")))
+    dup = spd.groupBy("doc_id").agg(
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN ndoc >= 2 THEN inst ELSE 0 END))"
+            " DIV SUM(inst) AS BIGINT)"
+        ).alias("dup_ppm")
+    )
+    # lm_score_ppm (text_lm_unigram's single-lineage shape)
+    tok = w.select("doc_id", F.explode("a").alias("word"))
+    dc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
+    dcc = dc.withColumn("c", F.sum("k").over(W.partitionBy("word")))
+    tot = (
+        dcc.groupBy("word")
+        .agg(F.first("c").alias("c"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+        )
+    )
+    lm = (
+        dcc.crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "n", "v")
+        .agg(
+            F.sum(F.col("k") * F.col("c")).alias("sum_kc"),
+            F.sum("k").alias("n_tok"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST((1000000 * (sum_kc + n_tok))"
+                " DIV (n_tok * (n + v)) AS BIGINT)"
+            ).alias("lm_score_ppm"),
+        )
+    )
+    gated = (
+        w.select("doc_id", "n_chars")
+        .join(dup, "doc_id")
+        .join(lm, "doc_id")
+        .filter(
+            (F.col("dup_ppm") <= CURATE_V3_DUP_PPM_MAX)
+            & (F.col("lm_score_ppm") >= CURATE_V3_LM_PPM_MIN)
+        )
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    return (
+        gated.withColumn("hv", hv)
+        .select(
+            "doc_id",
+            "n_chars",
+            "dup_ppm",
+            "lm_score_ppm",
+            F.expr(
+                "CAST(n_chars * 281474976710656 DIV (hv + 1) AS BIGINT)"
+            ).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(CURATE_V3_SAMPLE_N)
+    )
