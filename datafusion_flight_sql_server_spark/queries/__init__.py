@@ -22,14 +22,15 @@ from datafusion_flight_sql_server_spark.queries import pipeline_q  # noqa: F401
 
 #: Verification-priority prefix: the driver produces CORRECTNESS rows for
 #: the FIRST 50 registered queries each round, so ordering decides which
-#: operators get a row. Round-4 order (per the round-3 review's item #1):
-#: positions 1-50 are the 7 queries registered in round 3 (the only names
-#: with no driver row — CORRECTNESS_r03 was green on all 50 checked), any
-#: round-4 registrations, then a rotation of the OLDEST r1-green rows as
-#: regression insurance — preferring queries whose implementation files
-#: (``relational.py``, ``windows_q.py``) changed since round 1.  Green here
-#: → 156/156 registered queries driver-verified at least once.  Position
-#: 51+ holds the r2/r3-green names in their legacy order.
+#: operators get a row. Standing policy (round 4): tier 1 = prior-round
+#: registrations that have never received a driver row, tier 2 = this
+#: round's registrations (appended as they land, trimming the tier-3 tail
+#: to keep the prefix at exactly 50), tier 3 = a rotation of the oldest
+#: r1-green rows as regression insurance. Green on the prefix → every
+#: registered query driver-verified at least once (the r1 long tail's
+#: rows stand from round 1 and re-verify locally in every pytest run).
+#: ROUND-5 NOTE: move any round-4 name that did NOT get a green
+#: CORRECTNESS_r04 row to the top of tier 1 before registering new work.
 _PRIORITY = (
     # tier 1: round-3 registrations, never driver-checked (one-round lag)
     "agg_percentile_approx",

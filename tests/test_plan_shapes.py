@@ -215,6 +215,31 @@ class TestRound4PlanShapes:
         assert "WindowGroupLimit" in plan
         assert "CartesianProduct" not in plan
 
+    def test_embed_outliers_centroids_broadcast(self, spark):
+        # centroids are |labels| rows: they must reach the corpus as a
+        # broadcast, and nothing may go pairwise
+        plan = _executed_plan(_run(spark, "embed_outliers"))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_event_scd2_lookup_no_range_cross_join(self, spark):
+        # the interval predicate must ride the user_id equi-join, never a
+        # nested-loop range join
+        plan = _executed_plan(_run(spark, "event_scd2_lookup"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_curate_v3_sample_is_take_ordered(self, spark):
+        # the final weighted sample must collapse to TakeOrderedAndProject
+        # (no global sort of the gated corpus)
+        plan = _executed_plan(_run(spark, "pipeline_curate_v3"))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_doc_sample_weighted_take_ordered(self, spark):
+        plan = _executed_plan(_run(spark, "doc_sample_weighted"))
+        assert "TakeOrderedAndProject" in plan
+
     def test_agg_mode_no_window(self, spark):
         # argmax via max(struct): two partial-aggregated aggregations,
         # no per-group window sort of the raw stream
