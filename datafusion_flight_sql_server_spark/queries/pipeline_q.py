@@ -1124,3 +1124,84 @@ def q_pipeline_curate_v3(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(CURATE_V3_SAMPLE_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching (SymSpell delete-variant blocking)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_fuzzy",
+    oracle="""
+        WITH n AS (SELECT c_custkey, c_name FROM customer),
+             probe AS (SELECT c_custkey, c_name FROM n
+                       WHERE c_custkey % 20 = 0),
+             pv AS (SELECT c_custkey, c_name,
+                           unnest(list_prepend(c_name,
+                               list_transform(range(1, len(c_name) + 1),
+                                   i -> substr(c_name, 1, i - 1)
+                                        || substr(c_name, i + 1)))) AS var
+                    FROM probe),
+             cv AS (SELECT c_custkey, c_name,
+                           unnest(list_prepend(c_name,
+                               list_transform(range(1, len(c_name) + 1),
+                                   i -> substr(c_name, 1, i - 1)
+                                        || substr(c_name, i + 1)))) AS var
+                    FROM n),
+             cand AS (SELECT DISTINCT p.c_custkey AS probe_key,
+                             c.c_custkey AS match_key,
+                             p.c_name AS probe_name, c.c_name AS match_name
+                      FROM pv p JOIN cv c ON p.var = c.var
+                      WHERE p.c_custkey <> c.c_custkey)
+        SELECT probe_key, match_key, probe_name, match_name,
+               CAST(levenshtein(probe_name, match_name) AS BIGINT) AS dist
+        FROM cand
+        WHERE levenshtein(probe_name, match_name) <= 1
+    """,
+    doc="Fuzzy entity matching with SymSpell-style symmetric-delete "
+    "blocking: a probe batch (5% of customers — the incremental-ingest "
+    "shape) matches the full corpus at Levenshtein distance <= 1. Every "
+    "name expands to its delete-1 variants (len+1 strings); a pair "
+    "within distance 1 MUST share a variant, so candidates come from a "
+    "variant equi-join and the exact edit distance verifies only "
+    "candidates — never an all-pairs comparison, and no length/prefix "
+    "blocking assumptions that break on uniform key spaces. Scale: "
+    "variant expansion is map-side (~len rows per name), the join key is "
+    "a short string, candidates per name are bounded by true near-"
+    "matches; this is how entity resolution dedups a 100 TB contact/"
+    "entity table. Levenshtein is a JVM builtin on the Spark side, "
+    "DuckDB's levenshtein in the oracle.",
+    tags=("join", "dedup", "fuzzy"),
+)
+def q_join_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    c = tables(spark, sf)["customer"].select("c_custkey", "c_name")
+    variants = F.expr(
+        "array_prepend(transform(sequence(1, length(c_name)),"
+        " i -> concat(substring(c_name, 1, i - 1),"
+        "             substring(c_name, i + 1, length(c_name)))), c_name)"
+    )
+    cv = c.select(
+        "c_custkey", "c_name", F.explode(variants).alias("var")
+    )
+    pv = cv.filter(F.col("c_custkey") % 20 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.col("c_name").alias("probe_name"),
+        "var",
+    )
+    cand = (
+        pv.join(
+            cv.select(
+                F.col("c_custkey").alias("match_key"),
+                F.col("c_name").alias("match_name"),
+                "var",
+            ),
+            "var",
+        )
+        .filter(F.col("probe_key") != F.col("match_key"))
+        .select("probe_key", "match_key", "probe_name", "match_name")
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("probe_name", "match_name").cast("bigint")
+    ).filter(F.col("dist") <= 1)
