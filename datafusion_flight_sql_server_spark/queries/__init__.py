@@ -63,6 +63,8 @@ _PRIORITY = (
     "agg_bitmap_intersect",
     "pipeline_curate_v3",
     "join_fuzzy",
+    "dedup_incremental",
+    "fn_mask",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
     # verdict r3 item #7).  TPC-H headliners and join/agg families first.
@@ -86,11 +88,11 @@ _PRIORITY = (
     "agg_group_multi",
     "agg_having",
     "agg_distinct",
-    "agg_stats",
-    "agg_rollup",
     # ---- position 51+: r1 rotation overflow (trimmed for the round-4
     # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
     # in legacy order (all have driver rows already).
+    "agg_stats",
+    "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
     "agg_approx_distinct",

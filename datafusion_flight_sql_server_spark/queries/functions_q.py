@@ -613,3 +613,40 @@ def q_fn_variant(spark: SparkSession, sf: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
         F.variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
     )
+
+
+@query(
+    "fn_mask",
+    oracle="""
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(c_name,
+                   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                   AS masked,
+               substring(c_name, 1, 9) ||
+               regexp_replace(regexp_replace(regexp_replace(
+                   substring(c_name, 10),
+                   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                   AS partial
+        FROM customer
+    """,
+    doc="Data masking for PII-bearing columns (Spark 4 mask() builtin: "
+    "uppercase->X, lowercase->x, digit->n, punctuation kept): full-column "
+    "masking plus the keep-prefix partial-reveal form "
+    "(concat(prefix, mask(rest))) used for last-4-digits-style display. "
+    "Complements text_redact's regex entity redaction with column-level "
+    "shape-preserving masking — the view layer a governed 100 TB "
+    "warehouse puts between raw PII and analysts. Row-local, "
+    "whole-stage-codegen; the oracle reproduces mask() with "
+    "character-class regexp_replace chains.",
+    tags=("functions", "privacy"),
+)
+def q_fn_mask(spark: SparkSession, sf: str) -> DataFrame:
+    c = tables(spark, sf)["customer"]
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked"),
+        F.concat(
+            F.substring("c_name", 1, 9),
+            F.mask(F.expr("substring(c_name, 10)")),
+        ).alias("partial"),
+    )

@@ -1205,3 +1205,56 @@ def q_join_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     return cand.withColumn(
         "dist", F.levenshtein("probe_name", "match_name").cast("bigint")
     ).filter(F.col("dist") <= 1)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: new batch vs historical corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+        WITH hist AS (SELECT DISTINCT md5(text) AS digest
+                      FROM documents WHERE doc_id % 10 <> 0),
+             batch AS (SELECT doc_id, md5(text) AS digest, n_chars
+                       FROM documents WHERE doc_id % 10 = 0),
+             fresh AS (SELECT b.doc_id, b.digest, b.n_chars
+                       FROM batch b
+                       WHERE NOT EXISTS (SELECT 1 FROM hist h
+                                         WHERE h.digest = b.digest)),
+             keep AS (SELECT doc_id, digest, n_chars,
+                             ROW_NUMBER() OVER (PARTITION BY digest
+                                                ORDER BY doc_id) AS rn
+                      FROM fresh)
+        SELECT doc_id, digest, CAST(n_chars AS BIGINT) AS n_chars
+        FROM keep WHERE rn = 1
+    """,
+    doc="Incremental ingestion dedup (the production shape of exact dedup: "
+    "corpora grow by batches, and each batch dedups against ALL history "
+    "without rereading it): a new batch (10% of docs) anti-joins the "
+    "historical digest set, then dedups within itself (first doc_id "
+    "wins). Scale: history is represented ONLY by its 16-byte digests — "
+    "at 100 TB that sidecar is what gets stored/bucketed between runs "
+    "(operators/sink.py write_bucketed on digest makes the anti-join "
+    "Exchange-free); the batch shuffles once on digest for both the "
+    "anti-join and the within-batch keep. Text bytes never join "
+    "anything.",
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    hist = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5("text").alias("digest"), "n_chars"
+    )
+    fresh = batch.join(hist, "digest", "left_anti")
+    keep = fresh.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("digest").orderBy("doc_id")),
+    ).filter(F.col("rn") == 1)
+    return keep.select("doc_id", "digest", F.col("n_chars").cast("bigint").alias("n_chars"))
