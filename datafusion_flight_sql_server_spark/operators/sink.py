@@ -205,13 +205,21 @@ def write_zorder(
         F.max(y_col).alias("ymax"),
     )
     top = (1 << bits) - 1
+    # Scale in DOUBLE (not BIGINT): (x - xmin) * top overflows 64-bit
+    # integers for wide-domain keys (epoch micros, hashes), and integer DIV
+    # rejects fractional columns. FLOOR over the double quotient is
+    # deterministic IEEE arithmetic for identical inputs (the oracle
+    # evaluates the same expression), and a 1-ulp quotient wobble moves a
+    # row one z-cell at most — irrelevant to clustering quality.
     scaled = df.crossJoin(F.broadcast(mm)).select(
         df["*"],
         F.expr(
-            f"CAST((({x_col} - xmin) * {top}) DIV GREATEST(xmax - xmin, 1) AS BIGINT)"
+            f"CAST(FLOOR((({x_col} - xmin) * {top}.0)"
+            f" / GREATEST(CAST(xmax - xmin AS DOUBLE), 1.0)) AS BIGINT)"
         ).alias("__zx"),
         F.expr(
-            f"CAST((({y_col} - ymin) * {top}) DIV GREATEST(ymax - ymin, 1) AS BIGINT)"
+            f"CAST(FLOOR((({y_col} - ymin) * {top}.0)"
+            f" / GREATEST(CAST(ymax - ymin AS DOUBLE), 1.0)) AS BIGINT)"
         ).alias("__zy"),
     )
     z = scaled.withColumn(

@@ -537,10 +537,27 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
             raise SubstraitUnsupported(
                 "Substrait consumer: FetchRel without a literal count"
             )
-        state.limit = int(count)
-        offset = _one(ff, 3)
+
+        def signed(v: int) -> int:
+            # protobuf int64 varints are two's-complement on the wire
+            v = int(v)
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        count = signed(count)
+        if count < -1:
+            raise SubstraitMalformed(f"FetchRel count {count}")
+        # count = -1 is the spec's "return all records": emit no LIMIT
+        state.limit = None if count == -1 else count
+        offset = signed(_one(ff, 3) or 0)
+        if offset < 0:
+            raise SubstraitMalformed(f"FetchRel offset {offset}")
         if offset:
-            state.offset = int(offset)
+            if state.limit is None:
+                raise SubstraitUnsupported(
+                    "Substrait consumer: FetchRel offset without a "
+                    "non-negative count is not supported"
+                )
+            state.offset = offset
         return state
 
     raise SubstraitUnsupported(

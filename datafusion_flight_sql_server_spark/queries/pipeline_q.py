@@ -200,9 +200,9 @@ _COS6 = (
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
              q AS (SELECT vec_id AS q_id, v AS qv, v[1:32] AS qh
-                   FROM e WHERE vec_id <= 8),
+                   FROM e WHERE vec_id < 8),
              c AS (SELECT vec_id AS c_id, v AS cv, v[1:32] AS ch
-                   FROM e WHERE vec_id > 8),
+                   FROM e WHERE vec_id >= 8),
              p AS (SELECT q_id, c_id,
                           {_COS6.format(a="qv", b="cv")} AS cos_full,
                           {_COS6.format(a="qh", b="ch")} AS cos_half
@@ -243,12 +243,12 @@ def q_embed_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
     e = tables(spark, sf)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    qs = e.filter(F.col("vec_id") <= 8).select(
+    qs = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.slice("v", 1, 32).alias("qh"),
     )
-    cs = e.filter(F.col("vec_id") > 8).select(
+    cs = e.filter(F.col("vec_id") >= 8).select(
         F.col("vec_id").alias("c_id"),
         F.col("v").alias("cv"),
         F.slice("v", 1, 32).alias("ch"),
@@ -259,26 +259,22 @@ def q_embed_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_full"),
         F.round(cosine(F.col("qh"), F.col("ch")), 6).alias("cos_half"),
     )
+    # both ranks in ONE pass over the pairs (two windows share the q_id
+    # partitioning — one exchange, no self-join, the corpus scans once);
+    # a top-10-full row overlaps iff its half-dim rank is also <= 10
     wf = W.partitionBy("q_id").orderBy(F.col("cos_full").desc(), "c_id")
     wh = W.partitionBy("q_id").orderBy(F.col("cos_half").desc(), "c_id")
-    top_f = (
-        pairs.withColumn("rn", F.row_number().over(wf))
-        .filter(F.col("rn") <= 10)
-        .select("q_id", "c_id")
-    )
-    top_h = (
-        pairs.withColumn("rn", F.row_number().over(wh))
-        .filter(F.col("rn") <= 10)
-        .select("q_id", F.col("c_id").alias("h_id"))
+    ranked = pairs.withColumn("rn_f", F.row_number().over(wf)).withColumn(
+        "rn_h", F.row_number().over(wh)
     )
     return (
-        top_f.join(
-            top_h,
-            (top_f.q_id == top_h.q_id) & (top_f.c_id == top_h.h_id),
-            "left",
+        ranked.filter(F.col("rn_f") <= 10)
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.when(F.col("rn_h") <= 10, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_overlap")
         )
-        .groupBy(top_f.q_id.alias("q_id"))
-        .agg(F.count("h_id").cast("bigint").alias("n_overlap"))
         .select(
             "q_id",
             "n_overlap",
@@ -345,24 +341,58 @@ def q_agg_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
 # SCD-2 dimension build from an event stream (CDC pattern)
 # ---------------------------------------------------------------------------
 
-
-@query(
-    "event_scd2",
-    oracle="""
-        WITH o AS (SELECT user_id, event_type,
+#: Shared oracle CTE chain producing the SCD-2 dimension from ``events`` —
+#: the single source of truth for the build semantics, consumed by both
+#: ``event_scd2`` and ``event_scd2_lookup``. BOTH windows tie-break on
+#: event_id: without it, two state-change events sharing a timestamp would
+#: version nondeterministically.
+_SCD2_DIM_SQL = """o AS (SELECT user_id, event_id, event_type,
                           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
                           LAG(event_type) OVER w AS prev
                    FROM events
                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-             seg AS (SELECT user_id, event_type, ts_us
-                     FROM o WHERE prev IS NULL OR prev <> event_type)
-        SELECT user_id,
-               event_type AS state,
-               ts_us AS valid_from_us,
-               LEAD(ts_us) OVER w2 AS valid_to_us,
-               CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
-        FROM seg
-        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)
+             seg AS (SELECT user_id, event_id, event_type, ts_us
+                     FROM o WHERE prev IS NULL OR prev <> event_type),
+             dim AS (SELECT user_id,
+                            event_type AS state,
+                            ts_us AS valid_from_us,
+                            LEAD(ts_us) OVER w2 AS valid_to_us,
+                            CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+                     FROM seg
+                     WINDOW w2 AS (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id))"""
+
+
+def _scd2_dim(ev: DataFrame) -> DataFrame:
+    """Spark-side SCD-2 dimension build — the counterpart of
+    ``_SCD2_DIM_SQL`` (same two windows, same event_id tie-breaks)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").cast("bigint").alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    seg = o.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return seg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )
+
+
+@query(
+    "event_scd2",
+    oracle=f"""
+        WITH {_SCD2_DIM_SQL}
+        SELECT user_id, state, valid_from_us, valid_to_us, version
+        FROM dim
     """,
     doc="Slowly-changing-dimension type-2 build (the CDC merge pattern): "
     "collapse each user's event stream into versioned state intervals — "
@@ -375,23 +405,7 @@ def q_agg_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
     tags=("events", "cdc", "warehouse"),
 )
 def q_event_scd2(spark: SparkSession, sf: str) -> DataFrame:
-    ev = tables(spark, sf)["events"]
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    o = ev.select(
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").cast("bigint").alias("ts_us"),
-        F.lag("event_type").over(w).alias("prev"),
-    )
-    seg = o.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-    w2 = W.partitionBy("user_id").orderBy("ts_us")
-    return seg.select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        F.col("ts_us").alias("valid_from_us"),
-        F.lead("ts_us").over(w2).alias("valid_to_us"),
-        F.row_number().over(w2).cast("bigint").alias("version"),
-    )
+    return _scd2_dim(tables(spark, sf)["events"])
 
 
 # ---------------------------------------------------------------------------
@@ -821,21 +835,8 @@ def q_doc_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "event_scd2_lookup",
-    oracle="""
-        WITH o AS (SELECT user_id, event_id, event_type,
-                          CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-                          LAG(event_type) OVER w AS prev
-                   FROM events
-                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-             seg AS (SELECT user_id, event_type, ts_us
-                     FROM o WHERE prev IS NULL OR prev <> event_type),
-             dim AS (SELECT user_id,
-                            event_type AS state,
-                            ts_us AS valid_from_us,
-                            LEAD(ts_us) OVER w2 AS valid_to_us,
-                            CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
-                     FROM seg
-                     WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)),
+    oracle=f"""
+        WITH {_SCD2_DIM_SQL},
              p AS (SELECT user_id, event_id,
                           CAST(epoch_us(ts) AS BIGINT) AS ts_us
                    FROM events WHERE event_type = 'purchase')
@@ -860,22 +861,7 @@ def q_doc_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_event_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
     ev = tables(spark, sf)["events"]
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    o = ev.select(
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").cast("bigint").alias("ts_us"),
-        F.lag("event_type").over(w).alias("prev"),
-    )
-    seg = o.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-    w2 = W.partitionBy("user_id").orderBy("ts_us")
-    dim = seg.select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        F.col("ts_us").alias("valid_from_us"),
-        F.lead("ts_us").over(w2).alias("valid_to_us"),
-        F.row_number().over(w2).cast("bigint").alias("version"),
-    )
+    dim = _scd2_dim(ev)
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
         F.col("user_id").alias("p_user"),
@@ -902,15 +888,6 @@ def q_event_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
 # Embedding QC: distance-to-centroid outliers
 # ---------------------------------------------------------------------------
 
-_COS6_Q = (
-    "ROUND(CASE WHEN sqrt(list_dot_product({a},{a})) > 0 "
-    "AND sqrt(list_dot_product({b},{b})) > 0 "
-    "THEN list_dot_product({a},{b}) / "
-    "(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) "
-    "ELSE 0.0 END, 6)"
-)
-
-
 @query(
     "embed_outliers",
     oracle=f"""
@@ -925,8 +902,8 @@ _COS6_Q = (
              cv AS (SELECT label, list(m ORDER BY idx) AS cvec
                     FROM c GROUP BY label)
         SELECT e.vec_id, e.label,
-               {_COS6_Q.format(a="e.v", b="cv.cvec")} AS sim_to_centroid,
-               {_COS6_Q.format(a="e.v", b="cv.cvec")} < 0.0 AS is_outlier
+               {_COS6.format(a="e.v", b="cv.cvec")} AS sim_to_centroid,
+               {_COS6.format(a="e.v", b="cv.cvec")} < 0.0 AS is_outlier
         FROM e JOIN cv ON e.label = cv.label
     """,
     doc="Embedding quality control: each vector's cosine similarity to its "

@@ -2413,7 +2413,9 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
                                          THEN user_id END) AS n_view,
                      COUNT(DISTINCT CASE WHEN event_type = 'purchase'
                                          THEN user_id END) AS n_purchase
-              FROM events GROUP BY 1) d
+              FROM events
+              WHERE event_type IN ('view', 'purchase')
+              GROUP BY 1) d
         LEFT JOIN b ON d.day = b.day
     """,
     doc="EXACT audience-overlap counting via mergeable bitmaps: per day, "

@@ -195,10 +195,12 @@ def _zorder_oracle() -> str:
         WITH mm AS (SELECT MIN(l_partkey) AS xmin, MAX(l_partkey) AS xmax,
                            MIN(l_suppkey) AS ymin, MAX(l_suppkey) AS ymax
                     FROM lineitem),
-             s AS (SELECT ((l_partkey - xmin) * 65535)
-                              // GREATEST(xmax - xmin, 1) AS xs,
-                          ((l_suppkey - ymin) * 65535)
-                              // GREATEST(ymax - ymin, 1) AS ys
+             s AS (SELECT CAST(FLOOR(((l_partkey - xmin) * 65535.0)
+                              / GREATEST(CAST(xmax - xmin AS DOUBLE), 1.0))
+                              AS BIGINT) AS xs,
+                          CAST(FLOOR(((l_suppkey - ymin) * 65535.0)
+                              / GREATEST(CAST(ymax - ymin AS DOUBLE), 1.0))
+                              AS BIGINT) AS ys
                    FROM lineitem CROSS JOIN mm),
              z AS (SELECT xs, ys, {z} AS zv FROM s)
         SELECT CAST(zv // {bucket_div} AS BIGINT) AS bucket,
@@ -309,17 +311,24 @@ def _stage_binary_fixture() -> str:
 
     Pure-Python staging at import/call time so the DuckDB oracle (which
     reads the same files via read_blob) never depends on the Spark query
-    having run first.
+    having run first. Import-time staging is failure-tolerant: on a
+    read-only /tmp the PATH still returns (the oracle f-strings only need
+    the path at import) and the query functions re-invoke the stager at
+    call time, surfacing the real error only if the fixture is actually
+    used.
     """
     import tempfile
 
     out = Path(tempfile.gettempdir()) / "sgraft_binary_fixture"
-    out.mkdir(exist_ok=True)
-    for i in range(4):
-        p = out / f"blob_{i}.bin"
-        payload = bytes((i * 7 + j * 13) % 256 for j in range(256 + 64 * i))
-        if not p.exists() or p.stat().st_size != len(payload):
-            p.write_bytes(payload)
+    try:
+        out.mkdir(exist_ok=True)
+        for i in range(4):
+            p = out / f"blob_{i}.bin"
+            payload = bytes((i * 7 + j * 13) % 256 for j in range(256 + 64 * i))
+            if not p.exists() or p.stat().st_size != len(payload):
+                p.write_bytes(payload)
+    except OSError:
+        pass
     return str(out)
 
 
@@ -392,13 +401,16 @@ def _stage_dup_binary_fixture() -> str:
     import tempfile
 
     out = Path(tempfile.gettempdir()) / "sgraft_binary_dups"
-    out.mkdir(exist_ok=True)
-    groups = [0, 0, 0, 1, 1, 2, 3, 4, 5, 5]
-    for i, g in enumerate(groups):
-        p = out / f"media_{i:02d}.bin"
-        payload = bytes((g * 31 + j * 7) % 256 for j in range(512 + 32 * g))
-        if not p.exists() or p.stat().st_size != len(payload):
-            p.write_bytes(payload)
+    try:
+        out.mkdir(exist_ok=True)
+        groups = [0, 0, 0, 1, 1, 2, 3, 4, 5, 5]
+        for i, g in enumerate(groups):
+            p = out / f"media_{i:02d}.bin"
+            payload = bytes((g * 31 + j * 7) % 256 for j in range(512 + 32 * g))
+            if not p.exists() or p.stat().st_size != len(payload):
+                p.write_bytes(payload)
+    except OSError:  # failure-tolerant at import; see _stage_binary_fixture
+        pass
     return str(out)
 
 

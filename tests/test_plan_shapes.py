@@ -172,12 +172,14 @@ class TestRound4PlanShapes:
 
     def test_embed_matryoshka_probes_build_broadcast_side(self, spark):
         # the 8-row probe set must be the BUILD side of the nested-loop
-        # join (corpus streams, probes broadcast); top-10 per probe must
-        # engage the rank-limit pushdown rather than ranking all pairs
+        # join (corpus streams, probes broadcast); both rank windows share
+        # one q_id exchange and the corpus scans once (single BNLJ — the
+        # round-4 review removed the top-set self-join that scanned twice)
         plan = _executed_plan(_run(spark, "embed_matryoshka"))
-        assert "BroadcastNestedLoopJoin BuildLeft" in plan
+        assert plan.count("BroadcastNestedLoopJoin BuildLeft") == 1
         assert "CartesianProduct" not in plan
-        assert "WindowGroupLimit" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
 
     def test_event_scd2_one_exchange_no_joins(self, spark):
         # both windows run on the same (user_id) partitioning: Catalyst

@@ -274,6 +274,14 @@ class TestTranslate:
         with pytest.raises(SubstraitUnsupported, match="scalar_function"):
             substrait_to_sql(plan_bytes(p))
 
+    def test_fetch_count_minus_one_means_no_limit(self):
+        # the spec's count=-1 ("return all records"): no LIMIT clause
+        p = rel(3, fetch_rel(USERS_READ, -1 & ((1 << 64) - 1)))
+        assert (
+            substrait_to_sql(plan_bytes(p))
+            == "SELECT `id`, `name` FROM `users`"
+        )
+
     def test_fetch_offset_translates(self):
         p = rel(3, fetch_rel(USERS_READ, 5, offset=3))
         assert (
