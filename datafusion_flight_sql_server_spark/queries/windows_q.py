@@ -280,3 +280,42 @@ def q_window_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
         FROM e
         """
     )
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+        SELECT event_id, user_id,
+               vals[(len(vals) + 1) // 2] AS med
+        FROM (SELECT event_id, user_id,
+                     list_sort(list(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS vals
+              FROM events)
+    """,
+    doc="Exact moving median: per user, the lower median of the trailing "
+    "20 event values — the robust-center analogue of event_anomaly's "
+    "trailing z-score (medians shrug off the outliers that wreck a "
+    "trailing mean). Spark has no exact median window aggregate, so the "
+    "portable form collects the frame (collect_list OVER the 20-row "
+    "frame), sorts the tiny array row-locally, and SELECTS the middle "
+    "element — no arithmetic on the values at all, so cross-engine "
+    "exactness is trivial (an element either matches or the frame was "
+    "wrong). Scale: one (user_id) window; per-row state is a bounded "
+    "20-element array (the frame size is the knob), far cheaper than a "
+    "per-group full sort.",
+    tags=("window", "events"),
+)
+def q_window_moving_median(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               element_at(vals, CAST((size(vals) + 1) div 2 AS INT)) AS med
+        FROM (SELECT event_id, user_id,
+                     sort_array(collect_list(value) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS vals
+              FROM events)
+        """
+    )
