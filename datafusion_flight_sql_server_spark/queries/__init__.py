@@ -66,6 +66,8 @@ _PRIORITY = (
     "dedup_incremental",
     "fn_mask",
     "window_moving_median",
+    "event_time_weighted",
+    "window_ewma",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
     # verdict r3 item #7).  TPC-H headliners and join/agg families first.
@@ -86,11 +88,11 @@ _PRIORITY = (
     "join_anti",
     "join_theta",
     "join_derived",
-    "agg_group_multi",
-    "agg_having",
     # ---- position 51+: r1 rotation overflow (trimmed for the round-4
     # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
     # in legacy order (all have driver rows already).
+    "agg_group_multi",
+    "agg_having",
     "agg_distinct",
     "agg_stats",
     "agg_rollup",

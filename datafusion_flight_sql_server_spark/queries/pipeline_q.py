@@ -1235,3 +1235,135 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
         F.row_number().over(W.partitionBy("digest").orderBy("doc_id")),
     ).filter(F.col("rn") == 1)
     return keep.select("doc_id", "digest", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (step-function integral over an event stream)
+# ---------------------------------------------------------------------------
+
+# Identical ANSI text on both engines except the epoch-micros function name
+# (Spark: unix_micros, DuckDB: epoch_us) and the string type keyword.
+#
+# Exactness: the per-segment weight is duration-in-micros (BIGINT) times the
+# value-in-micros (BIGINT via the driver-verified DECIMAL(18,6) cast); the
+# product can exceed int64 (5.6e8 value-micros * 8.6e10 day-micros ~ 5e19),
+# so it is accumulated as DECIMAL(38,0) — exact and order-independent. Both
+# engines cast the exact decimal sum to DOUBLE (IEEE correctly rounded →
+# bit-identical), divide by the identical BIGINT span, and emit BIGINT
+# micros via the floor(x + 0.5) idiom.
+_TIME_WEIGHTED_SQL = """
+    WITH e AS (
+        SELECT user_id,
+               CAST(CAST(date_trunc('day', ts) AS DATE) AS {s}) AS day,
+               {us}(ts) AS tmic,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmic,
+               event_id
+        FROM events
+    ), seg AS (
+        SELECT user_id, day, vmic,
+               lead(tmic) OVER (PARTITION BY user_id, day
+                                ORDER BY tmic, event_id) - tmic AS dur
+        FROM e
+    )
+    SELECT user_id, day,
+           CAST(SUM(dur) AS BIGINT) AS span_micros,
+           CAST(FLOOR(CAST(SUM(CAST(vmic AS DECIMAL(20,0)) * dur) AS DOUBLE)
+                      / CAST(SUM(dur) AS DOUBLE) + 0.5) AS BIGINT) AS twa_micros
+    FROM seg
+    WHERE dur IS NOT NULL
+    GROUP BY user_id, day
+    HAVING SUM(dur) > 0
+"""
+
+
+@query(
+    "event_time_weighted",
+    oracle=_TIME_WEIGHTED_SQL.format(s="VARCHAR", us="epoch_us"),
+    doc="Time-weighted average value per (user, day) — the irregular-"
+    "sampling average a timeseries store computes with time_weight(): "
+    "each observation holds (LOCF step function) until the next one, so "
+    "the mean is the integral of the step function divided by the "
+    "observed span, not the naive row mean that over-weights bursts. "
+    "lead() over (user_id, day) turns the stream into segments; segment "
+    "weight = duration micros x value micros accumulated as exact "
+    "DECIMAL(38,0) (the product exceeds int64). Groups need >= 2 distinct "
+    "timestamps (span > 0). Scale: the lead() window and the groupBy "
+    "share the (user_id, day) hash partitioning, so Catalyst plans ONE "
+    "exchange — the stream shuffles once regardless of SF.",
+    tags=("events", "window", "agg"),
+)
+def q_event_time_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(_TIME_WEIGHTED_SQL.format(s="STRING", us="unix_micros"))
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average (dyadic weights -> exact integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_ewma",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, ts,
+                   CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                       AS vmic
+            FROM events
+        ), w AS (
+            SELECT event_id, user_id,
+                   list(vmic) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+                       AS vals
+            FROM e
+        )
+        SELECT event_id, user_id,
+               CAST((2 * list_sum(list_transform(
+                         list_zip(vals, range(1, len(vals) + 1)),
+                         p -> p[1] * (CAST(1 AS BIGINT) << (p[2] - 1))))
+                     + ((CAST(1 AS BIGINT) << len(vals)) - 1))
+                    // (2 * ((CAST(1 AS BIGINT) << len(vals)) - 1))
+                    AS BIGINT) AS ewma_micros
+        FROM w
+    """,
+    doc="Exponentially weighted moving average (alpha = 1/2) of each "
+    "user's event values over the trailing 16 events — the recency-"
+    "weighted smoother for metric streams (EWMA control charts). The "
+    "dyadic alpha makes it EXACT: weights are powers of two, so the "
+    "weighted numerator and the 2^k - 1 denominator are plain BIGINTs "
+    "(max ~5.6e8 value-micros x 2^16 ~ 3.7e13, far inside int64) and the "
+    "result is the integer round-half-up (2N + D) DIV 2D — no floating "
+    "point anywhere, either engine. The frame list is collected in "
+    "window ORDER (ts, event_id), a total order, so position weights "
+    "agree across engines. Scale: one (user_id) window, bounded "
+    "16-element per-row state, no joins — same plan family as "
+    "window_moving_median/event_anomaly.",
+    tags=("window", "events"),
+)
+def q_window_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        """
+        WITH e AS (
+            SELECT event_id, user_id, ts,
+                   CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                       AS vmic
+            FROM events
+        ), w AS (
+            SELECT event_id, user_id,
+                   collect_list(vmic) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+            FROM e
+        )
+        SELECT event_id, user_id,
+               (2 * aggregate(transform(vals,
+                                        (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)),
+                              CAST(0 AS BIGINT), (a, x) -> a + x)
+                + (shiftleft(CAST(1 AS BIGINT), size(vals)) - 1))
+               div (2 * (shiftleft(CAST(1 AS BIGINT), size(vals)) - 1))
+                   AS ewma_micros
+        FROM w
+        """
+    )

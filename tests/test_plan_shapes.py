@@ -242,6 +242,22 @@ class TestRound4PlanShapes:
         plan = _executed_plan(_run(spark, "doc_sample_weighted"))
         assert "TakeOrderedAndProject" in plan
 
+    def test_event_time_weighted_one_exchange(self, spark):
+        # the lead() window and the groupBy share the (user_id, day)
+        # partitioning: one shuffle total, no joins
+        plan = _executed_plan(_run(spark, "event_time_weighted"))
+        assert "Join" not in plan
+        assert "Window" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "partial_sum" in plan
+
+    def test_window_ewma_one_exchange_no_joins(self, spark):
+        # one (user_id) window, bounded 16-element frame state, no joins
+        plan = _executed_plan(_run(spark, "window_ewma"))
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Window") == 1
+
     def test_agg_mode_no_window(self, spark):
         # argmax via max(struct): two partial-aggregated aggregations,
         # no per-group window sort of the raw stream
