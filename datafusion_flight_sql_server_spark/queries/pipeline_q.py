@@ -1367,3 +1367,91 @@ def q_window_ewma(spark: SparkSession, sf: str) -> DataFrame:
         FROM w
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (impact-ordered posting lists)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_filter(string_split(lower(text), ' '),
+                                               x -> x <> '')) AS token
+                     FROM documents),
+             pairs AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                       FROM tok GROUP BY token, doc_id),
+             stats AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                              CAST(SUM(tf) AS BIGINT) AS cf
+                       FROM pairs GROUP BY token),
+             ranked AS (SELECT token, doc_id, tf,
+                               row_number() OVER (PARTITION BY token
+                                                  ORDER BY tf DESC, doc_id)
+                                   AS rn
+                        FROM pairs),
+             post AS (SELECT token,
+                             array_to_string(
+                                 list(doc_id ORDER BY tf DESC, doc_id),
+                                 ',') AS top_postings
+                      FROM ranked WHERE rn <= 20 GROUP BY token)
+        SELECT s.token, s.df, s.cf, p.top_postings
+        FROM stats s JOIN post p ON s.token = p.token
+    """,
+    doc="Inverted-index build, the retrieval-side complement of the dedup "
+    "family: per token, document frequency, collection frequency, and an "
+    "IMPACT-ORDERED posting list (top-20 doc_ids by term frequency, "
+    "doc_id tie-break — the index head a keyword-search or BM25 "
+    "candidate-generation stage reads first). Scale: the token stream is "
+    "exploded once and immediately partial-aggregated to distinct "
+    "(token, doc_id, tf) pairs, then EVERYTHING else — df/cf (unbounded-"
+    "frame window aggregates), the tf ranking, and the top-20 gate — "
+    "runs on ONE (token) hash partitioning: a single text scan, two "
+    "exchanges total, no self-join of the pair table. The only per-group "
+    "buffer downstream of the rank filter is the 20-element posting "
+    "array, so stopword-class tokens (df ~ corpus size) cost O(1) state "
+    "per row, not an O(df) collect — the skew that kills naive index "
+    "builds. Postings render as joined strings (repo array-hash "
+    "convention, cf. agg_array).",
+    tags=("text", "pipeline"),
+)
+def q_text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    pairs = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    full = W.partitionBy("token")
+    ranked = (
+        pairs.withColumn("df", F.count(F.lit(1)).over(full))
+        .withColumn("cf", F.sum("tf").over(full))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                full.orderBy(F.col("tf").desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= 20)
+    )
+    return ranked.groupBy("token", "df", "cf").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("tf")).alias("s1"),
+                            F.col("doc_id").alias("s2"),
+                        )
+                    )
+                ),
+                lambda x: x["s2"].cast("string"),
+            ),
+            ",",
+        ).alias("top_postings")
+    )

@@ -258,6 +258,17 @@ class TestRound4PlanShapes:
         assert plan.count("Exchange hashpartitioning") == 1
         assert plan.count("Window") == 1
 
+    def test_text_inverted_index_single_scan_no_join(self, spark):
+        # df/cf windows + rank + top-20 gate all share one (token)
+        # partitioning: one text scan, two exchanges, no self-join, and
+        # the rank filter must engage WindowGroupLimit so stopword-class
+        # tokens never buffer a full posting list
+        plan = _executed_plan(_run(spark, "text_inverted_index"))
+        assert "Join" not in plan
+        assert plan.count("FileScan") == 1
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "WindowGroupLimit" in plan
+
     def test_agg_mode_no_window(self, spark):
         # argmax via max(struct): two partial-aggregated aggregations,
         # no per-group window sort of the raw stream
