@@ -294,6 +294,180 @@ def lsh_topk(
     )
 
 
+def train_cells(
+    emb: DataFrame,
+    n_cells: int = 16,
+    train_iters: int = 0,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical-k-means coarse quantizer → (cent_id, cent_vec).
+
+    Seeds = the ``n_cells`` lowest-id vectors; each Lloyd step is an
+    aggregation-only argmax assignment followed by element-wise means
+    quantized to micros via ``floor(x*1e6+0.5)/1e6``. The quantization is
+    what keeps a *trained* quantizer engine-reproducible: partial-agg
+    summation order drifts means by ~1e-15, far below the 5e-7 step, and
+    the floor form (unlike ``ROUND(double, 6)``, which Spark evaluates on
+    the shortest decimal repr and DuckDB on the binary value) is IEEE-exact
+    on bit-identical inputs — so both engines see bit-identical centroids
+    and therefore identical discrete assignments. Shared by ``ivf_topk``
+    (ANN) and ``semantic_dedup`` (SemDeDup-style cluster-blocked dedup).
+    """
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cent_vec")
+    )
+    if train_iters > 0:
+        if dim is None:
+            row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = int(row["d"]) if row is not None else 0
+        train = emb.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("tv")
+        )
+        for _ in range(train_iters):
+            best = (
+                train.join(F.broadcast(cents))
+                .select(
+                    "vid",
+                    F.struct(
+                        round_cosine(F.col("tv"), F.col("cent_vec")).alias("cs"),
+                        (-F.col("cent_id")).alias("neg_cent"),
+                        F.col("tv").alias("v"),
+                    ).alias("s"),
+                )
+                .groupBy("vid")
+                .agg(F.max("s").alias("s"))
+                .select((-F.col("s.neg_cent")).alias("cell"), F.col("s.v").alias("tv"))
+            )
+            means = best.groupBy("cell").agg(
+                *[
+                    (
+                        F.floor(F.avg(F.element_at("tv", i + 1)) * 1000000.0 + 0.5)
+                        / 1000000.0
+                    ).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            cents = means.select(
+                F.col("cell").alias("cent_id"),
+                F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cent_vec"),
+            ).localCheckpoint(eager=True)
+    return cents
+
+
+def assign_cells(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment → (out_id, cell, v, cs).
+
+    Aggregation-only argmax: ``max(struct(cos, -cent_id, vec))`` picks the
+    highest round-6 cosine with a lowest-cent_id tie-break — partial-
+    aggregatable map-side, no window sort over the corpus; the per-vector
+    cost is |cents| dot products against the broadcast centroid table.
+    ``cs`` (the winning centroid cosine) rides along for consumers that
+    rank within a cell (semantic_dedup's keep rule).
+    """
+    corpus = emb.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias("c_vec")
+    )
+    return (
+        corpus.join(F.broadcast(cents))
+        .select(
+            out_id,
+            F.struct(
+                round_cosine(F.col("c_vec"), F.col("cent_vec")).alias("cs"),
+                (-F.col("cent_id")).alias("neg_cent"),
+                F.col("c_vec").alias("v"),
+            ).alias("s"),
+        )
+        .groupBy(out_id)
+        .agg(F.max("s").alias("s"))
+        .select(
+            out_id,
+            (-F.col("s.neg_cent")).alias("cell"),
+            F.col("s.v").alias("v"),
+            F.col("s.cs").alias("cs"),
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    eps: float = 0.3,
+    n_cells: int = 16,
+    train_iters: int = 0,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-blocked semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the trained coarse
+    quantizer, call two items duplicates when their within-cell cosine is
+    >= ``eps``, and keep ONE representative per duplicate group — the item
+    LEAST similar to its cluster centroid (the paper's keep rule: retain
+    the edge of the semantic region, drop the redundant interior), with an
+    id tie-break for a total order.
+
+    Keep rule without iteration: drop x iff some same-cell y with
+    (cs_y, id_y) < (cs_x, id_x) has cosine(x, y) >= eps. On a duplicate
+    CHAIN this is the transitive-free approximation the paper itself uses
+    (pairs are checked against the group's ranked order, not via connected
+    components — dedup_near_clusters is the components path).
+
+    Returns (vec_id, cell, cs_micros, kept) for every corpus vector —
+    the audit-friendly form (downstream filters kept = true).
+
+    100 TB posture: candidate pairs are a CELL-blocked equi-join (the
+    SemDeDup trick — |cell| ~ corpus/n_cells bounds the quadratic term and
+    n_cells scales with corpus size); the witness set collapses to a
+    distinct id list; no window over the corpus, no cross join. Training
+    and assignment cost are the IVF path's (see train_cells/assign_cells).
+    """
+    cents = train_cells(
+        emb,
+        n_cells=n_cells,
+        train_iters=train_iters,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    asg = assign_cells(emb, cents, id_col=id_col, vec_col=vec_col, out_id="vec_id")
+    x = asg.select(
+        F.col("cell").alias("cell_x"),
+        F.col("vec_id").alias("id_x"),
+        F.col("v").alias("vx"),
+        F.col("cs").alias("cs_x"),
+    )
+    y = asg.select(
+        F.col("cell").alias("cell_y"),
+        F.col("vec_id").alias("id_y"),
+        F.col("v").alias("vy"),
+        F.col("cs").alias("cs_y"),
+    )
+    ranked_before = (F.col("cs_y") < F.col("cs_x")) | (
+        (F.col("cs_y") == F.col("cs_x")) & (F.col("id_y") < F.col("id_x"))
+    )
+    witnesses = (
+        x.join(y, (F.col("cell_x") == F.col("cell_y")) & ranked_before)
+        .filter(round_cosine(F.col("vx"), F.col("vy")) >= eps)
+        .select(F.col("id_x").alias("dup_id"))
+        .distinct()
+    )
+    return asg.join(
+        witnesses, asg["vec_id"] == witnesses["dup_id"], "left"
+    ).select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.floor(F.col("cs") * 1000000 + F.lit(0.5)).cast("bigint").alias("cs_micros"),
+        F.col("dup_id").isNull().alias("kept"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -333,75 +507,17 @@ def ivf_topk(
     - candidate generation is an equi-join on the cell id — the scanned
       fraction is ~``n_probe/n_cells`` of the corpus, never a cross join.
     """
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cent_vec")
+    cents = train_cells(
+        emb,
+        n_cells=n_cells,
+        train_iters=train_iters,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    if train_iters > 0:
-        if dim is None:
-            row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-            dim = int(row["d"]) if row is not None else 0
-        train = emb.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).alias("tv")
-        )
-        for _ in range(train_iters):
-            best = (
-                train.join(F.broadcast(cents))
-                .select(
-                    "vid",
-                    F.struct(
-                        round_cosine(F.col("tv"), F.col("cent_vec")).alias("cs"),
-                        (-F.col("cent_id")).alias("neg_cent"),
-                        F.col("tv").alias("v"),
-                    ).alias("s"),
-                )
-                .groupBy("vid")
-                .agg(F.max("s").alias("s"))
-                .select((-F.col("s.neg_cent")).alias("cell"), F.col("s.v").alias("tv"))
-            )
-            # floor(x*1e6+0.5)/1e6, not ROUND(x, 6): Spark rounds the
-            # shortest decimal repr (BigDecimal HALF_UP) while DuckDB rounds
-            # the binary value, and they disagree exactly when a mean lands
-            # on a non-dyadic 7-digit decimal ending in 5 — one flipped
-            # centroid bit cascades into different assignments. The floor
-            # form is IEEE-exact on bit-identical inputs (same idiom as
-            # window_distribution / event_anomaly).
-            means = best.groupBy("cell").agg(
-                *[
-                    (
-                        F.floor(F.avg(F.element_at("tv", i + 1)) * 1000000.0 + 0.5)
-                        / 1000000.0
-                    ).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
-            cents = means.select(
-                F.col("cell").alias("cent_id"),
-                F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cent_vec"),
-            ).localCheckpoint(eager=True)
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    # argmax cell per corpus vector: max(struct) picks highest sim, then
-    # lowest cent_id (negated id), carrying the vector along for re-ranking
-    # (cent_id is unique per group, so the array field never decides).
-    assigned = (
-        corpus.join(F.broadcast(cents))
-        .select(
-            "neighbor_id",
-            F.struct(
-                round_cosine(F.col("c_vec"), F.col("cent_vec")).alias("cs"),
-                (-F.col("cent_id")).alias("neg_cent"),
-                F.col("c_vec").alias("v"),
-            ).alias("s"),
-        )
-        .groupBy("neighbor_id")
-        .agg(F.max("s").alias("s"))
-        .select(
-            "neighbor_id",
-            (-F.col("s.neg_cent")).alias("cell"),
-            F.col("s.v").alias("c_vec"),
-        )
-    )
+    assigned = assign_cells(
+        emb, cents, id_col=id_col, vec_col=vec_col, out_id="neighbor_id"
+    ).select("neighbor_id", "cell", F.col("v").alias("c_vec"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

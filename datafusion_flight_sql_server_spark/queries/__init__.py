@@ -69,6 +69,7 @@ _PRIORITY = (
     "event_time_weighted",
     "window_ewma",
     "text_inverted_index",
+    "dedup_semantic",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
     # verdict r3 item #7).  TPC-H headliners and join/agg families first.
@@ -87,10 +88,10 @@ _PRIORITY = (
     "join_full",
     "join_semi",
     "join_anti",
-    "join_theta",
     # ---- position 51+: r1 rotation overflow (trimmed for the round-4
     # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
     # in legacy order (all have driver rows already).
+    "join_theta",
     "join_derived",
     "agg_group_multi",
     "agg_having",

@@ -162,18 +162,17 @@ def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
 IVF_TRAIN_ITERS = 2
 
 
-def _ivf_oracle(
-    k: int = 5, n_cells: int = 16, n_probe: int = 4, iters: int = IVF_TRAIN_ITERS
-) -> str:
-    """DuckDB SQL unrolling the EXACT spherical-k-means IVF pipeline of
-    ``operators.similarity.ivf_topk(train_iters=iters)``: seed centroids =
-    lowest-id vectors, then per step an argmax assignment (cosine DESC,
-    cent_id tie-break) and element-wise means quantized to micros via
+def _ivf_chain(n_cells: int, iters: int) -> tuple[str, str]:
+    """Shared WITH-prefix unrolling the trained coarse quantizer of
+    ``operators.similarity.train_cells``: seed centroids (c0 = lowest-id
+    vectors), corpus (e), then per Lloyd step an argmax assignment (cosine
+    DESC, cent_id tie-break) and element-wise means quantized to micros via
     floor(x*1e6+0.5)/1e6 — the quantization absorbs summation-order ulp
     drift and, unlike ROUND(double, 6), evaluates IEEE-exactly in both
     engines, so they produce bit-identical centroids and the same discrete
     assignments (same determinism idiom as _pagerank_oracle's unrolled CTE
-    chain)."""
+    chain). Returns (cte_block, final_centroid_cte_name); shared by the
+    sim_topk_ivf and dedup_semantic oracles."""
     steps = []
     prev = "c0"
     for t in range(1, iters + 1):
@@ -196,11 +195,22 @@ def _ivf_oracle(
         )
         prev = f"c{t}"
     chain = (",\n             " + ",\n             ".join(steps)) if steps else ""
-    return f"""
-        WITH c0 AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+    block = f"""c0 AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
                     FROM embeddings WHERE vec_id < {n_cells}),
              e AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings){chain},
+                   FROM embeddings){chain}"""
+    return block, prev
+
+
+def _ivf_oracle(
+    k: int = 5, n_cells: int = 16, n_probe: int = 4, iters: int = IVF_TRAIN_ITERS
+) -> str:
+    """DuckDB SQL unrolling the EXACT spherical-k-means IVF pipeline of
+    ``operators.similarity.ivf_topk(train_iters=iters)`` — trained-centroid
+    chain from _ivf_chain, then assignment, probe, and exact re-rank."""
+    block, prev = _ivf_chain(n_cells, iters)
+    return f"""
+        WITH {block},
              asg AS (SELECT neighbor_id, v, cent_id AS cell FROM (
                  SELECT e.neighbor_id, e.v, c.cent_id,
                         ROW_NUMBER() OVER (PARTITION BY e.neighbor_id
@@ -632,6 +642,70 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     d = tables(spark, sf)["documents"]
     return ngram_jaccard_near_dups(d)
+
+
+def _semantic_dedup_oracle(
+    eps: float, n_cells: int = 16, iters: int = IVF_TRAIN_ITERS
+) -> str:
+    """DuckDB SQL replaying ``operators.similarity.semantic_dedup``: the
+    shared trained-quantizer chain (_ivf_chain), an assignment that keeps
+    the winning centroid cosine, then the SemDeDup keep rule — x is
+    dropped iff a same-cell witness y with (cs_y, id_y) < (cs_x, id_x)
+    has cosine(x, y) >= eps."""
+    block, prev = _ivf_chain(n_cells, iters)
+    return f"""
+        WITH {block},
+             asg AS (SELECT neighbor_id AS vec_id, v, cell, cs FROM (
+                 SELECT e.neighbor_id, e.v, c.cent_id AS cell,
+                        {_COS.format(a="e.v", b="c.cv")} AS cs,
+                        ROW_NUMBER() OVER (PARTITION BY e.neighbor_id
+                            ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC,
+                                     c.cent_id) AS rn
+                 FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+             wit AS (SELECT DISTINCT a.vec_id
+                     FROM asg a JOIN asg b
+                       ON a.cell = b.cell
+                      AND (b.cs < a.cs
+                           OR (b.cs = a.cs AND b.vec_id < a.vec_id))
+                     WHERE {_COS.format(a="a.v", b="b.v")} >= {eps})
+        SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+               CAST(FLOOR(a.cs * 1000000 + 0.5) AS BIGINT) AS cs_micros,
+               w.vec_id IS NULL AS kept
+        FROM asg a LEFT JOIN wit w ON a.vec_id = w.vec_id
+    """
+
+
+#: Within-cell cosine at/above which two vectors are semantic duplicates
+#: (fixture embeddings cluster loosely; real corpora use ~0.95+).
+SEMANTIC_DEDUP_EPS = 0.3
+
+
+@query(
+    "dedup_semantic",
+    oracle=_semantic_dedup_oracle(SEMANTIC_DEDUP_EPS),
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, "
+    "arXiv:2303.09540): cluster the corpus with the TRAINED coarse "
+    "quantizer shared with sim_topk_ivf (2 Lloyd steps, micro-quantized "
+    "centroids — bit-identical across engines), call same-cell vectors "
+    "with round-6 cosine >= eps duplicates, and keep one representative "
+    "per duplicate group — the vector LEAST similar to its centroid (the "
+    "paper's keep rule: retain the edge of the semantic region, drop the "
+    "redundant interior), id tie-break. Emits (vec_id, cell, cs_micros, "
+    "kept) for the full corpus — the auditable form. Scale: candidate "
+    "pairs are a cell-blocked equi-join (the SemDeDup trick — cell size "
+    "~ corpus/n_cells bounds the quadratic term; n_cells scales with the "
+    "corpus), the witness set collapses to a distinct id list, and "
+    "training/assignment reuse the IVF path's broadcast-argmax plan "
+    "(operators/similarity.py semantic_dedup).",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.similarity import semantic_dedup
+
+    e = tables(spark, sf)["embeddings"]
+    return semantic_dedup(
+        e, eps=SEMANTIC_DEDUP_EPS, train_iters=IVF_TRAIN_ITERS, dim=64
+    )
 
 
 @query(

@@ -296,3 +296,60 @@ class TestPqTopK:
 
         with pytest.raises(ValueError, match="not divisible"):
             pq_topk(embeddings, embeddings.limit(1), k=3, m=5, dim=64)
+
+
+class TestSemanticDedup:
+    def test_constructed_duplicate_group(self, spark):
+        # three near-identical vectors + one orthogonal: the keep rule
+        # retains exactly one of the duplicate group (the least-centroid-
+        # similar, id tie-break) and the orthogonal singleton
+        from datafusion_flight_sql_server_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(emb, eps=0.99, n_cells=2, train_iters=0).collect()
+        by_id = {r.vec_id: r for r in out}
+        assert len(out) == 4
+        # ids 0,1,2 are mutual dups in the same cell; exactly one survives
+        dup_kept = [i for i in (0, 1, 2) if by_id[i].kept]
+        assert len(dup_kept) == 1
+        assert by_id[3].kept  # singleton always kept
+        # every cell retains at least one representative
+        cells = {r.cell for r in out}
+        assert all(any(r.kept and r.cell == c for r in out) for c in cells)
+
+    def test_full_corpus_invariants(self, embeddings):
+        from datafusion_flight_sql_server_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        out = semantic_dedup(embeddings, eps=0.3, train_iters=2, dim=64).collect()
+        assert len(out) == embeddings.count()
+        # the lowest-(cs, id) vector of every cell is un-droppable
+        import collections
+
+        best = {}
+        for r in out:
+            k = (r.cs_micros, r.vec_id)
+            if r.cell not in best or k < best[r.cell][0]:
+                best[r.cell] = (k, r.kept)
+        assert all(kept for _, kept in best.values())
+
+    def test_no_cartesian_product_in_plan(self, embeddings):
+        from datafusion_flight_sql_server_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        df = semantic_dedup(embeddings, eps=0.3, train_iters=2, dim=64)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # the only nested loops are the tiny broadcast centroid spines
+        # (2 train steps + 1 assignment); the pair join is cell-blocked
+        assert plan.count("BroadcastNestedLoopJoin") <= 3
