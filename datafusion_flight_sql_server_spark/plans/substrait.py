@@ -33,6 +33,15 @@ with everything else rejected by a descriptive ``SubstraitUnsupported``
 - ``SortRel`` sorts direct field references with the four
   ASC/DESC × NULLS FIRST/LAST directions;
 - ``FetchRel`` must carry literal count/offset (→ ``LIMIT .. OFFSET ..``);
+- ``AggregateRel`` (round 4) with a single grouping of direct field
+  references (both the deprecated inline form and the expression_references
+  form) and ``sum/min/max/avg/count`` measures — DISTINCT invocation,
+  zero-argument ``count`` (→ ``COUNT(*)``) and per-measure ``Measure.filter``
+  (→ ``FILTER (WHERE ...)``) included; full-aggregation phases only; a
+  ``FilterRel`` above it becomes ``HAVING`` (field refs substitute the
+  rendered output expressions, since the standard forbids aliases there), a
+  ``SortRel`` above it orders by the rendered expressions; GROUPING SETS,
+  nested aggregates and partial phases are rejected by name;
 - ``RelRoot.names`` become output aliases.
 
 That covers the filtered-scan class ADBC/JDBC-over-Substrait front-ends
@@ -256,16 +265,22 @@ def _col_at(cols: list[str], i: int) -> str:
     )
 
 
-def _expr_to_sql(expr: bytes, cols: list[str], funcs: dict[int, str]) -> str:
+def _expr_to_sql(
+    expr: bytes, cols: list[str], funcs: dict[int, str], rendered: bool = False
+) -> str:
     """Filter-subset Expression → SQL text (field refs, literals,
-    comparison/boolean scalar functions)."""
+    comparison/boolean scalar functions). With ``rendered=True`` the
+    ``cols`` entries are already SQL text (aggregate output expressions for
+    a HAVING condition) and field references substitute them verbatim
+    instead of quoting them as identifiers."""
     f = _fields(expr)
     if 2 in f:  # selection
-        return _quote(_col_at(cols, _field_ref_index(expr)))
+        col = _col_at(cols, _field_ref_index(expr))
+        return col if rendered else _quote(col)
     if 1 in f:  # literal
         return _literal_to_sql(_one(f, 1))
     if 3 in f:  # scalar_function
-        return _scalar_fn_to_sql(_one(f, 3), cols, funcs)
+        return _scalar_fn_to_sql(_one(f, 3), cols, funcs, rendered)
     arms = {5: "window_function", 6: "if_then", 11: "cast", 12: "subquery"}
     present = [arms.get(n, f"expression field {n}") for n in f]
     raise SubstraitUnsupported(
@@ -276,7 +291,7 @@ def _expr_to_sql(expr: bytes, cols: list[str], funcs: dict[int, str]) -> str:
 
 
 def _scalar_fn_to_sql(
-    body: bytes, cols: list[str], funcs: dict[int, str]
+    body: bytes, cols: list[str], funcs: dict[int, str], rendered: bool = False
 ) -> str:
     f = _fields(body)
     anchor = int(_one(f, 1) or 0)
@@ -302,7 +317,7 @@ def _scalar_fn_to_sql(
         args = [v for _, v in f.get(2, [])]
 
     def a(i: int) -> str:
-        return _expr_to_sql(args[i], cols, funcs)
+        return _expr_to_sql(args[i], cols, funcs, rendered)
 
     if name in ("and", "or"):
         if len(args) < 2:
@@ -363,7 +378,17 @@ _SORT_DIRECTIONS = {
 class _State:
     """Accumulated clauses while walking the rel tree inward→outward."""
 
-    __slots__ = ("table", "cols", "where", "order", "limit", "offset")
+    __slots__ = (
+        "table",
+        "cols",
+        "where",
+        "order",
+        "limit",
+        "offset",
+        "group",
+        "having",
+        "select_exprs",
+    )
 
     def __init__(self, table: str, cols: list[str]):
         self.table = table
@@ -372,6 +397,12 @@ class _State:
         self.order: list[str] = []
         self.limit: int | None = None
         self.offset: int | None = None
+        # set by AggregateRel: GROUP BY expression SQL, HAVING conjuncts,
+        # and the rendered output expressions (parallel to cols, which then
+        # holds the output ALIASES instead of raw column names)
+        self.group: list[str] = []
+        self.having: list[str] = []
+        self.select_exprs: list[str] | None = None
 
 
 def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
@@ -423,6 +454,169 @@ def _emit_mapping(common: bytes | None) -> list[int] | None:
     return _packed_ints(_fields(emit), 1)
 
 
+#: aggregate functions consumed by the aggregate subset → SQL names
+_AGG_FUNCS = {"sum": "SUM", "min": "MIN", "max": "MAX", "avg": "AVG", "count": "COUNT"}
+
+#: AggregationInvocation enum (algebra.proto): ALL renders plainly,
+#: DISTINCT prefixes the argument.
+_INVOCATION_ALL, _INVOCATION_DISTINCT = 1, 2
+
+
+def _aggregate_rel(body: bytes, funcs: dict[int, str]) -> _State:
+    """AggregateRel → grouped state (single grouping, sum/min/max/avg/count
+    measures, optional per-measure FILTER clause, RelCommon emit remap).
+
+    algebra.proto field numbers: common=1, input=2, groupings=3,
+    measures=4, grouping_expressions=5; Grouping.grouping_expressions=1
+    (pre-0.30 producers) / Grouping.expression_references=2 (newer, indexes
+    into the rel-level grouping_expressions); Measure.measure=1 (an
+    AggregateFunction: function_reference=1, deprecated args=2, sorts=3,
+    phase=4, invocation=6, arguments=7) / Measure.filter=2.
+    """
+    f = _fields(body)
+    inp = _one(f, 2)
+    if inp is None:
+        raise SubstraitMalformed("AggregateRel without input")
+    state = _interpret_rel(inp, funcs)
+    if state.select_exprs is not None:
+        raise SubstraitUnsupported(
+            "Substrait consumer: nested AggregateRels are not supported"
+        )
+    if state.limit is not None or state.order:
+        raise SubstraitUnsupported(
+            "Substrait consumer: AggregateRel above SortRel/FetchRel is not "
+            "supported"
+        )
+
+    groupings = f.get(3, [])
+    if len(groupings) > 1:
+        raise SubstraitUnsupported(
+            "Substrait consumer: multiple groupings (GROUPING SETS) are not "
+            "supported"
+        )
+    rel_group_exprs = [v for _, v in f.get(5, [])]
+    group_cols: list[str] = []
+    if groupings:
+        gf = _fields(groupings[0][1])
+        direct = [v for _, v in gf.get(1, [])]  # deprecated inline exprs
+        refs = _packed_ints(gf, 2)  # references into rel_group_exprs
+        if direct and refs:
+            raise SubstraitMalformed(
+                "Grouping carries both inline expressions and references"
+            )
+        exprs = direct
+        if refs:
+            try:
+                exprs = [rel_group_exprs[i] for i in refs]
+            except IndexError as exc:
+                raise SubstraitMalformed(
+                    f"grouping expression reference out of range "
+                    f"({len(rel_group_exprs)} declared)"
+                ) from exc
+        group_cols = [
+            _col_at(state.cols, _field_ref_index(e)) for e in exprs
+        ]
+
+    measures: list[tuple[str, str]] = []  # (sql, alias)
+    for i, (_, m) in enumerate(f.get(4, [])):
+        mf = _fields(m)
+        fn = _one(mf, 1)
+        if fn is None:
+            raise SubstraitMalformed("Measure without aggregate function")
+        af = _fields(fn)
+        anchor = int(_one(af, 1) or 0)
+        name = funcs.get(anchor)
+        if name is None:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: aggregate function anchor {anchor} has "
+                f"no extension declaration in the plan"
+            )
+        sql_fn = _AGG_FUNCS.get(name)
+        if sql_fn is None:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: aggregate function {name!r} is not in "
+                f"the aggregate subset ({' '.join(sorted(_AGG_FUNCS))})"
+            )
+        if af.get(3):
+            raise SubstraitUnsupported(
+                "Substrait consumer: sorted aggregate functions are not "
+                "supported"
+            )
+        phase = int(_one(af, 4) or 0)
+        if phase not in (0, 3):  # unspecified / INITIAL_TO_RESULT
+            raise SubstraitUnsupported(
+                f"Substrait consumer: partial aggregation phase {phase} is "
+                f"not supported (full aggregation only)"
+            )
+        args: list[bytes] = []
+        for _, arg in af.get(7, []):  # FunctionArgument
+            av = _fields(arg)
+            value = _one(av, 3)
+            if value is None:
+                raise SubstraitUnsupported(
+                    f"Substrait consumer: non-expression aggregate argument "
+                    f"for {name!r}"
+                )
+            args.append(value)
+        if not args:  # deprecated AggregateFunction.args (field 2)
+            args = [v for _, v in af.get(2, [])]
+        invocation = int(_one(af, 6) or 0)
+        distinct = invocation == _INVOCATION_DISTINCT
+        if invocation not in (0, _INVOCATION_ALL, _INVOCATION_DISTINCT):
+            raise SubstraitUnsupported(
+                f"Substrait consumer: aggregate invocation {invocation} is "
+                f"not supported"
+            )
+        if len(args) > 1:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: {name!r} with {len(args)} arguments is "
+                f"not supported (one argument, or zero for count)"
+            )
+        if not args:
+            if name != "count" or distinct:
+                raise SubstraitMalformed(f"{name} without an argument")
+            rendered_fn = "COUNT(*)"
+        else:
+            arg_sql = _quote(_col_at(state.cols, _field_ref_index(args[0])))
+            rendered_fn = (
+                f"{sql_fn}(DISTINCT {arg_sql})" if distinct else f"{sql_fn}({arg_sql})"
+            )
+        flt = _one(mf, 2)  # Measure.filter: over the aggregate's INPUT
+        if flt is not None:
+            rendered_fn += (
+                f" FILTER (WHERE {_expr_to_sql(flt, state.cols, funcs)})"
+            )
+        measures.append((rendered_fn, f"{name}_{i}"))
+
+    if not group_cols and not measures:
+        raise SubstraitMalformed("AggregateRel with no groupings or measures")
+
+    # output schema = group columns ++ measures (spec order); dedup aliases
+    exprs_out = [_quote(c) for c in group_cols] + [m[0] for m in measures]
+    aliases = list(group_cols) + [m[1] for m in measures]
+    seen: dict[str, int] = {}
+    for i, alias in enumerate(aliases):
+        n = seen.get(alias, 0)
+        seen[alias] = n + 1
+        if n:
+            aliases[i] = f"{alias}_{n}"
+
+    emit = _emit_mapping(_one(f, 1))
+    if emit is not None:
+        try:
+            exprs_out = [exprs_out[i] for i in emit]
+            aliases = [aliases[i] for i in emit]
+        except IndexError as exc:
+            raise SubstraitMalformed(
+                f"emit mapping {emit} out of range for {len(aliases)} columns"
+            ) from exc
+
+    state.group = [_quote(c) for c in group_cols]
+    state.select_exprs = exprs_out
+    state.cols = aliases
+    return state
+
+
 def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
     """Rel → accumulated clause state."""
     f = _fields(rel)
@@ -440,12 +634,20 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
     if kind == "read":
         return _read_rel(body, funcs)
 
+    if kind == "aggregate":
+        return _aggregate_rel(body, funcs)
+
     if kind == "project":
         pf = _fields(body)
         inp = _one(pf, 2)
         if inp is None:
             raise SubstraitMalformed("ProjectRel without input")
         state = _interpret_rel(inp, funcs)
+        if state.select_exprs is not None:
+            raise SubstraitUnsupported(
+                "Substrait consumer: ProjectRel above AggregateRel is not "
+                "supported (use the aggregate's emit mapping instead)"
+            )
         exprs = [_field_ref_index(v) for _, v in pf.get(3, [])]
         # ProjectRel output = input columns ++ expression columns; emit
         # remaps over that concatenation (RelCommon.Emit semantics).
@@ -477,7 +679,15 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         cond = _one(ff, 3)
         if cond is None:
             raise SubstraitMalformed("FilterRel without condition")
-        state.where.append(_expr_to_sql(cond, state.cols, funcs))
+        if state.select_exprs is not None:
+            # filter above an aggregate = HAVING; field refs address the
+            # aggregate's output schema, substituted as rendered SQL (the
+            # standard forbids aliases in HAVING)
+            state.having.append(
+                _expr_to_sql(cond, state.select_exprs, funcs, rendered=True)
+            )
+        else:
+            state.where.append(_expr_to_sql(cond, state.cols, funcs))
         return state
 
     if kind == "sort":
@@ -511,7 +721,13 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
                     f"Substrait consumer: sort direction {direction} is not "
                     f"supported"
                 )
-            col = _quote(_col_at(state.cols, _field_ref_index(expr)))
+            idx = _field_ref_index(expr)
+            if state.select_exprs is not None:
+                # aggregate mode: order by the rendered output expression
+                # (aliases may be renamed by RelRoot names)
+                col = _col_at(state.select_exprs, idx)
+            else:
+                col = _quote(_col_at(state.cols, idx))
             state.order.append(f"{col} {sql_dir}")
         if not state.order:
             raise SubstraitMalformed("SortRel without sort fields")
@@ -563,8 +779,8 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
     raise SubstraitUnsupported(
         f"Substrait consumer: relation type {kind!r} is not supported "
         f"(supported: read of a named table, filter, project of direct "
-        f"field references, sort, fetch with literal count/offset); send "
-        f"SQL text instead"
+        f"field references, sort, fetch with literal count/offset, "
+        f"single-grouping aggregate); send SQL text instead"
     )
 
 
@@ -600,7 +816,22 @@ def substrait_to_sql(plan_bytes: bytes) -> str:
 
     state = _interpret_rel(rel, funcs)
 
-    if not state.cols:
+    if state.select_exprs is not None:
+        # aggregate output: rendered expressions with stable aliases
+        # (RelRoot names override the generated aliases)
+        aliases = state.cols
+        if out_names:
+            if len(out_names) != len(aliases):
+                raise SubstraitMalformed(
+                    f"RelRoot has {len(out_names)} names for {len(aliases)} "
+                    f"output columns"
+                )
+            aliases = out_names
+        select = ", ".join(
+            f"{expr} AS {_quote(alias)}"
+            for expr, alias in zip(state.select_exprs, aliases)
+        )
+    elif not state.cols:
         select = "*"
         if out_names:
             raise SubstraitUnsupported(
@@ -625,6 +856,10 @@ def substrait_to_sql(plan_bytes: bytes) -> str:
     sql = f"SELECT {select} FROM {state.table}"
     if state.where:
         sql += " WHERE " + " AND ".join(state.where)
+    if state.group:
+        sql += " GROUP BY " + ", ".join(state.group)
+    if state.having:
+        sql += " HAVING " + " AND ".join(state.having)
     if state.order:
         sql += " ORDER BY " + ", ".join(state.order)
     if state.limit is not None:

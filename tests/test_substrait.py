@@ -394,3 +394,230 @@ class TestOverWire:
             assert table.column("name").to_pylist() == ["Charlie", "Bob"]
         finally:
             ex.close()
+
+
+# -- aggregate subset (round 4) ----------------------------------------------
+
+
+def agg_function(
+    anchor: int, arg_indexes: list[int], invocation: int = 0, phase: int = 0
+) -> bytes:
+    """AggregateFunction: function_reference=1, phase=4, invocation=6,
+    arguments=7 (FunctionArgument.value)."""
+    body = _varint_field(1, anchor)
+    if phase:
+        body += _varint_field(4, phase)
+    if invocation:
+        body += _varint_field(6, invocation)
+    for i in arg_indexes:
+        body += _len_field(7, _len_field(3, field_ref(i)))
+    return body
+
+
+def measure(fn_body: bytes, flt: bytes | None = None) -> bytes:
+    m = _len_field(1, fn_body)
+    if flt is not None:
+        m += _len_field(2, flt)
+    return m
+
+
+def aggregate_rel(
+    input_rel: bytes,
+    group_indexes: list[int],
+    measures: list[bytes],
+    use_refs: bool = False,
+    emit: list[int] | None = None,
+) -> bytes:
+    body = _len_field(2, input_rel)
+    if group_indexes:
+        if use_refs:
+            # newer shape: Grouping.expression_references into the
+            # rel-level grouping_expressions (field 5)
+            grouping = b"".join(
+                _varint_field(2, i) for i in range(len(group_indexes))
+            )
+            body += _len_field(3, grouping)
+            for gi in group_indexes:
+                body += _len_field(5, field_ref(gi))
+        else:
+            grouping = b"".join(
+                _len_field(1, field_ref(gi)) for gi in group_indexes
+            )
+            body += _len_field(3, grouping)
+    for m in measures:
+        body += _len_field(4, m)
+    if emit is not None:
+        emit_msg = b"".join(_varint_field(1, i) for i in emit)
+        body = _len_field(1, _len_field(2, emit_msg)) + body
+    return body
+
+
+ORDERS_READ = rel(1, read_rel(["orders"], ["cust", "amount"]))
+
+
+class TestAggregateTranslate:
+    def test_group_by_sum_count(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ,
+                [0],
+                [measure(agg_function(1, [1])), measure(agg_function(2, []))],
+            )),
+            extensions=extension_function(1, "sum:fp64")
+            + extension_function(2, "count:"),
+        )
+        assert substrait_to_sql(p) == (
+            "SELECT `cust` AS `cust`, SUM(`amount`) AS `sum_0`, "
+            "COUNT(*) AS `count_1` FROM `orders` GROUP BY `cust`"
+        )
+
+    def test_grouping_reference_form_matches_inline(self):
+        exts = extension_function(1, "min:fp64")
+        a = plan_bytes(
+            rel(4, aggregate_rel(ORDERS_READ, [0], [measure(agg_function(1, [1]))])),
+            extensions=exts,
+        )
+        b = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0], [measure(agg_function(1, [1]))], use_refs=True
+            )),
+            extensions=exts,
+        )
+        assert substrait_to_sql(a) == substrait_to_sql(b)
+
+    def test_distinct_and_filter_clause(self):
+        flt = scalar_fn(2, [field_ref(1), literal("i64", 0)])
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ,
+                [0],
+                [measure(agg_function(1, [1], invocation=2), flt=flt)],
+            )),
+            extensions=extension_function(1, "count:any")
+            + extension_function(2, "gt:any_any"),
+        )
+        assert substrait_to_sql(p) == (
+            "SELECT `cust` AS `cust`, COUNT(DISTINCT `amount`) "
+            "FILTER (WHERE (`amount` > 0)) AS `count_0` "
+            "FROM `orders` GROUP BY `cust`"
+        )
+
+    def test_global_aggregate_no_group_by(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(ORDERS_READ, [], [measure(agg_function(1, [1]))])),
+            extensions=extension_function(1, "avg:fp64"),
+        )
+        assert substrait_to_sql(p) == (
+            "SELECT AVG(`amount`) AS `avg_0` FROM `orders`"
+        )
+
+    def test_having_and_root_names(self):
+        # filter ABOVE the aggregate = HAVING over rendered expressions;
+        # RelRoot names rename the outputs
+        agg = rel(4, aggregate_rel(
+            ORDERS_READ, [0], [measure(agg_function(1, [1]))]
+        ))
+        cond = scalar_fn(2, [field_ref(1), literal("i64", 100)])
+        p = plan_bytes(
+            rel(2, filter_rel(agg, cond)),
+            ["customer", "total"],
+            extensions=extension_function(1, "sum:fp64")
+            + extension_function(2, "gt:any_any"),
+        )
+        assert substrait_to_sql(p) == (
+            "SELECT `cust` AS `customer`, SUM(`amount`) AS `total` "
+            "FROM `orders` GROUP BY `cust` HAVING (SUM(`amount`) > 100)"
+        )
+
+    def test_sort_above_aggregate_uses_rendered_expr(self):
+        agg = rel(4, aggregate_rel(
+            ORDERS_READ, [0], [measure(agg_function(1, [1]))]
+        ))
+        p = plan_bytes(
+            rel(5, sort_rel(agg, [(1, 4)])),  # by measure, DESC NULLS LAST
+            ["customer", "total"],
+            extensions=extension_function(1, "sum:fp64"),
+        )
+        assert substrait_to_sql(p) == (
+            "SELECT `cust` AS `customer`, SUM(`amount`) AS `total` "
+            "FROM `orders` GROUP BY `cust` "
+            "ORDER BY SUM(`amount`) DESC NULLS LAST"
+        )
+
+    def test_emit_remap_measure_only(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0], [measure(agg_function(1, [1]))], emit=[1]
+            )),
+            extensions=extension_function(1, "max:fp64"),
+        )
+        assert substrait_to_sql(p) == (
+            "SELECT MAX(`amount`) AS `max_0` FROM `orders` GROUP BY `cust`"
+        )
+
+    def test_unknown_aggregate_rejected(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(ORDERS_READ, [0], [measure(agg_function(1, [1]))])),
+            extensions=extension_function(1, "approx_quantile:fp64"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="approx_quantile"):
+            substrait_to_sql(p)
+
+    def test_grouping_sets_rejected(self):
+        body = _len_field(2, ORDERS_READ)
+        for gi in (0, 1):
+            body += _len_field(3, _len_field(1, field_ref(gi)))
+        body += _len_field(4, measure(agg_function(1, [1])))
+        p = plan_bytes(
+            rel(4, body), extensions=extension_function(1, "sum:fp64")
+        )
+        with pytest.raises(SubstraitUnsupported, match="GROUPING SETS"):
+            substrait_to_sql(p)
+
+    def test_partial_phase_rejected(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], phase=1))],  # INITIAL_TO_INTERMEDIATE
+            )),
+            extensions=extension_function(1, "sum:fp64"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="phase"):
+            substrait_to_sql(p)
+
+    def test_project_above_aggregate_rejected(self):
+        agg = rel(4, aggregate_rel(
+            ORDERS_READ, [0], [measure(agg_function(1, [1]))]
+        ))
+        p = plan_bytes(
+            rel(7, project_rel(agg, [0], None)),
+            extensions=extension_function(1, "sum:fp64"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="ProjectRel above"):
+            substrait_to_sql(p)
+
+    def test_empty_aggregate_malformed(self):
+        p = plan_bytes(rel(4, _len_field(2, ORDERS_READ)))
+        with pytest.raises(SubstraitMalformed, match="no groupings"):
+            substrait_to_sql(p)
+
+
+class TestAggregateOverWire:
+    def test_group_count_round_trip(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            users = rel(1, read_rel(["users"], ["id", "name"]))
+            p = plan_bytes(
+                rel(4, aggregate_rel(users, [1], [measure(agg_function(1, []))])),
+                ["who", "n"],
+                extensions=extension_function(1, "count:"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            assert [f.name for f in info.schema] == ["who", "n"]
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            got = dict(zip(table.column("who").to_pylist(), table.column("n").to_pylist()))
+            assert got == {"Alice": 1, "Bob": 1, "Charlie": 1}
+        finally:
+            ex.close()
