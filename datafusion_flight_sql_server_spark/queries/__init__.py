@@ -19,6 +19,7 @@ from datafusion_flight_sql_server_spark.queries import windows_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import extensions  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import sources_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import pipeline_q  # noqa: F401
+from datafusion_flight_sql_server_spark.queries import mining_q  # noqa: F401
 
 #: Verification-priority prefix: the driver produces CORRECTNESS rows for
 #: the FIRST 50 registered queries each round, so ordering decides which
@@ -70,6 +71,14 @@ _PRIORITY = (
     "window_ewma",
     "text_inverted_index",
     "dedup_semantic",
+    # tier 2 (cont.): round-4-late registrations (mining_q.py)
+    "graph_triangles",
+    "basket_rules",
+    "text_pmi",
+    "text_novelty",
+    "embed_binary_hamming",
+    "agg_count_min",
+    "join_bloom_prune",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
     # verdict r3 item #7).  TPC-H headliners and join/agg families first.
@@ -78,19 +87,19 @@ _PRIORITY = (
     "tpch_q5_local_supplier",
     "tpch_q10_returned_items",
     "window_rank",
-    "window_analytic",
     "window_running",
-    "window_topk_per_group",
     "dedup_exact",
     "join_inner",
+    # ---- position 51+: r1 rotation overflow (trimmed for the round-4
+    # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
+    # in legacy order (all have driver rows already).
+    "window_analytic",
+    "window_topk_per_group",
     "join_left",
     "join_right",
     "join_full",
     "join_semi",
     "join_anti",
-    # ---- position 51+: r1 rotation overflow (trimmed for the round-4
-    # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
-    # in legacy order (all have driver rows already).
     "join_theta",
     "join_derived",
     "agg_group_multi",
