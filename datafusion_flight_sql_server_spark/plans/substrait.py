@@ -44,10 +44,25 @@ with everything else rejected by a descriptive ``SubstraitUnsupported``
   nested aggregates and partial phases are rejected by name;
 - ``RelRoot.names`` become output aliases.
 
+- ``JoinRel`` (round 4, late) for inner / full / left / right / left-semi
+  / left-anti types: both sides render as derived tables (their own
+  clauses can't leak across an outer join), the join expression and
+  optional ``post_join_filter`` index the concatenated left++right
+  schema, ``RelCommon.emit`` remaps it, and the result wraps in a
+  derived table with deduplicated aliases so anything composes above;
+  ``CrossRel`` the same without a condition;
+- ``SetRel`` (round 4, late) with exactly two inputs →
+  ``UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL]``;
+- computed ``ProjectRel`` expressions (round 4, late): the expression
+  subset plus the arithmetic functions ``add subtract multiply divide
+  modulus negate``, rendered into a derived table (aliases ``expr<i>``
+  unless RelRoot names rename them).
+
 That covers the filtered-scan class ADBC/JDBC-over-Substrait front-ends
-emit for probes, previews and predicate-pushdown scans; joins, aggregates,
-computed projections and DML are rejected with a message naming the
-unsupported construct. Field numbers below come from the public
+emit for probes, previews and predicate-pushdown scans, plus the
+join/set/computed-projection class query builders emit; window functions,
+subquery expressions, GROUPING SETS and DML are rejected with a message
+naming the unsupported construct. Field numbers below come from the public
 ``substrait/plan.proto`` / ``algebra.proto`` / ``extensions.proto``.
 """
 
@@ -166,7 +181,7 @@ def _function_names(plan_fields) -> dict[int, str]:
 
 # -- expressions -------------------------------------------------------------
 
-#: scalar functions consumed by the filter subset → SQL emitters
+#: scalar functions consumed by the expression subset → SQL emitters
 _BINARY_OPS = {
     "equal": "=",
     "not_equal": "<>",
@@ -174,6 +189,12 @@ _BINARY_OPS = {
     "gte": ">=",
     "lt": "<",
     "lte": "<=",
+    # arithmetic (substrait functions_arithmetic.yaml names)
+    "add": "+",
+    "subtract": "-",
+    "multiply": "*",
+    "divide": "/",
+    "modulus": "%",
 }
 
 _LITERAL_ARMS = {
@@ -341,10 +362,15 @@ def _scalar_fn_to_sql(
         if len(args) != 3:
             raise SubstraitMalformed(f"between with {len(args)} arguments")
         return f"({a(0)} BETWEEN {a(1)} AND {a(2)})"
+    if name == "negate":
+        if len(args) != 1:
+            raise SubstraitMalformed(f"negate with {len(args)} arguments")
+        return f"(- {a(0)})"
     raise SubstraitUnsupported(
         f"Substrait consumer: scalar function {name!r} is not in the "
-        f"filter subset (and or not equal not_equal gt gte lt lte is_null "
-        f"is_not_null between)"
+        f"expression subset (and or not equal not_equal gt gte lt lte "
+        f"is_null is_not_null between add subtract multiply divide "
+        f"modulus negate)"
     )
 
 
@@ -617,6 +643,199 @@ def _aggregate_rel(body: bytes, funcs: dict[int, str]) -> _State:
     return state
 
 
+def _dedup_aliases(aliases: list[str]) -> list[str]:
+    """Suffix duplicate output names ``_1``, ``_2``, … (stable, in order)."""
+    seen: dict[str, int] = {}
+    out = list(aliases)
+    for i, alias in enumerate(out):
+        n = seen.get(alias, 0)
+        seen[alias] = n + 1
+        if n:
+            out[i] = f"{alias}_{n}"
+    return out
+
+
+def _subquery_state(sql: str, cols: list[str], alias: str) -> _State:
+    """Wrap a rendered SELECT as a derived table so any relation can
+    compose above it (the single-SELECT clause accumulator restarts).
+    Aliases like ``t0``/``j`` are reused at different nesting depths —
+    SQL scoping shadows them, so no global counter is needed."""
+    return _State(f"({sql}) AS {_quote(alias)}", cols)
+
+
+#: JoinRel.JoinType enum (algebra.proto) → SQL join clause. Output columns
+#: are left++right except for the semi/anti forms (left only).
+_JOIN_TYPES = {
+    1: ("INNER JOIN", False),
+    2: ("FULL OUTER JOIN", False),
+    3: ("LEFT OUTER JOIN", False),
+    4: ("RIGHT OUTER JOIN", False),
+    5: ("LEFT SEMI JOIN", True),
+    6: ("LEFT ANTI JOIN", True),
+}
+
+
+def _join_rel(body: bytes, funcs: dict[int, str]) -> _State:
+    """JoinRel → derived-table state.
+
+    algebra.proto field numbers: common=1, left=2, right=3, expression=4,
+    post_join_filter=5, type=6. The join expression and post-join filter
+    index into the concatenated left++right schema; both sides render as
+    subqueries so their own WHERE/ORDER/LIMIT clauses never leak across
+    the join (outer-join correctness), and the join itself wraps in a
+    derived table with deduplicated output aliases so filters/aggregates/
+    sorts compose above it.
+    """
+    f = _fields(body)
+    left, right = _one(f, 2), _one(f, 3)
+    if left is None or right is None:
+        raise SubstraitMalformed("JoinRel without both inputs")
+    jt = int(_one(f, 6) or 0)
+    join_sql = _JOIN_TYPES.get(jt)
+    if join_sql is None:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: join type {jt} is not supported "
+            f"(inner/outer/left/right/left-semi/left-anti)"
+        )
+    clause, left_only = join_sql
+    ls = _interpret_rel(left, funcs)
+    rs = _interpret_rel(right, funcs)
+    if not ls.cols or not rs.cols:
+        raise SubstraitUnsupported(
+            "Substrait consumer: JoinRel inputs must declare a read schema"
+        )
+    lsql, rsql = _render_sql(ls, []), _render_sql(rs, [])
+    qualified = [f"{_quote('t0')}.{_quote(c)}" for c in ls.cols] + [
+        f"{_quote('t1')}.{_quote(c)}" for c in rs.cols
+    ]
+    cond = _one(f, 4)
+    if cond is None:
+        raise SubstraitUnsupported(
+            "Substrait consumer: JoinRel without a join expression is not "
+            "supported"
+        )
+    cond_sql = _expr_to_sql(cond, qualified, funcs, rendered=True)
+
+    out_exprs = qualified[: len(ls.cols)] if left_only else list(qualified)
+    out_names = list(ls.cols) if left_only else list(ls.cols) + list(rs.cols)
+    emit = _emit_mapping(_one(f, 1))
+    if emit is not None:
+        try:
+            out_exprs = [out_exprs[i] for i in emit]
+            out_names = [out_names[i] for i in emit]
+        except IndexError as exc:
+            raise SubstraitMalformed(
+                f"emit mapping {emit} out of range for {len(out_names)} "
+                f"columns"
+            ) from exc
+    out_names = _dedup_aliases(out_names)
+
+    select = ", ".join(
+        f"{expr} AS {_quote(alias)}" for expr, alias in zip(out_exprs, out_names)
+    )
+    sql = (
+        f"SELECT {select} FROM ({lsql}) AS {_quote('t0')} {clause} "
+        f"({rsql}) AS {_quote('t1')} ON {cond_sql}"
+    )
+    post = _one(f, 5)
+    if post is not None:
+        if left_only:
+            raise SubstraitUnsupported(
+                "Substrait consumer: post_join_filter on a semi/anti join "
+                "is not supported (the right columns are not emitted)"
+            )
+        sql += f" WHERE {_expr_to_sql(post, qualified, funcs, rendered=True)}"
+    return _subquery_state(sql, out_names, "j")
+
+
+def _cross_rel(body: bytes, funcs: dict[int, str]) -> _State:
+    """CrossRel (common=1, left=2, right=3) → derived-table state."""
+    f = _fields(body)
+    left, right = _one(f, 2), _one(f, 3)
+    if left is None or right is None:
+        raise SubstraitMalformed("CrossRel without both inputs")
+    ls = _interpret_rel(left, funcs)
+    rs = _interpret_rel(right, funcs)
+    if not ls.cols or not rs.cols:
+        raise SubstraitUnsupported(
+            "Substrait consumer: CrossRel inputs must declare a read schema"
+        )
+    lsql, rsql = _render_sql(ls, []), _render_sql(rs, [])
+    qualified = [f"{_quote('t0')}.{_quote(c)}" for c in ls.cols] + [
+        f"{_quote('t1')}.{_quote(c)}" for c in rs.cols
+    ]
+    out_names = _dedup_aliases(list(ls.cols) + list(rs.cols))
+    emit = _emit_mapping(_one(f, 1))
+    if emit is not None:
+        try:
+            qualified = [qualified[i] for i in emit]
+            out_names = [out_names[i] for i in emit]
+        except IndexError as exc:
+            raise SubstraitMalformed(
+                f"emit mapping {emit} out of range for {len(out_names)} "
+                f"columns"
+            ) from exc
+    select = ", ".join(
+        f"{expr} AS {_quote(alias)}" for expr, alias in zip(qualified, out_names)
+    )
+    sql = (
+        f"SELECT {select} FROM ({lsql}) AS {_quote('t0')} CROSS JOIN "
+        f"({rsql}) AS {_quote('t1')}"
+    )
+    return _subquery_state(sql, out_names, "j")
+
+
+#: SetRel.SetOp enum (algebra.proto) → SQL set operator (two inputs).
+_SET_OPS = {
+    1: "EXCEPT",  # MINUS_PRIMARY: distinct bag-minus of the first input
+    2: "EXCEPT ALL",  # MINUS_MULTISET
+    3: "INTERSECT",  # INTERSECTION_PRIMARY (distinct, two-input form)
+    4: "INTERSECT ALL",  # INTERSECTION_MULTISET
+    5: "UNION",  # UNION_DISTINCT
+    6: "UNION ALL",
+}
+
+
+def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
+    """SetRel (common=1, inputs=2 repeated, op=3) → derived-table state.
+
+    Two inputs only: the multi-input forms of the primary/multiset ops
+    have counting semantics SQL set operators don't express pairwise.
+    """
+    f = _fields(body)
+    inputs = [v for _, v in f.get(2, [])]
+    if len(inputs) != 2:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: SetRel with {len(inputs)} inputs is not "
+            f"supported (exactly 2)"
+        )
+    op = _SET_OPS.get(int(_one(f, 3) or 0))
+    if op is None:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: set operation {int(_one(f, 3) or 0)} is "
+            f"not supported"
+        )
+    ls = _interpret_rel(inputs[0], funcs)
+    rs = _interpret_rel(inputs[1], funcs)
+    if len(ls.cols) != len(rs.cols):
+        raise SubstraitMalformed(
+            f"SetRel inputs have {len(ls.cols)} vs {len(rs.cols)} columns"
+        )
+    sql = f"({_render_sql(ls, [])}) {op} ({_render_sql(rs, [])})"
+    out_names = list(ls.cols)
+    emit = _emit_mapping(_one(f, 1))
+    state = _subquery_state(sql, out_names, "s")
+    if emit is not None:
+        try:
+            state.cols = [out_names[i] for i in emit]
+        except IndexError as exc:
+            raise SubstraitMalformed(
+                f"emit mapping {emit} out of range for {len(out_names)} "
+                f"columns"
+            ) from exc
+    return state
+
+
 def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
     """Rel → accumulated clause state."""
     f = _fields(rel)
@@ -637,6 +856,15 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
     if kind == "aggregate":
         return _aggregate_rel(body, funcs)
 
+    if kind == "join":
+        return _join_rel(body, funcs)
+
+    if kind == "cross":
+        return _cross_rel(body, funcs)
+
+    if kind == "set":
+        return _set_rel(body, funcs)
+
     if kind == "project":
         pf = _fields(body)
         inp = _one(pf, 2)
@@ -648,22 +876,54 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
                 "Substrait consumer: ProjectRel above AggregateRel is not "
                 "supported (use the aggregate's emit mapping instead)"
             )
-        exprs = [_field_ref_index(v) for _, v in pf.get(3, [])]
-        # ProjectRel output = input columns ++ expression columns; emit
-        # remaps over that concatenation (RelCommon.Emit semantics).
-        combined = list(state.cols) + [_col_at(state.cols, i) for i in exprs]
-        emit = _emit_mapping(_one(pf, 1))
-        if emit is None:
-            state.cols = combined
-        else:
+        expr_bytes = [v for _, v in pf.get(3, [])]
+        # Direct field references keep the cheap single-SELECT path …
+        ref_indexes: list[int] | None = []
+        for e in expr_bytes:
             try:
-                state.cols = [combined[i] for i in emit]
+                ref_indexes.append(_field_ref_index(e))
+            except SubstraitUnsupported:
+                ref_indexes = None
+                break
+        emit = _emit_mapping(_one(pf, 1))
+        if ref_indexes is not None:
+            # ProjectRel output = input columns ++ expression columns; emit
+            # remaps over that concatenation (RelCommon.Emit semantics).
+            combined = list(state.cols) + [
+                _col_at(state.cols, i) for i in ref_indexes
+            ]
+            if emit is None:
+                state.cols = combined
+            else:
+                try:
+                    state.cols = [combined[i] for i in emit]
+                except IndexError as exc:
+                    raise SubstraitMalformed(
+                        f"emit mapping {emit} out of range for "
+                        f"{len(combined)} columns"
+                    ) from exc
+            return state
+        # … computed expressions (arithmetic/literals over the expression
+        # subset) render into a derived table so relations above compose
+        # against plain columns (a FilterRel above stays WHERE, not HAVING).
+        rendered = [_expr_to_sql(e, state.cols, funcs) for e in expr_bytes]
+        combined_exprs = [_quote(c) for c in state.cols] + rendered
+        names = list(state.cols) + [
+            f"expr{i}" for i in range(len(rendered))
+        ]
+        if emit is not None:
+            try:
+                combined_exprs = [combined_exprs[i] for i in emit]
+                names = [names[i] for i in emit]
             except IndexError as exc:
                 raise SubstraitMalformed(
-                    f"emit mapping {emit} out of range for {len(combined)} "
-                    f"columns"
+                    f"emit mapping {emit} out of range for "
+                    f"{len(names)} columns"
                 ) from exc
-        return state
+        names = _dedup_aliases(names)
+        state.select_exprs = combined_exprs
+        state.cols = names
+        return _subquery_state(_render_sql(state, []), names, "p")
 
     if kind == "filter":
         ff = _fields(body)
@@ -778,44 +1038,14 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
 
     raise SubstraitUnsupported(
         f"Substrait consumer: relation type {kind!r} is not supported "
-        f"(supported: read of a named table, filter, project of direct "
-        f"field references, sort, fetch with literal count/offset, "
-        f"single-grouping aggregate); send SQL text instead"
+        f"(supported: read of a named table, filter, project, sort, fetch "
+        f"with literal count/offset, single-grouping aggregate, join, "
+        f"cross, 2-input set operation); send SQL text instead"
     )
 
 
-def substrait_to_sql(plan_bytes: bytes) -> str:
-    """Translate serialized ``substrait.Plan`` bytes to a SQL statement.
-
-    Raises ``SubstraitUnsupported`` for plans outside the subset and
-    ``SubstraitMalformed`` for undecodable bytes.
-    """
-    if not plan_bytes:
-        raise SubstraitMalformed("empty Substrait plan")
-    plan = _fields(plan_bytes)
-    funcs = _function_names(plan)
-    relations = plan.get(3, [])  # Plan.relations
-    if len(relations) != 1:
-        raise SubstraitUnsupported(
-            f"Substrait consumer: expected exactly 1 plan relation, got "
-            f"{len(relations)}"
-        )
-    plan_rel = _fields(relations[0][1])
-    root = _one(plan_rel, 2)  # PlanRel.root (RelRoot)
-    if root is not None:
-        rf = _fields(root)
-        rel = _one(rf, 1)
-        if rel is None:
-            raise SubstraitMalformed("RelRoot without input relation")
-        out_names = _strings(rf, 2)
-    else:
-        rel = _one(plan_rel, 1)  # PlanRel.rel (no output names)
-        if rel is None:
-            raise SubstraitMalformed("PlanRel carries neither rel nor root")
-        out_names = []
-
-    state = _interpret_rel(rel, funcs)
-
+def _render_sql(state: _State, out_names: list[str]) -> str:
+    """Accumulated clause state → one SELECT statement."""
     if state.select_exprs is not None:
         # aggregate output: rendered expressions with stable aliases
         # (RelRoot names override the generated aliases)
@@ -867,3 +1097,37 @@ def substrait_to_sql(plan_bytes: bytes) -> str:
     if state.offset is not None:
         sql += f" OFFSET {state.offset}"
     return sql
+
+
+def substrait_to_sql(plan_bytes: bytes) -> str:
+    """Translate serialized ``substrait.Plan`` bytes to a SQL statement.
+
+    Raises ``SubstraitUnsupported`` for plans outside the subset and
+    ``SubstraitMalformed`` for undecodable bytes.
+    """
+    if not plan_bytes:
+        raise SubstraitMalformed("empty Substrait plan")
+    plan = _fields(plan_bytes)
+    funcs = _function_names(plan)
+    relations = plan.get(3, [])  # Plan.relations
+    if len(relations) != 1:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: expected exactly 1 plan relation, got "
+            f"{len(relations)}"
+        )
+    plan_rel = _fields(relations[0][1])
+    root = _one(plan_rel, 2)  # PlanRel.root (RelRoot)
+    if root is not None:
+        rf = _fields(root)
+        rel = _one(rf, 1)
+        if rel is None:
+            raise SubstraitMalformed("RelRoot without input relation")
+        out_names = _strings(rf, 2)
+    else:
+        rel = _one(plan_rel, 1)  # PlanRel.rel (no output names)
+        if rel is None:
+            raise SubstraitMalformed("PlanRel carries neither rel nor root")
+        out_names = []
+
+    state = _interpret_rel(rel, funcs)
+    return _render_sql(state, out_names)

@@ -252,9 +252,9 @@ class TestTranslate:
         cond = scalar_fn(1, [field_ref(0), literal("i64", 5)])
         p = plan_bytes(
             rel(2, filter_rel(USERS_READ, cond)),
-            extensions=extension_function(1, "add:i64_i64"),
+            extensions=extension_function(1, "concat:str_str"),
         )
-        with pytest.raises(SubstraitUnsupported, match="'add'"):
+        with pytest.raises(SubstraitUnsupported, match="'concat'"):
             substrait_to_sql(p)
 
     def test_undeclared_anchor_rejected(self):
@@ -268,10 +268,12 @@ class TestTranslate:
         with pytest.raises(SubstraitUnsupported, match="virtual_table"):
             substrait_to_sql(plan_bytes(rel(1, body)))
 
-    def test_rejects_scalar_function_expression(self):
+    def test_rejects_undeclared_projection_function(self):
+        # computed projections are consumed, but an anchor with no
+        # extension declaration still fails by name
         scalar_fn = _len_field(3, _varint_field(1, 0))  # Expression.scalar_function
         p = rel(7, _len_field(2, USERS_READ) + _len_field(3, scalar_fn))
-        with pytest.raises(SubstraitUnsupported, match="scalar_function"):
+        with pytest.raises(SubstraitUnsupported, match="anchor 0"):
             substrait_to_sql(plan_bytes(p))
 
     def test_fetch_count_minus_one_means_no_limit(self):
@@ -316,6 +318,12 @@ def substrait_server(spark):
         "users",
         [(1, "Alice"), (2, "Bob"), (3, "Charlie")],
         "id INT NOT NULL, name STRING NOT NULL",
+    )
+    register_memtable(
+        spark,
+        "orders",
+        [(100, 1, 50), (101, 2, 75), (102, 1, 100), (103, 3, 25)],
+        "order_id INT NOT NULL, user_id INT NOT NULL, amount INT NOT NULL",
     )
     srv = FlightSqlServer(Engine(spark), location="grpc://0.0.0.0:0")
     threading.Thread(target=srv.serve, daemon=True).start()
@@ -619,5 +627,256 @@ class TestAggregateOverWire:
             ).read_all()
             got = dict(zip(table.column("who").to_pylist(), table.column("n").to_pylist()))
             assert got == {"Alice": 1, "Bob": 1, "Charlie": 1}
+        finally:
+            ex.close()
+
+
+# -- join / set / computed-projection subset (round 4, late) ------------------
+
+
+def join_rel(
+    left: bytes,
+    right: bytes,
+    expr: bytes | None,
+    jtype: int,
+    post: bytes | None = None,
+    emit: list[int] | None = None,
+) -> bytes:
+    """JoinRel: common=1, left=2, right=3, expression=4, post_join_filter=5,
+    type=6."""
+    body = _len_field(2, left) + _len_field(3, right)
+    if expr is not None:
+        body += _len_field(4, expr)
+    if post is not None:
+        body += _len_field(5, post)
+    body += _varint_field(6, jtype)
+    if emit is not None:
+        emit_msg = b"".join(_varint_field(1, i) for i in emit)
+        body = _len_field(1, _len_field(2, emit_msg)) + body
+    return body
+
+
+def cross_rel(left: bytes, right: bytes) -> bytes:
+    return _len_field(2, left) + _len_field(3, right)
+
+
+def set_rel(inputs: list[bytes], op: int) -> bytes:
+    """SetRel: common=1, inputs=2 (repeated), op=3."""
+    body = b"".join(_len_field(2, i) for i in inputs)
+    body += _varint_field(3, op)
+    return body
+
+
+FULL_ORDERS_READ = rel(1, read_rel(["orders"], ["order_id", "user_id", "amount"]))
+EQ_EXT = extension_function(1, "equal:any_any")
+
+
+class TestJoinSetProjectTranslate:
+    def test_inner_equi_join(self):
+        # users(id, name) JOIN orders(order_id, user_id, amount)
+        # ON id = user_id — the join expression indexes left++right
+        cond = scalar_fn(1, [field_ref(0), field_ref(3)])
+        p = plan_bytes(
+            rel(6, join_rel(USERS_READ, FULL_ORDERS_READ, cond, 1)),
+            extensions=EQ_EXT,
+        )
+        assert substrait_to_sql(p) == (
+            "SELECT `id`, `name`, `order_id`, `user_id`, `amount` FROM "
+            "(SELECT `t0`.`id` AS `id`, `t0`.`name` AS `name`, "
+            "`t1`.`order_id` AS `order_id`, `t1`.`user_id` AS `user_id`, "
+            "`t1`.`amount` AS `amount` FROM "
+            "(SELECT `id`, `name` FROM `users`) AS `t0` INNER JOIN "
+            "(SELECT `order_id`, `user_id`, `amount` FROM `orders`) AS `t1` "
+            "ON (`t0`.`id` = `t1`.`user_id`)) AS `j`"
+        )
+
+    def test_left_semi_emits_left_only(self):
+        cond = scalar_fn(1, [field_ref(0), field_ref(3)])
+        p = plan_bytes(
+            rel(6, join_rel(USERS_READ, FULL_ORDERS_READ, cond, 5)),
+            extensions=EQ_EXT,
+        )
+        sql = substrait_to_sql(p)
+        assert "LEFT SEMI JOIN" in sql
+        assert "`amount`" not in sql.split(" FROM ")[0]
+
+    def test_self_join_dedups_output_names(self):
+        cond = scalar_fn(1, [field_ref(0), field_ref(2)])
+        p = plan_bytes(
+            rel(6, join_rel(USERS_READ, USERS_READ, cond, 1)),
+            extensions=EQ_EXT,
+        )
+        sql = substrait_to_sql(p)
+        assert "AS `id_1`" in sql and "AS `name_1`" in sql
+
+    def test_post_join_filter_renders_where(self):
+        cond = scalar_fn(1, [field_ref(0), field_ref(3)])
+        post = scalar_fn(2, [field_ref(4), literal("i64", 30)])
+        p = plan_bytes(
+            rel(6, join_rel(USERS_READ, FULL_ORDERS_READ, cond, 3, post=post)),
+            extensions=EQ_EXT + extension_function(2, "gt:any_any"),
+        )
+        sql = substrait_to_sql(p)
+        assert "LEFT OUTER JOIN" in sql
+        assert "WHERE (`t1`.`amount` > 30)" in sql
+
+    def test_filter_above_join_is_where(self):
+        cond = scalar_fn(1, [field_ref(0), field_ref(3)])
+        j = rel(6, join_rel(USERS_READ, FULL_ORDERS_READ, cond, 1))
+        flt = scalar_fn(2, [field_ref(4), literal("i64", 60)])
+        p = plan_bytes(
+            rel(2, filter_rel(j, flt)),
+            extensions=EQ_EXT + extension_function(2, "gt:any_any"),
+        )
+        sql = substrait_to_sql(p)
+        assert sql.endswith("WHERE (`amount` > 60)")
+        assert "HAVING" not in sql
+
+    def test_aggregate_above_join_composes(self):
+        cond = scalar_fn(1, [field_ref(0), field_ref(3)])
+        j = rel(6, join_rel(USERS_READ, FULL_ORDERS_READ, cond, 1))
+        p = plan_bytes(
+            rel(4, aggregate_rel(j, [1], [measure(agg_function(2, [4]))])),
+            extensions=EQ_EXT + extension_function(2, "sum:i64"),
+        )
+        sql = substrait_to_sql(p)
+        assert sql.startswith("SELECT `name` AS `name`, SUM(`amount`) AS `sum_0` FROM (")
+        assert sql.endswith("GROUP BY `name`")
+
+    def test_unsupported_join_type_rejected(self):
+        cond = scalar_fn(1, [field_ref(0), field_ref(3)])
+        p = plan_bytes(
+            rel(6, join_rel(USERS_READ, FULL_ORDERS_READ, cond, 11)),
+            extensions=EQ_EXT,
+        )
+        with pytest.raises(SubstraitUnsupported, match="join type 11"):
+            substrait_to_sql(p)
+
+    def test_join_without_expression_rejected(self):
+        p = plan_bytes(rel(6, join_rel(USERS_READ, FULL_ORDERS_READ, None, 1)))
+        with pytest.raises(SubstraitUnsupported, match="join expression"):
+            substrait_to_sql(p)
+
+    def test_cross_rel(self):
+        p = plan_bytes(rel(12, cross_rel(USERS_READ, USERS_READ)))
+        sql = substrait_to_sql(p)
+        assert "CROSS JOIN" in sql
+        assert "AS `id_1`" in sql
+
+    def test_union_all(self):
+        p = plan_bytes(rel(8, set_rel([USERS_READ, USERS_READ], 6)))
+        assert substrait_to_sql(p) == (
+            "SELECT `id`, `name` FROM ((SELECT `id`, `name` FROM `users`) "
+            "UNION ALL (SELECT `id`, `name` FROM `users`)) AS `s`"
+        )
+
+    def test_set_ops_map(self):
+        for op, kw in ((1, "EXCEPT"), (3, "INTERSECT"), (5, "UNION"),
+                       (2, "EXCEPT ALL"), (4, "INTERSECT ALL")):
+            sql = substrait_to_sql(
+                plan_bytes(rel(8, set_rel([USERS_READ, USERS_READ], op)))
+            )
+            assert f") {kw} (" in sql
+
+    def test_set_arity_rejected(self):
+        p = plan_bytes(rel(8, set_rel([USERS_READ], 6)))
+        with pytest.raises(SubstraitUnsupported, match="1 inputs"):
+            substrait_to_sql(p)
+
+    def test_computed_projection(self):
+        # project add(id, 1) with emit keeping only the computed column
+        expr = scalar_fn(1, [field_ref(0), literal("i64", 1)])
+        body = _len_field(2, USERS_READ) + _len_field(3, expr)
+        emit_msg = _varint_field(1, 2)
+        body = _len_field(1, _len_field(2, emit_msg)) + body
+        p = plan_bytes(rel(7, body), extensions=extension_function(1, "add:i64_i64"))
+        assert substrait_to_sql(p) == (
+            "SELECT `expr0` FROM (SELECT (`id` + 1) AS `expr0` "
+            "FROM `users`) AS `p`"
+        )
+
+    def test_filter_above_computed_projection_is_where(self):
+        expr = scalar_fn(1, [field_ref(0), literal("i64", 1)])
+        body = _len_field(2, USERS_READ) + _len_field(3, expr)
+        flt = scalar_fn(2, [field_ref(2), literal("i64", 2)])
+        p = plan_bytes(
+            rel(2, filter_rel(rel(7, body), flt)),
+            extensions=extension_function(1, "multiply:i64_i64")
+            + extension_function(2, "gte:any_any"),
+        )
+        sql = substrait_to_sql(p)
+        assert "WHERE (`expr0` >= 2)" in sql and "HAVING" not in sql
+
+    def test_negate_and_arithmetic_render(self):
+        expr = scalar_fn(
+            1,
+            [scalar_fn(2, [field_ref(0)]), literal("i64", 3)],
+        )
+        body = _len_field(2, USERS_READ) + _len_field(3, expr)
+        p = plan_bytes(
+            rel(7, body),
+            extensions=extension_function(1, "subtract:i64_i64")
+            + extension_function(2, "negate:i64"),
+        )
+        assert "((- `id`) - 3)" in substrait_to_sql(p)
+
+
+class TestJoinSetProjectOverWire:
+    def test_join_round_trip_four_rows(self, substrait_server):
+        """Reference parity: the join scenario asserts exactly 4 rows
+        (reference: tests/integration_test.rs:297-328), here arriving as a
+        Substrait JoinRel instead of SQL text."""
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            users = rel(1, read_rel(["users"], ["id", "name"]))
+            orders = rel(1, read_rel(["orders"], ["order_id", "user_id", "amount"]))
+            cond = scalar_fn(1, [field_ref(0), field_ref(3)])
+            p = plan_bytes(
+                rel(6, join_rel(users, orders, cond, 1)),
+                extensions=extension_function(1, "equal:any_any"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert table.num_rows == 4
+            assert set(table.column_names) == {
+                "id", "name", "order_id", "user_id", "amount"
+            }
+        finally:
+            ex.close()
+
+    def test_union_all_round_trip(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            users = rel(1, read_rel(["users"], ["id", "name"]))
+            p = plan_bytes(rel(8, set_rel([users, users], 6)))
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert table.num_rows == 6
+        finally:
+            ex.close()
+
+    def test_computed_projection_round_trip(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            users = rel(1, read_rel(["users"], ["id", "name"]))
+            expr = scalar_fn(1, [field_ref(0), literal("i64", 100)])
+            body = _len_field(2, users) + _len_field(3, expr)
+            emit_msg = _varint_field(1, 2)
+            body = _len_field(1, _len_field(2, emit_msg)) + body
+            p = plan_bytes(
+                rel(7, body),
+                ["shifted"],
+                extensions=extension_function(1, "add:i64_i64"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            assert [f.name for f in info.schema] == ["shifted"]
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert sorted(table.column("shifted").to_pylist()) == [101, 102, 103]
         finally:
             ex.close()
