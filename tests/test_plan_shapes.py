@@ -335,3 +335,55 @@ class TestAdaptiveBroadcast:
         assert "AdaptiveSparkPlan" in final
         assert "isFinalPlan=true" in final
         assert "BroadcastHashJoin" in final
+
+
+class TestMiningPlanShapes:
+    def test_graph_triangles_equi_joins_only(self, spark):
+        # orientation + wedge-close are equi-joins on vertex ids; the only
+        # nested-loops allowed are the two 1-row count spines
+        plan = _executed_plan(_run(spark, "graph_triangles"))
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+    def test_basket_rules_top20_take_ordered(self, spark):
+        # rule ranking collapses to TakeOrderedAndProject; candidates come
+        # from the order-key equi-join, count tables join by item key
+        plan = _executed_plan(_run(spark, "basket_rules"))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row n spine
+
+    def test_text_pmi_spines_broadcast_top20_take_ordered(self, spark):
+        # two 1-row corpus spines broadcast; unigram joins are equi-joins
+        plan = _executed_plan(_run(spark, "text_pmi"))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+    def test_text_novelty_no_joins(self, spark):
+        # first-occurrence attribution is a (sid)-partitioned window over
+        # the distinct pairs — single lineage, zero joins
+        plan = _executed_plan(_run(spark, "text_novelty"))
+        assert "Join" not in plan
+
+    def test_embed_binary_hamming_single_probe_broadcast(self, spark):
+        # the 8 probes broadcast past the corpus exactly once; candidates
+        # shuffle only into the re-rank windows
+        plan = _executed_plan(_run(spark, "embed_binary_hamming"))
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_agg_count_min_cells_broadcast(self, spark):
+        # the d*w cell table reaches the probes as a broadcast equi-join
+        plan = _executed_plan(_run(spark, "agg_count_min"))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_join_bloom_prune_semi_join_before_verify(self, spark):
+        # the pruned fact side passes a LEFT SEMI candidate join before
+        # the verifying equi-join; nothing goes pairwise
+        plan = _executed_plan(_run(spark, "join_bloom_prune"))
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
