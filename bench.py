@@ -61,6 +61,8 @@ HEADLINE = (
     # baseline work)
     "dedup_substring",
     "text_lm_unigram",
+    # round-4-late: the third real-work baseline (DuckDB 15 s at sf0.1)
+    "graph_triangles",
 )
 
 WARMUP_RUNS = 1
