@@ -673,3 +673,278 @@ def q_join_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(revenue).cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimation-accuracy audit
+# ---------------------------------------------------------------------------
+
+
+def _minhash_eval_oracle(n_perms: int = 16, n_bands: int = 8) -> str:
+    """DuckDB twin of q_dedup_minhash_eval — same md5-derived permutation
+    constants and banding as operators.dedup.minhash_near_dups / the
+    dedup_near_minhash oracle, with the signature-agreement estimate
+    reported next to the exact Jaccard instead of a threshold filter."""
+    from datafusion_flight_sql_server_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
+    rows = n_perms // n_bands
+    params = minhash_params(n_perms)
+    mh = ",\n                   ".join(
+        f"list_min(list_transform(h, x -> ({a} * (x % {MINHASH_P}) + {b})"
+        f" % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws('-', "
+        + ", ".join(f"mh{bi * rows + r}" for r in range(rows))
+        + ")) AS key FROM sig"
+        for bi in range(n_bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(n_perms)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> array_to_string(w[i:i+2], ' ')))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM toks),
+        hashed AS (SELECT doc_id,
+                          list_distinct(list_transform(s, x ->
+                            ('0x' || substr(md5(x), 1, 12))::BIGINT)) AS h
+                   FROM sh),
+        sig AS (SELECT doc_id,
+                   {mh}
+                FROM hashed),
+        buck AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM buck a JOIN buck b
+                   ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id),
+        scored AS (SELECT doc_a, doc_b,
+                          ({matches}) AS n_match,
+                          len(list_intersect(ha.h, hb.h)) AS n_inter,
+                          len(list_distinct(ha.h || hb.h)) AS n_union
+                   FROM cand
+                   JOIN sig sa ON sa.doc_id = doc_a
+                   JOIN sig sb ON sb.doc_id = doc_b
+                   JOIN hashed ha ON ha.doc_id = doc_a
+                   JOIN hashed hb ON hb.doc_id = doc_b)
+        SELECT doc_a, doc_b,
+               CAST((1000000 * n_match) // {n_perms} AS BIGINT) AS est_ppm,
+               CAST((1000000 * n_inter) // n_union AS BIGINT) AS exact_ppm,
+               CAST((1000000 * n_match) // {n_perms}
+                    - (1000000 * n_inter) // n_union AS BIGINT) AS err_ppm
+        FROM scored
+    """
+
+
+@query(
+    "dedup_minhash_eval",
+    oracle=_minhash_eval_oracle(),
+    doc="MinHash estimation-accuracy audit over the LSH candidate pairs: "
+    "for every banding candidate, the signature-agreement Jaccard "
+    "estimate (matching components / 16, exact-ppm) next to the true "
+    "Jaccard of the hashed shingle sets and the signed error — the "
+    "calibration report that justifies trusting the sketch at corpus "
+    "scale, where exact verification is sampled rather than exhaustive. "
+    "Identical md5-derived permutation constants and banding as "
+    "dedup_near_minhash, so the audit measures the production sketch, "
+    "not a replica. Scale: same single data-sized shuffle as the dedup "
+    "(the hash-partitioned band join); signatures are 16 ints per doc "
+    "and the exact sets join only for candidate pairs.",
+    tags=("dedup", "similarity", "sketch"),
+)
+def q_dedup_minhash_eval(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.dedup import (
+        MINHASH_P,
+        _shingle_hash,
+        minhash_params,
+        shingle_col,
+    )
+
+    n_perms, n_bands = 16, 8
+    rows = n_perms // n_bands
+    params = minhash_params(n_perms)
+    d = tables(spark, sf)["documents"]
+    hashed = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingle_col(F.col("text"), 3), _shingle_hash)
+        ).alias("h"),
+    )
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
+
+    sig = hashed.select(
+        "doc_id",
+        "h",
+        *[
+            F.array_min(F.transform(F.col("h"), _perm(a, b))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    bucket = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.col(f"mh{bi * rows + r}")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bucket.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bucket.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h").alias("ha"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_perms)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h").alias("hb"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_perms)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_perms)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            F.size(F.array_intersect("ha", "hb")).alias("n_inter"),
+            F.size(F.array_distinct(F.concat("ha", "hb"))).alias("n_union"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST((1000000 * n_match) DIV {n_perms} AS BIGINT)").alias(
+                "est_ppm"
+            ),
+            F.expr("CAST((1000000 * n_inter) DIV n_union AS BIGINT)").alias(
+                "exact_ppm"
+            ),
+            F.expr(
+                f"CAST((1000000 * n_match) DIV {n_perms}"
+                " - (1000000 * n_inter) DIV n_union AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional language model score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+        WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                              x -> x <> '') AS a
+                   FROM documents),
+        big AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(a)),
+                           i -> {'w1': a[i], 'w2': a[i + 1]})) AS s
+                FROM w WHERE len(a) >= 2),
+        pairs AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2, COUNT(*) AS k
+                  FROM big GROUP BY 1, 2, 3),
+        bc AS (SELECT w1, w2, SUM(k) AS cxy FROM pairs GROUP BY 1, 2),
+        hc AS (SELECT w1, SUM(k) AS c1 FROM pairs GROUP BY 1),
+        voc AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM pairs)
+        SELECT p.doc_id,
+               CAST(SUM(p.k) AS BIGINT) AS n_bigrams,
+               CAST(SUM(p.k * ((1000000 * (bc.cxy + 1)) // (hc.c1 + voc.v)))
+                    // SUM(p.k) AS BIGINT) AS lm2_score_ppm
+        FROM pairs p
+        JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+        JOIN hc ON p.w1 = hc.w1
+        CROSS JOIN voc
+        GROUP BY p.doc_id
+    """,
+    doc="Bigram conditional language-model score (the KenLM-class upgrade "
+    "of text_lm_unigram): per document, the mean add-one-smoothed "
+    "conditional probability p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / "
+    "(c_hist(w_{i-1}) + V), with each term floored to exact ppm before "
+    "the mean so both engines agree bit-for-bit (no rational-sum "
+    "denominators, no libm). History counts come from the same bigram "
+    "stream (c_hist = times the word appears as a predecessor, the "
+    "normalization that makes each history's probabilities sum to 1). "
+    "Fluent text that repeats corpus patterns scores high; shuffled or "
+    "machine-garbled text scores near the smoothing floor — the "
+    "conditional signal unigram scoring cannot see. Scale: ONE explode "
+    "pass partial-aggregates to distinct (doc, w1, w2) triples; corpus "
+    "bigram and history counts are two aggregations of those triples "
+    "joined back by key (vocabulary-sized, AQE broadcasts), and the "
+    "vocabulary size is a 1-row broadcast spine.",
+    tags=("text", "quality", "lm"),
+)
+def q_text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    pairs = (
+        d.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("a"),
+        )
+        .filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(element_at(a, i) AS w1,"
+                    "             element_at(a, i + 1) AS w2))"
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.sum("k").alias("cxy"))
+    hc = pairs.groupBy("w1").agg(F.sum("k").alias("c1"))
+    voc = pairs.agg(F.countDistinct("w2").cast("bigint").alias("v"))
+    return (
+        pairs.join(bc, ["w1", "w2"])
+        .join(hc, "w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "CAST(SUM(k * ((1000000 * (cxy + 1)) DIV (c1 + v)))"
+                " DIV SUM(k) AS BIGINT)"
+            ).alias("lm2_score_ppm"),
+        )
+    )

@@ -467,6 +467,179 @@ def q_multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stage_near_dup_binary_fixture() -> str:
+    """Ten deterministic binary payloads with planted NEAR-duplicates
+    (idempotent): sha256-stream content (aperiodic, so unrelated files get
+    unrelated signatures) with 16-byte splices simulating re-encoded /
+    lightly-edited media — a0~a1~a2 and b0~b1 are edit families, s* are
+    singletons."""
+    import hashlib
+    import tempfile
+
+    out = Path(tempfile.gettempdir()) / "sgraft_binary_neardups"
+
+    def payload(seed: int, size: int = 512) -> bytearray:
+        data = bytearray()
+        c = 0
+        while len(data) < size:
+            data += hashlib.sha256(f"{seed}:{c}".encode()).digest()
+            c += 1
+        return data[:size]
+
+    try:
+        out.mkdir(exist_ok=True)
+        a = payload(0)
+        a1 = bytearray(a)
+        a1[40:56] = b"\xff" * 16
+        a2 = bytearray(a)
+        a2[200:216] = b"\x00" * 16
+        b = payload(5)
+        b1 = bytearray(b)
+        b1[300:316] = b"\xee" * 16
+        files = {"a0": a, "a1": a1, "a2": a2, "b0": b, "b1": b1}
+        for s in (9, 12, 17, 23, 30):
+            files[f"s{s}"] = payload(s)
+        for name, data in files.items():
+            p = out / f"{name}.bin"
+            if not p.exists() or p.stat().st_size != len(data):
+                p.write_bytes(bytes(data))
+    except OSError:  # failure-tolerant at import; see _stage_binary_fixture
+        pass
+    return str(out)
+
+
+_NEAR_DUP_BINARY_DIR = _stage_near_dup_binary_fixture()
+
+#: blockhash signature pieces shared by query and doc: 64 blocks, bit k set
+#: iff mean(block k) > mean(payload) ⇔ blocksum*n > total*bs (exact integer).
+_PHASH_WORD = (
+    "aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT), (acc, k) -> acc + "
+    "IF(aggregate(slice(v, k * bs + 1, bs), CAST(0 AS BIGINT),"
+    "             (s, x) -> s + x) * n > bs * total,"
+    "   shiftleft(CAST(1 AS BIGINT), k - {lo}), CAST(0 AS BIGINT)))"
+)
+
+
+@query(
+    "multimodal_phash",
+    oracle=f"""
+        WITH b AS (SELECT parse_filename(filename) AS fname, hex(content) AS h,
+                          CAST(size AS BIGINT) AS n
+                   FROM read_blob('{_NEAR_DUP_BINARY_DIR}/*.bin')
+                   WHERE size >= 64),
+        by AS (SELECT fname, n, CAST(n // 64 AS INT) AS bs,
+                      list_transform(range(0, CAST(n AS INT)),
+                          i -> ('0x' || substr(h, 2 * i + 1, 2))::BIGINT) AS v
+               FROM b),
+        st AS (SELECT fname, n, bs, v, list_sum(v) AS total FROM by),
+        sig AS (SELECT fname,
+                  list_sum(list_transform(range(0, 32), k ->
+                    CASE WHEN list_sum(v[(k * bs + 1):((k + 1) * bs)]) * n
+                              > bs * total
+                         THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS w0,
+                  list_sum(list_transform(range(32, 64), k ->
+                    CASE WHEN list_sum(v[(k * bs + 1):((k + 1) * bs)]) * n
+                              > bs * total
+                         THEN (1::BIGINT << (k - 32)) ELSE 0::BIGINT END)) AS w1
+                FROM st),
+        bands AS (SELECT fname, w0, w1, bi,
+                         CASE WHEN bi < 4 THEN (w0 >> (8 * bi)) & 255
+                              ELSE (w1 >> (8 * (bi - 4))) & 255 END AS bv
+                  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS bi)),
+        cand AS (SELECT DISTINCT x.fname AS file_a, y.fname AS file_b,
+                        x.w0 AS xw0, x.w1 AS xw1, y.w0 AS yw0, y.w1 AS yw1
+                 FROM bands x JOIN bands y
+                   ON x.bi = y.bi AND x.bv = y.bv AND x.fname < y.fname)
+        SELECT file_a, file_b,
+               CAST(bit_count(xor(xw0, yw0)) + bit_count(xor(xw1, yw1))
+                    AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(xw0, yw0)) + bit_count(xor(xw1, yw1)) <= 10
+    """,
+    doc="Perceptual-hash near-dup detection for opaque media payloads (the "
+    "near-dup sibling of multimodal_dedup's exact digest): a blockhash-"
+    "family signature — 64 equal byte-blocks, bit k = mean(block k) > "
+    "mean(payload), the classic blockhash.io construction applied to the "
+    "raw byte stream since this container cannot decode pixels (the "
+    "decode seam is the same one multimodal_decode stubs; on a real "
+    "cluster the block means come from decoded luma). Signatures pack "
+    "into 2x32-bit words (exact integer compare: blocksum*n > total*bs, "
+    "no division), candidates come from an 8-band x 8-bit LSH equi-join "
+    "— NEVER all-pairs — and exact Hamming <= 10 verifies. Catches "
+    "re-encoded/lightly-edited media that exact digests miss. Scale: "
+    "signatures are map-side next to the binaryFile scan (payload bytes "
+    "never shuffle — 8 band rows of (16-byte name, 2 longs) per file); "
+    "the band join is hash-partitioned; verification touches only "
+    "candidate signature pairs.",
+    tags=("dedup", "multimodal", "similarity"),
+)
+def q_multimodal_phash(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.engine.registry import (
+        register_binary_dir,
+    )
+
+    path = _stage_near_dup_binary_fixture()
+    df = register_binary_dir(spark, "binary_neardups", path)
+    by = (
+        df.filter(F.col("length") >= 64)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+            F.col("length").cast("bigint").alias("n"),
+            (F.col("length") / 64).cast("int").alias("bs"),
+            F.expr(
+                "transform(sequence(0, CAST(length AS INT) - 1),"
+                " i -> CAST(conv(substr(hex(content), 2 * i + 1, 2), 16, 10)"
+                "          AS BIGINT))"
+            ).alias("v"),
+        )
+        .withColumn(
+            "total",
+            F.expr("aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x)"),
+        )
+    )
+    sig = by.select(
+        "fname",
+        F.expr(_PHASH_WORD.format(lo=0, hi=31)).alias("w0"),
+        F.expr(_PHASH_WORD.format(lo=32, hi=63)).alias("w1"),
+    )
+    bands = sig.select(
+        "fname",
+        "w0",
+        "w1",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("bi"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            "CASE WHEN bi < 4 THEN shiftrightunsigned(w0, 8 * bi) & 255 "
+            "ELSE shiftrightunsigned(w1, 8 * (bi - 4)) & 255 END"
+        ),
+    )
+    x = bands.select(
+        F.col("fname").alias("file_a"),
+        F.col("w0").alias("xw0"),
+        F.col("w1").alias("xw1"),
+        "bi",
+        "bv",
+    )
+    y = bands.select(
+        F.col("fname").alias("file_b"),
+        F.col("w0").alias("yw0"),
+        F.col("w1").alias("yw1"),
+        "bi",
+        "bv",
+    )
+    cand = (
+        x.join(y, ["bi", "bv"])
+        .filter(F.col("file_a") < F.col("file_b"))
+        .select("file_a", "file_b", "xw0", "xw1", "yw0", "yw1")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("xw0 ^ yw0")) + F.bit_count(F.expr("xw1 ^ yw1"))
+    return cand.select(
+        "file_a", "file_b", ham.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= 10)
+
+
 # -- federation: Spark reading its own Flight SQL server ---------------------
 
 #: One in-process Flight SQL server per driver application, started lazily on
