@@ -534,40 +534,22 @@ def q_embed_binary_hamming(spark: SparkSession, sf: str) -> DataFrame:
     tags=("agg", "sketch", "approx"),
 )
 def q_agg_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.sketches import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
     d = tables(spark, sf)["documents"]
     tok = d.select(
         F.explode(F.expr("filter(split(lower(text), ' '), x -> x != '')")).alias(
             "word"
         )
     )
-    rr = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
     # sketch build: token stream -> (r, bucket) cells, mergeable map-side
-    cells = (
-        tok.select("word", rr)
-        .select(
-            "r",
-            _md5_bucket(
-                F.concat(F.col("word"), F.lit("#"), F.col("r").cast("string")),
-                "",
-                32,
-            ).alias("b"),
-        )
-        .groupBy("r", "b")
-        .agg(F.count(F.lit(1)).alias("cell"))
-    )
+    cells = count_min_cells(tok, "word", depth=4, width=32)
     tc = tok.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("exact_c"))
-    probe = tc.select("word", "exact_c", rr).select(
-        "word",
-        "exact_c",
-        "r",
-        _md5_bucket(
-            F.concat(F.col("word"), F.lit("#"), F.col("r").cast("string")), "", 32
-        ).alias("b"),
-    )
     return (
-        probe.join(F.broadcast(cells), ["r", "b"])
-        .groupBy("word", "exact_c")
-        .agg(F.min("cell").alias("est_c"))
+        count_min_estimate(cells, tc, "word", depth=4, width=32)
         .select(
             "word",
             "exact_c",
