@@ -82,18 +82,20 @@ _PRIORITY = (
     "multimodal_phash",
     "dedup_minhash_eval",
     "text_bigram_lm",
+    "event_sliding_distinct",
+    "orders_rfm",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
-    # verdict r3 item #7).  TPC-H headliners first; the rest of the
-    # rotation moved below the fold to keep every never-checked
-    # registration inside the 50-row prefix.
+    # verdict r3 item #7).  Two TPC-H headliners keep prefix slots; the
+    # rest of the rotation moved below the fold so every never-checked
+    # registration sits inside the 50-row prefix.
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q10_returned_items",
     # ---- position 51+: r1 rotation overflow (trimmed for the round-4
     # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
     # in legacy order (all have driver rows already).
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
     "window_rank",
     "window_running",
     "dedup_exact",

@@ -930,3 +930,139 @@ def q_text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("lm2_score_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct count via sketch union
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_sliding_distinct",
+    oracle="""
+        WITH pairs AS (SELECT DISTINCT
+                           CAST(date_trunc('day', ts) AS DATE) AS day,
+                           user_id
+                       FROM events),
+        days AS (SELECT DISTINCT day FROM pairs),
+        contrib AS (SELECT p.user_id, p.day + CAST(o.off AS INT) AS target
+                    FROM pairs p CROSS JOIN
+                         (SELECT unnest(range(0, 7)) AS off) o),
+        win AS (SELECT c.target AS day, COUNT(DISTINCT c.user_id) AS exact_u
+                FROM contrib c JOIN days d ON c.target = d.day
+                GROUP BY c.target)
+        SELECT CAST(day AS VARCHAR) AS day,
+               CAST(exact_u AS BIGINT) AS exact_users_7d,
+               TRUE AS within_bound
+        FROM win
+    """,
+    doc="Trailing-7-day distinct users per day via mergeable HLL sketch "
+    "union — the sliding-window distinct a timeseries store answers from "
+    "per-day sketches instead of re-counting raw events: each day's "
+    "hll_sketch_agg contributes to 7 target days (the explode-offsets "
+    "decomposition of the sliding window), and the per-target union is "
+    "one hll_union_agg. Estimates are engine-specific, so the checkable "
+    "contract (like agg_hll_rollup) is the error bound |est - exact| <= "
+    "max(5, 5% of exact), exact computed as the verification twin. "
+    "Scale: raw events collapse to per-day sketches (KBs) ONCE; the "
+    "sliding union shuffles 7 sketch rows per day instead of 7 days of "
+    "raw events per window — re-counting a 90-day window at 100 TB is a "
+    "full-corpus shuffle, the sketch form is a few MBs.",
+    tags=("events", "agg", "approx", "sketch"),
+)
+def q_event_sliding_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    ev = tables(spark, sf)["events"]
+    off = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    days = daily.select("day").distinct()
+    est = (
+        daily.select("sk", off, F.date_add(F.col("day"), F.col("off")).alias("target"))
+        .join(days.select(F.col("day").alias("target")), "target")
+        .groupBy("target")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    pairs = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    exact = (
+        pairs.select("user_id", off, F.date_add(F.col("day"), F.col("off")).alias("target"))
+        .join(days.select(F.col("day").alias("target")), "target")
+        .groupBy("target")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users_7d"))
+    )
+    return (
+        est.join(exact, "target")
+        .select(
+            F.col("target").cast("string").alias("day"),
+            "exact_users_7d",
+            (
+                F.abs(F.col("est") - F.col("exact_users_7d"))
+                <= F.greatest(F.lit(5.0), F.col("exact_users_7d") * 0.05)
+            ).alias("within_bound"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_rfm",
+    oracle="""
+        WITH base AS (SELECT o_custkey,
+                             MAX(o_orderdate) AS last_day,
+                             COUNT(*) AS n_orders,
+                             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+                      FROM orders GROUP BY o_custkey)
+        SELECT o_custkey AS c_custkey,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(monetary AS DOUBLE) AS monetary,
+               CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS BIGINT)
+                   AS r_score,
+               CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT)
+                   AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT)
+                   AS m_score
+        FROM base
+    """,
+    doc="RFM customer segmentation: per customer, recency (last order "
+    "date), frequency (order count) and monetary (exact DECIMAL revenue "
+    "sum) are each quintiled with ntile(5) under a deterministic total "
+    "order (metric, custkey) — 5 = most recent / most frequent / highest "
+    "spend. The classic marketing-analytics segmentation, exact and "
+    "engine-portable: ntile's equal-fill semantics are SQL-standard and "
+    "the tie-break pins every boundary. Scale note: ntile needs a global "
+    "order — at 100 TB the quintile BOUNDARIES come from "
+    "approx_percentile partial aggregation instead and scores become a "
+    "row-local CASE; the exact global form here is the small-dimension "
+    "(customer-table-sized, not fact-sized) variant.",
+    tags=("window", "agg", "mining"),
+)
+def q_orders_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    base = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    return base.select(
+        "c_custkey",
+        "n_orders",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(5)
+        .over(W.orderBy("last_day", "c_custkey"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy("n_orders", "c_custkey"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy("monetary", "c_custkey"))
+        .cast("bigint")
+        .alias("m_score"),
+    )
