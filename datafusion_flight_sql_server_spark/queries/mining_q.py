@@ -914,13 +914,26 @@ def q_text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("k"))
     )
-    bc = pairs.groupBy("w1", "w2").agg(F.sum("k").alias("cxy"))
-    hc = pairs.groupBy("w1").agg(F.sum("k").alias("c1"))
-    voc = pairs.agg(F.countDistinct("w2").cast("bigint").alias("v"))
+    # corpus counts as WINDOWS over the distinct triples (not joins of
+    # re-derived aggregates) — the dedup_substring/text_lm_unigram
+    # restructure lesson. The triples are persisted (narrow: two words +
+    # two ints, no text) because the vocabulary branch is a second
+    # consumer and Catalyst's column pruning defeats exchange reuse —
+    # without the persist the corpus would tokenize twice (same
+    # rationale as minhash_near_dups' persist).
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    st = pairs.withColumn(
+        "cxy", F.sum("k").over(W.partitionBy("w1", "w2"))
+    ).withColumn("c1", F.sum("k").over(W.partitionBy("w1")))
+    voc = (
+        st.groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
     return (
-        pairs.join(bc, ["w1", "w2"])
-        .join(hc, "w1")
-        .crossJoin(F.broadcast(voc))
+        st.crossJoin(F.broadcast(voc))
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("bigint").alias("n_bigrams"),

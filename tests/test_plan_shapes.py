@@ -387,3 +387,39 @@ class TestMiningPlanShapes:
         assert "LeftSemi" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_multimodal_phash_band_join_no_allpairs(self, spark):
+        # candidates come from the 8-band equi-join on (bi, bv); payload
+        # bytes stay map-side (signatures only in the join)
+        plan = _executed_plan(_run(spark, "multimodal_phash"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_dedup_minhash_eval_band_join_only(self, spark):
+        # the audit reuses the production banding: candidates from the
+        # (band, key) equi-join, signature/set joins keyed by doc id
+        plan = _executed_plan(_run(spark, "dedup_minhash_eval"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_text_bigram_lm_single_explode_spine_broadcast(self, spark):
+        # the bigram explode materializes ONCE into the persisted triple
+        # cache; both consumers (score path, vocabulary spine) read the
+        # cache, and the spine is the only nested-loop (1-row broadcast)
+        plan = _executed_plan(_run(spark, "text_bigram_lm"))
+        assert plan.count("InMemoryTableScan") >= 2
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    def test_event_sliding_distinct_sketches_not_raw(self, spark):
+        # the 7-way contribution explode runs over per-day SKETCH rows,
+        # after the raw stream collapsed to daily hll_sketch_agg state
+        plan = _executed_plan(_run(spark, "event_sliding_distinct"))
+        assert "hll_sketch_agg" in plan or "hll_union_agg" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_orders_rfm_single_customer_aggregate(self, spark):
+        # one o_custkey aggregation feeds all three ntile windows
+        plan = _executed_plan(_run(spark, "orders_rfm"))
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 1
