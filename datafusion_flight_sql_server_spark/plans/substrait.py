@@ -206,6 +206,7 @@ _LITERAL_ARMS = {
     10: "fp32",
     11: "fp64",
     12: "string",
+    16: "date",  # days since 1970-01-01 (type.proto Literal.date, int32)
 }
 
 
@@ -229,6 +230,14 @@ def _literal_to_sql(lit: bytes) -> str:
         if value >= 1 << 63:
             value -= 1 << 64
         return str(value)
+    if kind == "date":
+        import datetime
+
+        days = int(raw)
+        if days >= 1 << 63:
+            days -= 1 << 64
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+        return f"DATE '{d.isoformat()}'"
     if kind == "fp32":
         if wt != WT_I32:
             raise SubstraitMalformed("fp32 literal with wrong wire type")
@@ -302,13 +311,77 @@ def _expr_to_sql(
         return _literal_to_sql(_one(f, 1))
     if 3 in f:  # scalar_function
         return _scalar_fn_to_sql(_one(f, 3), cols, funcs, rendered)
-    arms = {5: "window_function", 6: "if_then", 11: "cast", 12: "subquery"}
+    if 11 in f:  # cast
+        return _cast_to_sql(_one(f, 11), cols, funcs, rendered)
+    arms = {5: "window_function", 6: "if_then", 12: "subquery"}
     present = [arms.get(n, f"expression field {n}") for n in f]
     raise SubstraitUnsupported(
         f"Substrait consumer: unsupported expression "
         f"({', '.join(present) or 'empty expression'}); supported: field "
-        f"reference, literal, comparison/boolean scalar function"
+        f"reference, literal, cast, comparison/boolean/arithmetic scalar "
+        f"function"
     )
+
+
+#: Type message oneof arms (type.proto) → Spark SQL type names. Parameterized
+#: types (decimal 24, fixed-char/varchar 21/22) are decoded separately.
+_CAST_TYPES = {
+    1: "BOOLEAN",
+    2: "TINYINT",
+    3: "SMALLINT",
+    5: "INT",
+    7: "BIGINT",
+    10: "FLOAT",
+    11: "DOUBLE",
+    12: "STRING",
+    14: "BINARY",
+    16: "DATE",
+    29: "STRING",  # uuid → string form
+}
+
+
+def _cast_to_sql(
+    body: bytes, cols: list[str], funcs: dict[int, str], rendered: bool
+) -> str:
+    """Expression.Cast (type=1, input=2, failure_behavior=3) → CAST/TRY_CAST.
+
+    failure_behavior: 0 unspecified / 1 RETURN_NULL → TRY_CAST (Spark's
+    non-ANSI default also returns NULL); 2 THROW_EXCEPTION → CAST.
+    """
+    f = _fields(body)
+    inp = _one(f, 2)
+    if inp is None:
+        raise SubstraitMalformed("cast without input expression")
+    ty = _one(f, 1)
+    if ty is None:
+        raise SubstraitMalformed("cast without target type")
+    tf = _fields(ty)
+    present = [n for n in tf]
+    if len(present) != 1:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: cast type message with arms {present} is "
+            f"not supported"
+        )
+    arm = present[0]
+    if arm == 24:  # decimal: scale=1, precision=2 (type.proto Decimal)
+        df = _fields(_one(tf, 24))
+        scale = int(_one(df, 1) or 0)
+        precision = int(_one(df, 2) or 38)
+        sql_type = f"DECIMAL({precision},{scale})"
+    elif arm in (21, 22):  # fixed-char / varchar with length
+        lf = _fields(_one(tf, arm))
+        length = int(_one(lf, 1) or 0)
+        sql_type = f"VARCHAR({length})" if length else "STRING"
+    else:
+        sql_type = _CAST_TYPES.get(arm)
+        if sql_type is None:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: cast to type arm {arm} is not "
+                f"supported"
+            )
+    behavior = int(_one(f, 3) or 0)
+    fn = "CAST" if behavior == 2 else "TRY_CAST"
+    return f"{fn}({_expr_to_sql(inp, cols, funcs, rendered)} AS {sql_type})"
 
 
 def _scalar_fn_to_sql(

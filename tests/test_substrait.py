@@ -880,3 +880,95 @@ class TestJoinSetProjectOverWire:
             assert sorted(table.column("shifted").to_pylist()) == [101, 102, 103]
         finally:
             ex.close()
+
+
+# -- cast expressions + date literals (round 4, late) -------------------------
+
+
+def cast_expr(target_type: bytes, inp: bytes, behavior: int = 0) -> bytes:
+    """Expression.cast: type=1, input=2, failure_behavior=3."""
+    body = _len_field(1, target_type) + _len_field(2, inp)
+    if behavior:
+        body += _varint_field(3, behavior)
+    return _len_field(11, body)
+
+
+def type_arm(num: int, payload: bytes = b"") -> bytes:
+    return _len_field(num, payload)
+
+
+class TestCastTranslate:
+    def test_cast_to_bigint_try_default(self):
+        expr = cast_expr(type_arm(7), field_ref(0))
+        body = _len_field(2, USERS_READ) + _len_field(3, expr)
+        emit_msg = _varint_field(1, 2)
+        body = _len_field(1, _len_field(2, emit_msg)) + body
+        sql = substrait_to_sql(plan_bytes(rel(7, body)))
+        assert "TRY_CAST(`id` AS BIGINT)" in sql
+
+    def test_cast_throw_is_plain_cast(self):
+        expr = cast_expr(type_arm(12), field_ref(0), behavior=2)
+        body = _len_field(2, USERS_READ) + _len_field(3, expr)
+        emit_msg = _varint_field(1, 2)
+        body = _len_field(1, _len_field(2, emit_msg)) + body
+        sql = substrait_to_sql(plan_bytes(rel(7, body)))
+        assert "CAST(`id` AS STRING)" in sql
+        assert "TRY_CAST" not in sql
+
+    def test_cast_decimal_parameters(self):
+        # Decimal message: scale=1, precision=2
+        dec = _varint_field(1, 2) + _varint_field(2, 18)
+        expr = cast_expr(type_arm(24, dec), field_ref(0))
+        body = _len_field(2, USERS_READ) + _len_field(3, expr)
+        emit_msg = _varint_field(1, 2)
+        body = _len_field(1, _len_field(2, emit_msg)) + body
+        sql = substrait_to_sql(plan_bytes(rel(7, body)))
+        assert "TRY_CAST(`id` AS DECIMAL(18,2))" in sql
+
+    def test_cast_in_filter_condition(self):
+        cond = scalar_fn(
+            1, [cast_expr(type_arm(7), field_ref(0)), literal("i64", 2)]
+        )
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, cond)),
+            extensions=extension_function(1, "gte:any_any"),
+        )
+        assert substrait_to_sql(p) == (
+            "SELECT `id`, `name` FROM `users` "
+            "WHERE (TRY_CAST(`id` AS BIGINT) >= 2)"
+        )
+
+    def test_unsupported_cast_arm_rejected(self):
+        expr = cast_expr(type_arm(33), field_ref(0))  # interval_compound
+        body = _len_field(2, USERS_READ) + _len_field(3, expr)
+        with pytest.raises(SubstraitUnsupported, match="type arm 33"):
+            substrait_to_sql(plan_bytes(rel(7, body)))
+
+    def test_date_literal(self):
+        # 8035 days after 1970-01-01 = 1992-01-01
+        date_lit = _len_field(1, _varint_field(16, 8035))
+        cond = scalar_fn(1, [field_ref(0), date_lit])
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, cond)),
+            extensions=extension_function(1, "gt:any_any"),
+        )
+        assert "(`id` > DATE '1992-01-01')" in substrait_to_sql(p)
+
+
+class TestCastOverWire:
+    def test_cast_projection_round_trip(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            users = rel(1, read_rel(["users"], ["id", "name"]))
+            expr = cast_expr(type_arm(12), field_ref(0))  # id -> string
+            body = _len_field(2, users) + _len_field(3, expr)
+            emit_msg = _varint_field(1, 2)
+            body = _len_field(1, _len_field(2, emit_msg)) + body
+            p = plan_bytes(rel(7, body), ["id_str"])
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert sorted(table.column("id_str").to_pylist()) == ["1", "2", "3"]
+        finally:
+            ex.close()
