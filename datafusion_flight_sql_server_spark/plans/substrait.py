@@ -334,9 +334,10 @@ _CAST_TYPES = {
     10: "FLOAT",
     11: "DOUBLE",
     12: "STRING",
-    14: "BINARY",
+    13: "BINARY",
+    14: "TIMESTAMP_NTZ",  # Type.timestamp (no tz); tz form is arm 29
     16: "DATE",
-    29: "STRING",  # uuid → string form
+    29: "TIMESTAMP",  # Type.timestamp_tz → session-zoned timestamp
 }
 
 

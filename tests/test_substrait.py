@@ -972,3 +972,13 @@ class TestCastOverWire:
             assert sorted(table.column("id_str").to_pylist()) == ["1", "2", "3"]
         finally:
             ex.close()
+
+    def test_cast_timestamp_and_binary_arms(self):
+        # type.proto: binary=13, timestamp=14 (NTZ), timestamp_tz=29
+        for arm, ty in ((13, "BINARY"), (14, "TIMESTAMP_NTZ"), (29, "TIMESTAMP")):
+            expr = cast_expr(type_arm(arm), field_ref(1))
+            body = _len_field(2, USERS_READ) + _len_field(3, expr)
+            emit_msg = _varint_field(1, 2)
+            body = _len_field(1, _len_field(2, emit_msg)) + body
+            sql = substrait_to_sql(plan_bytes(rel(7, body)))
+            assert f"TRY_CAST(`name` AS {ty})" in sql
