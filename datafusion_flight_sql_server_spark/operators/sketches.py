@@ -73,6 +73,11 @@ def count_min_estimate(
 
     ``cells`` is broadcast — it is at most d*w rows by construction.
     """
+    if {"r", "b", "cell"} & set(queries.columns):
+        raise ValueError(
+            "count_min_estimate: query columns may not be named r/b/cell "
+            "(reserved by the sketch cell schema)"
+        )
     r = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
     probe = queries.select("*", r).withColumn(
         "b", count_min_bucket(F.col(value_col), F.col("r"), width)
