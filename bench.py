@@ -63,6 +63,10 @@ HEADLINE = (
     "text_lm_unigram",
     # round-4-late: the third real-work baseline (DuckDB 15 s at sf0.1)
     "graph_triangles",
+    # round-4-late: two more >1 s-baseline queries (DuckDB 94 s / 6.9 s),
+    # both ahead of the oracle — see BASELINE.md round-4-late section
+    "dedup_ngram_jaccard",
+    "dedup_near_clusters",
 )
 
 WARMUP_RUNS = 1
