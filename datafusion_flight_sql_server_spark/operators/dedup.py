@@ -80,9 +80,15 @@ def rebalance_for_compute(df: DataFrame, key_col: str) -> DataFrame:
     measurements show task-launch overhead and GC outliers dominate for
     the corpus sizes where the rebalance binds at all.
     """
-    target = min(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")), 32
-    )
+    # Width tracks CORES, not the session's reduce width: a bench/session
+    # tuned to few shuffle partitions (right for small shuffle payloads)
+    # must not serialize the CPU-bound map stage — measured 14.6 s vs
+    # 5.5 s on dedup_ngram_jaccard at sf0.1 under a shuffle.partitions=8
+    # session. On a cluster defaultParallelism is total executor cores,
+    # which is exactly the width a compute rebalance wants.
+    sc = df.sparkSession.sparkContext
+    shuffle_width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8"))
+    target = min(max(shuffle_width, sc.defaultParallelism), 32)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(key_col))
