@@ -81,6 +81,17 @@ def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
+    return copurchase_triangles(li)
+
+
+def copurchase_triangles(li: DataFrame) -> DataFrame:
+    """Triangle count of the co-occurrence graph of ``li(o, p)``.
+
+    Nodes are ``p`` values; an undirected edge joins two ``p``s that share
+    an ``o``. Property-tested against a brute-force Python count on random
+    graphs (tests/test_property.py) — each graph edge (u, v) encodes as
+    its own 2-item basket, so the co-occurrence graph IS the input graph.
+    """
     a, b = li.alias("a"), li.alias("b")
     e = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))

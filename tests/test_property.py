@@ -322,3 +322,51 @@ def test_temperature_sampler_rates(spark):
         assert kept[lang] <= math.ceil(n * p + 3 * math.sqrt(n * p * (1 - p)) + 1)
     # dominant language is genuinely downsampled
     assert kept["en"] < counts["en"]
+
+
+# -- triangle counting vs brute force ----------------------------------------
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(edges=_edges)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_triangle_count_matches_brute_force(spark, edges):
+    """Each input edge (u, v) encodes as its own 2-item basket, so the
+    co-occurrence graph equals the input graph exactly; the degree-ordered
+    wedge count must match a brute-force itertools enumeration — including
+    on self-loops (dropped), parallel edges (collapsed) and empty graphs."""
+    import itertools
+
+    from datafusion_flight_sql_server_spark.queries.mining_q import (
+        copurchase_triangles,
+    )
+
+    simple = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    adj: dict[int, set[int]] = {}
+    for u, v in simple:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+
+    rows = [(i, int(p)) for i, (u, v) in enumerate(edges) for p in (u, v)]
+    if not rows:
+        rows = [(0, 0)]  # lone node: no edges, no triangles
+    li = spark.createDataFrame(rows, "o INT, p INT")
+    got = copurchase_triangles(li).collect()[0]
+    assert got.n_triangles == expected
+    assert got.n_edges == len(simple)
