@@ -91,9 +91,12 @@ _PRIORITY = (
     # registration sits inside the 50-row prefix.
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    # ---- position 51+: r1 rotation overflow (trimmed for the round-4
-    # tier-2 block), then r1 simple set-ops/filters, then r2/r3-green names
-    # in legacy order (all have driver rows already).
+    # ---- position 51+: round-4 rows-only registration first (zlib is not
+    # oracle-expressible — the driver's check is weaker, so a prefix slot
+    # is better spent on hash-checked rows; round-5 tier 1 regardless),
+    # then r1 rotation overflow, r1 simple set-ops/filters, and r2/r3-green
+    # names in legacy order (all have driver rows already).
+    "text_compression_ratio",
     "tpch_q5_local_supplier",
     "tpch_q10_returned_items",
     "window_rank",

@@ -1090,3 +1090,59 @@ def q_orders_rfm(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_compression_ratio",
+    oracle=None,  # zlib is not expressible in the DuckDB oracle: the driver
+    # records the rows-only check; determinism is still pinned by
+    # tests/test_property.py-style repeat-run equality in the pytest suite.
+    doc="DEFLATE compression-ratio quality signal (the RefinedWeb/FineWeb "
+    "gate): ratio_ppm = 1e6 * len(zlib(text, level 6)) DIV len(text). "
+    "Highly compressible documents are boilerplate/repetition (near-dup "
+    "spans, template churn); incompressible ones are noise/binary "
+    "garbage — both tails get dropped by curation gates. zlib level 6 is "
+    "pinned and the stream is compressed per document, so the score is "
+    "run- and partition-deterministic. Scale: mapInArrow (Arrow-batched, "
+    "zero-copy in, one C-speed deflate per doc — the classic case where "
+    "a Python boundary is unavoidable but batching keeps it off the row "
+    "path); row-local, no shuffle, composes as a pushable gate like the "
+    "other quality signals.",
+    tags=("text", "quality", "nosql"),
+)
+def q_text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    import pyarrow as pa
+
+    d = tables(spark, sf)["documents"].select("doc_id", "text")
+
+    def _score(batches):
+        import zlib
+
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            raw, gz = [], []
+            for t in texts:
+                b = (t or "").encode("utf-8")
+                raw.append(len(b))
+                gz.append(len(zlib.compress(b, 6)))
+            ratio = [
+                (1_000_000 * g) // r if r else 0 for g, r in zip(gz, raw)
+            ]
+            yield pa.record_batch(
+                {
+                    "doc_id": ids,
+                    "n_raw": pa.array(raw, type=pa.int64()),
+                    "n_deflate": pa.array(gz, type=pa.int64()),
+                    "ratio_ppm": pa.array(ratio, type=pa.int64()),
+                }
+            )
+
+    return d.mapInArrow(
+        _score, "doc_id long, n_raw long, n_deflate long, ratio_ppm long"
+    )

@@ -370,3 +370,26 @@ def test_triangle_count_matches_brute_force(spark, edges):
     got = copurchase_triangles(li).collect()[0]
     assert got.n_triangles == expected
     assert got.n_edges == len(simple)
+
+
+def test_compression_ratio_deterministic_and_ordered(spark):
+    """zlib level 6 is pinned: two runs agree bit-for-bit, ratios live in
+    (0, ~1.1e6] ppm, and a pathologically repetitive document compresses
+    far better than the corpus median."""
+    from tests.conftest import SF_SMALL
+
+    from datafusion_flight_sql_server_spark.queries import REGISTRY
+
+    fn = REGISTRY["text_compression_ratio"].fn
+    a = {r.doc_id: (r.n_raw, r.n_deflate, r.ratio_ppm) for r in fn(spark, SF_SMALL).collect()}
+    b = {r.doc_id: (r.n_raw, r.n_deflate, r.ratio_ppm) for r in fn(spark, SF_SMALL).collect()}
+    assert a == b and len(a) > 0
+    ratios = sorted(v[2] for v in a.values())
+    assert 0 < ratios[0] and ratios[-1] <= 1_200_000
+
+    import zlib
+
+    rep = "spam " * 400
+    median = ratios[len(ratios) // 2]
+    rep_ratio = 1_000_000 * len(zlib.compress(rep.encode(), 6)) // len(rep.encode())
+    assert rep_ratio < median
