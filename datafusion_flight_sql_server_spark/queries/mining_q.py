@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from datafusion_flight_sql_server_spark.operators.dedup import rebalance_for_compute
 from datafusion_flight_sql_server_spark.operators.similarity import round_cosine
 from datafusion_flight_sql_server_spark.queries.catalog import query, tables
 
@@ -247,7 +248,7 @@ def q_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "mining"),
 )
 def q_text_pmi(spark: SparkSession, sf: str) -> DataFrame:
-    d = tables(spark, sf)["documents"]
+    d = rebalance_for_compute(tables(spark, sf)["documents"], "doc_id")
     w = d.select(
         F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("a")
     )
@@ -344,7 +345,7 @@ def q_text_pmi(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "dedup"),
 )
 def q_text_novelty(spark: SparkSession, sf: str) -> DataFrame:
-    d = tables(spark, sf)["documents"]
+    d = rebalance_for_compute(tables(spark, sf)["documents"], "doc_id")
     sh = (
         d.select(
             "doc_id",
@@ -905,7 +906,7 @@ def q_dedup_minhash_eval(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "quality", "lm"),
 )
 def q_text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
-    d = tables(spark, sf)["documents"]
+    d = rebalance_for_compute(tables(spark, sf)["documents"], "doc_id")
     pairs = (
         d.select(
             "doc_id",

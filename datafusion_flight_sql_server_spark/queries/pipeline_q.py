@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from datafusion_flight_sql_server_spark.operators.dedup import rebalance_for_compute
 from datafusion_flight_sql_server_spark.queries.catalog import query, tables
 
 
@@ -66,7 +67,7 @@ from datafusion_flight_sql_server_spark.queries.catalog import query, tables
     tags=("text", "quality", "lm"),
 )
 def q_text_lm_unigram(spark: SparkSession, sf: str) -> DataFrame:
-    d = tables(spark, sf)["documents"]
+    d = rebalance_for_compute(tables(spark, sf)["documents"], "doc_id")
     tok = d.select(
         "doc_id",
         F.explode(
@@ -141,7 +142,7 @@ def q_text_lm_unigram(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup", "text"),
 )
 def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
-    d = tables(spark, sf)["documents"]
+    d = rebalance_for_compute(tables(spark, sf)["documents"], "doc_id")
     sh = (
         d.select(
             "doc_id",
