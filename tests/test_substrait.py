@@ -982,3 +982,39 @@ class TestCastOverWire:
             body = _len_field(1, _len_field(2, emit_msg)) + body
             sql = substrait_to_sql(plan_bytes(rel(7, body)))
             assert f"TRY_CAST(`name` AS {ty})" in sql
+
+
+class TestFuzz:
+    def test_random_bytes_never_crash_differently(self):
+        """Arbitrary bytes must map to the two declared error types (or
+        translate, for byte strings that happen to decode) — never an
+        IndexError/KeyError/UnicodeDecodeError escaping the consumer."""
+        import random
+
+        rng = random.Random(42)
+        outcomes = {"malformed": 0, "unsupported": 0, "sql": 0}
+        for size in list(range(0, 24)) + [64, 256]:
+            for _ in range(40):
+                blob = bytes(rng.randrange(256) for _ in range(size))
+                try:
+                    substrait_to_sql(blob)
+                    outcomes["sql"] += 1
+                except SubstraitMalformed:
+                    outcomes["malformed"] += 1
+                except SubstraitUnsupported:
+                    outcomes["unsupported"] += 1
+        assert outcomes["malformed"] + outcomes["unsupported"] > 0
+
+    def test_truncations_of_valid_plan_never_crash_differently(self):
+        """Every prefix truncation of a real join+filter plan fails with a
+        declared error type (or translates, for prefixes that parse)."""
+        cond = scalar_fn(1, [field_ref(0), field_ref(3)])
+        p = plan_bytes(
+            rel(6, join_rel(USERS_READ, FULL_ORDERS_READ, cond, 1)),
+            extensions=extension_function(1, "equal:any_any"),
+        )
+        for cut in range(len(p)):
+            try:
+                substrait_to_sql(p[:cut])
+            except (SubstraitMalformed, SubstraitUnsupported):
+                pass
