@@ -84,6 +84,7 @@ _PRIORITY = (
     "text_bigram_lm",
     "event_sliding_distinct",
     "orders_rfm",
+    "event_ks_drift",
     # tier 3: r1-green rotation — not re-checked since round 1 while
     # relational.py / windows_q.py changed under them (regression insurance,
     # verdict r3 item #7).  Two TPC-H headliners keep prefix slots; the

@@ -1147,3 +1147,84 @@ def q_text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     return d.mapInArrow(
         _score, "doc_id long, n_raw long, n_deflate long, ratio_ppm long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_ks_drift",
+    oracle="""
+        WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM events),
+        pern AS (SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n_t
+                 FROM events GROUP BY 1),
+        pairs AS (SELECT ty.t, e.value,
+                         CASE WHEN e.event_type = ty.t THEN 1 ELSE 0 END AS in_a
+                  FROM events e CROSS JOIN types ty),
+        grp AS (SELECT t, value, SUM(in_a) AS a, COUNT(*) AS b
+                FROM pairs GROUP BY t, value),
+        cum AS (SELECT t, value,
+                       SUM(a) OVER (PARTITION BY t ORDER BY value) AS ca,
+                       SUM(b) OVER (PARTITION BY t ORDER BY value) AS cb
+                FROM grp)
+        SELECT c.t AS event_type, p.n_t,
+               CAST(MAX(ABS((1000000 * c.ca) // p.n_t
+                            - (1000000 * c.cb) // tot.n_all)) AS BIGINT)
+                   AS ks_ppm
+        FROM cum c JOIN pern p ON c.t = p.t CROSS JOIN tot
+        GROUP BY c.t, p.n_t
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov drift per event type: the KS "
+    "statistic sup|F_type - F_all| between each type's value distribution "
+    "and the pooled corpus, in exact ppm — the numeric-column sibling of "
+    "corpus_drift's token TV distance, and the standard "
+    "feature/label-drift monitor in training pipelines. Both ECDFs "
+    "evaluate at every distinct pooled value via cumulative-count "
+    "windows, so the supremum is exact (right-continuous step functions "
+    "attain it at sample points); all compared arithmetic is integer "
+    "counts and DIV. Scale: the type-replicated compare stream is "
+    "bounded by |types| x |events| with |types| small and fixed; the "
+    "per-type ordering window is the sequential step — the documented "
+    "100 TB variant evaluates both ECDFs on mergeable quantile-sketch "
+    "(approx_percentile) grids instead, turning the global sort into "
+    "partial aggregation at epsilon rank error.",
+    tags=("events", "mining", "stats"),
+)
+def q_event_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    ev = tables(spark, sf)["events"]
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    pern = ev.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    pairs = ev.crossJoin(F.broadcast(types)).select(
+        "t",
+        "value",
+        F.when(F.col("event_type") == F.col("t"), 1).otherwise(0).alias("in_a"),
+    )
+    grp = pairs.groupBy("t", "value").agg(
+        F.sum("in_a").alias("a"), F.count(F.lit(1)).alias("b")
+    )
+    w = W.partitionBy("t").orderBy("value")
+    cum = grp.select(
+        "t",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    return (
+        cum.join(pern, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("t").alias("event_type"), "n_t")
+        .agg(
+            F.max(
+                F.abs(
+                    F.expr("(1000000 * ca) DIV n_t - (1000000 * cb) DIV n_all")
+                )
+            )
+            .cast("bigint")
+            .alias("ks_ppm")
+        )
+    )
