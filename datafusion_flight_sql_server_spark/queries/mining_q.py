@@ -1228,3 +1228,63 @@ def q_event_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
             .alias("ks_ppm")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+# Identical ANSI text on both engines except the epoch-micros function name
+# (Spark: unix_micros, DuckDB: epoch_us) and the 128-bit type keyword
+# (Spark: DECIMAL(38,0), DuckDB: HUGEINT) — the event_time_weighted
+# discipline.
+_CUSUM_SQL = """
+    WITH e AS (SELECT user_id, {us}(ts) AS tmic, event_id,
+                      CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                          AS vmic
+               FROM events),
+    w AS (SELECT user_id, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY tmic, event_id) AS i,
+                 SUM(vmic) OVER (PARTITION BY user_id
+                                 ORDER BY tmic, event_id) AS prefix,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n,
+                 SUM(vmic) OVER (PARTITION BY user_id) AS total
+          FROM e),
+    sc AS (SELECT user_id, event_id, i, n,
+                  ABS(CAST(n AS {big}) * prefix
+                      - CAST(i AS {big}) * total) AS dev
+           FROM w WHERE i < n AND n >= 20),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY dev DESC, i) AS r
+           FROM sc)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(i AS BIGINT) AS cp_index,
+           CAST(event_id AS BIGINT) AS cp_event_id,
+           CAST(dev {div} n AS BIGINT) AS cusum_micros
+    FROM rk WHERE r = 1
+"""
+
+
+@query(
+    "event_cusum",
+    oracle=_CUSUM_SQL.format(us="epoch_us", big="HUGEINT", div="//"),
+    doc="CUSUM changepoint detection per user stream: the cumulative sum "
+    "of deviations from the stream mean, S_i = prefix_i - i*mean, peaks "
+    "at the most likely level-shift point (the classic Page/offline-CUSUM "
+    "estimator); each user with >= 20 events reports the argmax event, "
+    "its position, and the peak magnitude in value-micros. Exactness: "
+    "the mean is never materialized — |n*prefix_i - i*total| is the "
+    "n-scaled deviation in pure 128-bit integers (value-micros via the "
+    "driver-verified DECIMAL cast), so the argmax and its deterministic "
+    "earliest-i tie-break are bit-identical across engines; the output "
+    "magnitude divides back by n with integer DIV. Scale: all four "
+    "windows and the final rank share ONE (user_id) hash partitioning — "
+    "the stream shuffles once, no joins, no driver state.",
+    tags=("events", "mining", "stats", "window"),
+)
+def q_event_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(
+        _CUSUM_SQL.format(us="unix_micros", big="DECIMAL(38,0)", div="DIV")
+    )
