@@ -86,18 +86,19 @@ _PRIORITY = (
     "orders_rfm",
     "event_ks_drift",
     "event_cusum",
-    # tier 3: r1-green rotation — not re-checked since round 1 while
-    # relational.py / windows_q.py changed under them (regression insurance,
-    # verdict r3 item #7).  Two TPC-H headliners keep prefix slots; the
-    # rest of the rotation moved below the fold so every never-checked
-    # registration sits inside the 50-row prefix.
-    "tpch_q1_pricing_summary",
+    "orders_gini",
+    # tier 3 (empty this round): the 50 never-checked registrations
+    # exactly fill the prefix, so the whole r1-green rotation sits below
+    # the fold — regression insurance for those rows comes from the local
+    # full-registry sweeps (every pytest run + the sf0.01/sf0.1 driver-
+    # replica sweeps recorded in SURVEY §5) rather than driver slots.
     # ---- position 51+: round-4 rows-only registration first (zlib is not
     # oracle-expressible — the driver's check is weaker, so a prefix slot
     # is better spent on hash-checked rows; round-5 tier 1 regardless),
     # then r1 rotation overflow, r1 simple set-ops/filters, and r2/r3-green
     # names in legacy order (all have driver rows already).
     "text_compression_ratio",
+    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q10_returned_items",

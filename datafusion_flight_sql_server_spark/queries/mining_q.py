@@ -1288,3 +1288,53 @@ def q_event_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(
         _CUSUM_SQL.format(us="unix_micros", big="DECIMAL(38,0)", div="DIV")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue-concentration audit (Gini + top-decile share)
+# ---------------------------------------------------------------------------
+
+# Identical ANSI text on both engines except the 128-bit type keyword and
+# integer-division operator (the event_cusum discipline).
+_GINI_SQL = """
+    WITH c AS (SELECT o_custkey,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                           AS BIGINT) AS cents
+               FROM orders GROUP BY o_custkey),
+    w AS (SELECT cents,
+                 ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+                 COUNT(*) OVER () AS n,
+                 SUM(cents) OVER () AS total
+          FROM c),
+    g AS (SELECT n, total,
+                 SUM((2 * CAST(i AS {big}) - n - 1) * cents) AS num,
+                 SUM(CASE WHEN i > n - (n + 9) {div} 10 THEN cents
+                          ELSE 0 END) AS topd
+          FROM w GROUP BY n, total)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST((1000000 * num) {div} (CAST(n AS {big}) * total) AS BIGINT)
+               AS gini_ppm,
+           CAST((1000000 * topd) {div} total AS BIGINT) AS top_decile_ppm
+    FROM g
+"""
+
+
+@query(
+    "orders_gini",
+    oracle=_GINI_SQL.format(big="HUGEINT", div="//"),
+    doc="Revenue-concentration audit: the exact Gini coefficient of "
+    "per-customer revenue (sum_i (2i - n - 1) x_(i) / (n sum x) over the "
+    "ascending sort) plus the top-decile revenue share, both in exact "
+    "ppm. The inequality screen behind whale-risk and skew monitoring — "
+    "the same number also predicts which join keys need salting. "
+    "Exactness: revenue in integer cents via the exact DECIMAL sum; rank "
+    "weights and sums in 128-bit integers; (metric, custkey) total order "
+    "pins every tie. Scale note (the orders_rfm caveat): the ranked "
+    "prefix needs a global order over the CUSTOMER dimension (not the "
+    "fact table); at 100 TB the sort swaps for approx_percentile "
+    "Lorenz-grid evaluation at epsilon rank error.",
+    tags=("agg", "mining", "stats"),
+)
+def q_orders_gini(spark: SparkSession, sf: str) -> DataFrame:
+    tables(spark, sf)
+    return spark.sql(_GINI_SQL.format(big="DECIMAL(38,0)", div="DIV"))
