@@ -120,3 +120,14 @@ def test_registry_oracle_coverage():
         if s.oracle is None and "approx" not in s.tags and "nosql" not in s.tags
     ]
     assert not missing, f"queries without oracle and without approx/nosql tag: {missing}"
+
+
+def test_priority_names_all_registered():
+    """Every name in the verification-priority list must exist in the
+    registry — a typo would silently burn one of the driver's 50
+    correctness slots on a missing query."""
+    from datafusion_flight_sql_server_spark.queries import REGISTRY, _PRIORITY
+
+    stale = [n for n in _PRIORITY if n not in REGISTRY]
+    assert not stale, f"priority names not in registry: {stale}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate priority names"
