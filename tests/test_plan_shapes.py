@@ -423,3 +423,24 @@ class TestMiningPlanShapes:
         plan = _executed_plan(_run(spark, "orders_rfm"))
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") <= 1
+
+    def test_event_ks_drift_bounded_replication(self, spark):
+        # the compare stream is events x |types| via ONE broadcast
+        # nested-loop (types is a tiny broadcast side); ECDFs are windows,
+        # not self-joins
+        plan = _executed_plan(_run(spark, "event_ks_drift"))
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 2  # types + n_all spine
+
+    def test_event_cusum_single_user_exchange_no_joins(self, spark):
+        # all four windows and the final rank share one (user_id) hash
+        # partitioning: exactly one exchange, zero joins
+        plan = _executed_plan(_run(spark, "event_cusum"))
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_orders_gini_customer_dimension_only(self, spark):
+        # the global sort ranks the CUSTOMER aggregate, never the fact
+        # table; no joins anywhere
+        plan = _executed_plan(_run(spark, "orders_gini"))
+        assert "Join" not in plan
