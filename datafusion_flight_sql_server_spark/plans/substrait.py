@@ -313,7 +313,9 @@ def _expr_to_sql(
         return _scalar_fn_to_sql(_one(f, 3), cols, funcs, rendered)
     if 11 in f:  # cast
         return _cast_to_sql(_one(f, 11), cols, funcs, rendered)
-    arms = {5: "window_function", 6: "if_then", 12: "subquery"}
+    if 6 in f:  # if_then
+        return _if_then_to_sql(_one(f, 6), cols, funcs, rendered)
+    arms = {5: "window_function", 12: "subquery"}
     present = [arms.get(n, f"expression field {n}") for n in f]
     raise SubstraitUnsupported(
         f"Substrait consumer: unsupported expression "
@@ -339,6 +341,32 @@ _CAST_TYPES = {
     16: "DATE",
     29: "TIMESTAMP",  # Type.timestamp_tz → session-zoned timestamp
 }
+
+
+def _if_then_to_sql(
+    body: bytes, cols: list[str], funcs: dict[int, str], rendered: bool
+) -> str:
+    """Expression.IfThen (ifs=1 repeated IfClause{if=1, then=2}, else=2)
+    → ``CASE WHEN … THEN … [WHEN …] ELSE … END``."""
+    f = _fields(body)
+    clauses = f.get(1, [])
+    if not clauses:
+        raise SubstraitMalformed("if_then without if clauses")
+    parts = ["CASE"]
+    for _, clause in clauses:
+        cf = _fields(clause)
+        cond, then = _one(cf, 1), _one(cf, 2)
+        if cond is None or then is None:
+            raise SubstraitMalformed("if clause missing condition or value")
+        parts.append(
+            f"WHEN {_expr_to_sql(cond, cols, funcs, rendered)} "
+            f"THEN {_expr_to_sql(then, cols, funcs, rendered)}"
+        )
+    els = _one(f, 2)
+    if els is None:
+        raise SubstraitMalformed("if_then without else (required by spec)")
+    parts.append(f"ELSE {_expr_to_sql(els, cols, funcs, rendered)} END")
+    return "(" + " ".join(parts) + ")"
 
 
 def _cast_to_sql(

@@ -1018,3 +1018,92 @@ class TestFuzz:
                 substrait_to_sql(p[:cut])
             except (SubstraitMalformed, SubstraitUnsupported):
                 pass
+
+
+def if_then(clauses: list[tuple[bytes, bytes]], els: bytes | None) -> bytes:
+    """Expression.if_then: ifs=1 (IfClause: if=1, then=2), else=2."""
+    body = b""
+    for cond, then in clauses:
+        body += _len_field(1, _len_field(1, cond) + _len_field(2, then))
+    if els is not None:
+        body += _len_field(2, els)
+    return _len_field(6, body)
+
+
+class TestIfThenTranslate:
+    def test_case_when_projection(self):
+        expr = if_then(
+            [(scalar_fn(1, [field_ref(0), literal("i64", 2)]),
+              literal("string", "big"))],
+            literal("string", "small"),
+        )
+        body = _len_field(2, USERS_READ) + _len_field(3, expr)
+        emit_msg = _varint_field(1, 2)
+        body = _len_field(1, _len_field(2, emit_msg)) + body
+        p = plan_bytes(
+            rel(7, body), extensions=extension_function(1, "gte:any_any")
+        )
+        assert substrait_to_sql(p) == (
+            "SELECT `expr0` FROM (SELECT (CASE WHEN (`id` >= 2) THEN 'big' "
+            "ELSE 'small' END) AS `expr0` FROM `users`) AS `p`"
+        )
+
+    def test_multi_clause_and_nested(self):
+        expr = if_then(
+            [
+                (scalar_fn(1, [field_ref(0), literal("i64", 3)]),
+                 literal("i64", 30)),
+                (scalar_fn(1, [field_ref(0), literal("i64", 2)]),
+                 literal("i64", 20)),
+            ],
+            scalar_fn(2, [field_ref(0), literal("i64", 1)]),
+        )
+        body = _len_field(2, USERS_READ) + _len_field(3, expr)
+        p = plan_bytes(
+            rel(7, body),
+            extensions=extension_function(1, "gte:any_any")
+            + extension_function(2, "add:i64_i64"),
+        )
+        sql = substrait_to_sql(p)
+        assert "WHEN (`id` >= 3) THEN 30 WHEN (`id` >= 2) THEN 20" in sql
+        assert "ELSE (`id` + 1) END" in sql
+
+    def test_missing_else_malformed(self):
+        expr = if_then(
+            [(scalar_fn(1, [field_ref(0), literal("i64", 2)]),
+              literal("i64", 1))],
+            None,
+        )
+        body = _len_field(2, USERS_READ) + _len_field(3, expr)
+        p = plan_bytes(
+            rel(7, body), extensions=extension_function(1, "gte:any_any")
+        )
+        with pytest.raises(SubstraitMalformed, match="else"):
+            substrait_to_sql(p)
+
+    def test_case_when_round_trip(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            users = rel(1, read_rel(["users"], ["id", "name"]))
+            expr = if_then(
+                [(scalar_fn(1, [field_ref(0), literal("i64", 2)]),
+                  literal("string", "big"))],
+                literal("string", "small"),
+            )
+            body = _len_field(2, users) + _len_field(3, expr)
+            emit_msg = _varint_field(1, 2)
+            body = _len_field(1, _len_field(2, emit_msg)) + body
+            p = plan_bytes(
+                rel(7, body),
+                ["bucket"],
+                extensions=extension_function(1, "gte:any_any"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert sorted(table.column("bucket").to_pylist()) == [
+                "big", "big", "small"
+            ]
+        finally:
+            ex.close()
