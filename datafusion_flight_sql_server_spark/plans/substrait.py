@@ -468,11 +468,19 @@ def _scalar_fn_to_sql(
         if len(args) != 1:
             raise SubstraitMalformed(f"negate with {len(args)} arguments")
         return f"(- {a(0)})"
+    if name == "like":
+        if len(args) != 2:
+            raise SubstraitMalformed(f"like with {len(args)} arguments")
+        return f"({a(0)} LIKE {a(1)})"
+    if name == "coalesce":
+        if len(args) < 1:
+            raise SubstraitMalformed("coalesce without arguments")
+        return "COALESCE(" + ", ".join(a(i) for i in range(len(args))) + ")"
     raise SubstraitUnsupported(
         f"Substrait consumer: scalar function {name!r} is not in the "
         f"expression subset (and or not equal not_equal gt gte lt lte "
         f"is_null is_not_null between add subtract multiply divide "
-        f"modulus negate)"
+        f"modulus negate like coalesce)"
     )
 
 
@@ -583,7 +591,17 @@ def _emit_mapping(common: bytes | None) -> list[int] | None:
 
 
 #: aggregate functions consumed by the aggregate subset → SQL names
-_AGG_FUNCS = {"sum": "SUM", "min": "MIN", "max": "MAX", "avg": "AVG", "count": "COUNT"}
+#: (std_dev/variance names from substrait functions_arithmetic.yaml; the
+#: sample form is the yaml default, the population form its option)
+_AGG_FUNCS = {
+    "sum": "SUM",
+    "min": "MIN",
+    "max": "MAX",
+    "avg": "AVG",
+    "count": "COUNT",
+    "std_dev": "STDDEV_SAMP",
+    "variance": "VAR_SAMP",
+}
 
 #: AggregationInvocation enum (algebra.proto): ALL renders plainly,
 #: DISTINCT prefixes the argument.

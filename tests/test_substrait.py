@@ -1107,3 +1107,33 @@ class TestIfThenTranslate:
             ]
         finally:
             ex.close()
+
+
+class TestScalarWidening:
+    def test_like_and_coalesce(self):
+        cond = scalar_fn(1, [field_ref(1), literal("string", "A%")])
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, cond)),
+            extensions=extension_function(1, "like:str_str"),
+        )
+        assert "WHERE (`name` LIKE 'A%')" in substrait_to_sql(p)
+
+        expr = scalar_fn(2, [field_ref(1), literal("string", "?")])
+        body = _len_field(2, USERS_READ) + _len_field(3, expr)
+        p2 = plan_bytes(
+            rel(7, body), extensions=extension_function(2, "coalesce:any")
+        )
+        assert "COALESCE(`name`, '?')" in substrait_to_sql(p2)
+
+    def test_stddev_variance_aggregates(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1])), measure(agg_function(2, [1]))],
+            )),
+            extensions=extension_function(1, "std_dev:fp64")
+            + extension_function(2, "variance:fp64"),
+        )
+        sql = substrait_to_sql(p)
+        assert "STDDEV_SAMP(`amount`) AS `std_dev_0`" in sql
+        assert "VAR_SAMP(`amount`) AS `variance_1`" in sql
