@@ -98,6 +98,7 @@ _PRIORITY = (
     # then r1 rotation overflow, r1 simple set-ops/filters, and r2/r3-green
     # names in legacy order (all have driver rows already).
     "text_compression_ratio",
+    "dedup_containment",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",

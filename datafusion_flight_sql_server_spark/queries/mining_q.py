@@ -1338,3 +1338,174 @@ _GINI_SQL = """
 def q_orders_gini(spark: SparkSession, sf: str) -> DataFrame:
     tables(spark, sf)
     return spark.sql(_GINI_SQL.format(big="DECIMAL(38,0)", div="DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (excerpt / quotation detection)
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle(n_perms: int = 16, n_bands: int = 8) -> str:
+    """DuckDB twin of q_dedup_containment — the dedup_minhash_eval chain
+    with directional containment instead of the agreement estimate."""
+    from datafusion_flight_sql_server_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
+    rows = n_perms // n_bands
+    params = minhash_params(n_perms)
+    mh = ",\n                   ".join(
+        f"list_min(list_transform(h, x -> ({a} * (x % {MINHASH_P}) + {b})"
+        f" % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws('-', "
+        + ", ".join(f"mh{bi * rows + r}" for r in range(rows))
+        + ")) AS key FROM sig"
+        for bi in range(n_bands)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> array_to_string(w[i:i+2], ' ')))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM toks),
+        hashed AS (SELECT doc_id,
+                          list_distinct(list_transform(s, x ->
+                            ('0x' || substr(md5(x), 1, 12))::BIGINT)) AS h
+                   FROM sh),
+        sig AS (SELECT doc_id,
+                   {mh}
+                FROM hashed),
+        buck AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM buck a JOIN buck b
+                   ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id),
+        scored AS (SELECT doc_a, doc_b,
+                          len(list_intersect(ha.h, hb.h)) AS inter,
+                          len(ha.h) AS na, len(hb.h) AS nb
+                   FROM cand
+                   JOIN hashed ha ON ha.doc_id = doc_a
+                   JOIN hashed hb ON hb.doc_id = doc_b)
+        SELECT doc_a, doc_b,
+               CAST((1000000 * inter) // na AS BIGINT) AS cont_a_ppm,
+               CAST((1000000 * inter) // nb AS BIGINT) AS cont_b_ppm
+        FROM scored
+        WHERE (1000000 * inter) // na >= 600000
+           OR (1000000 * inter) // nb >= 600000
+    """
+
+
+@query(
+    "dedup_containment",
+    oracle=_containment_oracle(),
+    doc="Asymmetric containment dedup (Broder's containment coefficient): "
+    "for each LSH candidate pair, C(A,B) = |A n B| / |A| and its mirror, "
+    "in exact ppm, keeping pairs where either direction >= 0.6 — the "
+    "excerpt/quotation detector symmetric Jaccard misses (a paragraph "
+    "quoted inside a 100x longer page has Jaccard ~0.01 but containment "
+    "~1.0, and the long side would survive Jaccard dedup as a 'unique' "
+    "doc while leaking the quoted content). Same production banding and "
+    "hashed shingle sets as dedup_near_minhash/dedup_minhash_eval. "
+    "Caveat (documented, inherent to banding): MinHash-LSH recall is "
+    "tuned for Jaccard, so extreme-ratio containment pairs may not band "
+    "together — the dedicated high-recall path for those is "
+    "dedup_substring's shingle doc-frequency, which needs no pairing at "
+    "all. Scale: identical single data-sized shuffle as the dedup "
+    "(hash-partitioned band join); set sizes and intersections touch "
+    "candidate pairs only.",
+    tags=("dedup", "similarity", "text"),
+)
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.dedup import (
+        MINHASH_P,
+        _shingle_hash,
+        minhash_params,
+        shingle_col,
+    )
+
+    n_perms, n_bands = 16, 8
+    rows = n_perms // n_bands
+    params = minhash_params(n_perms)
+    d = tables(spark, sf)["documents"]
+    hashed = rebalance_for_compute(d, "doc_id").select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingle_col(F.col("text"), 3), _shingle_hash)
+        ).alias("h"),
+    )
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
+
+    sig = hashed.select(
+        "doc_id",
+        "h",
+        *[
+            F.array_min(F.transform(F.col("h"), _perm(a, b))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    bucket = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.col(f"mh{bi * rows + r}")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bucket.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bucket.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ha", "hb")).alias("inter"),
+            F.size("ha").alias("na"),
+            F.size("hb").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST((1000000 * inter) DIV na AS BIGINT)").alias(
+                "cont_a_ppm"
+            ),
+            F.expr("CAST((1000000 * inter) DIV nb AS BIGINT)").alias(
+                "cont_b_ppm"
+            ),
+        )
+        .filter(
+            (F.col("cont_a_ppm") >= 600000) | (F.col("cont_b_ppm") >= 600000)
+        )
+    )
