@@ -393,3 +393,146 @@ def test_compression_ratio_deterministic_and_ordered(spark):
     median = ratios[len(ratios) // 2]
     rep_ratio = 1_000_000 * len(zlib.compress(rep.encode(), 6)) // len(rep.encode())
     assert rep_ratio < median
+
+
+# -- CUSUM changepoint vs brute force ----------------------------------------
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # user
+        st.integers(min_value=0, max_value=10_000),  # ts seconds (distinct-ish)
+        st.integers(min_value=-50, max_value=50),  # integer value
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=_events)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cusum_matches_brute_force(spark, rows):
+    """The windowed argmax of |n*prefix_i - i*total| must equal a direct
+    Python scan, including the earliest-i tie-break and the n >= 20 gate."""
+    from datafusion_flight_sql_server_spark.queries.mining_q import _CUSUM_SQL
+
+    data = [
+        (int(u), int(t) * 1_000_000, i, float(v))
+        for i, (u, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [(u, tm // 1_000_000, eid, v) for u, tm, eid, v in data],
+        "user_id INT, secs LONG, event_id INT, value DOUBLE",
+    ).selectExpr(
+        "user_id", "timestamp_seconds(secs) AS ts", "event_id", "value"
+    )
+    df.createOrReplaceTempView("events")
+    got = {
+        r.user_id: (r.n_events, r.cp_index, r.cp_event_id, r.cusum_micros)
+        for r in spark.sql(
+            _CUSUM_SQL.format(us="unix_micros", big="DECIMAL(38,0)", div="DIV")
+        ).collect()
+    }
+
+    # brute force
+    byuser: dict[int, list] = {}
+    for u, tm, eid, v in data:
+        byuser.setdefault(u, []).append((tm, eid, int(round(v * 1_000_000))))
+    want = {}
+    for u, evs in byuser.items():
+        evs.sort()
+        n = len(evs)
+        if n < 20:
+            continue
+        total = sum(v for _, _, v in evs)
+        best = None
+        prefix = 0
+        for i, (_, eid, v) in enumerate(evs, start=1):
+            if i == n:
+                break
+            prefix += v
+            dev = abs(n * prefix - i * total)
+            if best is None or dev > best[0]:
+                best = (dev, i, eid)
+        if best:
+            want[u] = (n, best[1], best[2], best[0] // n)
+    assert got == want
+
+
+# -- KS drift vs brute force -------------------------------------------------
+
+_ks_events = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=12),  # coarse values force ties
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_ks_events)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ks_drift_matches_brute_force(spark, rows):
+    # same construction as q_event_ks_drift, driven by a synthetic frame
+    # (the registered query itself is oracle-verified at three scales;
+    # this checks the algorithm on adversarial tie patterns)
+    df = spark.createDataFrame(
+        [(t, float(v), i) for i, (t, v) in enumerate(rows)],
+        "event_type STRING, value DOUBLE, event_id INT",
+    )
+    # q_event_ks_drift uses tables(); call its DataFrame construction
+    # directly on our frame via the same expressions
+    from pyspark.sql import functions as F
+
+    types = df.select(F.col("event_type").alias("t")).distinct()
+    tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    pern = df.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    pairs = df.crossJoin(F.broadcast(types)).select(
+        "t", "value",
+        F.when(F.col("event_type") == F.col("t"), 1).otherwise(0).alias("in_a"),
+    )
+    grp = pairs.groupBy("t", "value").agg(
+        F.sum("in_a").alias("a"), F.count(F.lit(1)).alias("b")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("t").orderBy("value")
+    cum = grp.select(
+        "t", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    got = {
+        r.event_type: (r.n_t, r.ks_ppm)
+        for r in cum.join(pern, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("t").alias("event_type"), "n_t")
+        .agg(
+            F.max(F.abs(F.expr(
+                "(1000000 * ca) DIV n_t - (1000000 * cb) DIV n_all"
+            ))).cast("bigint").alias("ks_ppm")
+        )
+        .collect()
+    }
+
+    n_all = len(rows)
+    want = {}
+    for t in {r[0] for r in rows}:
+        vals_t = sorted(v for ty, v in rows if ty == t)
+        n_t = len(vals_t)
+        all_vals = sorted(v for _, v in rows)
+        best = 0
+        for x in sorted(set(all_vals)):
+            ca = sum(1 for v in vals_t if v <= x)
+            cb = sum(1 for v in all_vals if v <= x)
+            best = max(best, abs((1_000_000 * ca) // n_t - (1_000_000 * cb) // n_all))
+        want[t] = (n_t, best)
+    assert got == want
