@@ -444,3 +444,10 @@ class TestMiningPlanShapes:
         # table; no joins anywhere
         plan = _executed_plan(_run(spark, "orders_gini"))
         assert "Join" not in plan
+
+    def test_dedup_containment_band_join_only(self, spark):
+        # same production banding as the minhash family: candidates from
+        # the (band, key) equi-join, set sizes touch candidates only
+        plan = _executed_plan(_run(spark, "dedup_containment"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
