@@ -34,6 +34,7 @@ if _REPO not in sys.path:
 
 from datafusion_flight_sql_server_spark.engine.session import build_session
 from datafusion_flight_sql_server_spark.queries import REGISTRY
+from datafusion_flight_sql_server_spark.queries.catalog import run_query_cleanups
 
 #: The headline set benched against the DuckDB baseline (BASELINE.md): the
 #: four TPC-H queries plus one representative per operator family.
@@ -133,6 +134,7 @@ def main() -> int:
                 # so without a clear the NEXT run would start from the previous
                 # run's materialized blocks — fast but input-cold dishonest.
                 spark.catalog.clearCache()
+                run_query_cleanups()  # drop Python-side refs to released caches
                 t0 = time.perf_counter()
                 _materialize(fn(spark, data_dir))
                 samples.append(time.perf_counter() - t0)

@@ -66,7 +66,9 @@ def dedup_exact_keep_best(
     return df.join(winners.select(id_col), on=id_col, how="left_semi")
 
 
-def rebalance_for_compute(df: DataFrame, key_col: str) -> DataFrame:
+def rebalance_for_compute(
+    df: DataFrame, key_col: str, max_width: int | None = None
+) -> DataFrame:
     """Repartition before CPU-heavy per-row work when the scan yields fewer
     partitions than the session's shuffle width.
 
@@ -76,19 +78,27 @@ def rebalance_for_compute(df: DataFrame, key_col: str) -> DataFrame:
     a narrow hash-repartition on the id buys full-cluster parallelism for
     the map stage. No-op when the input is already well-split, which is
     the normal case at scale — so this never adds a shuffle to a 100 TB
-    run that doesn't need it. Width is capped at 32: beyond that, local
-    measurements show task-launch overhead and GC outliers dominate for
-    the corpus sizes where the rebalance binds at all.
+    run that doesn't need it.
     """
     # Width tracks CORES, not the session's reduce width: a bench/session
     # tuned to few shuffle partitions (right for small shuffle payloads)
     # must not serialize the CPU-bound map stage — measured 14.6 s vs
     # 5.5 s on dedup_ngram_jaccard at sf0.1 under a shuffle.partitions=8
     # session. On a cluster defaultParallelism is total executor cores,
-    # which is exactly the width a compute rebalance wants.
+    # which is exactly the width a compute rebalance wants — so the cap is
+    # defaultParallelism there (1,000 cores → 1,000-way map stage). Only
+    # under local[*] is the cap pinned to 32: in a single JVM, wider maps
+    # just add task-launch overhead and GC outliers for the corpus sizes
+    # where the rebalance binds at all (measured on this host).
     sc = df.sparkSession.sparkContext
+    if max_width is None:
+        max_width = 32 if sc.master.startswith("local") else sc.defaultParallelism
     shuffle_width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8"))
-    target = min(max(shuffle_width, sc.defaultParallelism), 32)
+    target = min(max(shuffle_width, sc.defaultParallelism), max_width)
+    # getNumPartitions forces a DataFrame→RDD plan conversion (the cost
+    # engine/core.py:161 warns about). Accepted knowingly: this helper only
+    # wraps CPU-bound stages that cost orders of magnitude more than one
+    # plan conversion, and the conversion happens once per query build.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(key_col))

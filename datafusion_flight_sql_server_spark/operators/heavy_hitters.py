@@ -113,16 +113,48 @@ def topk_exact_via_sketch(
             f"topk_exact_via_sketch: k={k} must be < capacity={capacity} "
             f"for the N/capacity guarantee to be meaningful."
         )
-    # One pass over the partials: negative-weight rows sum to -N; the rest
-    # form the candidate union (every key surviving any partition summary —
-    # correctness needs the full union, so nothing is pruned here).
-    partials = space_saving_partials(df, col, capacity).collect()
-    total = -sum(r.w for r in partials if r.w < 0)
-    candidate_keys = sorted({r.key for r in partials if r.w > 0})
-    spark = df.sparkSession
-    candidates = spark.createDataFrame(
-        [(key,) for key in candidate_keys], "key string"
+    top, total_df, partials = topk_sketch_plan(df, col, k, capacity)
+    try:
+        # The candidate union never touches the driver: it stays a
+        # distributed DataFrame broadcast-joined against the corpus. At
+        # 100 TB the union is partitions x capacity rows — routing it
+        # through collect()/createDataFrame would be a multi-GB driver
+        # round-trip; here only N (one scalar) and the k result rows land
+        # on the driver. partials is persisted so the N-aggregate and the
+        # candidate side share one corpus scan.
+        total = total_df.first()["n_total"]
+        rows = top.collect()  # k rows — driver-sized by construction
+    finally:
+        partials.unpersist()
+
+    # Runtime certificate: the k-th exact count must clear N / capacity, else
+    # a non-candidate key could in principle belong in the top-k.
+    if len(rows) == k and rows[-1]["n"] * capacity <= total:
+        raise ValueError(
+            f"topk_exact_via_sketch: cannot certify exactness — k-th count "
+            f"{rows[-1]['n']} <= N/capacity = {total}/{capacity}; raise "
+            f"capacity."
+        )
+    return df.sparkSession.createDataFrame(rows, schema=top.schema)
+
+
+def topk_sketch_plan(
+    df: DataFrame, col: str, k: int, capacity: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the (top-k, total-N, persisted partials) plan triple.
+
+    Exposed separately so plan-shape tests can assert the candidate side is
+    scan-derived (MapInArrow in the lineage, no driver-side LocalTableScan).
+    The caller owns unpersisting ``partials``.
+    """
+    partials = space_saving_partials(df, col, capacity).persist()
+    # Negative-weight rows are the in-band partition totals; their sum is -N.
+    total_df = partials.filter(F.col("w") < 0).agg(
+        F.coalesce(-F.sum("w"), F.lit(0)).cast("bigint").alias("n_total")
     )
+    # Candidate union stays distributed: tiny (partitions x capacity rows),
+    # broadcast into a semi-join that prunes the recount map-side.
+    candidates = partials.filter(F.col("w") > 0).select("key").distinct()
     exact = (
         df.join(
             F.broadcast(candidates), df[col] == candidates["key"], "leftsemi"
@@ -131,14 +163,4 @@ def topk_exact_via_sketch(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     top = exact.orderBy(F.col("n").desc(), "word").limit(k)
-
-    # Runtime certificate: the k-th exact count must clear N / capacity, else
-    # a non-candidate key could in principle belong in the top-k.
-    rows = top.collect()  # k rows — driver-sized by construction
-    if len(rows) == k and rows[-1]["n"] * capacity <= total:
-        raise ValueError(
-            f"topk_exact_via_sketch: cannot certify exactness — k-th count "
-            f"{rows[-1]['n']} <= N/capacity = {total}/{capacity}; raise "
-            f"capacity."
-        )
-    return spark.createDataFrame(rows, schema=top.schema)
+    return top, total_df, partials

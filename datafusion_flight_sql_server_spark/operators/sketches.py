@@ -83,8 +83,13 @@ def count_min_estimate(
         "b", count_min_bucket(F.col(value_col), F.col("r"), width)
     )
     others = [c for c in queries.columns]
+    # LEFT join: a probed value whose cell was never written has a true
+    # sketch count of 0 — an inner join would drop the row entirely (and a
+    # partially-empty probe would min over only non-empty cells, inflating
+    # the estimate). coalesce(cell, 0) restores the real CM semantics:
+    # absent cell == zero counter.
     return (
-        probe.join(F.broadcast(cells), ["r", "b"])
+        probe.join(F.broadcast(cells), ["r", "b"], "left")
         .groupBy(*others)
-        .agg(F.min("cell").alias("est_c"))
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("est_c"))
     )

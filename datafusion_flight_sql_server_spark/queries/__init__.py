@@ -23,82 +23,25 @@ from datafusion_flight_sql_server_spark.queries import mining_q  # noqa: F401
 
 #: Verification-priority prefix: the driver produces CORRECTNESS rows for
 #: the FIRST 50 registered queries each round, so ordering decides which
-#: operators get a row. Standing policy (round 4): tier 1 = prior-round
+#: operators get a row. Standing policy: tier 1 = prior-round
 #: registrations that have never received a driver row, tier 2 = this
 #: round's registrations (appended as they land, trimming the tier-3 tail
 #: to keep the prefix at exactly 50), tier 3 = a rotation of the oldest
 #: r1-green rows as regression insurance. Green on the prefix → every
 #: registered query driver-verified at least once (the r1 long tail's
 #: rows stand from round 1 and re-verify locally in every pytest run).
-#: ROUND-5 NOTE: move any round-4 name that did NOT get a green
-#: CORRECTNESS_r04 row to the top of tier 1 before registering new work.
+#: Round-5 state: the 50 r4-prefix names are ALL green in
+#: CORRECTNESS_r04.json; the only never-driver-checked registrations are
+#: dedup_containment + text_compression_ratio (positions 51-52 last
+#: round) — they take positions 1-2 per the VERDICT.md round-5 item 1.
 _PRIORITY = (
-    # tier 1: round-3 registrations, never driver-checked (one-round lag)
-    "agg_percentile_approx",
-    "text_repetition",
-    "doc_sample_temperature",
-    "dedup_exact_keepbest",
-    "scan_flight",
-    "event_anomaly",
-    "pipeline_curate_v2",
-    # tier 2: round-4 registrations (never driver-checked; the tier-3 tail
-    # below is trimmed to keep the prefix at exactly 50).
-    "text_lm_unigram",
-    "dedup_substring",
-    "embed_matryoshka",
-    "agg_topk_sketch",
-    "event_scd2",
-    "event_attribution",
-    "agg_mode",
-    "sink_zorder",
-    "dedup_source_overlap",
-    "corpus_drift",
-    "text_tfidf",
-    "multimodal_dedup",
-    "agg_hll_rollup",
-    "event_islands",
-    "sim_topk_pq",
-    "doc_sample_weighted",
-    "event_scd2_lookup",
-    "embed_outliers",
-    "agg_bitmap_intersect",
-    "pipeline_curate_v3",
-    "join_fuzzy",
-    "dedup_incremental",
-    "fn_mask",
-    "window_moving_median",
-    "event_time_weighted",
-    "window_ewma",
-    "text_inverted_index",
-    "dedup_semantic",
-    # tier 2 (cont.): round-4-late registrations (mining_q.py)
-    "graph_triangles",
-    "basket_rules",
-    "text_pmi",
-    "text_novelty",
-    "embed_binary_hamming",
-    "agg_count_min",
-    "join_bloom_prune",
-    "multimodal_phash",
-    "dedup_minhash_eval",
-    "text_bigram_lm",
-    "event_sliding_distinct",
-    "orders_rfm",
-    "event_ks_drift",
-    "event_cusum",
-    "orders_gini",
-    # tier 3 (empty this round): the 50 never-checked registrations
-    # exactly fill the prefix, so the whole r1-green rotation sits below
-    # the fold — regression insurance for those rows comes from the local
-    # full-registry sweeps (every pytest run + the sf0.01/sf0.1 driver-
-    # replica sweeps recorded in SURVEY §5) rather than driver slots.
-    # ---- position 51+: round-4 rows-only registration first (zlib is not
-    # oracle-expressible — the driver's check is weaker, so a prefix slot
-    # is better spent on hash-checked rows; round-5 tier 1 regardless),
-    # then r1 rotation overflow, r1 simple set-ops/filters, and r2/r3-green
-    # names in legacy order (all have driver rows already).
-    "text_compression_ratio",
+    # tier 1: registered round 4 after the driver run — never checked.
     "dedup_containment",
+    "text_compression_ratio",  # rows-only by design (zlib has no SQL oracle)
+    # tier 2: round-5 registrations (appended here as each one lands —
+    # test_priority_names_all_registered enforces no aspirational names).
+    # tier 3: rotation of r1/r2-green rows as regression insurance
+    # (trimmed so the prefix is exactly 50 once tier 2 is final).
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",

@@ -52,6 +52,30 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
     return deco
 
 
+#: Persisted intermediates whose lifetime outlives the query function (the
+#: result DataFrame is returned lazily, so the function cannot unpersist
+#: before the caller materializes). Harnesses that run many queries in one
+#: session (oracle-parity sweep, bench loop, the driver) call
+#: :func:`run_query_cleanups` between queries to release them.
+_PENDING_UNPERSIST: list[DataFrame] = []
+
+
+def register_query_cleanup(df: DataFrame) -> DataFrame:
+    """Record a persisted DataFrame for deferred unpersist; returns ``df``."""
+    _PENDING_UNPERSIST.append(df)
+    return df
+
+
+def run_query_cleanups() -> None:
+    """Unpersist every intermediate registered since the last call."""
+    while _PENDING_UNPERSIST:
+        df = _PENDING_UNPERSIST.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+
+
 # Keyed on the live session object (not id()) so a garbage-collected session
 # whose id is reused can never serve stale DataFrames bound to a dead JVM.
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, tuple[str, dict[str, DataFrame]]]" = (

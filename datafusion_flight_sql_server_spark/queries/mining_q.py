@@ -21,7 +21,11 @@ from pyspark.sql import Window as W
 
 from datafusion_flight_sql_server_spark.operators.dedup import rebalance_for_compute
 from datafusion_flight_sql_server_spark.operators.similarity import round_cosine
-from datafusion_flight_sql_server_spark.queries.catalog import query, tables
+from datafusion_flight_sql_server_spark.queries.catalog import (
+    query,
+    register_query_cleanup,
+    tables,
+)
 
 
 def _md5_bucket(col, salt: str, mod: int):
@@ -936,6 +940,7 @@ def q_text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark import StorageLevel
 
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    register_query_cleanup(pairs)
     st = pairs.withColumn(
         "cxy", F.sum("k").over(W.partitionBy("w1", "w2"))
     ).withColumn("c1", F.sum("k").over(W.partitionBy("w1")))

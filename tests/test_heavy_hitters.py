@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from datafusion_flight_sql_server_spark.operators.heavy_hitters import (
     space_saving_partials,
     topk_exact_via_sketch,
+    topk_sketch_plan,
 )
 
 
@@ -75,6 +76,24 @@ class TestSpaceSaving:
         df = _stream(spark, ["a", "b"], partitions=1)
         with pytest.raises(ValueError, match="k=8"):
             topk_exact_via_sketch(df, "word", k=8, capacity=8)
+
+    def test_candidate_union_stays_distributed(self, spark):
+        # The candidate side must derive from the scan (MapInArrow lineage),
+        # never from a driver-side collect + createDataFrame round-trip: at
+        # 100 TB the union is partitions x capacity rows — multi-GB through
+        # the driver. A LocalTableScan in the top-k plan would be that
+        # round-trip reappearing.
+        items = ["hot"] * 50 + [f"c{i}" for i in range(100)]
+        df = _stream(spark, items, partitions=4)
+        top, total_df, partials = topk_sketch_plan(df, "word", k=2, capacity=32)
+        try:
+            plan = top._jdf.queryExecution().executedPlan().toString()
+            assert "MapInArrow" in plan or "InMemory" in plan, plan
+            assert "LocalTableScan" not in plan, plan
+            # N comes back as ONE scalar, not the whole candidate union
+            assert total_df.first()["n_total"] == len(items)
+        finally:
+            partials.unpersist()
 
     def test_nulls_are_ignored(self, spark):
         df = spark.createDataFrame(

@@ -88,9 +88,18 @@ def _query_names():
 def test_query_matches_oracle(spark, duck, name):
     from datafusion_flight_sql_server_spark.queries import REGISTRY
 
+    from datafusion_flight_sql_server_spark.queries.catalog import (
+        run_query_cleanups,
+    )
+
     spec = REGISTRY[name]
-    sdf = spec.fn(spark, SF_SMALL)
-    spark_pdf = sdf.toPandas()
+    try:
+        sdf = spec.fn(spark, SF_SMALL)
+        spark_pdf = sdf.toPandas()
+    finally:
+        # release persisted intermediates (e.g. text_bigram_lm's pair cache)
+        # so the shared sweep session doesn't accumulate cached partitions
+        run_query_cleanups()
     assert spark_pdf is not None
     if spec.oracle is None:
         assert len(spark_pdf) >= 0  # rows-only check, like the driver
