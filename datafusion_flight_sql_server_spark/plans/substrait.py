@@ -51,19 +51,32 @@ with everything else rejected by a descriptive ``SubstraitUnsupported``
   schema, ``RelCommon.emit`` remaps it, and the result wraps in a
   derived table with deduplicated aliases so anything composes above;
   ``CrossRel`` the same without a condition;
-- ``SetRel`` (round 4, late) with exactly two inputs →
-  ``UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL]``;
+- ``SetRel`` (round 4, late; multiplicity table re-verified round 5)
+  with exactly two inputs → ``UNION [ALL] / INTERSECT [ALL] / EXCEPT
+  [ALL]`` for the six arms whose per-row counts SQL set operators
+  express (1/4/5/6/7/8); the keep-all presence arms MINUS_MULTISET (2)
+  and INTERSECTION_PRIMARY (3) render as null-safe whole-row
+  ``[NOT] EXISTS``;
 - computed ``ProjectRel`` expressions (round 4, late): the expression
   subset plus the arithmetic functions ``add subtract multiply divide
-  modulus negate``, rendered into a derived table (aliases ``expr<i>``
-  unless RelRoot names rename them).
+  modulus negate`` (integer ``divide`` → ``DIV`` per the plan's declared
+  output type), rendered into a derived table (aliases ``expr<i>``
+  unless RelRoot names rename them);
+- window functions (round 5): ``Expression.WindowFunction`` for
+  row_number/rank/dense_rank/percent_rank/cume_dist/ntile/lead/lag/
+  first_value/last_value/nth_value and windowed sum/min/max/avg/count,
+  with PARTITION BY / ORDER BY / ROWS|RANGE frames;
+- uncorrelated subquery expressions (round 5): scalar subqueries,
+  ``IN`` predicates, and ``EXISTS`` set predicates; correlated plans are
+  rejected at the outer-reference site.
 
 That covers the filtered-scan class ADBC/JDBC-over-Substrait front-ends
 emit for probes, previews and predicate-pushdown scans, plus the
-join/set/computed-projection class query builders emit; window functions,
-subquery expressions, GROUPING SETS and DML are rejected with a message
-naming the unsupported construct. Field numbers below come from the public
-``substrait/plan.proto`` / ``algebra.proto`` / ``extensions.proto``.
+join/set/computed-projection/window class query builders and
+DataFusion-federation clients emit; GROUPING SETS, correlated subqueries
+and DML are rejected with a message naming the unsupported construct.
+Field numbers below come from the public ``substrait/plan.proto`` /
+``algebra.proto`` / ``extensions.proto``.
 """
 
 from __future__ import annotations
@@ -282,6 +295,11 @@ def _field_ref_index(expr: bytes) -> int:
         raise SubstraitUnsupported(
             "Substrait consumer: nested field references are not supported"
         )
+    if _one(ref, 5) is not None:  # FieldReference.outer_reference
+        raise SubstraitUnsupported(
+            "Substrait consumer: outer (correlated) field references are "
+            "not supported — uncorrelated subqueries only"
+        )
     idx = _one(sf, 1)
     return int(idx or 0)
 
@@ -315,13 +333,16 @@ def _expr_to_sql(
         return _cast_to_sql(_one(f, 11), cols, funcs, rendered)
     if 6 in f:  # if_then
         return _if_then_to_sql(_one(f, 6), cols, funcs, rendered)
-    arms = {5: "window_function", 12: "subquery"}
-    present = [arms.get(n, f"expression field {n}") for n in f]
+    if 5 in f:  # window_function
+        return _window_fn_to_sql(_one(f, 5), cols, funcs, rendered)
+    if 12 in f:  # subquery
+        return _subquery_to_sql(_one(f, 12), cols, funcs, rendered)
+    present = [f"expression field {n}" for n in f]
     raise SubstraitUnsupported(
         f"Substrait consumer: unsupported expression "
         f"({', '.join(present) or 'empty expression'}); supported: field "
         f"reference, literal, cast, comparison/boolean/arithmetic scalar "
-        f"function"
+        f"function, window function, uncorrelated subquery"
     )
 
 
@@ -451,6 +472,15 @@ def _scalar_fn_to_sql(
         if len(args) != 1:
             raise SubstraitMalformed(f"not with {len(args)} arguments")
         return f"(NOT {a(0)})"
+    if name == "divide":
+        if len(args) != 2:
+            raise SubstraitMalformed(f"divide with {len(args)} arguments")
+        # Substrait divide(iN, iN) is INTEGER division; Spark's `/` always
+        # returns DOUBLE. The plan's declared output_type (ScalarFunction
+        # field 5) decides which SQL operator preserves the semantics.
+        if _type_is_integral(_one(f, 5)):
+            return f"({a(0)} DIV {a(1)})"
+        return f"({a(0)} / {a(1)})"
     if name in _BINARY_OPS:
         if len(args) != 2:
             raise SubstraitMalformed(f"{name} with {len(args)} arguments")
@@ -481,6 +511,215 @@ def _scalar_fn_to_sql(
         f"expression subset (and or not equal not_equal gt gte lt lte "
         f"is_null is_not_null between add subtract multiply divide "
         f"modulus negate like coalesce)"
+    )
+
+
+#: Type message oneof arms (type.proto) that are integer kinds — used to
+#: pick DIV vs / for Substrait's typed integer division.
+_INTEGRAL_TYPE_ARMS = frozenset({2, 3, 5, 7})  # i8 i16 i32 i64
+
+
+def _type_is_integral(type_bytes: bytes | None) -> bool:
+    if type_bytes is None:
+        return False
+    return any(n in _INTEGRAL_TYPE_ARMS for n in _fields(type_bytes))
+
+
+# -- window functions --------------------------------------------------------
+
+#: window (and window-capable aggregate) function names → SQL. Names from
+#: substrait functions_arithmetic.yaml window section + aggregates.
+_WINDOW_FUNCS = {
+    "row_number": "ROW_NUMBER",
+    "rank": "RANK",
+    "dense_rank": "DENSE_RANK",
+    "percent_rank": "PERCENT_RANK",
+    "cume_dist": "CUME_DIST",
+    "ntile": "NTILE",
+    "lead": "LEAD",
+    "lag": "LAG",
+    "first_value": "FIRST_VALUE",
+    "last_value": "LAST_VALUE",
+    "nth_value": "NTH_VALUE",
+    "sum": "SUM",
+    "min": "MIN",
+    "max": "MAX",
+    "avg": "AVG",
+    "count": "COUNT",
+}
+
+
+def _bound_to_sql(bound: bytes, end: str) -> str:
+    """WindowFunction.Bound → frame bound SQL. ``end`` is 'lower'/'upper'
+    (decides which direction UNBOUNDED renders as)."""
+    f = _fields(bound)
+    if 1 in f:  # preceding {offset=1}
+        off = int(_one(_fields(_one(f, 1)), 1) or 0)
+        return f"{off} PRECEDING"
+    if 2 in f:  # following {offset=1}
+        off = int(_one(_fields(_one(f, 2)), 1) or 0)
+        return f"{off} FOLLOWING"
+    if 3 in f:  # current_row
+        return "CURRENT ROW"
+    if 4 in f:  # unbounded
+        return "UNBOUNDED PRECEDING" if end == "lower" else "UNBOUNDED FOLLOWING"
+    raise SubstraitUnsupported(
+        f"Substrait consumer: window frame bound arms {sorted(f)} are not "
+        f"supported"
+    )
+
+
+def _sort_field_to_sql(
+    sort_field: bytes, cols: list[str], funcs: dict[int, str], rendered: bool
+) -> str:
+    """SortField (expr=1, direction=2, comparison_function_reference=3)
+    → ``<expr> <direction>`` (shared by window ORDER BY)."""
+    sff = _fields(sort_field)
+    expr = _one(sff, 1)
+    if expr is None:
+        raise SubstraitMalformed("SortField without expression")
+    if _one(sff, 3) is not None:
+        raise SubstraitUnsupported(
+            "Substrait consumer: comparison-function sorts are not supported"
+        )
+    direction = int(_one(sff, 2) or 0)
+    sql_dir = _SORT_DIRECTIONS.get(direction)
+    if sql_dir is None:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: sort direction {direction} is not supported"
+        )
+    return f"{_expr_to_sql(expr, cols, funcs, rendered)} {sql_dir}"
+
+
+def _window_fn_to_sql(
+    body: bytes, cols: list[str], funcs: dict[int, str], rendered: bool
+) -> str:
+    """Expression.WindowFunction → ``FN(args) OVER (...)``.
+
+    algebra.proto field numbers: function_reference=1, partitions=2,
+    sorts=3, upper_bound=4, lower_bound=5, phase=6, args(deprecated)=8,
+    arguments=9, invocation=10, bounds_type=12.
+    """
+    f = _fields(body)
+    anchor = int(_one(f, 1) or 0)
+    name = funcs.get(anchor)
+    if name is None:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: window function anchor {anchor} has no "
+            f"extension declaration in the plan"
+        )
+    sql_fn = _WINDOW_FUNCS.get(name)
+    if sql_fn is None:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: window function {name!r} is not in the "
+            f"window subset ({' '.join(sorted(_WINDOW_FUNCS))})"
+        )
+    phase = int(_one(f, 6) or 0)
+    if phase not in (0, 3):  # unspecified / INITIAL_TO_RESULT
+        raise SubstraitUnsupported(
+            f"Substrait consumer: partial window phase {phase} is not "
+            f"supported"
+        )
+    invocation = int(_one(f, 10) or 0)
+    if invocation == _INVOCATION_DISTINCT:
+        raise SubstraitUnsupported(
+            "Substrait consumer: DISTINCT window invocation is not supported"
+        )
+    args: list[bytes] = []
+    for _, arg in f.get(9, []):  # FunctionArgument
+        af = _fields(arg)
+        value = _one(af, 3)
+        if value is None:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: non-expression window argument for "
+                f"{name!r}"
+            )
+        args.append(value)
+    if not args:  # deprecated WindowFunction.args (field 8)
+        args = [v for _, v in f.get(8, [])]
+    if name == "count" and not args:
+        call = "COUNT(*)"
+    else:
+        arg_sql = ", ".join(_expr_to_sql(a, cols, funcs, rendered) for a in args)
+        call = f"{sql_fn}({arg_sql})"
+
+    over: list[str] = []
+    parts = [_expr_to_sql(v, cols, funcs, rendered) for _, v in f.get(2, [])]
+    if parts:
+        over.append("PARTITION BY " + ", ".join(parts))
+    orders = [
+        _sort_field_to_sql(v, cols, funcs, rendered) for _, v in f.get(3, [])
+    ]
+    if orders:
+        over.append("ORDER BY " + ", ".join(orders))
+    bounds_type = int(_one(f, 12) or 0)
+    lower, upper = _one(f, 5), _one(f, 4)
+    if lower is not None or upper is not None:
+        if bounds_type == 1:
+            frame_kind = "ROWS"
+        elif bounds_type == 2:
+            frame_kind = "RANGE"
+        else:
+            raise SubstraitUnsupported(
+                "Substrait consumer: window bounds without a bounds_type "
+                "(ROWS/RANGE) are not supported"
+            )
+        lo = (
+            _bound_to_sql(lower, "lower")
+            if lower is not None
+            else "UNBOUNDED PRECEDING"
+        )
+        hi = (
+            _bound_to_sql(upper, "upper") if upper is not None else "CURRENT ROW"
+        )
+        over.append(f"{frame_kind} BETWEEN {lo} AND {hi}")
+    return f"{call} OVER ({' '.join(over)})"
+
+
+# -- subquery expressions ----------------------------------------------------
+
+
+def _subquery_to_sql(
+    body: bytes, cols: list[str], funcs: dict[int, str], rendered: bool
+) -> str:
+    """Expression.Subquery → scalar / IN / EXISTS SQL (uncorrelated only —
+    correlated plans are rejected at the outer-reference site).
+
+    algebra.proto oneof arms: scalar=1 {input=1}, in_predicate=2
+    {needles=1 repeated, haystack=2}, set_predicate=3 {predicate_op=1,
+    tuples=2}, set_comparison=4.
+    """
+    f = _fields(body)
+    if 1 in f:  # scalar subquery
+        sub = _one(_fields(_one(f, 1)), 1)
+        if sub is None:
+            raise SubstraitMalformed("scalar subquery without input relation")
+        return "(" + _render_sql(_interpret_rel(sub, funcs), []) + ")"
+    if 2 in f:  # in_predicate
+        pf = _fields(_one(f, 2))
+        needles = [v for _, v in pf.get(1, [])]
+        haystack = _one(pf, 2)
+        if not needles or haystack is None:
+            raise SubstraitMalformed("in_predicate without needles/haystack")
+        sub_sql = _render_sql(_interpret_rel(haystack, funcs), [])
+        parts = [_expr_to_sql(n, cols, funcs, rendered) for n in needles]
+        left = parts[0] if len(parts) == 1 else "(" + ", ".join(parts) + ")"
+        return f"({left} IN ({sub_sql}))"
+    if 3 in f:  # set_predicate
+        pf = _fields(_one(f, 3))
+        op = int(_one(pf, 1) or 0)
+        if op != 1:  # PREDICATE_OP_EXISTS
+            raise SubstraitUnsupported(
+                f"Substrait consumer: set predicate op {op} is not supported "
+                f"(EXISTS only)"
+            )
+        tuples = _one(pf, 2)
+        if tuples is None:
+            raise SubstraitMalformed("set_predicate without tuples relation")
+        return f"EXISTS ({_render_sql(_interpret_rel(tuples, funcs), [])})"
+    raise SubstraitUnsupported(
+        f"Substrait consumer: subquery arms {sorted(f)} are not supported "
+        f"(scalar, in_predicate, EXISTS set_predicate)"
     )
 
 
@@ -739,13 +978,7 @@ def _aggregate_rel(body: bytes, funcs: dict[int, str]) -> _State:
 
     # output schema = group columns ++ measures (spec order); dedup aliases
     exprs_out = [_quote(c) for c in group_cols] + [m[0] for m in measures]
-    aliases = list(group_cols) + [m[1] for m in measures]
-    seen: dict[str, int] = {}
-    for i, alias in enumerate(aliases):
-        n = seen.get(alias, 0)
-        seen[alias] = n + 1
-        if n:
-            aliases[i] = f"{alias}_{n}"
+    aliases = _dedup_aliases(list(group_cols) + [m[1] for m in measures])
 
     emit = _emit_mapping(_one(f, 1))
     if emit is not None:
@@ -764,14 +997,21 @@ def _aggregate_rel(body: bytes, funcs: dict[int, str]) -> _State:
 
 
 def _dedup_aliases(aliases: list[str]) -> list[str]:
-    """Suffix duplicate output names ``_1``, ``_2``, … (stable, in order)."""
-    seen: dict[str, int] = {}
-    out = list(aliases)
-    for i, alias in enumerate(out):
-        n = seen.get(alias, 0)
-        seen[alias] = n + 1
-        if n:
-            out[i] = f"{alias}_{n}"
+    """Suffix duplicate output names ``_1``, ``_2``, … (stable, in order).
+
+    The suffix probe loops until the generated name collides with neither
+    an already-emitted name nor any ORIGINAL name — [a, a, a_1] becomes
+    [a, a_2, a_1], not the ambiguous [a, a_1, a_1]."""
+    originals = set(aliases)
+    used: set[str] = set()
+    out: list[str] = []
+    for alias in aliases:
+        cand, n = alias, 0
+        while cand in used or (n and cand in originals):
+            n += 1
+            cand = f"{alias}_{n}"
+        used.add(cand)
+        out.append(cand)
     return out
 
 
@@ -905,15 +1145,30 @@ def _cross_rel(body: bytes, funcs: dict[int, str]) -> _State:
     return _subquery_state(sql, out_names, "j")
 
 
-#: SetRel.SetOp enum (algebra.proto) → SQL set operator (two inputs).
+#: SetRel.SetOp enum (algebra.proto) → SQL set operator (two inputs),
+#: matched against the spec's per-row multiplicity table (m copies in the
+#: primary, n in the secondary):
+#:   MINUS_PRIMARY (1)             → 1 if m>0 and n=0 else 0   = EXCEPT
+#:   INTERSECTION_MULTISET (4)     → 1 if m>0 and n>0 else 0   = INTERSECT
+#:   UNION_DISTINCT (5)            → 1 if m+n>0                = UNION
+#:   UNION_ALL (6)                 → m+n                       = UNION ALL
+#:   MINUS_PRIMARY_ALL (7)         → max(m-n, 0)               = EXCEPT ALL
+#:   INTERSECTION_MULTISET_ALL (8) → min(m, n)                 = INTERSECT ALL
 _SET_OPS = {
-    1: "EXCEPT",  # MINUS_PRIMARY: distinct bag-minus of the first input
-    2: "EXCEPT ALL",  # MINUS_MULTISET
-    3: "INTERSECT",  # INTERSECTION_PRIMARY (distinct, two-input form)
-    4: "INTERSECT ALL",  # INTERSECTION_MULTISET
-    5: "UNION",  # UNION_DISTINCT
+    1: "EXCEPT",
+    4: "INTERSECT",
+    5: "UNION",
     6: "UNION ALL",
+    7: "EXCEPT ALL",
+    8: "INTERSECT ALL",
 }
+
+#: Keep-all presence arms: every primary copy survives (or is dropped)
+#: based on whole-row presence in the secondary — m if n=0 else 0 for
+#: MINUS_MULTISET (2), m if n>0 else 0 for INTERSECTION_PRIMARY (3). No
+#: SQL set operator has that multiplicity; they render as a null-safe
+#: whole-row NOT EXISTS / EXISTS instead.
+_SET_PRESENCE = {2: "NOT EXISTS", 3: "EXISTS"}
 
 
 def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
@@ -929,11 +1184,12 @@ def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
             f"Substrait consumer: SetRel with {len(inputs)} inputs is not "
             f"supported (exactly 2)"
         )
-    op = _SET_OPS.get(int(_one(f, 3) or 0))
-    if op is None:
+    opno = int(_one(f, 3) or 0)
+    op = _SET_OPS.get(opno)
+    presence = _SET_PRESENCE.get(opno)
+    if op is None and presence is None:
         raise SubstraitUnsupported(
-            f"Substrait consumer: set operation {int(_one(f, 3) or 0)} is "
-            f"not supported"
+            f"Substrait consumer: set operation {opno} is not supported"
         )
     ls = _interpret_rel(inputs[0], funcs)
     rs = _interpret_rel(inputs[1], funcs)
@@ -941,7 +1197,30 @@ def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
         raise SubstraitMalformed(
             f"SetRel inputs have {len(ls.cols)} vs {len(rs.cols)} columns"
         )
-    sql = f"({_render_sql(ls, [])}) {op} ({_render_sql(rs, [])})"
+    if presence is not None:
+        # keep-all semi/anti: null-safe (<=>) whole-row comparison matches
+        # the set-operation null treatment (NULLs compare equal)
+        if not ls.cols:
+            raise SubstraitUnsupported(
+                "Substrait consumer: presence set operations require a "
+                "declared read schema"
+            )
+        if len(set(ls.cols)) != len(ls.cols) or len(set(rs.cols)) != len(rs.cols):
+            raise SubstraitUnsupported(
+                "Substrait consumer: presence set operations over duplicate "
+                "column names are not supported"
+            )
+        cond = " AND ".join(
+            f"{_quote('t0')}.{_quote(lc)} <=> {_quote('t1')}.{_quote(rc)}"
+            for lc, rc in zip(ls.cols, rs.cols)
+        )
+        sql = (
+            f"SELECT * FROM ({_render_sql(ls, [])}) AS {_quote('t0')} "
+            f"WHERE {presence} (SELECT 1 FROM ({_render_sql(rs, [])}) AS "
+            f"{_quote('t1')} WHERE {cond})"
+        )
+    else:
+        sql = f"({_render_sql(ls, [])}) {op} ({_render_sql(rs, [])})"
     out_names = list(ls.cols)
     emit = _emit_mapping(_one(f, 1))
     state = _subquery_state(sql, out_names, "s")

@@ -771,12 +771,29 @@ class TestJoinSetProjectTranslate:
         )
 
     def test_set_ops_map(self):
-        for op, kw in ((1, "EXCEPT"), (3, "INTERSECT"), (5, "UNION"),
-                       (2, "EXCEPT ALL"), (4, "INTERSECT ALL")):
+        # spec multiplicity table: MINUS_PRIMARY=1, INTERSECTION_MULTISET=4,
+        # UNION_DISTINCT=5, MINUS_PRIMARY_ALL=7, INTERSECTION_MULTISET_ALL=8
+        for op, kw in ((1, "EXCEPT"), (4, "INTERSECT"), (5, "UNION"),
+                       (7, "EXCEPT ALL"), (8, "INTERSECT ALL")):
             sql = substrait_to_sql(
                 plan_bytes(rel(8, set_rel([USERS_READ, USERS_READ], op)))
             )
             assert f") {kw} (" in sql
+
+    def test_presence_set_ops_render_exists(self):
+        # MINUS_MULTISET (2) / INTERSECTION_PRIMARY (3) keep every primary
+        # copy — rendered as null-safe whole-row [NOT] EXISTS, not EXCEPT/
+        # INTERSECT (which are DISTINCT operations)
+        sql2 = substrait_to_sql(
+            plan_bytes(rel(8, set_rel([USERS_READ, USERS_READ], 2)))
+        )
+        assert "WHERE NOT EXISTS (SELECT 1 FROM" in sql2
+        assert "`t0`.`id` <=> `t1`.`id`" in sql2
+        sql3 = substrait_to_sql(
+            plan_bytes(rel(8, set_rel([USERS_READ, USERS_READ], 3)))
+        )
+        assert "WHERE EXISTS (SELECT 1 FROM" in sql3
+        assert "EXCEPT" not in sql3 and "INTERSECT" not in sql3
 
     def test_set_arity_rejected(self):
         p = plan_bytes(rel(8, set_rel([USERS_READ], 6)))
@@ -1137,3 +1154,329 @@ class TestScalarWidening:
         sql = substrait_to_sql(p)
         assert "STDDEV_SAMP(`amount`) AS `std_dev_0`" in sql
         assert "VAR_SAMP(`amount`) AS `variance_1`" in sql
+
+
+# -- round 5: window functions, subqueries, typed divide ---------------------
+
+
+def typed_scalar_fn(anchor: int, args: list[bytes], output_type_arm: int) -> bytes:
+    """scalar_fn with a declared output_type (ScalarFunction field 5)."""
+    body = _varint_field(1, anchor)
+    for a in args:
+        body += _len_field(4, _len_field(3, a))
+    body += _len_field(5, _len_field(output_type_arm, b""))
+    return _len_field(3, body)
+
+
+BOUND_UNBOUNDED = _len_field(4, b"")
+BOUND_CURRENT = _len_field(3, b"")
+
+
+def bound_preceding(offset: int) -> bytes:
+    return _len_field(1, _varint_field(1, offset))
+
+
+def window_fn(
+    anchor: int,
+    args: tuple = (),
+    partitions: tuple = (),
+    sorts: tuple = (),
+    bounds: tuple | None = None,
+    invocation: int = 0,
+) -> bytes:
+    """Expression.window_function (field numbers from algebra.proto:
+    function_reference=1, partitions=2, sorts=3, upper=4, lower=5,
+    arguments=9, invocation=10, bounds_type=12)."""
+    body = _varint_field(1, anchor)
+    for p_expr in partitions:
+        body += _len_field(2, p_expr)
+    for col_idx, direction in sorts:
+        sf = _len_field(1, field_ref(col_idx)) + _varint_field(2, direction)
+        body += _len_field(3, sf)
+    if bounds is not None:
+        bounds_type, lower, upper = bounds
+        if bounds_type:
+            body += _varint_field(12, bounds_type)
+        if upper is not None:
+            body += _len_field(4, upper)
+        if lower is not None:
+            body += _len_field(5, lower)
+    for a in args:
+        body += _len_field(9, _len_field(3, a))
+    if invocation:
+        body += _varint_field(10, invocation)
+    return _len_field(5, body)
+
+
+def scalar_subquery(rel_msg: bytes) -> bytes:
+    return _len_field(12, _len_field(1, _len_field(1, rel_msg)))
+
+
+def in_subquery(needles: list[bytes], haystack_rel: bytes) -> bytes:
+    body = b"".join(_len_field(1, n) for n in needles)
+    body += _len_field(2, haystack_rel)
+    return _len_field(12, _len_field(2, body))
+
+
+def exists_subquery(rel_msg: bytes) -> bytes:
+    body = _varint_field(1, 1) + _len_field(2, rel_msg)  # PREDICATE_OP_EXISTS
+    return _len_field(12, _len_field(3, body))
+
+
+def outer_field_ref(index: int, steps_out: int = 1) -> bytes:
+    """Correlated field reference (FieldReference.outer_reference, field 5)."""
+    struct_field = _varint_field(1, index)
+    segment = _len_field(2, struct_field)
+    reference = (
+        _len_field(1, segment) + _len_field(5, _varint_field(1, steps_out))
+    )
+    return _len_field(2, reference)
+
+
+def computed_project(input_rel: bytes, exprs: list[bytes], emit: list[int] | None) -> bytes:
+    body = _len_field(2, input_rel)
+    for e in exprs:
+        body += _len_field(3, e)
+    if emit is not None:
+        emit_msg = b"".join(_varint_field(1, i) for i in emit)
+        body = _len_field(1, _len_field(2, emit_msg)) + body
+    return body
+
+
+class TestWindowTranslate:
+    def test_row_number_partition_order(self):
+        w = window_fn(1, partitions=(field_ref(1),), sorts=((0, 2),))
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "row_number:"),
+        )
+        assert substrait_to_sql(p) == (
+            "SELECT `expr0` FROM (SELECT ROW_NUMBER() OVER (PARTITION BY "
+            "`name` ORDER BY `id` ASC NULLS LAST) AS `expr0` "
+            "FROM `users`) AS `p`"
+        )
+
+    def test_windowed_sum_rows_frame(self):
+        w = window_fn(
+            1,
+            args=(field_ref(0),),
+            sorts=((0, 2),),
+            bounds=(1, BOUND_UNBOUNDED, BOUND_CURRENT),
+        )
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "sum:i64"),
+        )
+        sql = substrait_to_sql(p)
+        assert (
+            "SUM(`id`) OVER (ORDER BY `id` ASC NULLS LAST ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW)" in sql
+        )
+
+    def test_lag_with_preceding_range(self):
+        w = window_fn(
+            1,
+            args=(field_ref(0),),
+            sorts=((0, 2),),
+            bounds=(2, bound_preceding(3), BOUND_CURRENT),
+        )
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "lag:any"),
+        )
+        sql = substrait_to_sql(p)
+        assert "LAG(`id`) OVER (ORDER BY `id` ASC NULLS LAST " in sql
+        assert "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW" in sql
+
+    def test_count_star_window(self):
+        w = window_fn(1, partitions=(field_ref(1),))
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "count:"),
+        )
+        assert "COUNT(*) OVER (PARTITION BY `name`)" in substrait_to_sql(p)
+
+    def test_bounds_without_type_rejected(self):
+        w = window_fn(
+            1, sorts=((0, 2),), bounds=(0, BOUND_UNBOUNDED, BOUND_CURRENT)
+        )
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "row_number:"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="bounds_type"):
+            substrait_to_sql(p)
+
+    def test_distinct_window_rejected(self):
+        w = window_fn(1, args=(field_ref(0),), invocation=2)
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "sum:i64"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="DISTINCT window"):
+            substrait_to_sql(p)
+
+    def test_unknown_window_function_rejected(self):
+        w = window_fn(1, args=(field_ref(0),))
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "mystery_fn:any"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="mystery_fn"):
+            substrait_to_sql(p)
+
+
+ORDERS_FOR_SUB = rel(1, read_rel(["orders"], ["order_id", "user_id", "amount"]))
+
+
+class TestSubqueryTranslate:
+    def test_scalar_subquery_in_filter(self):
+        agg = rel(
+            4,
+            aggregate_rel(ORDERS_FOR_SUB, [], [measure(agg_function(2, [2]))]),
+        )
+        cond = scalar_fn(1, [field_ref(0), scalar_subquery(agg)])
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, cond)),
+            extensions=extension_function(1, "gt:any_any")
+            + extension_function(2, "avg:i64"),
+        )
+        sql = substrait_to_sql(p)
+        assert "WHERE (`id` > (SELECT AVG(`amount`) AS `avg_0` FROM `orders`))" in sql
+
+    def test_in_subquery_filter(self):
+        haystack = rel(7, computed_project(ORDERS_FOR_SUB, [field_ref(1)], [3]))
+        cond = in_subquery([field_ref(0)], haystack)
+        p = plan_bytes(rel(2, filter_rel(USERS_READ, cond)))
+        sql = substrait_to_sql(p)
+        assert "WHERE (`id` IN (SELECT `user_id` FROM `orders`))" in sql
+
+    def test_exists_subquery_filter(self):
+        cond = exists_subquery(ORDERS_FOR_SUB)
+        p = plan_bytes(rel(2, filter_rel(USERS_READ, cond)))
+        sql = substrait_to_sql(p)
+        assert "WHERE EXISTS (SELECT `order_id`, `user_id`, `amount` FROM `orders`)" in sql
+
+    def test_correlated_subquery_rejected(self):
+        inner_cond = scalar_fn(1, [field_ref(1), outer_field_ref(0)])
+        inner = rel(2, filter_rel(ORDERS_FOR_SUB, inner_cond))
+        cond = exists_subquery(inner)
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, cond)),
+            extensions=extension_function(1, "equal:any_any"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="outer"):
+            substrait_to_sql(p)
+
+    def test_unique_set_predicate_rejected(self):
+        body = _varint_field(1, 2) + _len_field(2, ORDERS_FOR_SUB)
+        cond = _len_field(12, _len_field(3, body))
+        p = plan_bytes(rel(2, filter_rel(USERS_READ, cond)))
+        with pytest.raises(SubstraitUnsupported, match="EXISTS only"):
+            substrait_to_sql(p)
+
+
+class TestTypedDivide:
+    def test_integer_divide_renders_div(self):
+        expr = typed_scalar_fn(1, [field_ref(0), literal("i64", 2)], 7)  # i64
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [expr], [2])),
+            extensions=extension_function(1, "divide:i64_i64"),
+        )
+        assert "(`id` DIV 2)" in substrait_to_sql(p)
+
+    def test_float_divide_renders_slash(self):
+        expr = typed_scalar_fn(1, [field_ref(0), literal("fp64", 2.0)], 11)
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [expr], [2])),
+            extensions=extension_function(1, "divide:fp64_fp64"),
+        )
+        assert "(`id` / 2.0)" in substrait_to_sql(p)
+
+    def test_untyped_divide_defaults_to_float(self):
+        expr = scalar_fn(1, [field_ref(0), literal("i64", 2)])
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [expr], [2])),
+            extensions=extension_function(1, "divide:i64_i64"),
+        )
+        assert "(`id` / 2)" in substrait_to_sql(p)
+
+
+class TestDedupAliases:
+    def test_suffix_probe_loops_past_existing_names(self):
+        from datafusion_flight_sql_server_spark.plans.substrait import (
+            _dedup_aliases,
+        )
+
+        assert _dedup_aliases(["a", "a", "a_1"]) == ["a", "a_2", "a_1"]
+        assert _dedup_aliases(["a", "a_1", "a", "a"]) == [
+            "a", "a_1", "a_2", "a_3",
+        ]
+
+
+class TestWindowSubqueryOverWire:
+    def test_row_number_round_trip(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            users = rel(1, read_rel(["users"], ["id", "name"]))
+            w = window_fn(1, sorts=((0, 2),))
+            p = plan_bytes(
+                rel(7, computed_project(users, [w], [0, 2])),
+                ["id", "rn"],
+                extensions=extension_function(1, "row_number:"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            got = sorted(
+                zip(
+                    table.column("id").to_pylist(),
+                    table.column("rn").to_pylist(),
+                )
+            )
+            assert got == [(1, 1), (2, 2), (3, 3)]
+        finally:
+            ex.close()
+
+    def test_in_subquery_round_trip(self, substrait_server):
+        # users with an order above 60: Bob (75) and Alice (100)
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            users = rel(1, read_rel(["users"], ["id", "name"]))
+            orders = rel(
+                1, read_rel(["orders"], ["order_id", "user_id", "amount"])
+            )
+            big = rel(
+                2,
+                filter_rel(
+                    orders, scalar_fn(1, [field_ref(2), literal("i64", 60)])
+                ),
+            )
+            haystack = rel(7, computed_project(big, [field_ref(1)], [3]))
+            cond = in_subquery([field_ref(0)], haystack)
+            p = plan_bytes(
+                rel(2, filter_rel(users, cond)),
+                extensions=extension_function(1, "gt:any_any"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert sorted(table.column("name").to_pylist()) == ["Alice", "Bob"]
+        finally:
+            ex.close()
+
+    def test_minus_multiset_round_trip(self, substrait_server):
+        # users EXCEPT-multiset users = empty (every row present in secondary)
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            users = rel(1, read_rel(["users"], ["id", "name"]))
+            p = plan_bytes(rel(8, set_rel([users, users], 2)))
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert table.num_rows == 0
+        finally:
+            ex.close()
