@@ -118,6 +118,11 @@ def parameter_schema_for_sql(spark: SparkSession, sql: str) -> pa.Schema:
     if not names:
         return pa.schema([])
     resolved_types = _infer_types_from_context(spark, sql, names)
+    unresolved = [n for n in names if n not in resolved_types]
+    if unresolved:
+        resolved_types.update(
+            _infer_types_from_plan(spark, sql, names, unresolved)
+        )
     nums = sorted((n for n in names if _NUM_RE.match(n)), key=int)
     named = sorted(n for n in names if not _NUM_RE.match(n))
     fields = [
@@ -174,3 +179,78 @@ _FROM_RE = re.compile(r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z_0-9.]*)", re.I)
 
 def _table_names(sql: str) -> list[str]:
     return list(dict.fromkeys(_FROM_RE.findall(sql)))
+
+
+def _infer_types_from_plan(
+    spark: SparkSession, sql: str, names: list[str], unresolved: list[str]
+) -> dict[str, pa.DataType]:
+    """Type placeholders from the ANALYZED plan (H3 divergence shrink).
+
+    Each placeholder is substituted with a distinctive string literal and
+    the probe SQL is analyzed (planning only, no job). Wherever the marker
+    participates in a typed expression, Catalyst wraps it in an implicit
+    ``cast(<marker> as T)`` — and T is the coercion type the engine will
+    bind the parameter at. This covers contexts the comparison regex can't
+    see: function-wrapped columns (``abs(id) > $1``), placeholders inside
+    subqueries, date/decimal coercions. Reference behavior is a plan-typed
+    walk too (service.rs:1085-1105); the residual divergence is that Spark
+    reports the COMPARISON type (e.g. bigint for ``int_col`` compared via
+    string promotion), while DataFusion reports the column type — which is
+    why the direct column-comparison regex (exact column type) runs first.
+    Analysis failure (e.g. a placeholder where a literal is required, such
+    as LIMIT) falls back to the string default.
+    """
+    probe = sql
+    for name in sorted(names, key=len, reverse=True):  # $10 before $1
+        probe = re.sub(
+            r"\$" + re.escape(name) + r"\b", f"'<!p:{name}!>'", probe
+        )
+    try:
+        plan_str = spark.sql(probe)._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return {}
+    out: dict[str, pa.DataType] = {}
+    for name in unresolved:
+        # type text = bare name optionally followed by numeric parameters,
+        # e.g. bigint / decimal(12,2) / timestamp_ntz
+        m = re.search(
+            r"cast\(<!p:"
+            + re.escape(name)
+            + r"!> as ([a-z][a-z0-9_]*(?:\([0-9, ]*\))?)\)",
+            plan_str,
+        )
+        if m is None:
+            continue
+        t = _spark_type_text_to_arrow(m.group(1))
+        if t is not None:
+            out[name] = t
+    return out
+
+
+#: plan-rendered Spark type text → Arrow type (the subset the analyzer's
+#: implicit casts produce; anything else keeps the string default)
+_PLAN_TYPE_TEXT = {
+    "boolean": pa.bool_(),
+    "tinyint": pa.int8(),
+    "smallint": pa.int16(),
+    "int": pa.int32(),
+    "bigint": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "date": pa.date32(),
+    "timestamp": pa.timestamp("us", "UTC"),
+    "timestamp_ntz": pa.timestamp("us"),
+}
+
+
+def _spark_type_text_to_arrow(text: str) -> pa.DataType | None:
+    text = text.strip().lower()
+    flat = _PLAN_TYPE_TEXT.get(text)
+    if flat is not None:
+        return flat
+    m = re.fullmatch(r"decimal\((\d+)\s*,\s*(\d+)\)", text)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    return None

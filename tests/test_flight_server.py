@@ -86,6 +86,9 @@ class TestIntegration:
         assert len(prepared.dataset_schema) == 2
         assert prepared.parameter_schema is not None
         assert len(prepared.parameter_schema) == 1
+        # plan-typed parameter (service.rs:1085-1105 parity): id is INT, so
+        # $1 must come back int32, not the string default
+        assert prepared.parameter_schema.field(0).type == pa.int32()
         prepared.close()
 
     def test_get_schemas(self, client):

@@ -171,6 +171,30 @@ class TestParameterSchema:
         assert schema.names == ["$1", "$2", "who"]
         assert schema.field("who").type == pa.string()
 
+    def test_plan_probe_types_function_context(self, spark):
+        # the comparison regex can't see through abs(); the analyzed-plan
+        # probe reads the implicit cast Catalyst wraps around the marker
+        schema = parameter_schema_for_sql(
+            spark, "SELECT * FROM users WHERE abs(id) > $1"
+        )
+        assert schema.field("$1").type == pa.int64()
+
+    def test_plan_probe_types_subquery_context(self, spark):
+        schema = parameter_schema_for_sql(
+            spark,
+            "SELECT * FROM users WHERE id IN "
+            "(SELECT id FROM users WHERE id + 1 < $1)",
+        )
+        assert schema.field("$1").type == pa.int64()
+
+    def test_plan_probe_failure_keeps_string_default(self, spark):
+        # a placeholder where a literal is required: analysis fails, the
+        # default survives instead of raising
+        schema = parameter_schema_for_sql(
+            spark, "SELECT * FROM users LIMIT $1"
+        )
+        assert schema.field("$1").type == pa.string()
+
 
 class TestQualifierMetadata:
     """schema_metadata_test.rs:80-179 scenarios at the plans layer."""
