@@ -83,3 +83,127 @@ def connected_components(
         prev_sum = new_sum
     sym.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+# -- large-star / small-star contraction -------------------------------------
+#
+# Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC'14,
+# public): alternate two edge rewrites until the edge set is a fixed point,
+# at which moment every component is a depth-1 star rooted at its minimum
+# id. Each rewrite is one groupBy + one equi-join over the edge list — the
+# same per-round shuffle shape as min-label propagation — but the round
+# count is O(log n) in the component DIAMETER, not linear, which is what
+# survives an adversarial chain graph at scale.
+
+
+def _star_round(e: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star rewrite over a (u, v) edge list.
+
+    large-star: for each node u, connect every STRICTLY LARGER neighbor to
+    m = min(N(u) ∪ {u}). small-star: orient edges (larger, smaller), then
+    connect every smaller-or-equal neighbor AND u itself to m.
+    """
+    if large:
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    else:
+        nbrs = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+    m = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("_mv", "u").alias("m"))
+    )
+    joined = nbrs.join(m, "u")
+    if large:
+        out = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = joined.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionByName(joined.select("u", F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    with_rounds: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """Connected components via alternating large-star/small-star rounds.
+
+    Same contract as :func:`connected_components` — every node appearing in
+    an edge gets (node, cluster_id) with cluster_id = component min — but
+    converges in O(log n) rounds on long-chain graphs where min-label
+    propagation needs diameter rounds. Raises if ``max_iter`` rounds do not
+    reach the fixed point (each round provably contracts, so this only
+    fires on a too-small max_iter).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Lineage MUST be truncated each round, not just cached: every star
+    # round references its input ~3x, so the logical plan grows ~9x per
+    # round and analysis cost explodes exponentially by round ~6 (measured:
+    # a 32-node chain ran minutes instead of seconds under persist()).
+    # localCheckpoint materializes the partitions AND cuts the plan — on a
+    # cluster, swap for reliable checkpoint() if executor loss matters
+    # mid-algorithm.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame) -> tuple:
+        # exact-count + hash-sum multiset fingerprint (one scalar row)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = fingerprint(e)
+    rounds = 0
+    converged = False
+    for _ in range(max_iter):
+        e = _star_round(_star_round(e, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        cur = fingerprint(e)
+        rounds += 1
+        if cur == prev:  # fixed point: components are depth-1 min-stars
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components_star: no fixed point in {max_iter} rounds"
+        )
+    # converged edges are (child, root); roots label themselves
+    labels = (
+        nodes.join(e, nodes["node"] == e["u"], "left")
+        .select(
+            "node", F.coalesce(F.col("v"), F.col("node")).alias("cluster_id")
+        )
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    result = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()  # materialize before releasing the inputs it reads
+    nodes.unpersist()
+    if with_rounds:
+        return result, rounds
+    return result

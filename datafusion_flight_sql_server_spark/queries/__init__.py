@@ -20,6 +20,7 @@ from datafusion_flight_sql_server_spark.queries import extensions  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import sources_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import pipeline_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import mining_q  # noqa: F401
+from datafusion_flight_sql_server_spark.queries import streaming_q  # noqa: F401
 
 #: Verification-priority prefix: the driver produces CORRECTNESS rows for
 #: the FIRST 50 registered queries each round, so ordering decides which
@@ -40,6 +41,9 @@ _PRIORITY = (
     "text_compression_ratio",  # rows-only by design (zlib has no SQL oracle)
     # tier 2: round-5 registrations (appended here as each one lands —
     # test_priority_names_all_registered enforces no aspirational names).
+    "stream_sessionize_batch",
+    "stream_scd2_batch",
+    "graph_components_star",
     # tier 3: rotation of r1/r2-green rows as regression insurance
     # (trimmed so the prefix is exactly 50 once tier 2 is final).
     "tpch_q1_pricing_summary",

@@ -559,6 +559,43 @@ def q_dedup_near_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_components_star",
+    oracle=_clusters_oracle(),
+    doc="Connected components via large-star/small-star contraction "
+    "(Kiveris et al., SoCC'14; operators/components.py "
+    "connected_components_star) over the same MinHash near-dup pair list "
+    "as dedup_near_clusters — identical output, O(log n) rounds instead "
+    "of diameter rounds. Each round is two groupBy+join edge rewrites "
+    "(the same shuffle shape as label propagation); on the adversarial "
+    "long-chain graphs that make propagation linear, this is the plan "
+    "that survives 100 TB. Oracle: the recursive-CTE transitive closure.",
+    tags=("graph", "dedup", "iterative"),
+)
+def q_graph_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from datafusion_flight_sql_server_spark.operators.components import (
+        connected_components_star,
+    )
+    from datafusion_flight_sql_server_spark.queries.catalog import (
+        register_query_cleanup,
+    )
+
+    d = tables(spark, sf)["documents"]
+    pairs = minhash_near_dups(d).select("doc_a", "doc_b")
+    comps = connected_components_star(pairs, "doc_a", "doc_b")
+    register_query_cleanup(comps)
+    return comps.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("cluster_id"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )
+
+
 def _simhash_oracle(n_bits: int = 48, band_bits: int = 16, max_hamming: int = 3) -> str:
     """DuckDB SQL replicating ``simhash_near_dups`` bit-for-bit (same shingle
     hashes, same vote rule incl. ties-to-1, same banding)."""

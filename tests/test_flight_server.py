@@ -157,6 +157,50 @@ class TestIntegration:
         table = client.get_tables(table_name_filter_pattern="use%")
         assert set(table.column("table_name").to_pylist()) == {"users"}
 
+    def test_filter_pattern_spec_edges(self, client):
+        # Flight SQL spec pattern corners vs the reference builder's
+        # semantics (service.rs:648-706): '%' matches zero-or-more, '_'
+        # exactly one, and an EMPTY pattern is a PRESENT filter that
+        # matches only empty names (absent pattern = no filtering). The
+        # wire codec must keep empty-present distinct from absent
+        # (proto3 optional presence) for this to reach the server.
+        all_tables = set(
+            client.get_tables().column("table_name").to_pylist()
+        )
+        assert {"users", "orders"} <= all_tables
+        # '%' alone matches everything (zero-or-more)
+        pct = set(
+            client.get_tables(table_name_filter_pattern="%")
+            .column("table_name")
+            .to_pylist()
+        )
+        assert pct == all_tables
+        # '_' matches exactly one character: 6 underscores -> 'orders'
+        # but not 'users' (5 chars)
+        six = set(
+            client.get_tables(table_name_filter_pattern="______")
+            .column("table_name")
+            .to_pylist()
+        )
+        assert "orders" in six and "users" not in six
+        # empty pattern: present filter, matches no (non-empty) name
+        empty = client.get_tables(table_name_filter_pattern="")
+        assert empty.num_rows == 0
+        # regex metacharacters in the pattern are literals: 'use.s' must
+        # NOT match 'users'
+        dot = client.get_tables(table_name_filter_pattern="use.s")
+        assert dot.num_rows == 0
+        # same edges through GetDbSchemas
+        schemas_all = client.get_db_schemas().num_rows
+        assert schemas_all > 0
+        assert (
+            client.get_db_schemas(db_schema_filter_pattern="%").num_rows
+            == schemas_all
+        )
+        assert (
+            client.get_db_schemas(db_schema_filter_pattern="").num_rows == 0
+        )
+
     def test_schema_probe(self, client):
         # table-provider/src/lib.rs:91-101: plan-only probe, no DoGet
         schema = client.get_table_schema("users")
