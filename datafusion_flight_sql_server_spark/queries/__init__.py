@@ -21,6 +21,7 @@ from datafusion_flight_sql_server_spark.queries import sources_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import pipeline_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import mining_q  # noqa: F401
 from datafusion_flight_sql_server_spark.queries import streaming_q  # noqa: F401
+from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 
 #: Verification-priority prefix: the driver produces CORRECTNESS rows for
 #: the FIRST 50 registered queries each round, so ordering decides which
@@ -44,6 +45,13 @@ _PRIORITY = (
     "stream_sessionize_batch",
     "stream_scd2_batch",
     "graph_components_star",
+    "orders_cohort_ltv",
+    "text_zipf_fit",
+    "text_keyword_extract",
+    "window_percent_change",
+    "doc_balanced_sample",
+    "part_price_elasticity",
+    "event_peak_detect",
     # tier 3: rotation of r1/r2-green rows as regression insurance
     # (trimmed so the prefix is exactly 50 once tier 2 is final).
     "tpch_q1_pricing_summary",

@@ -1,0 +1,429 @@
+"""Round-5 analytics operators: funnels, cohorts, fits, sampling.
+
+Product-analytics and corpus-analytics shapes a Flight SQL user runs daily,
+each with a DuckDB oracle under the exactness discipline (catalog.py):
+decimal-cast money sums, integer epoch/day arithmetic, integer-algebra
+variance tests (no engine-dependent sqrt/ln in COMPARISONS), and unique
+total orders for every ranking.
+
+Reference scope: all of these are §2.C extensions — the reference delegates
+its relational surface (service.rs:171,186-190) and has no analytics
+library; these are the queries its users write on top, re-expressed
+Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datafusion_flight_sql_server_spark.queries.catalog import query, tables
+
+
+# ---------------------------------------------------------------------------
+# First-order cohort LTV
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+        WITH m AS (SELECT o_custkey,
+                          CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                               AS BIGINT) AS ym,
+                          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+                   FROM orders),
+        firsts AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM m
+                   GROUP BY o_custkey),
+        cells AS (SELECT f.cohort_ym, m.ym - f.cohort_ym AS month_off,
+                         m.price, m.o_custkey
+                  FROM m JOIN firsts f ON m.o_custkey = f.o_custkey)
+        SELECT cohort_ym, CAST(month_off AS BIGINT) AS month_off,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS customers,
+               CAST(SUM(price) AS DOUBLE) AS revenue
+        FROM cells GROUP BY cohort_ym, month_off
+    """,
+    doc="First-order cohort lifetime value: customers grouped by first "
+    "order month, revenue accumulated by months-since-first — the LTV "
+    "curve. Month arithmetic is integer (y*12+m), money sums go through "
+    "DECIMAL(18,2) so parallel partial aggregation is bit-exact. Scale: "
+    "two custkey-partitioned aggregations sharing one exchange.",
+    tags=("orders", "cohort", "analytics"),
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    o = tables(spark, sf)["orders"]
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("ym"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    firsts = m.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    cells = m.join(firsts, "o_custkey").select(
+        "cohort_ym",
+        (F.col("ym") - F.col("cohort_ym")).cast("bigint").alias("month_off"),
+        "price",
+        "o_custkey",
+    )
+    return cells.groupBy("cohort_ym", "month_off").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("customers"),
+        F.sum("price").cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf exponent fit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+        WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                               x -> x <> '')) AS w
+                     FROM documents),
+        freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY w),
+        ranked AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r
+                   FROM freq),
+        pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+                FROM ranked WHERE r <= 1000)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                     / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)), 4)
+                   AS zipf_slope
+        FROM pts
+    """,
+    doc="Zipf's-law fit over the corpus vocabulary: least-squares slope of "
+    "ln(freq) vs ln(rank) for the top-1000 tokens (natural text ≈ -1; "
+    "strong deviation flags synthetic/garbled corpora — a corpus-level "
+    "quality gate). Ranking ties break on the token so the point set is "
+    "engine-identical; the slope rounds to 4 decimals, far above "
+    "double-summation noise (~1e-12 over 1000 points). Scale: one "
+    "explode+count (map-side partial agg), a 1000-row windowed head, and "
+    "a 5-scalar reduce.",
+    tags=("text", "quality", "fit"),
+)
+def q_text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    freq = (
+        d.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x != '')")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    # distributed top-k first (TakeOrderedAndProject — per-partition heads,
+    # no global sort), THEN a row_number over just the 1000 survivors; a
+    # global row_number over the whole vocabulary would be a single-task
+    # sort of the corpus vocabulary at scale
+    top = freq.orderBy(F.desc("f"), "w").limit(1000)
+    ranked = top.select(
+        "f", F.row_number().over(W.orderBy(F.desc("f"), "w")).alias("r")
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    return pts.agg(
+        n.cast("bigint").alias("n_points"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            4,
+        ).alias("zipf_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction (rational tf-idf argmax)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_keyword_extract",
+    oracle="""
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_filter(string_split(lower(text), ' '),
+                                               x -> x <> '')) AS w
+                     FROM documents),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, w),
+        df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+               FROM documents),
+        scored AS (SELECT t.doc_id, t.w,
+                          t.tf * nd.n * 1000000 // d.df AS score_ppm
+                   FROM tf t JOIN df d ON t.w = d.w CROSS JOIN nd),
+        best AS (SELECT doc_id, w AS keyword, score_ppm,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY score_ppm DESC, w) AS rk
+                 FROM scored)
+        SELECT doc_id, keyword, CAST(score_ppm AS BIGINT) AS score_ppm
+        FROM best WHERE rk = 1
+    """,
+    doc="Per-document keyword extraction: argmax of a RATIONAL tf-idf "
+    "(tf * N / df in exact integer ppm — no engine-dependent ln in the "
+    "ORDER BY, so the winner is bit-deterministic; ties break "
+    "lexicographically). Scale: single explode lineage; df is a "
+    "vocabulary-sized aggregate of tf (AQE broadcasts it); the argmax is "
+    "a doc-partitioned window, one shuffle.",
+    tags=("text", "keywords", "analytics"),
+)
+def q_text_keyword_extract(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x != '')")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nd = d.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    scored = (
+        tf.join(df_, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            F.expr("tf * n * 1000000 DIV df").alias("score_ppm"),
+        )
+    )
+    best = scored.select(
+        "doc_id",
+        F.col("w").alias("keyword"),
+        "score_ppm",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy(F.desc("score_ppm"), "w"))
+        .alias("rk"),
+    )
+    return best.filter(F.col("rk") == 1).select(
+        "doc_id", "keyword", F.col("score_ppm").cast("bigint").alias("score_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period percent change
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_percent_change",
+    oracle="""
+        WITH monthly AS (
+            SELECT l_returnflag AS flag,
+                   CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+                        AS BIGINT) AS ym,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS rev_cents
+            FROM lineitem GROUP BY flag, ym
+        )
+        SELECT flag, ym, rev_cents,
+               ROUND(CAST(rev_cents - LAG(rev_cents) OVER w AS DOUBLE)
+                     / CAST(LAG(rev_cents) OVER w AS DOUBLE), 6) AS pct_change
+        FROM monthly WINDOW w AS (PARTITION BY flag ORDER BY ym)
+    """,
+    doc="Month-over-month revenue change per return flag: the "
+    "period-over-period lag pattern. Revenue is exact integer cents "
+    "(decimal sum x100); the ratio is one double division of two exact "
+    "integers, rounded to 6 — bit-identical across engines. Scale: one "
+    "aggregation + one window on the same (flag) partitioning.",
+    tags=("window", "timeseries", "analytics"),
+)
+def q_window_percent_change(spark: SparkSession, sf: str) -> DataFrame:
+    l = tables(spark, sf)["lineitem"]
+    monthly = l.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("bigint")
+        .alias("ym"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = W.partitionBy("flag").orderBy("ym")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "flag",
+        "ym",
+        "rev_cents",
+        F.round(
+            (F.col("rev_cents") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("pct_change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Balanced per-group sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_balanced_sample",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 20
+    """,
+    doc="Balanced per-language sample: exactly k=20 docs per lang, chosen "
+    "by md5(doc_id) ranking — deterministic, seedless, and uniform "
+    "(a hash of the id is a fixed random permutation), the standard "
+    "trick for reproducible balanced subsets of a skewed corpus. Scale: "
+    "one window per lang partition; rank pushdown keeps only k rows per "
+    "group before the final gather.",
+    tags=("documents", "sampling", "pipeline"),
+)
+def q_doc_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= 20).select(
+        "doc_id", "lang", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity (exact-integer least squares)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_price_elasticity",
+    oracle="""
+        WITH pts AS (
+            SELECT p.p_brand AS brand,
+                   CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS x,
+                   CAST(l.l_quantity AS BIGINT) AS y
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        )
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+                          - SUM(CAST(x AS HUGEINT))
+                            * SUM(CAST(y AS HUGEINT)) AS DOUBLE)
+                     / CAST(COUNT(*) * SUM(CAST(x AS HUGEINT)
+                                           * CAST(x AS HUGEINT))
+                            - SUM(CAST(x AS HUGEINT))
+                              * SUM(CAST(x AS HUGEINT)) AS DOUBLE)
+                     * 1000000, 6) AS slope_per_cent_ppm
+        FROM pts GROUP BY brand
+    """,
+    doc="Quantity-vs-price least-squares slope per brand (price "
+    "elasticity proxy): the regression is computed from EXACT decimal "
+    "sums of integer cents and quantities — n*Sxy - Sx*Sy over "
+    "n*Sxx - Sx^2 — with one final double division, so parallel partial "
+    "aggregation cannot perturb the result (regr_slope's internal "
+    "double accumulation would). Scale: one join (part broadcasts) + "
+    "one aggregation; the sums are mergeable sketch-like state.",
+    tags=("orders", "regression", "analytics"),
+)
+def q_part_price_elasticity(spark: SparkSession, sf: str) -> DataFrame:
+    t = tables(spark, sf)
+    pts = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("x"),
+            F.col("l_quantity").cast("bigint").alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    n = F.count(F.lit(1))
+    num = (n * F.sum(xd * yd) - F.sum(xd) * F.sum(yd)).cast("double")
+    den = (n * F.sum(xd * xd) - F.sum(xd) * F.sum(xd)).cast("double")
+    return pts.groupBy("brand").agg(
+        n.cast("bigint").alias("n"),
+        F.round(num / den * 1000000, 6).alias("slope_per_cent_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak detection (integer algebra, no sqrt)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_peak_detect",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, day
+        ), stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS sx,
+                   CAST(SUM(c * c) AS BIGINT) AS sxx
+            FROM daily GROUP BY event_type
+        )
+        SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.c
+        FROM daily d JOIN stats s ON d.event_type = s.event_type
+        WHERE s.n > 1 AND d.c * s.n > s.sx
+          AND (d.c * s.n - s.sx) * (d.c * s.n - s.sx) * (s.n - 1)
+              > 4 * s.n * (s.n * s.sxx - s.sx * s.sx)
+        ORDER BY d.event_type, day
+    """,
+    doc="Daily-count anomaly peaks per event type: a day is a peak when "
+    "count > mean + 2*stddev, tested in PURE INTEGER algebra — "
+    "(c*n - Sx)^2 * (n-1) > 4n(n*Sxx - Sx^2) is the squared form of the "
+    "z-score test, so no engine sqrt/double enters the comparison and "
+    "the flag set is bit-deterministic. Scale: daily counts partial-"
+    "aggregate map-side; stats is a per-type 3-scalar table joined "
+    "back broadcast.",
+    tags=("events", "anomaly", "analytics"),
+)
+def q_event_peak_detect(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+    )
+    d = daily.join(F.broadcast(stats), "event_type")
+    lhs = F.col("c") * F.col("n") - F.col("sx")
+    return (
+        d.filter(
+            (F.col("n") > 1)
+            & (F.col("c") * F.col("n") > F.col("sx"))
+            & (
+                lhs * lhs * (F.col("n") - 1)
+                > 4
+                * F.col("n")
+                * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            )
+        )
+        .select(
+            "event_type", F.col("day").cast("string").alias("day"), "c"
+        )
+        .orderBy("event_type", "day")
+    )

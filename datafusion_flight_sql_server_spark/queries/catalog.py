@@ -46,6 +46,11 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
     """Register a query implementation under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # a silent overwrite would REPLACE an already-driver-verified
+            # operator with an unchecked twin (nearly happened round 5:
+            # a new event_funnel shadowed the round-2 green one)
+            raise ValueError(f"query {name!r} is already registered")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
         return fn
 
