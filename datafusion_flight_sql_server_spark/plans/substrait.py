@@ -873,16 +873,10 @@ def _aggregate_rel(body: bytes, funcs: dict[int, str]) -> _State:
             "supported"
         )
 
-    groupings = f.get(3, [])
-    if len(groupings) > 1:
-        raise SubstraitUnsupported(
-            "Substrait consumer: multiple groupings (GROUPING SETS) are not "
-            "supported"
-        )
     rel_group_exprs = [v for _, v in f.get(5, [])]
-    group_cols: list[str] = []
-    if groupings:
-        gf = _fields(groupings[0][1])
+
+    def grouping_indexes(g: bytes) -> list[int]:
+        gf = _fields(g)
         direct = [v for _, v in gf.get(1, [])]  # deprecated inline exprs
         refs = _packed_ints(gf, 2)  # references into rel_group_exprs
         if direct and refs:
@@ -898,9 +892,49 @@ def _aggregate_rel(body: bytes, funcs: dict[int, str]) -> _State:
                     f"grouping expression reference out of range "
                     f"({len(rel_group_exprs)} declared)"
                 ) from exc
-        group_cols = [
-            _col_at(state.cols, _field_ref_index(e)) for e in exprs
-        ]
+        return [_field_ref_index(e) for e in exprs]
+
+    groupings = [grouping_indexes(g) for _, g in f.get(3, [])]
+    # union of grouping columns in first-appearance order — the output
+    # schema the spec prescribes for multi-set aggregates
+    union_idx: list[int] = []
+    for g in groupings:
+        for i in g:
+            if i not in union_idx:
+                union_idx.append(i)
+    group_cols = [_col_at(state.cols, i) for i in union_idx]
+    grouping_sets_sql: str | None = None
+    set_id_sql: str | None = None
+    if len(groupings) > 1:
+        # GROUPING SETS: Spark's grouping_id(c1..ck) sets bit (k-1-i) when
+        # column i is AGGREGATED (not in the row's set); each declared set
+        # maps to a distinct mask, decoded back to the spec's appended
+        # grouping-set index column
+        k = len(union_idx)
+        masks = []
+        for g in groupings:
+            mask = 0
+            for pos, i in enumerate(union_idx):
+                if i not in g:
+                    mask |= 1 << (k - 1 - pos)
+            masks.append(mask)
+        if len(set(masks)) != len(masks):
+            raise SubstraitUnsupported(
+                "Substrait consumer: duplicate grouping sets are not "
+                "supported (grouping_id cannot distinguish them)"
+            )
+        sets_sql = ", ".join(
+            "(" + ", ".join(_quote(_col_at(state.cols, i)) for i in g) + ")"
+            for g in groupings
+        )
+        grouping_sets_sql = f"GROUPING SETS ({sets_sql})"
+        gid_args = ", ".join(_quote(c) for c in group_cols)
+        branches = " ".join(
+            f"WHEN {mask} THEN {idx}" for idx, mask in enumerate(masks)
+        )
+        set_id_sql = (
+            f"(CASE GROUPING_ID({gid_args}) {branches} END)"
+        )
 
     measures: list[tuple[str, str]] = []  # (sql, alias)
     for i, (_, m) in enumerate(f.get(4, [])):
@@ -976,9 +1010,14 @@ def _aggregate_rel(body: bytes, funcs: dict[int, str]) -> _State:
     if not group_cols and not measures:
         raise SubstraitMalformed("AggregateRel with no groupings or measures")
 
-    # output schema = group columns ++ measures (spec order); dedup aliases
+    # output schema = group columns ++ measures (spec order); with multiple
+    # grouping sets, the spec appends a grouping-set index column
     exprs_out = [_quote(c) for c in group_cols] + [m[0] for m in measures]
-    aliases = _dedup_aliases(list(group_cols) + [m[1] for m in measures])
+    names_out = list(group_cols) + [m[1] for m in measures]
+    if set_id_sql is not None:
+        exprs_out.append(set_id_sql)
+        names_out.append("grouping_set_id")
+    aliases = _dedup_aliases(names_out)
 
     emit = _emit_mapping(_one(f, 1))
     if emit is not None:
@@ -990,7 +1029,10 @@ def _aggregate_rel(body: bytes, funcs: dict[int, str]) -> _State:
                 f"emit mapping {emit} out of range for {len(aliases)} columns"
             ) from exc
 
-    state.group = [_quote(c) for c in group_cols]
+    if grouping_sets_sql is not None:
+        state.group = [grouping_sets_sql]
+    else:
+        state.group = [_quote(c) for c in group_cols]
     state.select_exprs = exprs_out
     state.cols = aliases
     return state
@@ -1179,17 +1221,41 @@ def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
     """
     f = _fields(body)
     inputs = [v for _, v in f.get(2, [])]
-    if len(inputs) != 2:
-        raise SubstraitUnsupported(
-            f"Substrait consumer: SetRel with {len(inputs)} inputs is not "
-            f"supported (exactly 2)"
-        )
     opno = int(_one(f, 3) or 0)
     op = _SET_OPS.get(opno)
     presence = _SET_PRESENCE.get(opno)
     if op is None and presence is None:
         raise SubstraitUnsupported(
             f"Substrait consumer: set operation {opno} is not supported"
+        )
+    if len(inputs) > 2 and opno in (5, 6):
+        # UNION [ALL] is pairwise-associative, so the multi-input form
+        # folds to a chain; the primary/multiset minus/intersect ops have
+        # counting semantics SQL cannot express pairwise and stay 2-input.
+        states = [_interpret_rel(i, funcs) for i in inputs]
+        widths = {len(s.cols) for s in states}
+        if len(widths) != 1:
+            raise SubstraitMalformed(
+                f"SetRel inputs have differing column counts {sorted(widths)}"
+            )
+        sql = f" {op} ".join(f"({_render_sql(s, [])})" for s in states)
+        out_names = list(states[0].cols)
+        emit = _emit_mapping(_one(f, 1))
+        state = _subquery_state(sql, out_names, "s")
+        if emit is not None:
+            try:
+                state.cols = [out_names[i] for i in emit]
+            except IndexError as exc:
+                raise SubstraitMalformed(
+                    f"emit mapping {emit} out of range for {len(out_names)} "
+                    f"columns"
+                ) from exc
+        return state
+    if len(inputs) != 2:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: SetRel with {len(inputs)} inputs is not "
+            f"supported for this operation (exactly 2; multi-input is "
+            f"consumed for UNION/UNION ALL only)"
         )
     ls = _interpret_rel(inputs[0], funcs)
     rs = _interpret_rel(inputs[1], funcs)

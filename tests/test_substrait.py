@@ -571,7 +571,10 @@ class TestAggregateTranslate:
         with pytest.raises(SubstraitUnsupported, match="approx_quantile"):
             substrait_to_sql(p)
 
-    def test_grouping_sets_rejected(self):
+    def test_grouping_sets_translate(self):
+        # two sets {cust} and {amount}: union schema (cust, amount), the
+        # appended grouping_set_id decodes GROUPING_ID masks back to the
+        # spec's set indexes (round 5 — previously rejected)
         body = _len_field(2, ORDERS_READ)
         for gi in (0, 1):
             body += _len_field(3, _len_field(1, field_ref(gi)))
@@ -579,7 +582,22 @@ class TestAggregateTranslate:
         p = plan_bytes(
             rel(4, body), extensions=extension_function(1, "sum:fp64")
         )
-        with pytest.raises(SubstraitUnsupported, match="GROUPING SETS"):
+        sql = substrait_to_sql(p)
+        assert "GROUP BY GROUPING SETS ((`cust`), (`amount`))" in sql
+        assert (
+            "(CASE GROUPING_ID(`cust`, `amount`) WHEN 1 THEN 0 "
+            "WHEN 2 THEN 1 END) AS `grouping_set_id`" in sql
+        )
+
+    def test_duplicate_grouping_sets_rejected(self):
+        body = _len_field(2, ORDERS_READ)
+        for _ in range(2):  # the SAME set twice — masks collide
+            body += _len_field(3, _len_field(1, field_ref(0)))
+        body += _len_field(4, measure(agg_function(1, [1])))
+        p = plan_bytes(
+            rel(4, body), extensions=extension_function(1, "sum:fp64")
+        )
+        with pytest.raises(SubstraitUnsupported, match="duplicate grouping"):
             substrait_to_sql(p)
 
     def test_partial_phase_rejected(self):
@@ -1478,5 +1496,65 @@ class TestWindowSubqueryOverWire:
                 info.endpoints[0].ticket, ex._options
             ).read_all()
             assert table.num_rows == 0
+        finally:
+            ex.close()
+
+
+class TestGroupingSetsAndMultiUnion:
+    def test_multi_input_union_all_translate(self):
+        p = plan_bytes(rel(8, set_rel([USERS_READ, USERS_READ, USERS_READ], 6)))
+        sql = substrait_to_sql(p)
+        assert sql.count("UNION ALL") == 2
+
+    def test_multi_input_minus_still_rejected(self):
+        p = plan_bytes(rel(8, set_rel([USERS_READ, USERS_READ, USERS_READ], 1)))
+        with pytest.raises(SubstraitUnsupported, match="3 inputs"):
+            substrait_to_sql(p)
+
+    def test_grouping_sets_round_trip(self, substrait_server):
+        # users grouped by GROUPING SETS ((name), ()): 3 per-name rows with
+        # set id 0 plus one grand-total row with set id 1
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            users = rel(1, read_rel(["users"], ["id", "name"]))
+            body = _len_field(2, users)
+            body += _len_field(3, _len_field(1, field_ref(1)))  # {name}
+            body += _len_field(3, b"")  # {} — grand total
+            body += _len_field(4, measure(agg_function(1, [])))  # count(*)
+            p = plan_bytes(
+                rel(4, body),
+                ["name", "n", "set_id"],
+                extensions=extension_function(1, "count:"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            got = sorted(
+                zip(
+                    (v or "" for v in table.column("name").to_pylist()),
+                    table.column("n").to_pylist(),
+                    table.column("set_id").to_pylist(),
+                )
+            )
+            assert got == [
+                ("", 3, 1),
+                ("Alice", 1, 0),
+                ("Bob", 1, 0),
+                ("Charlie", 1, 0),
+            ]
+        finally:
+            ex.close()
+
+    def test_three_way_union_round_trip(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            users = rel(1, read_rel(["users"], ["id", "name"]))
+            p = plan_bytes(rel(8, set_rel([users, users, users], 6)))
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert table.num_rows == 9
         finally:
             ex.close()
