@@ -174,6 +174,12 @@ def q_text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "keywords", "analytics"),
 )
 def q_text_keyword_extract(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from datafusion_flight_sql_server_spark.queries.catalog import (
+        register_query_cleanup,
+    )
+
     d = tables(spark, sf)["documents"]
     tf = (
         d.select(
@@ -185,6 +191,10 @@ def q_text_keyword_extract(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+    # tf feeds BOTH the df aggregation and the scored join; Catalyst's
+    # column pruning defeats exchange reuse here (the bigram_lm lesson),
+    # so without the persist the corpus would tokenize twice
+    tf = register_query_cleanup(tf.persist(StorageLevel.MEMORY_AND_DISK))
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     nd = d.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
     scored = (

@@ -451,3 +451,54 @@ class TestMiningPlanShapes:
         plan = _executed_plan(_run(spark, "dedup_containment"))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound5PlanShapes:
+    """Plans for the round-5 registrations: the properties that decide
+    whether each survives a 1000-executor scale-up."""
+
+    def test_zipf_uses_distributed_topk(self, spark):
+        # the 1000-token head must be TakeOrderedAndProject (per-partition
+        # heaps), never a global Sort of the whole vocabulary feeding the
+        # ranking window
+        plan = _executed_plan(_run(spark, "text_zipf_fit"))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_keyword_extract_single_explode(self, spark):
+        # one tokenization pass: tf feeds both the df aggregation and the
+        # scored join through a persisted intermediate (InMemoryTableScan
+        # in the plan) — without it Catalyst re-derives the explode and the
+        # corpus tokenizes twice (column pruning defeats exchange reuse)
+        from datafusion_flight_sql_server_spark.queries.catalog import (
+            run_query_cleanups,
+        )
+
+        try:
+            plan = _executed_plan(_run(spark, "text_keyword_extract"))
+            assert "InMemoryTableScan" in plan
+        finally:
+            run_query_cleanups()
+
+    def test_elasticity_broadcasts_part(self, spark):
+        plan = _executed_plan(_run(spark, "part_price_elasticity"))
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_peak_detect_broadcasts_stats(self, spark):
+        # the per-type 3-scalar stats table joins back broadcast; the only
+        # data-sized exchange is the daily-count aggregation
+        plan = _executed_plan(_run(spark, "event_peak_detect"))
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_funnel_and_cohorts_no_cartesian(self, spark):
+        for name in ("orders_cohort_ltv", "window_percent_change"):
+            plan = _executed_plan(_run(spark, name))
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+    def test_balanced_sample_rank_pushdown(self, spark):
+        # rk <= 20 must prune inside the window exec (WindowGroupLimit),
+        # not after materializing every row's rank
+        plan = _executed_plan(_run(spark, "doc_balanced_sample"))
+        assert "WindowGroupLimit" in plan
