@@ -68,6 +68,10 @@ HEADLINE = (
     # both ahead of the oracle — see BASELINE.md round-4-late section
     "dedup_ngram_jaccard",
     "dedup_near_clusters",
+    # round-5: star-contraction components over the same pair list
+    # (DuckDB recursive-CTE baseline 7.7 s at sf0.1; the O(log n)-round
+    # algorithm for adversarial diameters — see BASELINE.md round-5)
+    "graph_components_star",
 )
 
 WARMUP_RUNS = 1

@@ -52,6 +52,7 @@ _PRIORITY = (
     "doc_balanced_sample",
     "part_price_elasticity",
     "event_peak_detect",
+    "embed_pca_power",
     # tier 3: rotation of r1/r2-green rows as regression insurance
     # (trimmed so the prefix is exactly 50 once tier 2 is final).
     "tpch_q1_pricing_summary",
