@@ -739,6 +739,7 @@ _REL_ARMS = {
     10: "extension_multi",
     11: "extension_leaf",
     12: "cross",
+    17: "window",  # ConsistentPartitionWindowRel
 }
 
 #: sort direction enum → SQL (algebra.proto SortField.SortDirection)
@@ -1301,6 +1302,79 @@ def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
     return state
 
 
+def _window_rel(body: bytes, funcs: dict[int, str]) -> _State:
+    """ConsistentPartitionWindowRel → derived-table state.
+
+    algebra.proto field numbers: common=1, input=2, window_functions=3,
+    partition_expressions=4, sorts=5. Each WindowRelFunction carries the
+    same fields as Expression.WindowFunction (function_reference=1,
+    upper=4, lower=5, phase=6, arguments=9, invocation=10, bounds_type=12)
+    MINUS the per-expression partitions/sorts — those are rel-level and
+    shared by every function (the "consistent partition" contract).
+    Output schema = input columns ++ one column per window function.
+    """
+    f = _fields(body)
+    inp = _one(f, 2)
+    if inp is None:
+        raise SubstraitMalformed("ConsistentPartitionWindowRel without input")
+    state = _interpret_rel(inp, funcs)
+    if state.select_exprs is not None or state.order or state.limit is not None:
+        # clause-bearing input: wrap it so the window computes over the
+        # finished result
+        state = _subquery_state(_render_sql(state, []), state.cols, "w")
+    cols = state.cols
+    if not cols:
+        raise SubstraitUnsupported(
+            "Substrait consumer: ConsistentPartitionWindowRel requires a "
+            "declared input schema"
+        )
+    parts = [_expr_to_sql(v, cols, funcs, False) for _, v in f.get(4, [])]
+    orders = [_sort_field_to_sql(v, cols, funcs, False) for _, v in f.get(5, [])]
+    over_base: list[str] = []
+    if parts:
+        over_base.append("PARTITION BY " + ", ".join(parts))
+    if orders:
+        over_base.append("ORDER BY " + ", ".join(orders))
+
+    fn_exprs: list[str] = []
+    for _, wf in f.get(3, []):  # WindowRelFunction
+        # Re-encode as an Expression.WindowFunction body: the shared
+        # rel-level partitions/sorts are absent (fields 2/3 unused by
+        # WindowRelFunction), so the frame/args/invocation decoding is
+        # identical — render the call and attach the shared OVER clause.
+        call = _window_fn_to_sql(wf, cols, funcs, False)
+        # _window_fn_to_sql rendered "FN(...) OVER (<frame-only>)"; merge
+        # the rel-level partition/order in front of any frame clause
+        head, over = call.rsplit(" OVER (", 1)
+        frame = over[:-1]
+        merged = " ".join(over_base + ([frame] if frame else []))
+        fn_exprs.append(f"{head} OVER ({merged})")
+
+    if not fn_exprs:
+        raise SubstraitMalformed(
+            "ConsistentPartitionWindowRel without window functions"
+        )
+    exprs = [_quote(c) for c in cols] + fn_exprs
+    names = list(cols) + [f"window{i}" for i in range(len(fn_exprs))]
+    emit = _emit_mapping(_one(f, 1))
+    if emit is not None:
+        try:
+            exprs = [exprs[i] for i in emit]
+            names = [names[i] for i in emit]
+        except IndexError as exc:
+            raise SubstraitMalformed(
+                f"emit mapping {emit} out of range for {len(names)} columns"
+            ) from exc
+    names = _dedup_aliases(names)
+    select = ", ".join(
+        f"{e} AS {_quote(a)}" for e, a in zip(exprs, names)
+    )
+    sql = f"SELECT {select} FROM {state.table}"
+    if state.where:
+        sql += " WHERE " + " AND ".join(state.where)
+    return _subquery_state(sql, names, "w")
+
+
 def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
     """Rel → accumulated clause state."""
     f = _fields(rel)
@@ -1329,6 +1403,9 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
 
     if kind == "set":
         return _set_rel(body, funcs)
+
+    if kind == "window":
+        return _window_rel(body, funcs)
 
     if kind == "project":
         pf = _fields(body)

@@ -1558,3 +1558,114 @@ class TestGroupingSetsAndMultiUnion:
             assert table.num_rows == 9
         finally:
             ex.close()
+
+
+# -- ConsistentPartitionWindowRel (rel arm 17) -------------------------------
+
+
+def window_rel_fn(anchor: int, args: tuple = (), bounds: tuple | None = None) -> bytes:
+    """WindowRelFunction body: WindowFunction fields minus partitions/sorts."""
+    body = _varint_field(1, anchor)
+    if bounds is not None:
+        bounds_type, lower, upper = bounds
+        if bounds_type:
+            body += _varint_field(12, bounds_type)
+        if upper is not None:
+            body += _len_field(4, upper)
+        if lower is not None:
+            body += _len_field(5, lower)
+    for a in args:
+        body += _len_field(9, _len_field(3, a))
+    return body
+
+
+def window_rel(
+    input_rel: bytes,
+    fns: list[bytes],
+    partitions: tuple = (),
+    sorts: tuple = (),
+    emit: list[int] | None = None,
+) -> bytes:
+    """ConsistentPartitionWindowRel: common=1, input=2, window_functions=3,
+    partition_expressions=4, sorts=5."""
+    body = _len_field(2, input_rel)
+    for fn in fns:
+        body += _len_field(3, fn)
+    for p_expr in partitions:
+        body += _len_field(4, p_expr)
+    for col_idx, direction in sorts:
+        sf = _len_field(1, field_ref(col_idx)) + _varint_field(2, direction)
+        body += _len_field(5, sf)
+    if emit is not None:
+        emit_msg = b"".join(_varint_field(1, i) for i in emit)
+        body = _len_field(1, _len_field(2, emit_msg)) + body
+    return body
+
+
+class TestConsistentPartitionWindowRel:
+    def test_translate_shared_partition_order(self):
+        p = plan_bytes(
+            rel(17, window_rel(
+                USERS_READ,
+                [window_rel_fn(1)],
+                partitions=(field_ref(1),),
+                sorts=((0, 2),),
+            )),
+            extensions=extension_function(1, "row_number:"),
+        )
+        sql = substrait_to_sql(p)
+        assert (
+            "ROW_NUMBER() OVER (PARTITION BY `name` "
+            "ORDER BY `id` ASC NULLS LAST) AS `window0`" in sql
+        )
+        assert sql.startswith("SELECT `id`, `name`, `window0` FROM (")
+
+    def test_translate_frame_merges_after_order(self):
+        p = plan_bytes(
+            rel(17, window_rel(
+                USERS_READ,
+                [window_rel_fn(
+                    1, args=(field_ref(0),),
+                    bounds=(1, BOUND_UNBOUNDED, BOUND_CURRENT),
+                )],
+                sorts=((0, 2),),
+            )),
+            extensions=extension_function(1, "sum:i64"),
+        )
+        sql = substrait_to_sql(p)
+        assert (
+            "SUM(`id`) OVER (ORDER BY `id` ASC NULLS LAST ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS `window0`" in sql
+        )
+
+    def test_round_trip_rank_per_partition(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            orders = rel(
+                1, read_rel(["orders"], ["order_id", "user_id", "amount"])
+            )
+            w = rel(17, window_rel(
+                orders,
+                [window_rel_fn(1)],
+                partitions=(field_ref(1),),
+                sorts=((2, 4),),  # amount DESC NULLS LAST
+                emit=[0, 1, 3],
+            ))
+            p = plan_bytes(
+                w, ["order_id", "user_id", "rk"],
+                extensions=extension_function(1, "row_number:"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            got = sorted(
+                zip(
+                    table.column("order_id").to_pylist(),
+                    table.column("rk").to_pylist(),
+                )
+            )
+            # user 1 has orders 100 (50) and 102 (100): 102 ranks first
+            assert got == [(100, 2), (101, 1), (102, 1), (103, 1)]
+        finally:
+            ex.close()
