@@ -470,8 +470,14 @@ def q_event_peak_detect(spark: SparkSession, sf: str) -> DataFrame:
                    AS dir_ppm
         FROM v2 ORDER BY i
     """,
-    doc="Top principal direction of the embedding Gram matrix via TWO "
-    "power-iteration steps, entirely in exact integer arithmetic: "
+    doc="Two power-iteration steps on the embedding Gram matrix (the "
+    "normalized direction of G·(G·1)), entirely in exact integer "
+    "arithmetic. The iteration's fixed point is the dominant "
+    "eigenvector; convergence per step depends on the spectral gap — "
+    "the near-isotropic test fixture needs many steps (callers add "
+    "rounds; each is one 4096-row join), while real embedding corpora "
+    "with a dominant direction converge in a few. What ships here is "
+    "the distributed machinery those rounds repeat: "
     "components floor-quantized to micros, the 64x64 Gram accumulated as "
     "per-partition numpy int64 outer products inside mapInArrow (the ONLY "
     "data-sized pass — 4096 longs of mergeable state per partition, the "
