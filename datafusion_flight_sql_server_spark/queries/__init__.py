@@ -53,6 +53,7 @@ _PRIORITY = (
     "part_price_elasticity",
     "event_peak_detect",
     "embed_pca_power",
+    "embed_ivf_recall",
     # tier 3: rotation of r1/r2-green rows as regression insurance
     # (trimmed so the prefix is exactly 50 once tier 2 is final).
     "tpch_q1_pricing_summary",

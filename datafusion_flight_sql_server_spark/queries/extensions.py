@@ -265,6 +265,75 @@ def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivf_recall_oracle(k: int = 5) -> str:
+    """Recall@k of the trained-IVF path vs brute force: both unrolled
+    pipelines as CTE blocks, joined on (query, neighbor)."""
+    bf = f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings),
+             p AS (SELECT query_id, neighbor_id,
+                          {_COS.format(a="qv", b="cv")} AS sim
+                   FROM q JOIN c ON neighbor_id <> query_id),
+             r AS (SELECT query_id, neighbor_id,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rnk
+                   FROM p)
+        SELECT query_id, neighbor_id FROM r WHERE rnk <= {k}
+    """
+    return f"""
+        WITH bf AS ({bf}),
+             ivf AS ({_ivf_oracle(k=k)}),
+             hits AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS h
+                      FROM bf b JOIN ivf i
+                        ON b.query_id = i.query_id
+                       AND b.neighbor_id = i.neighbor_id
+                      GROUP BY b.query_id),
+             qs AS (SELECT DISTINCT query_id FROM bf)
+        SELECT qs.query_id,
+               CAST(COALESCE(h, 0) AS BIGINT) AS hits,
+               CAST(COALESCE(h, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm
+        FROM qs LEFT JOIN hits ON qs.query_id = hits.query_id
+    """
+
+
+@query(
+    "embed_ivf_recall",
+    oracle=_ivf_recall_oracle(),
+    doc="ANN evaluation loop: recall@5 of the trained-IVF path against "
+    "the exact brute-force top-5, per query, in exact ppm — the number "
+    "an ANN deployment monitors when tuning n_probe/n_cells. Both sides "
+    "are the existing bit-deterministic pipelines (micro-quantized "
+    "trained centroids; round-6 similarities with id tie-breaks), so the "
+    "intersection — and therefore the recall — is itself deterministic "
+    "and hash-checkable. Scale: the brute-force side is the 8-query "
+    "broadcast matmul (an evaluation SAMPLE, not the corpus pairwise); "
+    "the join is k-rows-per-query tiny.",
+    tags=("similarity", "evaluation"),
+)
+def q_embed_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["embeddings"]
+    queries_df = e.filter(F.col("vec_id") < 8)
+    bf = brute_force_topk(e, queries_df, k=5).select("query_id", "neighbor_id")
+    ivf = ivf_topk(
+        e, queries_df, k=5, train_iters=IVF_TRAIN_ITERS, dim=64
+    ).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    qs = bf.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+        F.expr("CAST(COALESCE(hits, 0) * 1000000 DIV 5 AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
 _D2U = (
     "CAST(FLOOR((list_dot_product({a},{a}) - 2*list_dot_product({a},{b}) "
     "+ list_dot_product({b},{b})) * 1000000.0 + 0.5) AS BIGINT)"
