@@ -200,6 +200,12 @@ def _infer_types_from_plan(
     Analysis failure (e.g. a placeholder where a literal is required, such
     as LIMIT) falls back to the string default.
     """
+    # Probe ONLY query statements: spark.sql() executes command plans
+    # (INSERT/CTAS/...) EAGERLY, so probing a DML statement would write
+    # marker rows into the user's table during schema inference.
+    head = re.sub(r"^\s*(--[^\n]*\n\s*)*", "", sql).lstrip("(").lstrip()
+    if not re.match(r"(?i)(SELECT|WITH|VALUES|TABLE)\b", head):
+        return {}
     probe = sql
     for name in sorted(names, key=len, reverse=True):  # $10 before $1
         probe = re.sub(

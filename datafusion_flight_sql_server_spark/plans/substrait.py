@@ -314,13 +314,20 @@ def _col_at(cols: list[str], i: int) -> str:
 
 
 def _expr_to_sql(
-    expr: bytes, cols: list[str], funcs: dict[int, str], rendered: bool = False
+    expr: bytes,
+    cols: list[str],
+    funcs: dict[int, str],
+    rendered: bool = False,
+    allow_window: bool = False,
 ) -> str:
     """Filter-subset Expression → SQL text (field refs, literals,
     comparison/boolean scalar functions). With ``rendered=True`` the
     ``cols`` entries are already SQL text (aggregate output expressions for
     a HAVING condition) and field references substitute them verbatim
-    instead of quoting them as identifiers."""
+    instead of quoting them as identifiers. ``allow_window`` is True only
+    in projection contexts — a window function in a WHERE/HAVING/join
+    condition would render SQL Spark rejects at analysis, so it is
+    refused here with the module's NOT_IMPLEMENTED contract instead."""
     f = _fields(expr)
     if 2 in f:  # selection
         col = _col_at(cols, _field_ref_index(expr))
@@ -328,12 +335,18 @@ def _expr_to_sql(
     if 1 in f:  # literal
         return _literal_to_sql(_one(f, 1))
     if 3 in f:  # scalar_function
-        return _scalar_fn_to_sql(_one(f, 3), cols, funcs, rendered)
+        return _scalar_fn_to_sql(_one(f, 3), cols, funcs, rendered, allow_window)
     if 11 in f:  # cast
-        return _cast_to_sql(_one(f, 11), cols, funcs, rendered)
+        return _cast_to_sql(_one(f, 11), cols, funcs, rendered, allow_window)
     if 6 in f:  # if_then
-        return _if_then_to_sql(_one(f, 6), cols, funcs, rendered)
+        return _if_then_to_sql(_one(f, 6), cols, funcs, rendered, allow_window)
     if 5 in f:  # window_function
+        if not allow_window:
+            raise SubstraitUnsupported(
+                "Substrait consumer: window functions are only supported in "
+                "projection output expressions, not in filter/join/sort "
+                "conditions"
+            )
         return _window_fn_to_sql(_one(f, 5), cols, funcs, rendered)
     if 12 in f:  # subquery
         return _subquery_to_sql(_one(f, 12), cols, funcs, rendered)
@@ -365,7 +378,11 @@ _CAST_TYPES = {
 
 
 def _if_then_to_sql(
-    body: bytes, cols: list[str], funcs: dict[int, str], rendered: bool
+    body: bytes,
+    cols: list[str],
+    funcs: dict[int, str],
+    rendered: bool,
+    allow_window: bool = False,
 ) -> str:
     """Expression.IfThen (ifs=1 repeated IfClause{if=1, then=2}, else=2)
     → ``CASE WHEN … THEN … [WHEN …] ELSE … END``."""
@@ -380,18 +397,24 @@ def _if_then_to_sql(
         if cond is None or then is None:
             raise SubstraitMalformed("if clause missing condition or value")
         parts.append(
-            f"WHEN {_expr_to_sql(cond, cols, funcs, rendered)} "
-            f"THEN {_expr_to_sql(then, cols, funcs, rendered)}"
+            f"WHEN {_expr_to_sql(cond, cols, funcs, rendered, allow_window)} "
+            f"THEN {_expr_to_sql(then, cols, funcs, rendered, allow_window)}"
         )
     els = _one(f, 2)
     if els is None:
         raise SubstraitMalformed("if_then without else (required by spec)")
-    parts.append(f"ELSE {_expr_to_sql(els, cols, funcs, rendered)} END")
+    parts.append(
+        f"ELSE {_expr_to_sql(els, cols, funcs, rendered, allow_window)} END"
+    )
     return "(" + " ".join(parts) + ")"
 
 
 def _cast_to_sql(
-    body: bytes, cols: list[str], funcs: dict[int, str], rendered: bool
+    body: bytes,
+    cols: list[str],
+    funcs: dict[int, str],
+    rendered: bool,
+    allow_window: bool = False,
 ) -> str:
     """Expression.Cast (type=1, input=2, failure_behavior=3) → CAST/TRY_CAST.
 
@@ -431,11 +454,18 @@ def _cast_to_sql(
             )
     behavior = int(_one(f, 3) or 0)
     fn = "CAST" if behavior == 2 else "TRY_CAST"
-    return f"{fn}({_expr_to_sql(inp, cols, funcs, rendered)} AS {sql_type})"
+    return (
+        f"{fn}({_expr_to_sql(inp, cols, funcs, rendered, allow_window)} "
+        f"AS {sql_type})"
+    )
 
 
 def _scalar_fn_to_sql(
-    body: bytes, cols: list[str], funcs: dict[int, str], rendered: bool = False
+    body: bytes,
+    cols: list[str],
+    funcs: dict[int, str],
+    rendered: bool = False,
+    allow_window: bool = False,
 ) -> str:
     f = _fields(body)
     anchor = int(_one(f, 1) or 0)
@@ -461,7 +491,7 @@ def _scalar_fn_to_sql(
         args = [v for _, v in f.get(2, [])]
 
     def a(i: int) -> str:
-        return _expr_to_sql(args[i], cols, funcs, rendered)
+        return _expr_to_sql(args[i], cols, funcs, rendered, allow_window)
 
     if name in ("and", "or"):
         if len(args) < 2:
@@ -477,8 +507,10 @@ def _scalar_fn_to_sql(
             raise SubstraitMalformed(f"divide with {len(args)} arguments")
         # Substrait divide(iN, iN) is INTEGER division; Spark's `/` always
         # returns DOUBLE. The plan's declared output_type (ScalarFunction
-        # field 5) decides which SQL operator preserves the semantics.
-        if _type_is_integral(_one(f, 5)):
+        # field 3 — NOT 5, which is options; AggregateFunction is the one
+        # with output_type=5) decides which SQL operator preserves the
+        # semantics.
+        if _type_is_integral(_one(f, 3)):
             return f"({a(0)} DIV {a(1)})"
         return f"({a(0)} / {a(1)})"
     if name in _BINARY_OPS:
@@ -664,13 +696,17 @@ def _window_fn_to_sql(
                 "Substrait consumer: window bounds without a bounds_type "
                 "(ROWS/RANGE) are not supported"
             )
+        # spec defaults for unset bounds: lower -> start of partition,
+        # upper -> END of partition (not CURRENT ROW)
         lo = (
             _bound_to_sql(lower, "lower")
             if lower is not None
             else "UNBOUNDED PRECEDING"
         )
         hi = (
-            _bound_to_sql(upper, "upper") if upper is not None else "CURRENT ROW"
+            _bound_to_sql(upper, "upper")
+            if upper is not None
+            else "UNBOUNDED FOLLOWING"
         )
         over.append(f"{frame_kind} BETWEEN {lo} AND {hi}")
     return f"{call} OVER ({' '.join(over)})"
@@ -1448,7 +1484,16 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         # … computed expressions (arithmetic/literals over the expression
         # subset) render into a derived table so relations above compose
         # against plain columns (a FilterRel above stays WHERE, not HAVING).
-        rendered = [_expr_to_sql(e, state.cols, funcs) for e in expr_bytes]
+        # A clause-bearing input (ORDER/LIMIT below this project) is
+        # finished as a derived table FIRST: a window function in the
+        # projection must see the fetched rows, not the pre-limit input
+        # (same reason _window_rel wraps).
+        if state.limit is not None or state.order:
+            state = _subquery_state(_render_sql(state, []), state.cols, "p")
+        rendered = [
+            _expr_to_sql(e, state.cols, funcs, allow_window=True)
+            for e in expr_bytes
+        ]
         combined_exprs = [_quote(c) for c in state.cols] + rendered
         names = list(state.cols) + [
             f"expr{i}" for i in range(len(rendered))

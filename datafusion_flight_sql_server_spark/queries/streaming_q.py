@@ -69,12 +69,19 @@ def _run_stream_once(
         .start()
     )
     try:
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
     finally:
         if q.isActive:  # pragma: no cover - hung stream
             q.stop()
     if q.exception() is not None:  # pragma: no cover - surfaced for driver
         raise q.exception()
+    if not finished:  # pragma: no cover - timed out mid-batch
+        # a stopped-on-timeout stream leaves a PARTIAL memory sink — it
+        # must never flow into the correctness gate as if it were real
+        raise TimeoutError(
+            f"stream {sink_name!r} did not finish within 300 s; partial "
+            f"sink discarded"
+        )
     return spark.table(sink_name)
 
 
@@ -124,16 +131,17 @@ def q_stream_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     e = tables(spark, sf)["events"].select("user_id", "ts", "event_id")
-    # timeout far beyond the run: a ProcessingTimeTimeout firing mid-run
-    # would flush users' final OPEN sessions nondeterministically (it did:
-    # +1 session per user on a slow run) — the deterministic contract is
-    # gap-closed sessions only, which the oracle mirrors
+    # timers OFF: a ProcessingTimeTimeout firing mid-run would flush users'
+    # final OPEN sessions nondeterministically (it did: +1 session per user
+    # on a slow run), and a registered-but-unfired timer makes availableNow
+    # keep scheduling empty micro-batches until it fires. The deterministic
+    # contract is gap-closed sessions only, which the oracle mirrors.
     out = _run_stream_once(
         spark,
         sf,
         e,
         lambda reader: sessionize_stream(
-            reader, gap_seconds=1800, timeout_ms=3_600_000
+            reader, gap_seconds=1800, timeout_ms=None
         ),
         "stream_sessionize_out",
     )

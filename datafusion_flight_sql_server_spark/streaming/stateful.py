@@ -38,15 +38,20 @@ def sessionize_stream(
     events_stream,
     gap_seconds: int = 1800,
     watermark: str = "2 hours",
-    timeout_ms: int = 30_000,
+    timeout_ms: int | None = 30_000,
 ):
     """events stream (ts timestamp, user_id long, ...) → closed sessions.
 
     ``applyInPandasWithState`` keyed by user_id; each invocation folds the
     micro-batch's events for that user into the state and emits every
     session closed by a gap. The processing-time timeout flushes the final
-    open session of an idle user.
+    open session of an idle user. ``timeout_ms=None`` disables the timer
+    entirely (gap-closed sessions only): under ``availableNow`` a
+    registered processing-time timer forces Spark to keep scheduling empty
+    micro-batches until it fires, so a finite-input run that never wants
+    the timer flush must not register one.
     """
+    use_timer = timeout_ms is not None
 
     def fold_sessions(key, pdfs, state: GroupState):
         # Self-contained: stdlib + pandas only (worker-side pickling).
@@ -93,7 +98,8 @@ def sessionize_stream(
                 last_ep = ep
                 n += 1
         state.update((session_id, start_ep, last_ep, n))
-        state.setTimeoutDuration(timeout_ms)
+        if use_timer:
+            state.setTimeoutDuration(timeout_ms)
         if closed["user_id"]:
             yield pd.DataFrame(closed)
 
@@ -105,7 +111,11 @@ def sessionize_stream(
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timer
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

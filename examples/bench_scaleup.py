@@ -39,13 +39,11 @@ WEAK = (
     "text_lm_unigram",
 )
 
-#: per-table replication: facts grow with the multiplier, dims are copied
-FACT_KEYS = {
-    # table -> (columns shifted by i * OFF, OFF source column)
-    "lineitem": (["l_orderkey"], "l_orderkey"),
-    "orders": (["o_orderkey"], "o_orderkey"),
-}
-DOC_KEYS = {"documents": (["doc_id"], "doc_id")}
+#: per-table replication: facts grow with the multiplier, dims are copied.
+#: Fact keys share ONE shift (max o_orderkey + 1) so the orderkey join
+#: stays replica-local; documents shift independently on doc_id.
+FACT_KEYS = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"]}
+DOC_KEYS = {"documents": ["doc_id"]}
 COPY = ("customer", "supplier", "nation", "region", "part", "events", "embeddings")
 
 
@@ -78,15 +76,11 @@ def build_replicas(src: str, dst: str, mult_fact: int, mult_docs: int) -> None:
             writer.write_table(shifted)  # one row group per replica
         writer.close()
 
-    for name, (keys, _) in FACT_KEYS.items():
+    for name, keys in FACT_KEYS.items():
         replicate(name, keys, off_orders, mult_fact)
-    for name, (keys, off_col) in DOC_KEYS.items():
-        import pyarrow.parquet as pq2
-
-        t = pq2.read_table(f"{src}/{name}.parquet")
-        import pyarrow.compute as pc2
-
-        off = pc2.max(t.column(off_col)).as_py() + 1
+    for name, keys in DOC_KEYS.items():
+        t = pq.read_table(f"{src}/{name}.parquet")
+        off = pc.max(t.column(keys[0])).as_py() + 1
         replicate(name, keys, off, mult_docs)
     for name in COPY:
         shutil.copy(f"{src}/{name}.parquet", out / f"{name}.parquet")

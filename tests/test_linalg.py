@@ -34,7 +34,9 @@ def test_matches_local_integer_reference(spark):
         .column("embedding")
         .to_pylist()
     ).astype(np.float64)
-    q = np.floor(emb * 1_000_000).astype(object)  # python ints: no overflow
+    # int64 first, THEN object: floor().astype(object) would box float64
+    # and the "exact" reference would accumulate in floating point
+    q = np.floor(emb * 1_000_000).astype(np.int64).astype(object)
     gram = q.T @ q
     w = gram.sum(axis=1)
     mw = max(abs(int(x)) for x in w)

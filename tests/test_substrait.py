@@ -1178,11 +1178,12 @@ class TestScalarWidening:
 
 
 def typed_scalar_fn(anchor: int, args: list[bytes], output_type_arm: int) -> bytes:
-    """scalar_fn with a declared output_type (ScalarFunction field 5)."""
+    """scalar_fn with a declared output_type (ScalarFunction field 3 —
+    field 5 is options; only AggregateFunction has output_type=5)."""
     body = _varint_field(1, anchor)
+    body += _len_field(3, _len_field(output_type_arm, b""))
     for a in args:
         body += _len_field(4, _len_field(3, a))
-    body += _len_field(5, _len_field(output_type_arm, b""))
     return _len_field(3, body)
 
 
@@ -1669,3 +1670,62 @@ class TestConsistentPartitionWindowRel:
             assert got == [(100, 2), (101, 1), (102, 1), (103, 1)]
         finally:
             ex.close()
+
+
+class TestReviewFixes:
+    def test_window_in_filter_rejected(self):
+        # a window function in WHERE would render SQL Spark rejects at
+        # analysis — refuse with the NOT_IMPLEMENTED contract instead
+        w = window_fn(1, sorts=((0, 2),))
+        cond = scalar_fn(2, [w, literal("i64", 5)])
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, cond)),
+            extensions=extension_function(1, "row_number:")
+            + extension_function(2, "lte:any_any"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="projection"):
+            substrait_to_sql(p)
+
+    def test_window_above_fetch_wraps_input(self):
+        # Project(window) above Fetch(2): the window must see the 2 fetched
+        # rows, so the limited input renders as a derived table first
+        fetched = rel(3, fetch_rel(USERS_READ, 2))
+        w = window_fn(1, sorts=((0, 2),))
+        p = plan_bytes(
+            rel(7, computed_project(fetched, [w], [2])),
+            extensions=extension_function(1, "row_number:"),
+        )
+        sql = substrait_to_sql(p)
+        # the limit is INSIDE the derived table the window selects from,
+        # not a trailing clause applied after the window
+        assert "LIMIT 2) AS" in sql
+        assert not sql.endswith("LIMIT 2")
+
+    def test_unset_upper_bound_defaults_to_partition_end(self):
+        # spec: an unset upper bound is the END of the partition
+        w = window_fn(
+            1,
+            args=(field_ref(0),),
+            sorts=((0, 2),),
+            bounds=(1, BOUND_CURRENT, None),
+        )
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "sum:i64"),
+        )
+        sql = substrait_to_sql(p)
+        assert "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING" in sql
+
+    def test_divide_with_options_not_misread_as_integral(self):
+        # a FunctionOption in field 5 must NOT be parsed as output_type
+        body = _varint_field(1, 1)
+        body += _len_field(4, _len_field(3, field_ref(0)))
+        body += _len_field(4, _len_field(3, literal("fp64", 2.0)))
+        # options (field 5): FunctionOption{name=1, preference=2}
+        body += _len_field(5, _string_field(1, "rounding") + _string_field(2, "TIE_TO_EVEN"))
+        expr = _len_field(3, body)
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [expr], [2])),
+            extensions=extension_function(1, "divide:fp64_fp64"),
+        )
+        assert "(`id` / 2.0)" in substrait_to_sql(p)
