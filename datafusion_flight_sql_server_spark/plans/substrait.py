@@ -1102,6 +1102,18 @@ def _subquery_state(sql: str, cols: list[str], alias: str) -> _State:
     return _State(f"({sql}) AS {_quote(alias)}", cols)
 
 
+def _finished(state: _State, alias: str) -> _State:
+    """Render ``state`` and restart clause accumulation above it.
+
+    The single-SELECT accumulator cannot express a second round of the
+    same clause (LIMIT below WHERE, ORDER below ORDER, LIMIT below
+    LIMIT, anything above an aggregate's select list) — SQL can, via a
+    derived table, so composition points call this instead of rejecting
+    the plan (DataFusion's producer emits Project-above-Aggregate and
+    Sort-above-Fetch routinely)."""
+    return _subquery_state(_render_sql(state, []), state.cols, alias)
+
+
 #: JoinRel.JoinType enum (algebra.proto) → SQL join clause. Output columns
 #: are left++right except for the semi/anti forms (left only).
 _JOIN_TYPES = {
@@ -1450,10 +1462,9 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
             raise SubstraitMalformed("ProjectRel without input")
         state = _interpret_rel(inp, funcs)
         if state.select_exprs is not None:
-            raise SubstraitUnsupported(
-                "Substrait consumer: ProjectRel above AggregateRel is not "
-                "supported (use the aggregate's emit mapping instead)"
-            )
+            # project above an aggregate: finish the aggregate as a
+            # derived table so field refs address its output columns
+            state = _finished(state, "p")
         expr_bytes = [v for _, v in pf.get(3, [])]
         # Direct field references keep the cheap single-SELECT path …
         ref_indexes: list[int] | None = []
@@ -1484,12 +1495,12 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         # … computed expressions (arithmetic/literals over the expression
         # subset) render into a derived table so relations above compose
         # against plain columns (a FilterRel above stays WHERE, not HAVING).
-        # A clause-bearing input (ORDER/LIMIT below this project) is
-        # finished as a derived table FIRST: a window function in the
+        # A clause-bearing input (ORDER/LIMIT/OFFSET below this project)
+        # is finished as a derived table FIRST: a window function in the
         # projection must see the fetched rows, not the pre-limit input
         # (same reason _window_rel wraps).
-        if state.limit is not None or state.order:
-            state = _subquery_state(_render_sql(state, []), state.cols, "p")
+        if state.limit is not None or state.offset is not None or state.order:
+            state = _finished(state, "p")
         rendered = [
             _expr_to_sql(e, state.cols, funcs, allow_window=True)
             for e in expr_bytes
@@ -1518,11 +1529,10 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         if inp is None:
             raise SubstraitMalformed("FilterRel without input")
         state = _interpret_rel(inp, funcs)
-        if state.limit is not None:
-            raise SubstraitUnsupported(
-                "Substrait consumer: FilterRel above FetchRel is not "
-                "supported (filter-after-limit has no single-SELECT form)"
-            )
+        if state.limit is not None or state.offset is not None:
+            # filter-after-limit has no single-SELECT form: finish the
+            # fetched input as a derived table, then WHERE above it
+            state = _finished(state, "f")
         cond = _one(ff, 3)
         if cond is None:
             raise SubstraitMalformed("FilterRel without condition")
@@ -1543,14 +1553,11 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         if inp is None:
             raise SubstraitMalformed("SortRel without input")
         state = _interpret_rel(inp, funcs)
-        if state.limit is not None:
-            raise SubstraitUnsupported(
-                "Substrait consumer: SortRel above FetchRel is not supported"
-            )
-        if state.order:
-            raise SubstraitUnsupported(
-                "Substrait consumer: multiple SortRels are not supported"
-            )
+        if state.limit is not None or state.offset is not None or state.order:
+            # sort above a fetch must order the FETCHED rows (top-k of a
+            # limit, not limit of a top-k); sort above sort replaces the
+            # inner ordering, whose only effect was the fetch it fed
+            state = _finished(state, "s")
         for _, sort_field in sf.get(3, []):
             sff = _fields(sort_field)
             expr = _one(sff, 1)
@@ -1591,10 +1598,9 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
                 "not supported (literal count/offset only)"
             )
         state = _interpret_rel(inp, funcs)
-        if state.limit is not None:
-            raise SubstraitUnsupported(
-                "Substrait consumer: nested FetchRels are not supported"
-            )
+        if state.limit is not None or state.offset is not None:
+            # LIMIT of a LIMIT: finish the inner fetch as a derived table
+            state = _finished(state, "f")
         count = _one(ff, 4)
         if count is None:
             raise SubstraitUnsupported(
@@ -1615,11 +1621,8 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         if offset < 0:
             raise SubstraitMalformed(f"FetchRel offset {offset}")
         if offset:
-            if state.limit is None:
-                raise SubstraitUnsupported(
-                    "Substrait consumer: FetchRel offset without a "
-                    "non-negative count is not supported"
-                )
+            # count = -1 (all records) with an offset renders a standalone
+            # OFFSET clause (valid Spark SQL since 3.4)
             state.offset = offset
         return state
 

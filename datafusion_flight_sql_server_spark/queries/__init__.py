@@ -44,6 +44,8 @@ _PRIORITY = (
     # test_priority_names_all_registered enforces no aspirational names).
     "stream_sessionize_batch",
     "stream_scd2_batch",
+    "stream_dedup_batch",
+    "stream_tumbling_batch",
     "graph_components_star",
     "orders_cohort_ltv",
     "text_zipf_fit",

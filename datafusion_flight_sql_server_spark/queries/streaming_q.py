@@ -30,6 +30,7 @@ watermark, and per-batch cost is O(batch), not O(history).
 from __future__ import annotations
 
 import tempfile
+from datetime import timedelta
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -182,4 +183,122 @@ def q_stream_scd2_batch(spark: SparkSession, sf: str) -> DataFrame:
         F.col("valid_from_us").cast("bigint").alias("valid_from_us"),
         F.col("valid_to_us").cast("bigint").alias("valid_to_us"),
         F.col("version").cast("bigint").alias("version"),
+    )
+
+
+@query(
+    "stream_dedup_batch",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming exact deduplication, driver-verified: Spark's stateful "
+    "dropDuplicates runs over the file-stream source (state = keys seen, "
+    "hash-partitioned by key) and emits each (user_id, event_type) pair "
+    "exactly once, at first arrival; the oracle is batch DISTINCT. The "
+    "row is projected to the key columns first so which physical row "
+    "arrives first cannot leak into the output. At 100 TB the production "
+    "form is dropDuplicatesWithinWatermark (state bounded by event time); "
+    "the state layout and single key-shuffle are identical.",
+    tags=("streaming", "dedup", "stateful"),
+)
+def q_stream_dedup_batch(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"].select("user_id", "event_type")
+    out = _run_stream_once(
+        spark,
+        sf,
+        e,
+        lambda reader: reader.dropDuplicates(["user_id", "event_type"]),
+        "stream_dedup_out",
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"), "event_type"
+    )
+
+
+@query(
+    "stream_tumbling_batch",
+    oracle="""
+        SELECT CAST(epoch_us(date_trunc('day', ts)) // 1000000 AS BIGINT)
+                   AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY 1
+    """,
+    doc="Streaming event-time tumbling window (1 day) with a real "
+    "watermark, driver-verified: the history is staged as file 1 and two "
+    "far-future sentinel ticks as files 2-3 (later mtimes); "
+    "maxFilesPerTrigger=1 forces one micro-batch per file, so by the "
+    "sentinel-2 batch the watermark (advanced past sentinel 1) has "
+    "provably crossed every history day window and append mode has "
+    "emitted each exactly once — deterministic whether or not the engine "
+    "runs a trailing no-data finalize batch. Sentinel windows are "
+    "excluded by an epoch cutoff; the oracle is the batch day-window "
+    "aggregation. This pins Spark's append-mode watermark EVICTION "
+    "semantics, which the update-mode pytest coverage cannot see. Scale: "
+    "state is O(open windows), the aggregation is the same partial-agg + "
+    "one key shuffle as the batch form.",
+    tags=("streaming", "window", "watermark"),
+)
+def q_stream_tumbling_batch(spark: SparkSession, sf: str) -> DataFrame:
+    import time as _time
+
+    e = tables(spark, sf)["events"].select("ts", "value")
+    stage = str(
+        Path(tempfile.gettempdir()) / f"stream_stage_tumbling_{Path(sf).name}"
+    )
+    e.coalesce(1).write.mode("overwrite").parquet(stage)
+    max_ts = e.agg(F.max("ts")).collect()[0][0]  # driver scalar
+    for days in (40, 80):
+        sentinel = spark.createDataFrame(
+            [(max_ts + timedelta(days=days), 0.0)], schema=e.schema
+        )
+        # distinct mtimes: the file source orders batches by mod time
+        _time.sleep(0.1)
+        sentinel.coalesce(1).write.mode("append").parquet(stage)
+    try:
+        spark.catalog.dropTempView("stream_tumbling_out")
+    except Exception:
+        pass
+    agg = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start"))
+            .cast("bigint")
+            .alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+    finally:
+        if q.isActive:  # pragma: no cover - hung stream
+            q.stop()
+    if q.exception() is not None:  # pragma: no cover
+        raise q.exception()
+    if not finished:  # pragma: no cover
+        raise TimeoutError("stream_tumbling_out did not finish within 300 s")
+    # defensive: the sentinel's own window must never appear (it stays
+    # open — no batch 3 advances the watermark past it)
+    cutoff = int(max_ts.timestamp()) + 86400
+    return spark.table("stream_tumbling_out").filter(
+        F.col("window_start") < F.lit(cutoff)
     )

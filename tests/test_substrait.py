@@ -238,15 +238,17 @@ class TestTranslate:
             "ORDER BY `id` DESC NULLS LAST, `name` ASC NULLS FIRST"
         )
 
-    def test_filter_above_fetch_rejected(self):
+    def test_filter_above_fetch_composes(self):
+        # filter-after-limit has no single-SELECT form: the fetched input
+        # finishes as a derived table (semantics in TestClauseComposition)
         cond = scalar_fn(1, [field_ref(0), literal("i64", 5)])
         inner = rel(3, fetch_rel(USERS_READ, 5))
         p = plan_bytes(
             rel(2, filter_rel(inner, cond)),
             extensions=extension_function(1, "gt:any_any"),
         )
-        with pytest.raises(SubstraitUnsupported, match="above FetchRel"):
-            substrait_to_sql(p)
+        sql = substrait_to_sql(p)
+        assert "LIMIT 5) AS" in sql and "WHERE (`id` > 5)" in sql
 
     def test_unknown_function_name_rejected(self):
         cond = scalar_fn(1, [field_ref(0), literal("i64", 5)])
@@ -611,7 +613,9 @@ class TestAggregateTranslate:
         with pytest.raises(SubstraitUnsupported, match="phase"):
             substrait_to_sql(p)
 
-    def test_project_above_aggregate_rejected(self):
+    def test_project_above_aggregate_composes(self):
+        # the aggregate finishes as a derived table; the projection's
+        # field refs address its output columns
         agg = rel(4, aggregate_rel(
             ORDERS_READ, [0], [measure(agg_function(1, [1]))]
         ))
@@ -619,8 +623,8 @@ class TestAggregateTranslate:
             rel(7, project_rel(agg, [0], None)),
             extensions=extension_function(1, "sum:fp64"),
         )
-        with pytest.raises(SubstraitUnsupported, match="ProjectRel above"):
-            substrait_to_sql(p)
+        sql = substrait_to_sql(p)
+        assert "GROUP BY" in sql and ") AS" in sql
 
     def test_empty_aggregate_malformed(self):
         p = plan_bytes(rel(4, _len_field(2, ORDERS_READ)))
@@ -1729,3 +1733,80 @@ class TestReviewFixes:
             extensions=extension_function(1, "divide:fp64_fp64"),
         )
         assert "(`id` / 2.0)" in substrait_to_sql(p)
+
+
+class TestClauseComposition:
+    """Clause pairs the single-SELECT accumulator can't merge now finish
+    the inner relation as a derived table instead of rejecting the plan
+    (DataFusion's producer emits these shapes routinely)."""
+
+    def test_filter_above_fetch(self, spark):
+        p = plan_bytes(
+            rel(2, filter_rel(
+                rel(3, fetch_rel(rel(5, sort_rel(USERS_READ, [(0, 2)])), 3)),
+                scalar_fn(1, [field_ref(0), literal("i64", 1)]),
+            )),
+            extensions=extension_function(1, "gt:any_any"),
+        )
+        sql = substrait_to_sql(p)
+        assert "LIMIT 3) AS" in sql and sql.rstrip().endswith("> 1)")
+        spark.range(10).selectExpr("id", "CAST(id AS STRING) AS name") \
+            .createOrReplaceTempView("users")
+        got = sorted(r[0] for r in spark.sql(sql).collect())
+        assert got == [2]  # first 3 ids by id ASC, then id > 1
+
+    def test_sort_above_fetch_orders_fetched_rows(self, spark):
+        # top-3 by id ASC, then re-sorted DESC: must be [2,1,0], not the
+        # top-3 of a DESC sort ([9,8,7])
+        p = plan_bytes(
+            rel(5, sort_rel(
+                rel(3, fetch_rel(rel(5, sort_rel(USERS_READ, [(0, 2)])), 3)),
+                [(0, 4)],
+            )),
+        )
+        sql = substrait_to_sql(p)
+        assert "LIMIT 3) AS" in sql
+        spark.range(10).selectExpr("id", "CAST(id AS STRING) AS name") \
+            .createOrReplaceTempView("users")
+        got = [r[0] for r in spark.sql(sql).collect()]
+        assert got == [2, 1, 0]
+
+    def test_nested_fetch(self):
+        p = plan_bytes(
+            rel(3, fetch_rel(rel(3, fetch_rel(USERS_READ, 5)), 2)),
+        )
+        sql = substrait_to_sql(p)
+        assert "LIMIT 5) AS" in sql and sql.rstrip().endswith("LIMIT 2")
+
+    def test_project_above_aggregate(self, spark):
+        # SUM(amount) per cust, then a computed projection over the
+        # aggregate's output (total * 2)
+        agg = rel(4, aggregate_rel(
+            ORDERS_READ, [0], [measure(agg_function(1, [1]))],
+        ))
+        double = scalar_fn(2, [field_ref(1), literal("i64", 2)])
+        p = plan_bytes(
+            rel(7, computed_project(agg, [double], [0, 2])),
+            extensions=extension_function(1, "sum:i64")
+            + extension_function(2, "multiply:i64_i64"),
+        )
+        sql = substrait_to_sql(p)
+        spark.sql(
+            "SELECT * FROM VALUES ('a', 1), ('a', 2), ('b', 5) "
+            "AS t(cust, amount)"
+        ).createOrReplaceTempView("orders")
+        got = sorted(tuple(r) for r in spark.sql(sql).collect())
+        assert got == [("a", 6), ("b", 10)]
+
+    def test_offset_without_count(self, spark):
+        p = plan_bytes(rel(3, fetch_rel(
+            rel(5, sort_rel(USERS_READ, [(0, 2)])),
+            -1 & ((1 << 64) - 1),
+            offset=4,
+        )))
+        sql = substrait_to_sql(p)
+        assert "OFFSET 4" in sql and "LIMIT" not in sql
+        spark.range(6).selectExpr("id", "CAST(id AS STRING) AS name") \
+            .createOrReplaceTempView("users")
+        got = sorted(r[0] for r in spark.sql(sql).collect())
+        assert got == [4, 5]
