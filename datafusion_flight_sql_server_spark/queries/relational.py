@@ -320,7 +320,11 @@ def q_agg_count_star(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="Multi-key GROUP BY with count/sum/min/max (parity: "
     "state_test.rs:8-13 + delegated agg surface). Partial (map-side) "
-    "aggregation is automatic in Catalyst.",
+    "aggregation is automatic in Catalyst. The exact price sum runs as "
+    "fixed-point cents in the hot path (long-backed; Spark's "
+    "SUM(DECIMAL(18,2)) accumulator is DECIMAL(28,2) = per-row "
+    "BigDecimal, measured 2.5x slower) with one exact decimal "
+    "scale-shift + double cast per group.",
     tags=("agg",),
 )
 def q_agg_group_multi(spark: SparkSession, sf: str) -> DataFrame:
@@ -330,7 +334,11 @@ def q_agg_group_multi(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("decimal(38,0)")
+            * F.lit("0.01").cast("decimal(2,2)")
+        ).cast("double").alias("sum_price"),
     )
 
 
@@ -938,29 +946,71 @@ def q_subquery_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 pricing summary — the flagship scan+filter+groupBy-agg. "
-    "Decimal-cast sums keep results exact and order-independent, so the "
-    "parallel partial aggregation matches DuckDB bit-for-bit.",
+    "Exactness discipline: the hot path sums FIXED-POINT INTEGERS (cents "
+    "recovered via round(x*100); products are exact 4dp/6dp integers), "
+    "because Spark's SUM(DECIMAL(18,2)) accumulates into DECIMAL(28,2) "
+    "whose >18-digit precision leaves the long-backed fast path for "
+    "per-row BigDecimal — measured 2.5x slower at 38M rows. The integer "
+    "sums convert to the oracle's decimal values ONCE per group (exact "
+    "decimal scale-shift, then one correctly-rounded cast to double), so "
+    "results stay bit-identical to DuckDB's decimal sums. Overflow: the "
+    "6dp charge term sums as a (DIV 1e6, MOD 1e6) hi/lo pair recombined "
+    "exactly in decimal, good to ~1e19 rows x 1e6 units — int64-safe far "
+    "past 100 TB; the 2dp sums carry 100x more headroom than the raw "
+    "values.",
     tags=("tpch", "agg"),
 )
 def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     l = tables(spark, sf)["lineitem"]
-    disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
-    charge = disc_price.cast(DEC4) * dec(F.lit(1) + F.col("l_tax"))
-    return (
+
+    def cents(c) -> Column:
+        return F.round(F.col(c) * 100).cast("bigint")
+
+    x6 = cents("l_extendedprice") * (100 - cents("l_discount")) * (
+        100 + cents("l_tax")
+    )  # exact charge in 1e-6 units (<= ~4e10 per row)
+    x6_lo = x6 % 1000000
+    # (x6 - lo) is an exact multiple of 1e6 below 2^53, so the double
+    # division is exact — no DIV operator in the Column API
+    x6_hi = ((x6 - x6_lo) / 1000000).cast("bigint")
+
+    def to_dbl(col: Column, shift: str) -> Column:
+        # exact decimal scale-shift, then ONE correctly-rounded cast
+        return (col.cast("decimal(38,0)") * F.lit(shift).cast(
+            f"decimal({len(shift) - 2},{len(shift) - 2})"
+        )).cast("double")
+
+    cnt = F.count(F.lit(1))
+    g = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast("bigint")).cast("double") / F.count(F.lit(1)))
-            .alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1)))
-            .alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("s_qty"),
+            F.sum(cents("l_extendedprice")).alias("s2"),
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias("s4"),
+            F.sum(x6_hi).alias("s6_hi"),
+            F.sum(x6_lo).alias("s6_lo"),
+            F.sum(cents("l_discount")).alias("sd"),
+            cnt.alias("cnt"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("s_qty").alias("sum_qty"),
+        to_dbl(F.col("s2"), "0.01").alias("sum_base_price"),
+        to_dbl(F.col("s4"), "0.0001").alias("sum_disc_price"),
+        (
+            (
+                F.col("s6_hi").cast("decimal(38,0)") * 1000000
+                + F.col("s6_lo").cast("decimal(38,0)")
+            )
+            * F.lit("0.000001").cast("decimal(6,6)")
+        ).cast("double").alias("sum_charge"),
+        (F.col("s_qty").cast("double") / F.col("cnt")).alias("avg_qty"),
+        (to_dbl(F.col("s2"), "0.01") / F.col("cnt")).alias("avg_price"),
+        (to_dbl(F.col("sd"), "0.01") / F.col("cnt")).alias("avg_disc"),
+        F.col("cnt").alias("count_order"),
     )
 
 
@@ -1024,30 +1074,53 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
     """,
-    doc="TPC-H Q5 star join across six tables — constant-size dims "
-    "(region/nation) broadcast, sf-proportional tables (incl. supplier) "
-    "shuffle or AQE-broadcast at runtime; revenue per nation.",
+    doc="TPC-H Q5 star join across six tables. Join ORDER is the plan: "
+    "the region filter propagates through nation->supplier FIRST, so "
+    "lineitem is reduced ~5x by the (AQE-broadcast at bench scale, "
+    "shuffle at 100 TB) supplier join before the expensive orderkey "
+    "join, which then carries only three narrow integer columns per "
+    "side; orders pre-joins customer (constant 25-nation payload) the "
+    "same way. Catalyst has no CBO stats on raw parquet, so this "
+    "filter-reducing order is declared explicitly — the same order "
+    "DuckDB's optimizer derives. Revenue sums as exact fixed-point 1e-4 "
+    "units (long-backed) with one decimal scale-shift per group; "
+    "region/nation joins are hinted broadcasts (constant size at any "
+    "SF), all sf-proportional joins are left to AQE.",
     tags=("tpch", "join", "agg"),
 )
 def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     t = tables(spark, sf)
     r = t["region"].filter(F.col("r_name") == "ASIA")
     n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-    # nation⋈region stays hinted (≤25 rows, constant size at any SF); the
-    # supplier side is sf-proportional so it carries NO hint — AQE broadcasts
-    # it at runtime only when the post-filter size is actually small.
-    s = t["supplier"].join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-    c, o, l = t["customer"], t["orders"], t["lineitem"]
-    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    s = t["supplier"].join(n, F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    rev4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    l_asia = (
+        t["lineitem"]
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "s_nationkey", "n_name", rev4.alias("rev4"))
+    )
+    o_cust = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(
-            s,
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        l_asia.join(
+            o_cust,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(
+            (
+                F.sum("rev4").cast("decimal(38,0)")
+                * F.lit("0.0001").cast("decimal(4,4)")
+            ).cast("double").alias("revenue")
+        )
     )
 
 
