@@ -32,7 +32,10 @@ if _REPO not in sys.path:
 
 WEAK = (
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
     "agg_group_multi",
     "window_running",
     "fn_explode",

@@ -287,6 +287,28 @@ class TestSchemaMetadata:
         field = info.schema.field("id")
         assert not field.metadata or b"table_name" not in field.metadata
 
+    def test_advertised_schema_is_hydrated_and_matches_stream(self, client):
+        # service.rs:1072-1082 routes the schema through an empty
+        # FlightDataEncoder so the ADVERTISED schema reflects dictionary
+        # hydration (dictionary<_, T> fields advertise as T, matching what
+        # DoGet actually delivers). Spark's Arrow export never emits
+        # dictionary fields, so the advertised schema is hydrated by
+        # construction — this pins the same observable contract: no
+        # dictionary types, and FlightInfo schema == DoGet stream schema,
+        # field for field, on a string-heavy result (strings are where
+        # dictionary encoding would appear).
+        sql = "SELECT name, id FROM users ORDER BY id"
+        info = client.flight_info(_cmd(sql))
+        for field in info.schema:
+            assert not pa.types.is_dictionary(field.type)
+        reader = client._client.do_get(
+            info.endpoints[0].ticket, client._options
+        )
+        table = reader.read_all()
+        assert [(f.name, f.type) for f in table.schema] == [
+            (f.name, f.type) for f in info.schema
+        ]
+
 
 class TestBearerAuth:
     """examples/bearer_auth_flight_sql.rs:137-238 accept/reject."""
