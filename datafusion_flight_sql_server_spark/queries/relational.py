@@ -1308,19 +1308,47 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
         LIMIT 20
     """,
     doc="TPC-H Q10 returned-item reporting — join + group + top-k by "
-    "revenue.",
+    "revenue. Plan shape (the two classic agg-join rewrites Catalyst "
+    "cannot derive itself): revenue pre-aggregates by l_orderkey BELOW "
+    "the orderkey join (partial-aggregation pushdown — the join carries "
+    "one exact fixed-point bigint per order instead of one DECIMAL "
+    "multiply per lineitem), and the customer/nation dimensions join "
+    "AFTER the custkey aggregation, so they see one row per customer, "
+    "not one per lineitem. Exact 1e-4-unit sums scale-shift to the "
+    "oracle's decimal once per output row; top-20 fuses to "
+    "TakeOrderedAndProject.",
     tags=("tpch", "join", "agg"),
 )
 def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     t = tables(spark, sf)
-    l = t["lineitem"].filter(F.col("l_returnflag") == "R")
-    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    rev4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    per_order = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev4.alias("rev4"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev4").alias("rev4"))
+    )
+    per_cust = (
+        per_order.join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.sum("rev4").cast("decimal(38,0)")
+                * F.lit("0.0001").cast("decimal(4,4)")
+            ).cast("double").alias("revenue")
+        )
+    )
     return (
-        l.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        per_cust.join(
+            t["customer"], F.col("o_custkey") == F.col("c_custkey")
+        )
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
