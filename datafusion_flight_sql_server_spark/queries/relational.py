@@ -1042,15 +1042,28 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     o = t["orders"].filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
     l = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
-    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    rev4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    # Selective side first: date-filtered orders ⋈ BUILDING customers
+    # compose to ~1/10 of orders BEFORE lineitem sees the join, so the
+    # expensive orderkey join's build side is small (AQE promotes it to a
+    # runtime broadcast when it fits; no hint — both inputs are
+    # sf-proportional and a forced broadcast OOMs at scale). Lineitem
+    # crosses the join as (orderkey, exact 1e-4-unit revenue) only.
+    oc = o.select("o_orderkey", "o_custkey", "o_orderdate").join(
+        c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate")
     return (
-        # No broadcast hint: the BUILDING-segment customer subset is
-        # sf-proportional (~1/5 of customers) — forcing a broadcast OOMs at
-        # scale. AQE converts to broadcast at runtime when it is small enough.
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        l.select("l_orderkey", rev4.alias("rev4"))
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(
+            (
+                F.sum("rev4").cast("decimal(38,0)")
+                * F.lit("0.0001").cast("decimal(4,4)")
+            ).cast("double").alias("revenue")
+        )
         .select(
             "l_orderkey", "revenue", F.col("o_orderdate").cast("date").cast("string").alias("orderdate")
         )
