@@ -74,3 +74,77 @@ def asof_join(
             *[F.col(f"_rj.{c}_r").alias(f"{c}_r") for c in rvals],
         )
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_id_col: str = "event_id",
+    right_value_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Nearest-match as-of join (kdb ``aj`` nearest / pandas
+    ``merge_asof(direction='nearest')``).
+
+    Each left row matches the right row with the smallest |right.ts -
+    left.ts| for its key, in either direction; an exact tie prefers the
+    BACKWARD (earlier) candidate, which keeps the operator a strict
+    superset of the backward join's semantics. Left-outer: keys with no
+    right rows at all yield NULLs.
+
+    Same plan discipline as :func:`asof_join`: the two directional
+    candidates come from one union + ONE sorted window pass (a
+    carry-forward ``last`` and a carry-backward ``first`` share the same
+    partition/order, so Catalyst plans a single sort under a single
+    Window node) — one shuffle on the key, no range join, no per-row
+    subquery. The nearer candidate is a row-local comparison afterwards.
+    """
+    rvals = [right_id_col, *right_value_cols]
+    r1 = (
+        right.groupBy(on, ts_col)
+        .agg(F.max(F.struct(*[F.col(c) for c in rvals])).alias("_m"))
+        .select(
+            on,
+            ts_col,
+            F.struct(
+                F.col(ts_col).alias(f"{ts_col}_r"),
+                *[F.col(f"_m.{c}").alias(f"{c}_r") for c in rvals],
+            ).alias("_r"),
+        )
+    )
+    l2 = left.withColumn("_is_l", F.lit(1))
+    r2 = r1.withColumn("_is_l", F.lit(0))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    order = [F.col(ts_col), F.col("_is_l")]
+    wb = (
+        W.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    lt = F.col(ts_col).cast("timestamp")
+    back = F.col("_b")
+    fwd = F.col("_f")
+    gap_b = F.unix_micros(lt) - F.unix_micros(back[f"{ts_col}_r"])
+    gap_f = F.unix_micros(fwd[f"{ts_col}_r"]) - F.unix_micros(lt)
+    # right rows sort before left rows at equal ts, so the backward frame
+    # sees same-ts matches (gap 0, wins every tie) and the forward frame
+    # starts strictly after them — no double-count ambiguity
+    pick_back = back.isNotNull() & (fwd.isNull() | (gap_b <= gap_f))
+    chosen = F.when(pick_back, back).otherwise(fwd)
+    return (
+        u.withColumn("_b", F.last("_r", ignorenulls=True).over(wb))
+        .withColumn("_f", F.first("_r", ignorenulls=True).over(wf))
+        .filter(F.col("_is_l") == 1)
+        .withColumn("_n", chosen)
+        .select(
+            *left.columns,
+            F.col(f"_n.{ts_col}_r").alias(f"{ts_col}_r"),
+            *[F.col(f"_n.{c}_r").alias(f"{c}_r") for c in rvals],
+        )
+    )

@@ -46,6 +46,8 @@ _PRIORITY = (
     "stream_scd2_batch",
     "stream_dedup_batch",
     "stream_tumbling_batch",
+    "event_asof_nearest",
+    "event_running_distinct",
     "graph_components_star",
     "orders_cohort_ltv",
     "text_zipf_fit",

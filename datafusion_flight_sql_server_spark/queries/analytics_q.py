@@ -553,3 +553,61 @@ def q_embed_pca_power(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("i")
     )
+
+
+@query(
+    "event_running_distinct",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+            FROM events
+            GROUP BY user_id
+        ), daily AS (
+            SELECT first_day AS day, COUNT(*) AS new_users
+            FROM firsts GROUP BY first_day
+        ), days AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        )
+        SELECT CAST(d.day AS VARCHAR) AS day,
+               CAST(COALESCE(SUM(n.new_users), 0) AS BIGINT)
+                   AS cumulative_users
+        FROM days d LEFT JOIN daily n ON n.day <= d.day
+        GROUP BY d.day
+    """,
+    doc="Cumulative distinct users per day (the audience-reach curve). A "
+    "naive running COUNT(DISTINCT user_id) OVER (ORDER BY day) carries "
+    "the whole user set in every window frame — quadratic state. The "
+    "scalable form: one user-keyed aggregation finds each user's FIRST "
+    "active day (map-side combinable), a tiny per-day count of "
+    "first-appearances follows, and the running sum is a window over "
+    "O(days) rows. Oracle mirrors with a day<=day join over the same "
+    "daily counts. At 100 TB: one shuffle by user_id, then day-level "
+    "data; the 1970-style distinct-explosion never materializes.",
+    tags=("events", "window", "distinct"),
+)
+def q_event_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = tables(spark, sf)["events"]
+    firsts = (
+        e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily = firsts.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        days.join(daily, days.day == daily.first_day, "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+        )
+    )

@@ -1299,6 +1299,82 @@ def q_event_asof_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "event_asof_nearest",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, ts,
+                   MAX(event_id) AS view_id,
+                   arg_max(value, event_id) AS view_value
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ), p AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ), b AS (
+            SELECT p.purchase_id, p.user_id, p.ts,
+                   v.ts AS b_ts, v.view_id AS b_id, v.view_value AS b_val
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        ), f AS (
+            SELECT p.purchase_id,
+                   v.ts AS f_ts, v.view_id AS f_id, v.view_value AS f_val
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts <= v.ts
+        ), j AS (
+            SELECT b.*, f.f_ts, f.f_id, f.f_val,
+                   (b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR
+                        epoch_us(b.ts) - epoch_us(b.b_ts)
+                        <= epoch_us(f.f_ts) - epoch_us(b.ts)))
+                       AS pick_back
+            FROM b JOIN f ON b.purchase_id = f.purchase_id
+        )
+        SELECT purchase_id, user_id,
+               CASE WHEN pick_back THEN b_id ELSE f_id END AS view_id,
+               CASE WHEN pick_back THEN b_val ELSE f_val END AS view_value,
+               CAST(epoch_us(ts) - epoch_us(CASE WHEN pick_back THEN b_ts
+                                            ELSE f_ts END) AS BIGINT)
+                   AS gap_us
+        FROM j
+    """,
+    doc="Nearest-match as-of join (pandas merge_asof direction='nearest' "
+    "/ kdb aj): each purchase matches the view event with the smallest "
+    "|Δt| in either direction, exact ties preferring the earlier "
+    "(backward) candidate; purchases with no views at all keep NULLs. "
+    "Spark side is ONE union + one sorted window pass producing both "
+    "directional candidates (carry-forward last + carry-backward first "
+    "share a single sort under a single Window node — "
+    "operators/asof.py:asof_join_nearest), then a row-local pick; the "
+    "oracle composes DuckDB's two directional ASOF LEFT JOINs. The gap "
+    "is emitted in exact signed microseconds (no integer division — "
+    "Spark DIV truncates toward zero, DuckDB // floors, and they differ "
+    "on negative forward gaps). One shuffle on the key at any scale.",
+    tags=("events", "join", "asof"),
+)
+def q_event_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    e = tables(spark, sf)["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join_nearest(purchases, views)
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("event_id_r").alias("view_id"),
+        F.col("value_r").alias("view_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r")))
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
+@query(
     "event_band_join",
     oracle="""
         WITH p AS (

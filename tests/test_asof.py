@@ -59,3 +59,58 @@ class TestAsofJoin:
             .toString()
         )
         assert "Join" not in plan  # union + single window, never a range join
+
+
+class TestAsofJoinNearest:
+    def test_direction_pick_tie_and_outer(self, spark):
+        from datafusion_flight_sql_server_spark.operators.asof import (
+            asof_join_nearest,
+        )
+
+        left = spark.createDataFrame(
+            [
+                (200, 1, _ts(10)),  # back at 8 (gap 2) vs fwd at 13 (gap 3)
+                (201, 1, _ts(16)),  # fwd-only nearer: back 13? no: back at 13 (3) vs fwd at 17 (1)
+                (202, 2, _ts(10)),  # equal gaps (8 and 12, gap 2): backward wins
+                (203, 3, _ts(10)),  # no right rows for user 3 -> nulls
+                (204, 4, _ts(10)),  # forward-only (right at 30)
+            ],
+            "event_id bigint, user_id bigint, ts timestamp",
+        ).select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
+        right = spark.createDataFrame(
+            [
+                (1, _ts(8), 1, 1.0),
+                (1, _ts(13), 2, 2.0),
+                (1, _ts(17), 3, 3.0),
+                (2, _ts(8), 4, 4.0),
+                (2, _ts(12), 5, 5.0),
+                (4, _ts(30), 6, 6.0),
+            ],
+            "user_id bigint, ts timestamp, event_id bigint, value double",
+        )
+        rows = {
+            r.purchase_id: r for r in asof_join_nearest(left, right).collect()
+        }
+        assert rows[200].event_id_r == 1  # backward gap 2 < forward gap 3
+        assert rows[201].event_id_r == 3  # forward gap 1 < backward gap 3
+        assert rows[202].event_id_r == 4  # tie (2 vs 2) -> backward
+        assert rows[203].event_id_r is None  # no right rows at all
+        assert rows[204].event_id_r == 6  # forward-only key matches
+
+    def test_single_shuffle_no_join_node(self, spark):
+        from datafusion_flight_sql_server_spark.operators.asof import (
+            asof_join_nearest,
+        )
+
+        left, right = _frames(spark)
+        plan = (
+            asof_join_nearest(left, right)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # both directional candidates come from one window pass: no join
+        # operator of any kind in the plan
+        for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                     "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in plan
