@@ -313,12 +313,73 @@ def _col_at(cols: list[str], i: int) -> str:
     )
 
 
+class _CorrelationLevel:
+    """Enclosing-query context for correlated subqueries.
+
+    Holds the enclosing relation's column names and a pre-assigned stable
+    alias; ``used`` flips when an outer reference actually renders against
+    this level, telling the owning relation to PIN that alias onto its
+    FROM clause (plans without correlation keep their original SQL)."""
+
+    def __init__(self, cols: list[str], alias: str):
+        self.cols = cols
+        self.alias = alias
+        self.used = False
+
+    def ref(self, idx: int) -> str:
+        self.used = True
+        return f"{_quote(self.alias)}.{_quote(_col_at(self.cols, idx))}"
+
+
+def _pin_alias(state: "_State", alias: str) -> None:
+    """Force ``alias`` onto the state's FROM clause so qualified outer
+    references resolve to it (inner scopes would otherwise shadow a bare
+    table name — e.g. a self-correlated EXISTS over the same table)."""
+    table = state.table
+    if table.endswith("`") and " AS `" in table:
+        state.table = table.rsplit(" AS ", 1)[0] + f" AS {_quote(alias)}"
+    else:
+        state.table = f"{table} AS {_quote(alias)}"
+
+
+def _outer_ref_to_sql(
+    sel: bytes, outer: tuple["_CorrelationLevel", ...]
+) -> str | None:
+    """FieldReference bytes → qualified outer-column SQL, or None when the
+    reference is not an outer reference."""
+    ref = _fields(sel)
+    outer_msg = _one(ref, 5)  # FieldReference.outer_reference
+    if outer_msg is None:
+        return None
+    steps = int(_one(_fields(outer_msg), 1) or 0)
+    if steps < 1 or steps > len(outer) or outer[-steps] is None:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: outer reference with steps_out={steps} "
+            f"has no enclosing query context here (depth {len(outer)})"
+        )
+    direct = _one(ref, 1)
+    if direct is None:
+        raise SubstraitUnsupported(
+            "Substrait consumer: outer reference without direct_reference"
+        )
+    struct_field = _one(_fields(direct), 2)
+    if struct_field is None:
+        raise SubstraitUnsupported(
+            "Substrait consumer: only struct_field outer references are "
+            "supported"
+        )
+    idx = int(_one(_fields(struct_field), 1) or 0)
+    return outer[-steps].ref(idx)
+
+
 def _expr_to_sql(
     expr: bytes,
     cols: list[str],
     funcs: dict[int, str],
     rendered: bool = False,
     allow_window: bool = False,
+    outer: tuple = (),
+    level: "_CorrelationLevel | None" = None,
 ) -> str:
     """Filter-subset Expression → SQL text (field refs, literals,
     comparison/boolean scalar functions). With ``rendered=True`` the
@@ -330,16 +391,25 @@ def _expr_to_sql(
     refused here with the module's NOT_IMPLEMENTED contract instead."""
     f = _fields(expr)
     if 2 in f:  # selection
+        qualified = _outer_ref_to_sql(_one(f, 2), outer)
+        if qualified is not None:
+            return qualified
         col = _col_at(cols, _field_ref_index(expr))
         return col if rendered else _quote(col)
     if 1 in f:  # literal
         return _literal_to_sql(_one(f, 1))
     if 3 in f:  # scalar_function
-        return _scalar_fn_to_sql(_one(f, 3), cols, funcs, rendered, allow_window)
+        return _scalar_fn_to_sql(
+            _one(f, 3), cols, funcs, rendered, allow_window, outer, level
+        )
     if 11 in f:  # cast
-        return _cast_to_sql(_one(f, 11), cols, funcs, rendered, allow_window)
+        return _cast_to_sql(
+            _one(f, 11), cols, funcs, rendered, allow_window, outer, level
+        )
     if 6 in f:  # if_then
-        return _if_then_to_sql(_one(f, 6), cols, funcs, rendered, allow_window)
+        return _if_then_to_sql(
+            _one(f, 6), cols, funcs, rendered, allow_window, outer, level
+        )
     if 5 in f:  # window_function
         if not allow_window:
             raise SubstraitUnsupported(
@@ -349,7 +419,12 @@ def _expr_to_sql(
             )
         return _window_fn_to_sql(_one(f, 5), cols, funcs, rendered)
     if 12 in f:  # subquery
-        return _subquery_to_sql(_one(f, 12), cols, funcs, rendered)
+        # the subquery's relations are one query level deeper: this
+        # expression's own level (None where correlation is unsupported)
+        # joins the chain, so steps_out=1 inside reaches THIS query
+        return _subquery_to_sql(
+            _one(f, 12), cols, funcs, rendered, outer + (level,)
+        )
     present = [f"expression field {n}" for n in f]
     raise SubstraitUnsupported(
         f"Substrait consumer: unsupported expression "
@@ -383,6 +458,8 @@ def _if_then_to_sql(
     funcs: dict[int, str],
     rendered: bool,
     allow_window: bool = False,
+    outer: tuple = (),
+    level: "_CorrelationLevel | None" = None,
 ) -> str:
     """Expression.IfThen (ifs=1 repeated IfClause{if=1, then=2}, else=2)
     → ``CASE WHEN … THEN … [WHEN …] ELSE … END``."""
@@ -397,14 +474,15 @@ def _if_then_to_sql(
         if cond is None or then is None:
             raise SubstraitMalformed("if clause missing condition or value")
         parts.append(
-            f"WHEN {_expr_to_sql(cond, cols, funcs, rendered, allow_window)} "
-            f"THEN {_expr_to_sql(then, cols, funcs, rendered, allow_window)}"
+            f"WHEN {_expr_to_sql(cond, cols, funcs, rendered, allow_window, outer, level)} "
+            f"THEN {_expr_to_sql(then, cols, funcs, rendered, allow_window, outer, level)}"
         )
     els = _one(f, 2)
     if els is None:
         raise SubstraitMalformed("if_then without else (required by spec)")
     parts.append(
-        f"ELSE {_expr_to_sql(els, cols, funcs, rendered, allow_window)} END"
+        f"ELSE {_expr_to_sql(els, cols, funcs, rendered, allow_window, outer, level)} "
+        f"END"
     )
     return "(" + " ".join(parts) + ")"
 
@@ -415,6 +493,8 @@ def _cast_to_sql(
     funcs: dict[int, str],
     rendered: bool,
     allow_window: bool = False,
+    outer: tuple = (),
+    level: "_CorrelationLevel | None" = None,
 ) -> str:
     """Expression.Cast (type=1, input=2, failure_behavior=3) → CAST/TRY_CAST.
 
@@ -455,7 +535,7 @@ def _cast_to_sql(
     behavior = int(_one(f, 3) or 0)
     fn = "CAST" if behavior == 2 else "TRY_CAST"
     return (
-        f"{fn}({_expr_to_sql(inp, cols, funcs, rendered, allow_window)} "
+        f"{fn}({_expr_to_sql(inp, cols, funcs, rendered, allow_window, outer, level)} "
         f"AS {sql_type})"
     )
 
@@ -466,6 +546,8 @@ def _scalar_fn_to_sql(
     funcs: dict[int, str],
     rendered: bool = False,
     allow_window: bool = False,
+    outer: tuple = (),
+    level: "_CorrelationLevel | None" = None,
 ) -> str:
     f = _fields(body)
     anchor = int(_one(f, 1) or 0)
@@ -491,7 +573,9 @@ def _scalar_fn_to_sql(
         args = [v for _, v in f.get(2, [])]
 
     def a(i: int) -> str:
-        return _expr_to_sql(args[i], cols, funcs, rendered, allow_window)
+        return _expr_to_sql(
+            args[i], cols, funcs, rendered, allow_window, outer, level
+        )
 
     if name in ("and", "or"):
         if len(args) < 2:
@@ -716,10 +800,17 @@ def _window_fn_to_sql(
 
 
 def _subquery_to_sql(
-    body: bytes, cols: list[str], funcs: dict[int, str], rendered: bool
+    body: bytes,
+    cols: list[str],
+    funcs: dict[int, str],
+    rendered: bool,
+    outer: tuple = (),
 ) -> str:
-    """Expression.Subquery → scalar / IN / EXISTS SQL (uncorrelated only —
-    correlated plans are rejected at the outer-reference site).
+    """Expression.Subquery → scalar / IN / EXISTS SQL. The ``outer`` chain
+    (one `_CorrelationLevel` per enclosing query, innermost last) flows
+    into the inner relation so its outer references (steps_out=k) render
+    as alias-qualified columns of the k-th enclosing query — correlated
+    subqueries translate to ordinary correlated SQL.
 
     algebra.proto oneof arms: scalar=1 {input=1}, in_predicate=2
     {needles=1 repeated, haystack=2}, set_predicate=3 {predicate_op=1,
@@ -730,15 +821,21 @@ def _subquery_to_sql(
         sub = _one(_fields(_one(f, 1)), 1)
         if sub is None:
             raise SubstraitMalformed("scalar subquery without input relation")
-        return "(" + _render_sql(_interpret_rel(sub, funcs), []) + ")"
+        return "(" + _render_sql(_interpret_rel(sub, funcs, outer), []) + ")"
     if 2 in f:  # in_predicate
         pf = _fields(_one(f, 2))
         needles = [v for _, v in pf.get(1, [])]
         haystack = _one(pf, 2)
         if not needles or haystack is None:
             raise SubstraitMalformed("in_predicate without needles/haystack")
-        sub_sql = _render_sql(_interpret_rel(haystack, funcs), [])
-        parts = [_expr_to_sql(n, cols, funcs, rendered) for n in needles]
+        sub_sql = _render_sql(_interpret_rel(haystack, funcs, outer), [])
+        parts = [
+            # needles are expressions of the ENCLOSING query: strip the
+            # level this subquery added before rendering them
+            _expr_to_sql(n, cols, funcs, rendered, outer=outer[:-1],
+                         level=outer[-1])
+            for n in needles
+        ]
         left = parts[0] if len(parts) == 1 else "(" + ", ".join(parts) + ")"
         return f"({left} IN ({sub_sql}))"
     if 3 in f:  # set_predicate
@@ -752,7 +849,9 @@ def _subquery_to_sql(
         tuples = _one(pf, 2)
         if tuples is None:
             raise SubstraitMalformed("set_predicate without tuples relation")
-        return f"EXISTS ({_render_sql(_interpret_rel(tuples, funcs), [])})"
+        return (
+            f"EXISTS ({_render_sql(_interpret_rel(tuples, funcs, outer), [])})"
+        )
     raise SubstraitUnsupported(
         f"Substrait consumer: subquery arms {sorted(f)} are not supported "
         f"(scalar, in_predicate, EXISTS set_predicate)"
@@ -884,7 +983,9 @@ _AGG_FUNCS = {
 _INVOCATION_ALL, _INVOCATION_DISTINCT = 1, 2
 
 
-def _aggregate_rel(body: bytes, funcs: dict[int, str]) -> _State:
+def _aggregate_rel(
+    body: bytes, funcs: dict[int, str], outer: tuple = ()
+) -> _State:
     """AggregateRel → grouped state (single grouping, sum/min/max/avg/count
     measures, optional per-measure FILTER clause, RelCommon emit remap).
 
@@ -899,7 +1000,7 @@ def _aggregate_rel(body: bytes, funcs: dict[int, str]) -> _State:
     inp = _one(f, 2)
     if inp is None:
         raise SubstraitMalformed("AggregateRel without input")
-    state = _interpret_rel(inp, funcs)
+    state = _interpret_rel(inp, funcs, outer)
     if state.select_exprs is not None:
         raise SubstraitUnsupported(
             "Substrait consumer: nested AggregateRels are not supported"
@@ -1423,8 +1524,12 @@ def _window_rel(body: bytes, funcs: dict[int, str]) -> _State:
     return _subquery_state(sql, names, "w")
 
 
-def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
-    """Rel → accumulated clause state."""
+def _interpret_rel(
+    rel: bytes, funcs: dict[int, str], outer: tuple = ()
+) -> _State:
+    """Rel → accumulated clause state. ``outer`` is the correlated-subquery
+    context chain (innermost enclosing query last); it flows through the
+    relations of one query level and into nested subqueries."""
     f = _fields(rel)
     present = [n for n in f if n in _REL_ARMS]
     if len(present) != 1:
@@ -1441,7 +1546,7 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         return _read_rel(body, funcs)
 
     if kind == "aggregate":
-        return _aggregate_rel(body, funcs)
+        return _aggregate_rel(body, funcs, outer)
 
     if kind == "join":
         return _join_rel(body, funcs)
@@ -1460,7 +1565,7 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         inp = _one(pf, 2)
         if inp is None:
             raise SubstraitMalformed("ProjectRel without input")
-        state = _interpret_rel(inp, funcs)
+        state = _interpret_rel(inp, funcs, outer)
         if state.select_exprs is not None:
             # project above an aggregate: finish the aggregate as a
             # derived table so field refs address its output columns
@@ -1501,10 +1606,18 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         # (same reason _window_rel wraps).
         if state.limit is not None or state.offset is not None or state.order:
             state = _finished(state, "p")
+        lvl = _CorrelationLevel(state.cols, f"__o{len(outer) + 1}")
         rendered = [
-            _expr_to_sql(e, state.cols, funcs, allow_window=True)
+            _expr_to_sql(
+                e, state.cols, funcs, allow_window=True, outer=outer,
+                level=lvl,
+            )
             for e in expr_bytes
         ]
+        if lvl.used:
+            # a correlated subquery in the projection referenced this
+            # level: pin its alias on the FROM clause
+            _pin_alias(state, lvl.alias)
         combined_exprs = [_quote(c) for c in state.cols] + rendered
         names = list(state.cols) + [
             f"expr{i}" for i in range(len(rendered))
@@ -1528,7 +1641,7 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         inp = _one(ff, 2)
         if inp is None:
             raise SubstraitMalformed("FilterRel without input")
-        state = _interpret_rel(inp, funcs)
+        state = _interpret_rel(inp, funcs, outer)
         if state.limit is not None or state.offset is not None:
             # filter-after-limit has no single-SELECT form: finish the
             # fetched input as a derived table, then WHERE above it
@@ -1539,12 +1652,27 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         if state.select_exprs is not None:
             # filter above an aggregate = HAVING; field refs address the
             # aggregate's output schema, substituted as rendered SQL (the
-            # standard forbids aliases in HAVING)
+            # standard forbids aliases in HAVING). No correlation level:
+            # HAVING has no FROM alias to qualify against (outer refs
+            # under it keep the named rejection).
             state.having.append(
-                _expr_to_sql(cond, state.select_exprs, funcs, rendered=True)
+                _expr_to_sql(
+                    cond, state.select_exprs, funcs, rendered=True,
+                    outer=outer,
+                )
             )
         else:
-            state.where.append(_expr_to_sql(cond, state.cols, funcs))
+            lvl = _CorrelationLevel(state.cols, f"__o{len(outer) + 1}")
+            cond_sql = _expr_to_sql(
+                cond, state.cols, funcs, outer=outer, level=lvl
+            )
+            if lvl.used:
+                # a correlated subquery in this condition referenced the
+                # enclosing query: pin a stable alias on its FROM clause
+                # (a bare table name would be shadowed by an inner scan
+                # of the same table — the self-correlated EXISTS case)
+                _pin_alias(state, lvl.alias)
+            state.where.append(cond_sql)
         return state
 
     if kind == "sort":
@@ -1552,7 +1680,7 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
         inp = _one(sf, 2)
         if inp is None:
             raise SubstraitMalformed("SortRel without input")
-        state = _interpret_rel(inp, funcs)
+        state = _interpret_rel(inp, funcs, outer)
         if state.limit is not None or state.offset is not None or state.order:
             # sort above a fetch must order the FETCHED rows (top-k of a
             # limit, not limit of a top-k); sort above sort replaces the
@@ -1597,7 +1725,7 @@ def _interpret_rel(rel: bytes, funcs: dict[int, str]) -> _State:
                 "Substrait consumer: FetchRel expression offsets/counts are "
                 "not supported (literal count/offset only)"
             )
-        state = _interpret_rel(inp, funcs)
+        state = _interpret_rel(inp, funcs, outer)
         if state.limit is not None or state.offset is not None:
             # LIMIT of a LIMIT: finish the inner fetch as a derived table
             state = _finished(state, "f")

@@ -1380,7 +1380,7 @@ class TestSubqueryTranslate:
         sql = substrait_to_sql(p)
         assert "WHERE EXISTS (SELECT `order_id`, `user_id`, `amount` FROM `orders`)" in sql
 
-    def test_correlated_subquery_rejected(self):
+    def test_correlated_exists_renders_qualified_outer_ref(self):
         inner_cond = scalar_fn(1, [field_ref(1), outer_field_ref(0)])
         inner = rel(2, filter_rel(ORDERS_FOR_SUB, inner_cond))
         cond = exists_subquery(inner)
@@ -1388,8 +1388,11 @@ class TestSubqueryTranslate:
             rel(2, filter_rel(USERS_READ, cond)),
             extensions=extension_function(1, "equal:any_any"),
         )
-        with pytest.raises(SubstraitUnsupported, match="outer"):
-            substrait_to_sql(p)
+        sql = substrait_to_sql(p)
+        # the outer FROM gains a pinned alias and the inner predicate
+        # references it, qualified
+        assert "FROM `users` AS `__o1`" in sql
+        assert "(`user_id` = `__o1`.`id`)" in sql
 
     def test_unique_set_predicate_rejected(self):
         body = _varint_field(1, 2) + _len_field(2, ORDERS_FOR_SUB)
@@ -1810,3 +1813,91 @@ class TestClauseComposition:
             .createOrReplaceTempView("users")
         got = sorted(r[0] for r in spark.sql(sql).collect())
         assert got == [4, 5]
+
+
+class TestCorrelatedSubqueries:
+    """Correlated subqueries render as alias-qualified correlated SQL
+    (outer_reference steps_out resolves through the _CorrelationLevel
+    chain; the enclosing FROM gets a pinned `__oN` alias only when a
+    correlated reference actually used it)."""
+
+    def test_uncorrelated_plans_keep_their_sql(self):
+        # no correlation -> no alias pinning, byte-identical to before
+        inner = rel(2, filter_rel(
+            ORDERS_FOR_SUB,
+            scalar_fn(1, [field_ref(2), literal("i64", 10)]),
+        ))
+        cond = exists_subquery(inner)
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, cond)),
+            extensions=extension_function(1, "gt:any_any"),
+        )
+        sql = substrait_to_sql(p)
+        assert "__o" not in sql and "FROM `users` WHERE EXISTS" in sql
+
+    def test_correlated_exists_executes(self, spark):
+        inner_cond = scalar_fn(1, [field_ref(1), outer_field_ref(0)])
+        inner = rel(2, filter_rel(ORDERS_FOR_SUB, inner_cond))
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, exists_subquery(inner))),
+            extensions=extension_function(1, "equal:any_any"),
+        )
+        sql = substrait_to_sql(p)
+        spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') "
+                  "AS t(id, name)").createOrReplaceTempView("users")
+        spark.sql("SELECT * FROM VALUES (10, 1, 5.0), (11, 3, 7.0) "
+                  "AS t(order_id, user_id, amount)"
+                  ).createOrReplaceTempView("orders")
+        got = sorted(r[0] for r in spark.sql(sql).collect())
+        assert got == [1, 3]  # users with at least one order
+
+    def test_self_correlated_exists_pins_alias(self, spark):
+        # EXISTS over the SAME table: without the pinned alias the inner
+        # scan would shadow the outer reference
+        inner_cond = scalar_fn(
+            1, [field_ref(0), outer_field_ref(0)]
+        )  # inner.id < outer.id
+        inner = rel(2, filter_rel(USERS_READ, inner_cond))
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, exists_subquery(inner))),
+            extensions=extension_function(1, "lt:any_any"),
+        )
+        sql = substrait_to_sql(p)
+        assert "AS `__o1`" in sql and "`__o1`.`id`" in sql
+        spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') "
+                  "AS t(id, name)").createOrReplaceTempView("users")
+        got = sorted(r[0] for r in spark.sql(sql).collect())
+        assert got == [2, 3]  # rows with a smaller id present
+
+    def test_correlated_scalar_in_projection_executes(self, spark):
+        # per-user order total: aggregate subquery correlated through an
+        # AggregateRel(Filter(Read)) tree
+        inner_cond = scalar_fn(1, [field_ref(1), outer_field_ref(0)])
+        filtered = rel(2, filter_rel(ORDERS_FOR_SUB, inner_cond))
+        agg = rel(4, aggregate_rel(filtered, [], [
+            measure(agg_function(2, [2])),
+        ]))
+        sub = scalar_subquery(agg)
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [sub], [0, 2])),
+            extensions=extension_function(1, "equal:any_any")
+            + extension_function(2, "sum:fp64"),
+        )
+        sql = substrait_to_sql(p)
+        spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') "
+                  "AS t(id, name)").createOrReplaceTempView("users")
+        spark.sql("SELECT * FROM VALUES (10, 1, 5.0), (11, 1, 7.0), "
+                  "(12, 2, 1.0) AS t(order_id, user_id, amount)"
+                  ).createOrReplaceTempView("orders")
+        got = sorted(tuple(r) for r in spark.sql(sql).collect())
+        assert got == [(1, 12.0), (2, 1.0)]
+
+    def test_steps_out_beyond_depth_rejected(self):
+        inner_cond = scalar_fn(1, [field_ref(1), outer_field_ref(0, 3)])
+        inner = rel(2, filter_rel(ORDERS_FOR_SUB, inner_cond))
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, exists_subquery(inner))),
+            extensions=extension_function(1, "equal:any_any"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="steps_out"):
+            substrait_to_sql(p)
