@@ -924,12 +924,55 @@ def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
             "Substrait consumer: ReadRel mask projection is not supported; "
             "send SQL text instead"
         )
-    for num, label in ((5, "virtual_table"), (6, "local_files"), (8, "extension_table")):
+    for num, label in ((6, "local_files"), (8, "extension_table")):
         if num in f:
             raise SubstraitUnsupported(
                 f"Substrait consumer: ReadRel read type {label!r} is not "
-                f"supported (only named_table)"
+                f"supported (only named_table and literal virtual_table)"
             )
+    cols: list[str] = []
+    base_schema = _one(f, 2)
+    if base_schema is not None:
+        cols = _strings(_fields(base_schema), 1)  # NamedStruct.names
+
+    vt = _one(f, 5)
+    if vt is not None:
+        # VirtualTable{values=1 repeated Literal.Struct{fields=1}} →
+        # inline VALUES (the literal rowsets DataFusion's producer emits).
+        # The expression form (VirtualTable.expressions) stays rejected.
+        vf = _fields(vt)
+        if 2 in vf:
+            raise SubstraitUnsupported(
+                "Substrait consumer: virtual_table expression rows are not "
+                "supported (literal values only)"
+            )
+        rows = []
+        for _, struct_bytes in vf.get(1, []):
+            lits = [
+                _literal_to_sql(v)
+                for _, v in _fields(struct_bytes).get(1, [])
+            ]
+            if not lits:
+                raise SubstraitMalformed("virtual_table row with no fields")
+            rows.append("(" + ", ".join(lits) + ")")
+        if not rows:
+            raise SubstraitMalformed("virtual_table with no rows")
+        if not cols:
+            raise SubstraitUnsupported(
+                "Substrait consumer: virtual_table requires a declared "
+                "base schema for column names"
+            )
+        table = (
+            f"VALUES {', '.join(rows)} AS `v`"
+            f"({', '.join(_quote(c) for c in cols)})"
+        )
+        state = _State(table, cols)
+        for num in (3, 11):
+            cond = _one(f, num)
+            if cond is not None:
+                state.where.append(_expr_to_sql(cond, cols, funcs))
+        return state
+
     named = _one(f, 7)
     if named is None:
         raise SubstraitUnsupported(
@@ -939,11 +982,6 @@ def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
     if not names:
         raise SubstraitMalformed("NamedTable carries no name")
     table = ".".join(_quote(n) for n in names)
-
-    cols: list[str] = []
-    base_schema = _one(f, 2)
-    if base_schema is not None:
-        cols = _strings(_fields(base_schema), 1)  # NamedStruct.names
     state = _State(table, cols)
     # ReadRel.filter (3) is a required filter; best_effort_filter (11) MAY
     # be applied — applying it is always spec-valid, so both land in WHERE.

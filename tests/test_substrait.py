@@ -1901,3 +1901,41 @@ class TestCorrelatedSubqueries:
         )
         with pytest.raises(SubstraitUnsupported, match="steps_out"):
             substrait_to_sql(p)
+
+
+def virtual_table_read(col_names: list[str], rows: list[list[bytes]]) -> bytes:
+    """ReadRel with VirtualTable values (Literal.Struct rows)."""
+    body = _len_field(2, named_struct(col_names))
+    vt = b"".join(
+        _len_field(1, b"".join(_len_field(1, lit) for lit in row))
+        for row in rows
+    )
+    body += _len_field(5, vt)
+    return rel(1, body)
+
+
+class TestVirtualTable:
+    def test_values_read_executes(self, spark):
+        def lit_bytes(kind, v):
+            # raw Literal message bytes (the helper returns Expression)
+            return literal(kind, v)[2:]  # strip Expression field-1 header
+
+        r = virtual_table_read(
+            ["id", "name"],
+            [
+                [lit_bytes("i64", 1), lit_bytes("string", "a")],
+                [lit_bytes("i64", 2), lit_bytes("string", "b")],
+            ],
+        )
+        p = plan_bytes(rel(7, project_rel(r, [0], [2])))
+        sql = substrait_to_sql(p)
+        assert "VALUES (1, 'a'), (2, 'b') AS `v`(`id`, `name`)" in sql
+        got = sorted(row[0] for row in spark.sql(sql).collect())
+        assert got == [1, 2]
+
+    def test_expression_rows_rejected(self):
+        body = _len_field(2, named_struct(["x"])) + _len_field(
+            5, _len_field(2, b"")
+        )
+        with pytest.raises(SubstraitUnsupported, match="literal values"):
+            substrait_to_sql(plan_bytes(rel(1, body)))
