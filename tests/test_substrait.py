@@ -265,9 +265,11 @@ class TestTranslate:
         with pytest.raises(SubstraitUnsupported, match="anchor 9"):
             substrait_to_sql(p)
 
-    def test_rejects_virtual_table(self):
+    def test_rejects_empty_virtual_table(self):
+        # literal virtual tables are consumed (TestVirtualTable); an empty
+        # one (no rows) is malformed rather than silently zero-row
         body = _len_field(2, named_struct(["a"])) + _len_field(5, b"")
-        with pytest.raises(SubstraitUnsupported, match="virtual_table"):
+        with pytest.raises(SubstraitMalformed, match="no rows"):
             substrait_to_sql(plan_bytes(rel(1, body)))
 
     def test_rejects_undeclared_projection_function(self):
