@@ -159,6 +159,67 @@ def _shingle_hash(sh):
     return F.conv(F.substring(F.md5(sh), 1, 12), 16, 10).cast("bigint")
 
 
+def _minhash_hashed_buckets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    n_perms: int,
+    n_bands: int,
+    seed: int,
+):
+    """Shared MinHash front end: (persisted hashed-shingle sets,
+    exploded (doc_id, band, key) bucket rows). The persist is load-bearing
+    — the hashed sets feed signature generation AND verification."""
+    rows_per_band = n_perms // n_bands
+    params = minhash_params(n_perms, seed)
+
+    from pyspark import StorageLevel
+
+    hashed = (
+        rebalance_for_compute(docs, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                F.transform(shingle_col(F.col(text_col), shingle_n), _shingle_hash)
+            ).alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _perm(a: int, b: int):
+        # closure factory: pyspark introspects lambda arity, so the constants
+        # cannot ride along as default args
+        return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("h"), _perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    signed = hashed.select("doc_id", *sig_cols)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"mh{bi * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    bucketed = signed.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    return hashed, bucketed
+
+
 def minhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -193,50 +254,8 @@ def minhash_near_dups(
     Probabilistic recall lives entirely in step 3; every step is
     deterministic, so output is run- and engine-stable.
     """
-    rows_per_band = n_perms // n_bands
-    params = minhash_params(n_perms, seed)
-
-    from pyspark import StorageLevel
-
-    hashed = (
-        rebalance_for_compute(docs, id_col)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(
-                F.transform(shingle_col(F.col(text_col), shingle_n), _shingle_hash)
-            ).alias("h"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    def _perm(a: int, b: int):
-        # closure factory: pyspark introspects lambda arity, so the constants
-        # cannot ride along as default args
-        return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("h"), _perm(a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    signed = hashed.select("doc_id", *sig_cols)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        *[
-                            F.col(f"mh{bi * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("key"),
-            )
-            for bi in range(n_bands)
-        ]
-    )
-    bucketed = signed.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    hashed, bucketed = _minhash_hashed_buckets(
+        docs, id_col, text_col, shingle_n, n_perms, n_bands, seed
     )
     cand = (
         bucketed.alias("a")
@@ -450,3 +469,69 @@ def embed_cosine_near_dups(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def minhash_fresh_vs_history(
+    docs: DataFrame,
+    batch_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_perms: int = 16,
+    n_bands: int = 8,
+    threshold: float = 0.3,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental NEAR-dup ingestion: batch rows (``batch_pred`` true)
+    that are not near-duplicates of any history row (``batch_pred``
+    false). The production shape of MinHash dedup — corpora grow by
+    batches, and each batch screens against all history without
+    re-pairing history with itself.
+
+    Same front end as :func:`minhash_near_dups`; the candidate join is
+    batch-buckets x history-buckets ONLY (never history x history, which
+    is the quadratic bulk of a full-corpus pass), verified by exact
+    Jaccard on the hashed shingle sets, and the batch anti-joins the
+    confirmed-duplicate id set. At 100 TB the history side of the
+    band join is the stored signature sidecar (bucket by (band, key) via
+    operators/sink.py and the join is Exchange-free); history text is
+    never read.
+    """
+    hashed, bucketed = _minhash_hashed_buckets(
+        docs, id_col, text_col, shingle_n, n_perms, n_bands, seed
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"), batch_pred.alias("_b"))
+    marked = bucketed.join(ids, "doc_id")
+    cand = (
+        marked.filter(F.col("_b")).alias("a")
+        .join(
+            marked.filter(~F.col("_b")).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("bdoc"), F.col("b.doc_id").alias("hdoc")
+        )
+        .distinct()
+    )
+    dup_ids = (
+        cand.join(
+            hashed.select(F.col("doc_id").alias("bdoc"), F.col("h").alias("sa")),
+            "bdoc",
+        )
+        .join(
+            hashed.select(F.col("doc_id").alias("hdoc"), F.col("h").alias("sb")),
+            "hdoc",
+        )
+        .filter(
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("bdoc").alias("doc_id"))
+        .distinct()
+    )
+    return docs.filter(batch_pred).join(dup_ids, id_col, "left_anti")

@@ -48,6 +48,7 @@ _PRIORITY = (
     "stream_tumbling_batch",
     "event_asof_nearest",
     "event_running_distinct",
+    "dedup_incremental_minhash",
     "graph_components_star",
     "orders_cohort_ltv",
     "text_zipf_fit",

@@ -505,13 +505,9 @@ def q_sim_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle(
-    shingle_n: int = 3, n_perms: int = 16, n_bands: int = 8, threshold: float = 0.3
-) -> str:
-    """DuckDB SQL replicating the EXACT MinHash-LSH pipeline of
-    ``operators.dedup.minhash_near_dups`` — same md5-derived permutation
-    constants, same banding, same verification — so the (probabilistic-recall
-    but fully deterministic) candidate set matches bit-for-bit."""
+def _minhash_ctes(shingle_n: int = 3, n_perms: int = 16, n_bands: int = 8) -> str:
+    """The shared toks/sh/hashed/sig/buck CTE chain replicating
+    ``operators.dedup._minhash_hashed_buckets`` bit-for-bit."""
     rows = n_perms // n_bands
     params = minhash_params(n_perms)
     mh = ",\n                   ".join(
@@ -524,8 +520,7 @@ def _minhash_oracle(
         + ")) AS key FROM sig"
         for bi in range(n_bands)
     )
-    return f"""
-        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+    return f"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
                       FROM documents),
         sh AS (SELECT doc_id,
                       CASE WHEN len(w) >= {shingle_n}
@@ -541,7 +536,18 @@ def _minhash_oracle(
         sig AS (SELECT doc_id,
                    {mh}
                 FROM hashed),
-        buck AS ({band_selects}),
+        buck AS ({band_selects})"""
+
+
+def _minhash_oracle(
+    shingle_n: int = 3, n_perms: int = 16, n_bands: int = 8, threshold: float = 0.3
+) -> str:
+    """DuckDB SQL replicating the EXACT MinHash-LSH pipeline of
+    ``operators.dedup.minhash_near_dups`` — same md5-derived permutation
+    constants, same banding, same verification — so the (probabilistic-recall
+    but fully deterministic) candidate set matches bit-for-bit."""
+    return f"""
+        WITH {_minhash_ctes(shingle_n, n_perms, n_bands)},
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM buck a JOIN buck b
                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
@@ -554,6 +560,46 @@ def _minhash_oracle(
         WHERE ROUND(len(list_intersect(sa.h, sb.h))::DOUBLE
                     / len(list_distinct(sa.h || sb.h)), 6) >= {threshold}
     """
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+        WITH {_minhash_ctes()},
+        cand AS (SELECT DISTINCT a.doc_id AS bdoc, b.doc_id AS hdoc
+                 FROM buck a JOIN buck b
+                   ON a.band = b.band AND a.key = b.key
+                 WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+        dup AS (SELECT DISTINCT c.bdoc FROM cand c
+                JOIN hashed sa ON sa.doc_id = c.bdoc
+                JOIN hashed sb ON sb.doc_id = c.hdoc
+                WHERE ROUND(len(list_intersect(sa.h, sb.h))::DOUBLE
+                            / len(list_distinct(sa.h || sb.h)), 6) >= 0.3)
+        SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d
+        WHERE d.doc_id % 10 = 0
+          AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.bdoc = d.doc_id)
+    """,
+    doc="Incremental NEAR-dup ingestion (the production MinHash shape: "
+    "corpora grow by batches, each batch screens against ALL history "
+    "without re-pairing history with itself): a new batch (10% of docs) "
+    "band-joins the historical bucket sidecar — batch x history buckets "
+    "ONLY, never the quadratic history x history bulk — confirmed "
+    "near-dups (exact Jaccard >= 0.3 on hashed shingle sets) anti-join "
+    "out of the batch. At 100 TB the history side is the stored "
+    "signature sidecar, bucketed by (band, key) so the candidate join is "
+    "Exchange-free; history text is never read "
+    "(operators/dedup.py minhash_fresh_vs_history).",
+    tags=("dedup", "similarity", "pipeline"),
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.dedup import (
+        minhash_fresh_vs_history,
+    )
+
+    d = tables(spark, sf)["documents"]
+    fresh = minhash_fresh_vs_history(d, F.col("doc_id") % 10 == 0)
+    return fresh.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
 @query(
