@@ -502,3 +502,28 @@ class TestRound5PlanShapes:
         # not after materializing every row's rank
         plan = _executed_plan(_run(spark, "doc_balanced_sample"))
         assert "WindowGroupLimit" in plan
+
+
+class TestRound5AggRewrites:
+    def test_q10_preaggregates_below_the_orderkey_join(self, spark):
+        # the revenue pre-aggregation must shuffle on l_orderkey BELOW the
+        # orders join (partial-aggregation pushdown) — one narrow bigint
+        # per order crosses the join, not one decimal multiply per lineitem
+        plan = _executed_plan(_run(spark, "tpch_q10_returned_items"))
+        assert "hashpartitioning(l_orderkey" in plan
+
+    @pytest.mark.parametrize(
+        "name",
+        ["tpch_q1_pricing_summary", "agg_group_multi", "tpch_q5_local_supplier"],
+    )
+    def test_fixed_point_hot_path_has_no_decimal_partial_agg(self, spark, name):
+        # partial_sum over a DecimalType input would mean the BigDecimal
+        # slow path came back; the only decimal arithmetic allowed is the
+        # per-group scale-shift AFTER the final aggregation
+        plan = _executed_plan(_run(spark, name))
+        import re
+
+        partials = re.findall(r"partial_sum\([^)]*\)", plan)
+        assert partials, f"no partial aggregation found in {name}"
+        for p in partials:
+            assert "Decimal" not in p, f"decimal partial agg in {name}: {p}"
