@@ -49,6 +49,7 @@ _PRIORITY = (
     "event_asof_nearest",
     "event_running_distinct",
     "dedup_incremental_minhash",
+    "stream_interval_join_batch",
     "graph_components_star",
     "orders_cohort_ltv",
     "text_zipf_fit",

@@ -302,3 +302,100 @@ def q_stream_tumbling_batch(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("stream_tumbling_out").filter(
         F.col("window_start") < F.lit(cutoff)
     )
+
+
+@query(
+    "stream_interval_join_batch",
+    oracle="""
+        WITH v AS (
+            SELECT event_id AS view_id, user_id, ts
+            FROM events WHERE event_type = 'view'
+        ), p AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, v.view_id,
+               CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+        FROM p JOIN v
+          ON p.user_id = v.user_id
+         AND v.ts <= p.ts
+         AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream event-time interval join, driver-verified: the "
+    "view and purchase streams (file sources, availableNow) inner-join "
+    "on user within a [0, 30 min] event-time band, both sides carrying "
+    "watermarks so the state buffer is bounded — the attribution join an "
+    "event pipeline runs continuously. Inner stream-stream joins emit "
+    "matches as both sides arrive (the watermark only bounds state "
+    "eviction, not emission), so the finite-input output is exactly the "
+    "batch interval join, which the oracle states as the naive range "
+    "predicate. Gaps in exact signed microseconds. Scale: state is "
+    "O(rows within the watermark horizon) per side, hash-partitioned by "
+    "user_id.",
+    tags=("streaming", "join", "range"),
+)
+def q_stream_interval_join_batch(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    stages = {}
+    for side, etype in (("views", "view"), ("purchases", "purchase")):
+        stage = str(
+            Path(tempfile.gettempdir())
+            / f"stream_stage_ivj_{side}_{Path(sf).name}"
+        )
+        e.filter(F.col("event_type") == etype).select(
+            "event_id", "user_id", "ts"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        stages[side] = stage
+    schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    views = (
+        spark.readStream.schema(schema).parquet(stages["views"])
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema).parquet(stages["purchases"])
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("buy_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("buy_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "view_id",
+        (F.unix_micros(F.col("buy_ts")) - F.unix_micros(F.col("view_ts")))
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+    try:
+        spark.catalog.dropTempView("stream_ivj_out")
+    except Exception:
+        pass
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_ivj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+    finally:
+        if q.isActive:  # pragma: no cover - hung stream
+            q.stop()
+    if q.exception() is not None:  # pragma: no cover
+        raise q.exception()
+    if not finished:  # pragma: no cover
+        raise TimeoutError("stream_ivj_out did not finish within 300 s")
+    return spark.table("stream_ivj_out")
