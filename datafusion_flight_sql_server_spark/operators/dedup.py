@@ -186,6 +186,14 @@ def _minhash_hashed_buckets(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # five+ registered queries run through this front end: without a
+    # cleanup registration, full-registry sweeps accumulate one cached
+    # shingle-set relation per minhash query in the shared session
+    from datafusion_flight_sql_server_spark.queries.catalog import (
+        register_query_cleanup,
+    )
+
+    register_query_cleanup(hashed)
 
     def _perm(a: int, b: int):
         # closure factory: pyspark introspects lambda arity, so the constants
