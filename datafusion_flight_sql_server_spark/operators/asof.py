@@ -127,11 +127,22 @@ def asof_join_nearest(
         .orderBy(*order)
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
-    lt = F.col(ts_col).cast("timestamp")
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(left.schema[ts_col].dataType, TimestampType):
+        # exact integer microseconds — a double epoch loses sub-us ties
+        def _num(c):
+            return F.unix_micros(c)
+    else:
+        # numeric timestamps (epochs, sequence numbers) subtract directly
+        def _num(c):
+            return c.cast("long")
+
+    lt = F.col(ts_col)
     back = F.col("_b")
     fwd = F.col("_f")
-    gap_b = F.unix_micros(lt) - F.unix_micros(back[f"{ts_col}_r"])
-    gap_f = F.unix_micros(fwd[f"{ts_col}_r"]) - F.unix_micros(lt)
+    gap_b = _num(lt) - _num(back[f"{ts_col}_r"])
+    gap_f = _num(fwd[f"{ts_col}_r"]) - _num(lt)
     # right rows sort before left rows at equal ts, so the backward frame
     # sees same-ts matches (gap 0, wins every tie) and the forward frame
     # starts strictly after them — no double-count ambiguity

@@ -536,3 +536,62 @@ def test_ks_drift_matches_brute_force(spark, rows):
             best = max(best, abs((1_000_000 * ca) // n_t - (1_000_000 * cb) // n_all))
         want[t] = (n_t, best)
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_nearest_matches_python_reference(spark, left, right):
+    """Nearest-direction as-of vs a sequential reference implementing the
+    documented rule exactly: dedupe right per (key, ts) by max event_id,
+    pick the candidate with the smaller |Δts|, exact ties -> backward,
+    missing side -> the other, no right rows -> NULLs."""
+    from datafusion_flight_sql_server_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    left = [(i, k, ts) for i, (_, k, ts) in enumerate(left)]
+    lpdf = pd.DataFrame(left, columns=["purchase_id", "user_id", "ts"]).astype(
+        {"purchase_id": "int64", "user_id": "int64", "ts": "int64"}
+    )
+    rpdf = pd.DataFrame(
+        right, columns=["event_id", "user_id", "ts", "value"]
+    ).astype(
+        {"event_id": "int64", "user_id": "int64", "ts": "int64", "value": "float64"}
+    )
+    ldf = spark.createDataFrame(
+        lpdf, schema="purchase_id long, user_id long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        rpdf, schema="event_id long, user_id long, ts long, value double"
+    )
+    got = {
+        r.purchase_id: (r.ts_r, r.event_id_r, r.value_r)
+        for r in asof_join_nearest(ldf, rdf, on="user_id", ts_col="ts").collect()
+    }
+
+    # sequential reference
+    dedup: dict[tuple[int, int], tuple[int, float]] = {}
+    for _, row in rpdf.iterrows():
+        key = (int(row.user_id), int(row.ts))
+        cand = (int(row.event_id), float(row.value))
+        if key not in dedup or cand[0] > dedup[key][0]:
+            dedup[key] = cand
+    by_user: dict[int, list] = {}
+    for (u, ts), (eid, val) in dedup.items():
+        by_user.setdefault(u, []).append((ts, eid, val))
+    for i, k, t in left:
+        rows_k = by_user.get(k, [])
+        back = max((r for r in rows_k if r[0] <= t), default=None)
+        fwd = min((r for r in rows_k if r[0] >= t), default=None)
+        if back is None and fwd is None:
+            want = (None, None, None)
+        elif fwd is None or (back is not None and t - back[0] <= fwd[0] - t):
+            want = back
+        else:
+            want = fwd
+        assert got[i] == tuple(want), (i, k, t, got[i], want)
+    assert len(got) == len(left)
