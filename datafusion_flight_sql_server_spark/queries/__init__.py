@@ -50,6 +50,7 @@ _PRIORITY = (
     "event_running_distinct",
     "dedup_incremental_minhash",
     "stream_interval_join_batch",
+    "fn_posexplode",
     "graph_components_star",
     "orders_cohort_ltv",
     "text_zipf_fit",

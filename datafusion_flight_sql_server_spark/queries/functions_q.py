@@ -650,3 +650,33 @@ def q_fn_mask(spark: SparkSession, sf: str) -> DataFrame:
             F.mask(F.expr("substring(c_name, 10)")),
         ).alias("partial"),
     )
+
+
+@query(
+    "fn_posexplode",
+    oracle="""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+        u AS (SELECT doc_id,
+                     generate_subscripts(a, 1) AS idx1,
+                     unnest(a) AS word
+              FROM arr)
+        SELECT doc_id, CAST(idx1 - 1 AS BIGINT) AS pos, word
+        FROM u WHERE word <> ''
+    """,
+    doc="posexplode ≙ UNNEST WITH ORDINALITY: token position within each "
+    "document (the order-preserving explode a sequence pipeline needs — "
+    "plain explode loses position). Oracle zips DuckDB's "
+    "generate_subscripts with unnest; positions aligned 0-based.",
+    tags=("function", "array"),
+)
+def q_fn_posexplode(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word")
+    )
