@@ -51,6 +51,7 @@ _PRIORITY = (
     "dedup_incremental_minhash",
     "stream_interval_join_batch",
     "fn_posexplode",
+    "embed_cluster_quality",
     "graph_components_star",
     "orders_cohort_ltv",
     "text_zipf_fit",

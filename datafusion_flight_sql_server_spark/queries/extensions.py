@@ -265,6 +265,88 @@ def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _cluster_quality_oracle(n_cells: int = 16, iters: int = IVF_TRAIN_ITERS) -> str:
+    """Per-cell cohesion/separation audit over the trained quantizer."""
+    block, prev = _ivf_chain(n_cells, iters)
+    cs = _COS.format(a="e.v", b="c.cv")
+    sep_cos = _COS.format(a="a.cv", b="b.cv")
+    return f"""
+        WITH {block},
+             asg AS (SELECT neighbor_id, cell,
+                            CAST(FLOOR(cs * 1000000 + 0.5) AS BIGINT) AS cs_ppm
+                     FROM (
+                 SELECT e.neighbor_id, c.cent_id AS cell, {cs} AS cs,
+                        ROW_NUMBER() OVER (PARTITION BY e.neighbor_id
+                            ORDER BY {cs} DESC, c.cent_id) AS rn
+                 FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+             coh AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                            CAST(SUM(cs_ppm) AS BIGINT) AS sum_cohesion_ppm
+                     FROM asg GROUP BY cell),
+             sep AS (SELECT a.cent_id AS cell,
+                            CAST(MAX(FLOOR({sep_cos} * 1000000 + 0.5))
+                                 AS BIGINT) AS max_other_sim_ppm
+                     FROM {prev} a JOIN {prev} b ON a.cent_id <> b.cent_id
+                     GROUP BY a.cent_id)
+        SELECT coh.cell, coh.n_vectors, coh.sum_cohesion_ppm,
+               s.max_other_sim_ppm
+        FROM coh JOIN sep s ON coh.cell = s.cell
+    """
+
+
+@query(
+    "embed_cluster_quality",
+    oracle=_cluster_quality_oracle(),
+    doc="Clustering-quality audit of the trained coarse quantizer (the "
+    "health check an ANN/SemDeDup deployment monitors before trusting "
+    "cell-blocked operators): per cell, the member count, the exact "
+    "ppm-sum of member-to-own-centroid cosines (cohesion — summed as "
+    "integers so the audit is order-independent), and the maximum "
+    "cosine between this centroid and any other (separation — cells "
+    "whose centroids nearly coincide under-merge near-duplicates and "
+    "over-probe queries). Reuses the bit-deterministic trained "
+    "quantizer (train_cells) and aggregation-only assignment "
+    "(assign_cells); the separation pass is a 16x16 broadcast "
+    "cross of the centroid table, constant at any corpus size. Scale: "
+    "one corpus scan + one cell aggregation.",
+    tags=("similarity", "evaluation", "embedding"),
+)
+def q_embed_cluster_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.similarity import (
+        assign_cells,
+        round_cosine,
+        train_cells,
+    )
+
+    e = tables(spark, sf)["embeddings"]
+    cents = train_cells(e, n_cells=16, train_iters=IVF_TRAIN_ITERS, dim=64)
+    asg = assign_cells(e, cents)
+    coh = asg.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.floor(F.col("cs") * 1000000 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cohesion_ppm"),
+    )
+    a = cents.select(F.col("cent_id").alias("cell"), F.col("cent_vec").alias("av"))
+    b = cents.select(F.col("cent_id").alias("other"), F.col("cent_vec").alias("bv"))
+    sep = (
+        a.join(F.broadcast(b), F.col("cell") != F.col("other"))
+        .groupBy("cell")
+        .agg(
+            F.max(
+                F.floor(round_cosine(F.col("av"), F.col("bv")) * 1000000 + F.lit(0.5))
+            )
+            .cast("bigint")
+            .alias("max_other_sim_ppm")
+        )
+    )
+    return coh.join(sep, "cell").select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_vectors",
+        "sum_cohesion_ppm",
+        "max_other_sim_ppm",
+    )
+
+
 def _ivf_recall_oracle(k: int = 5) -> str:
     """Recall@k of the trained-IVF path vs brute force: both unrolled
     pipelines as CTE blocks, joined on (query, neighbor)."""
