@@ -72,6 +72,9 @@ HEADLINE = (
     # (DuckDB recursive-CTE baseline 7.7 s at sf0.1; the O(log n)-round
     # algorithm for adversarial diameters — see BASELINE.md round-5)
     "graph_components_star",
+    # round-5-late: incremental batch-vs-history MinHash ingestion
+    # (DuckDB 0.62 s at sf0.1 — see BASELINE.md round-5 closing section)
+    "dedup_incremental_minhash",
 )
 
 WARMUP_RUNS = 1
