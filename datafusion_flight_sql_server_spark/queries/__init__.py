@@ -52,6 +52,7 @@ _PRIORITY = (
     "stream_interval_join_batch",
     "fn_posexplode",
     "embed_cluster_quality",
+    "text_prefix_dup",
     "graph_components_star",
     "orders_cohort_ltv",
     "text_zipf_fit",

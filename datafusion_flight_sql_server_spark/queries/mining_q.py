@@ -1514,3 +1514,41 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("cont_a_ppm") >= 600000) | (F.col("cont_b_ppm") >= 600000)
         )
     )
+
+
+@query(
+    "text_prefix_dup",
+    oracle="""
+        WITH pfx AS (
+            SELECT doc_id,
+                   md5(array_to_string(string_split(lower(text), ' ')[1:16],
+                                       ' ')) AS p
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) OVER (PARTITION BY p) AS BIGINT) AS prefix_docs
+        FROM pfx
+    """,
+    doc="Document-opening duplication signal (template/boilerplate "
+    "detector): how many corpus documents share this document's first-16-"
+    "token prefix. Positional, unlike text_fingerprint's bag-of-tokens "
+    "key — a form letter with varying tails collides here and nowhere "
+    "else. Scale: only 16-byte prefix digests shuffle (one hash "
+    "partition by digest); text never leaves the map side.",
+    tags=("text", "dedup"),
+)
+def q_text_prefix_dup(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    pfx = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 16))
+        ).alias("p"),
+    )
+    return pfx.select(
+        "doc_id",
+        F.count(F.lit(1))
+        .over(W.partitionBy("p"))
+        .cast("bigint")
+        .alias("prefix_docs"),
+    )
