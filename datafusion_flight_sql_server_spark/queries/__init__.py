@@ -32,10 +32,10 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: r1-green rows as regression insurance. Green on the prefix → every
 #: registered query driver-verified at least once (the r1 long tail's
 #: rows stand from round 1 and re-verify locally in every pytest run).
-#: Round-5 state: the 50 r4-prefix names are ALL green in
-#: CORRECTNESS_r04.json; the only never-driver-checked registrations are
-#: dedup_containment + text_compression_ratio (positions 51-52 last
-#: round) — they take positions 1-2 per the VERDICT.md round-5 item 1.
+#: Round-5 end state: tier 1 holds the two round-4 stragglers (now at
+#: positions 1-2 per VERDICT round-5 item 1), tier 2 the 22 round-5
+#: registrations; with 24 never-driver-checked names the prefix keeps 26
+#: tier-3 rotation slots — the r6 driver run closes every open row.
 _PRIORITY = (
     # tier 1: registered round 4 after the driver run — never checked.
     "dedup_containment",
