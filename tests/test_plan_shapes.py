@@ -527,3 +527,45 @@ class TestRound5AggRewrites:
         assert partials, f"no partial aggregation found in {name}"
         for p in partials:
             assert "Decimal" not in p, f"decimal partial agg in {name}: {p}"
+
+
+class TestRound5LateAdditions:
+    def test_text_prefix_dup_shuffles_digests_only(self, spark):
+        # one hash partitioning by the 16-byte prefix digest; the text
+        # column must not survive past the map side into the exchange
+        plan = _executed_plan(_run(spark, "text_prefix_dup"))
+        assert plan.count("Exchange hashpartitioning") == 1
+        # the one exchange partitions by the digest column, not the text
+        assert "hashpartitioning(p#" in plan
+
+    def test_incremental_minhash_consistent_with_full_pair_list(self, spark):
+        # fresh = batch docs minus those with a verified near-dup pair
+        # crossing the batch/history split in the FULL pair list — the
+        # incremental operator must agree with the batch operator exactly
+        from pyspark.sql import functions as F
+
+        from datafusion_flight_sql_server_spark.operators.dedup import (
+            minhash_fresh_vs_history,
+            minhash_near_dups,
+        )
+        from datafusion_flight_sql_server_spark.queries.catalog import tables
+        from tests.conftest import SF_SMALL
+
+        d = tables(spark, SF_SMALL)["documents"]
+        is_batch = F.col("doc_id") % 10 == 0
+        fresh = {
+            r.doc_id
+            for r in minhash_fresh_vs_history(d, is_batch).select("doc_id").collect()
+        }
+        pairs = minhash_near_dups(d).select("doc_a", "doc_b").collect()
+        dup_batch = set()
+        for r in pairs:
+            a_b, b_b = r.doc_a % 10 == 0, r.doc_b % 10 == 0
+            if a_b and not b_b:
+                dup_batch.add(r.doc_a)
+            elif b_b and not a_b:
+                dup_batch.add(r.doc_b)
+        batch_ids = {
+            r.doc_id for r in d.filter(is_batch).select("doc_id").collect()
+        }
+        assert fresh == batch_ids - dup_batch
