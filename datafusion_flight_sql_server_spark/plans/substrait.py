@@ -919,11 +919,29 @@ class _State:
 def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
     """ReadRel → initial state (FROM clause, base columns, read filters)."""
     f = _fields(read)
+    mask_indexes: list[int] | None = None
     if 4 in f:
-        raise SubstraitUnsupported(
-            "Substrait consumer: ReadRel mask projection is not supported; "
-            "send SQL text instead"
-        )
+        # ReadRel.projection (MaskExpression{select=1 StructSelect{
+        # struct_items=1 repeated StructItem{field=1, child=2}}}) — the
+        # column pruning DataFusion's producer pushes into the read.
+        # Flat items only; nested child selections reject by name.
+        sel = _one(_fields(_one(f, 4)), 1)
+        if sel is None:
+            raise SubstraitUnsupported(
+                "Substrait consumer: ReadRel mask projection without a "
+                "StructSelect is not supported"
+            )
+        mask_indexes = []
+        for _, item in _fields(sel).get(1, []):
+            itf = _fields(item)
+            if _one(itf, 2) is not None:
+                raise SubstraitUnsupported(
+                    "Substrait consumer: nested ReadRel mask selections "
+                    "are not supported (flat column masks only)"
+                )
+            mask_indexes.append(int(_one(itf, 1) or 0))
+        if not mask_indexes:
+            raise SubstraitMalformed("ReadRel mask with no struct items")
     for num, label in ((6, "local_files"), (8, "extension_table")):
         if num in f:
             raise SubstraitUnsupported(
@@ -971,7 +989,7 @@ def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
             cond = _one(f, num)
             if cond is not None:
                 state.where.append(_expr_to_sql(cond, cols, funcs))
-        return state
+        return _apply_read_mask(state, mask_indexes)
 
     named = _one(f, 7)
     if named is None:
@@ -985,10 +1003,32 @@ def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
     state = _State(table, cols)
     # ReadRel.filter (3) is a required filter; best_effort_filter (11) MAY
     # be applied — applying it is always spec-valid, so both land in WHERE.
+    # Filters reference the UNMASKED base schema (they apply before the
+    # projection mask narrows the output).
     for num in (3, 11):
         cond = _one(f, num)
         if cond is not None:
             state.where.append(_expr_to_sql(cond, cols, funcs))
+    return _apply_read_mask(state, mask_indexes)
+
+
+def _apply_read_mask(state: _State, mask_indexes: list[int] | None) -> _State:
+    """Narrow the read's output to the mask's column subset (the WHERE
+    clauses keep referencing base-schema names, still in scope)."""
+    if mask_indexes is None:
+        return state
+    if not state.cols:
+        raise SubstraitUnsupported(
+            "Substrait consumer: ReadRel mask projection requires a "
+            "declared base schema"
+        )
+    try:
+        state.cols = [state.cols[i] for i in mask_indexes]
+    except IndexError as exc:
+        raise SubstraitMalformed(
+            f"ReadRel mask index out of range for "
+            f"{len(state.cols)}-column schema"
+        ) from exc
     return state
 
 

@@ -1941,3 +1941,44 @@ class TestVirtualTable:
         )
         with pytest.raises(SubstraitUnsupported, match="literal values"):
             substrait_to_sql(plan_bytes(rel(1, body)))
+
+
+def mask_projection(indexes: list[int]) -> bytes:
+    """ReadRel.projection (field 4): MaskExpression{select=1
+    StructSelect{struct_items=1 repeated StructItem{field=1}}}."""
+    items = b"".join(
+        _len_field(1, _varint_field(1, i) if i else b"") for i in indexes
+    )
+    return _len_field(4, _len_field(1, items))
+
+
+class TestReadMask:
+    def test_flat_mask_narrows_output(self, spark):
+        r = rel(1, read_rel(["users"], ["id", "name"], extra=mask_projection([1])))
+        sql = substrait_to_sql(plan_bytes(r))
+        assert sql == "SELECT `name` FROM `users`"
+
+    def test_mask_with_filter_on_unmasked_schema(self, spark):
+        cond = scalar_fn(1, [field_ref(0), literal("i64", 1)])
+        body = read_rel(["users"], ["id", "name"], extra=mask_projection([1]))
+        body += _len_field(3, cond)  # ReadRel.filter references BASE schema
+        p = plan_bytes(
+            rel(1, body), extensions=extension_function(1, "gt:any_any")
+        )
+        sql = substrait_to_sql(p)
+        assert "SELECT `name` FROM `users` WHERE (`id` > 1)" == sql
+        spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, name)"
+                  ).createOrReplaceTempView("users")
+        assert [r[0] for r in spark.sql(sql).collect()] == ["b"]
+
+    def test_nested_mask_rejected(self):
+        items = _len_field(1, _varint_field(1, 0) + _len_field(2, b""))
+        mask = _len_field(4, _len_field(1, items))
+        r = rel(1, read_rel(["users"], ["id", "name"], extra=mask))
+        with pytest.raises(SubstraitUnsupported, match="flat column masks"):
+            substrait_to_sql(plan_bytes(r))
+
+    def test_mask_index_out_of_range_malformed(self):
+        r = rel(1, read_rel(["users"], ["id", "name"], extra=mask_projection([5])))
+        with pytest.raises(SubstraitMalformed, match="out of range"):
+            substrait_to_sql(plan_bytes(r))
