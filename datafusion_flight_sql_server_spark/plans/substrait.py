@@ -1054,6 +1054,7 @@ _AGG_FUNCS = {
     "count": "COUNT",
     "std_dev": "STDDEV_SAMP",
     "variance": "VAR_SAMP",
+    "string_agg": "LISTAGG",  # functions_string.yaml; the one sorted agg
 }
 
 #: AggregationInvocation enum (algebra.proto): ALL renders plainly,
@@ -1172,10 +1173,13 @@ def _aggregate_rel(
                 f"Substrait consumer: aggregate function {name!r} is not in "
                 f"the aggregate subset ({' '.join(sorted(_AGG_FUNCS))})"
             )
-        if af.get(3):
+        sorts = af.get(3, [])
+        if sorts and name != "string_agg":
+            # LISTAGG ... WITHIN GROUP is Spark's only ordered aggregate;
+            # sorts on any other function cannot be honored
             raise SubstraitUnsupported(
                 "Substrait consumer: sorted aggregate functions are not "
-                "supported"
+                "supported (except string_agg -> LISTAGG WITHIN GROUP)"
             )
         phase = int(_one(af, 4) or 0)
         if phase not in (0, 3):  # unspecified / INITIAL_TO_RESULT
@@ -1202,10 +1206,11 @@ def _aggregate_rel(
                 f"Substrait consumer: aggregate invocation {invocation} is "
                 f"not supported"
             )
-        if len(args) > 1:
+        max_args = 2 if name == "string_agg" else 1
+        if len(args) > max_args:
             raise SubstraitUnsupported(
                 f"Substrait consumer: {name!r} with {len(args)} arguments is "
-                f"not supported (one argument, or zero for count)"
+                f"not supported"
             )
         if not args:
             if name != "count" or distinct:
@@ -1213,9 +1218,41 @@ def _aggregate_rel(
             rendered_fn = "COUNT(*)"
         else:
             arg_sql = _quote(_col_at(state.cols, _field_ref_index(args[0])))
+            call_args = arg_sql
+            if name == "string_agg" and len(args) == 2:
+                # separator must be a literal (Spark requires a foldable
+                # delimiter)
+                sep = _fields(args[1])
+                if 1 not in sep:
+                    raise SubstraitUnsupported(
+                        "Substrait consumer: string_agg separator must be "
+                        "a literal"
+                    )
+                call_args += f", {_literal_to_sql(_one(sep, 1))}"
             rendered_fn = (
-                f"{sql_fn}(DISTINCT {arg_sql})" if distinct else f"{sql_fn}({arg_sql})"
+                f"{sql_fn}(DISTINCT {call_args})"
+                if distinct
+                else f"{sql_fn}({call_args})"
             )
+            if sorts:
+                parts = []
+                for _, sort_field in sorts:
+                    sff = _fields(sort_field)
+                    sexpr = _one(sff, 1)
+                    if sexpr is None:
+                        raise SubstraitMalformed("SortField without expression")
+                    direction = int(_one(sff, 2) or 0)
+                    sql_dir = _SORT_DIRECTIONS.get(direction)
+                    if sql_dir is None:
+                        raise SubstraitUnsupported(
+                            f"Substrait consumer: sort direction {direction} "
+                            f"is not supported"
+                        )
+                    scol = _quote(_col_at(state.cols, _field_ref_index(sexpr)))
+                    parts.append(f"{scol} {sql_dir}")
+                rendered_fn += (
+                    f" WITHIN GROUP (ORDER BY {', '.join(parts)})"
+                )
         flt = _one(mf, 2)  # Measure.filter: over the aggregate's INPUT
         if flt is not None:
             rendered_fn += (

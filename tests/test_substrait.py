@@ -1982,3 +1982,54 @@ class TestReadMask:
         r = rel(1, read_rel(["users"], ["id", "name"], extra=mask_projection([5])))
         with pytest.raises(SubstraitMalformed, match="out of range"):
             substrait_to_sql(plan_bytes(r))
+
+
+def sorted_agg_function(anchor: int, arg_indexes: list[int],
+                        sep: bytes | None = None,
+                        sorts: list[tuple[int, int]] = ()) -> bytes:
+    """AggregateFunction with sorts (field 3) and an optional literal
+    separator second argument."""
+    body = _varint_field(1, anchor)
+    for col, direction in sorts:
+        sf = _len_field(1, field_ref(col)) + _varint_field(2, direction)
+        body += _len_field(3, sf)
+    for i in arg_indexes:
+        body += _len_field(7, _len_field(3, field_ref(i)))
+    if sep is not None:
+        body += _len_field(7, _len_field(3, sep))
+    return body
+
+
+class TestSortedStringAgg:
+    def test_listagg_within_group_executes(self, spark):
+        # string_agg(name, ',') ordered by id DESC per single group
+        agg = rel(4, aggregate_rel(
+            USERS_READ, [],
+            [measure(sorted_agg_function(
+                1, [1], sep=literal("string", ","), sorts=[(0, 4)]
+            ))],
+        ))
+        p = plan_bytes(agg, extensions=extension_function(1, "string_agg:str_str"))
+        sql = substrait_to_sql(p)
+        assert "LISTAGG(`name`, ',') WITHIN GROUP (ORDER BY `id` DESC NULLS LAST)" in sql
+        spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') "
+                  "AS t(id, name)").createOrReplaceTempView("users")
+        assert spark.sql(sql).collect()[0][0] == "c,b,a"
+
+    def test_sorts_on_other_aggregates_still_rejected(self):
+        agg = rel(4, aggregate_rel(
+            USERS_READ, [],
+            [measure(sorted_agg_function(1, [0], sorts=[(0, 2)]))],
+        ))
+        p = plan_bytes(agg, extensions=extension_function(1, "sum:i64"))
+        with pytest.raises(SubstraitUnsupported, match="sorted aggregate"):
+            substrait_to_sql(p)
+
+    def test_non_literal_separator_rejected(self):
+        agg = rel(4, aggregate_rel(
+            USERS_READ, [],
+            [measure(sorted_agg_function(1, [1, 0]))],  # col as separator
+        ))
+        p = plan_bytes(agg, extensions=extension_function(1, "string_agg:str_str"))
+        with pytest.raises(SubstraitUnsupported, match="separator"):
+            substrait_to_sql(p)
