@@ -53,6 +53,7 @@ _PRIORITY = (
     "fn_posexplode",
     "embed_cluster_quality",
     "text_prefix_dup",
+    "sim_range_search",
     "graph_components_star",
     "orders_cohort_ltv",
     "text_zipf_fit",

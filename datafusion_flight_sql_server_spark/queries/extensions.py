@@ -157,6 +157,56 @@ def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
 
+@query(
+    "sim_range_search",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings)
+        SELECT query_id, neighbor_id,
+               {_COS.format(a="qv", b="cv")} AS sim
+        FROM q JOIN c ON neighbor_id <> query_id
+        WHERE {_COS.format(a="qv", b="cv")} >= 0.3
+    """,
+    doc="Radius (range) search: ALL neighbors with cosine >= tau per "
+    "query, not a fixed top-k — the FAISS/Milvus range_search API, and "
+    "the primitive behind threshold tuning for embedding dedup (how many "
+    "neighbors would tau merge?). Result size is data-dependent, so "
+    "there is no rank column; the contract is the exact set above the "
+    "threshold (round-6 similarities). Scale: the query side is a "
+    "broadcast (a bounded evaluation sample by contract — "
+    "similarity.py's guarded-limit discipline); per-corpus-row work is "
+    "|queries| dot products map-side, and only above-threshold pairs "
+    "shuffle. The full-corpus variant is dedup_embed_cosine's "
+    "LSH-bucketed pair generation.",
+    tags=("similarity",),
+)
+def q_sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.similarity import (
+        round_cosine,
+    )
+
+    e = tables(spark, sf)["embeddings"]
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
 #: Lloyd refinement steps for the registered trained-IVF query (and its
 #: unrolled oracle — keep in sync via _ivf_oracle()).
 IVF_TRAIN_ITERS = 2
