@@ -219,8 +219,29 @@ _LITERAL_ARMS = {
     10: "fp32",
     11: "fp64",
     12: "string",
+    13: "binary",  # bytes → X'…' hex literal
+    14: "timestamp",  # deprecated naive micros since epoch (still emitted)
     16: "date",  # days since 1970-01-01 (type.proto Literal.date, int32)
+    21: "fixed_char",  # string payload, space-padded semantics
+    22: "var_char",  # VarChar{value=1, length=2}
+    24: "decimal",  # Decimal{value=1 (16B LE two's-complement), p=2, s=3}
+    29: "null",  # typed null: Type message → CAST(NULL AS t)
+    34: "precision_timestamp",  # PrecisionTimestamp{precision=1, value=2}
 }
+
+def _signed64(raw: int | bytes) -> int:
+    """Protobuf varint payload → Python int, two's-complement at 64 bits."""
+    value = int(raw)
+    if value >= 1 << 63:
+        value -= 1 << 64
+    return value
+
+
+def _micros_to_timestamp_sql(micros: int) -> str:
+    import datetime
+
+    ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=micros)
+    return f"TIMESTAMP '{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
 
 
 def _literal_to_sql(lit: bytes) -> str:
@@ -230,7 +251,8 @@ def _literal_to_sql(lit: bytes) -> str:
         arms = ", ".join(str(n) for n in sorted(f))
         raise SubstraitUnsupported(
             f"Substrait consumer: unsupported literal (fields [{arms}]); "
-            f"supported: boolean, i8/i16/i32/i64, fp32/fp64, string"
+            f"supported: boolean, i8/i16/i32/i64, fp32/fp64, string, binary, "
+            f"date, timestamp, fixed_char/var_char, decimal, typed null"
         )
     num = present[0]
     kind = _LITERAL_ARMS[num]
@@ -239,18 +261,27 @@ def _literal_to_sql(lit: bytes) -> str:
         return "TRUE" if raw else "FALSE"
     if kind in ("i8", "i16", "i32", "i64"):
         # protobuf int64 varints are two's-complement on the wire
-        value = int(raw)
-        if value >= 1 << 63:
-            value -= 1 << 64
-        return str(value)
+        return str(_signed64(raw))
     if kind == "date":
         import datetime
 
-        days = int(raw)
-        if days >= 1 << 63:
-            days -= 1 << 64
-        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=_signed64(raw))
         return f"DATE '{d.isoformat()}'"
+    if kind == "timestamp":
+        # algebra.proto Literal.timestamp (deprecated but widely produced):
+        # timezone-naive microseconds since the epoch; rendered as the civil
+        # instant string, matching the spec's "no timezone" reading
+        return _micros_to_timestamp_sql(_signed64(raw))
+    if kind == "precision_timestamp":
+        pf = _fields(raw)
+        precision = int(_one(pf, 1) or 0)
+        value = _signed64(_one(pf, 2) or 0)
+        if precision > 6:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: precision_timestamp with precision "
+                f"{precision} exceeds Spark's microsecond timestamps"
+            )
+        return _micros_to_timestamp_sql(value * 10 ** (6 - precision))
     if kind == "fp32":
         if wt != WT_I32:
             raise SubstraitMalformed("fp32 literal with wrong wire type")
@@ -259,7 +290,36 @@ def _literal_to_sql(lit: bytes) -> str:
         if wt != WT_I64:
             raise SubstraitMalformed("fp64 literal with wrong wire type")
         return repr(struct.unpack("<d", raw)[0])
-    # string
+    if kind == "binary":
+        return "X'" + (raw.hex().upper() if isinstance(raw, bytes) else "") + "'"
+    if kind == "var_char":
+        vf = _fields(raw)
+        payload = _one(vf, 1) or b""
+        text = payload.decode("utf-8", "strict")
+        return "'" + text.replace("'", "''") + "'"
+    if kind == "decimal":
+        df = _fields(raw)
+        payload = _one(df, 1)
+        if not isinstance(payload, bytes) or len(payload) != 16:
+            raise SubstraitMalformed(
+                "decimal literal without a 16-byte twos-complement value"
+            )
+        precision = int(_one(df, 2) or 38)
+        scale = int(_one(df, 3) or 0)
+        unscaled = int.from_bytes(payload, "little", signed=True)
+        sign = "-" if unscaled < 0 else ""
+        if scale > 0:
+            digits = str(abs(unscaled)).rjust(scale + 1, "0")
+            text = f"{sign}{digits[:-scale]}.{digits[-scale:]}"
+        else:
+            text = f"{sign}{abs(unscaled)}"
+        # CAST preserves the plan's declared (precision, scale) exactly; a
+        # bare numeric literal would re-derive a minimal type instead
+        return f"CAST({text} AS DECIMAL({precision},{scale}))"
+    if kind == "null":
+        return f"CAST(NULL AS {_type_to_sql(raw)})"
+    # string / fixed_char (both carry a UTF-8 payload; Spark has no padded
+    # CHAR literal type, so fixed_char renders as a plain string)
     text = raw.decode("utf-8", "strict") if isinstance(raw, bytes) else str(raw)
     return "'" + text.replace("'", "''") + "'"
 
@@ -425,12 +485,52 @@ def _expr_to_sql(
         return _subquery_to_sql(
             _one(f, 12), cols, funcs, rendered, outer + (level,)
         )
+    if 8 in f:  # singular_or_list: value IN (options…)
+        sf = _fields(_one(f, 8))
+        value = _one(sf, 1)
+        options = [m for _, m in sf.get(2, [])]
+        if value is None or not options:
+            raise SubstraitMalformed("singular_or_list without value/options")
+        rx = _expr_to_sql(value, cols, funcs, rendered, allow_window, outer, level)
+        opts = ", ".join(
+            _expr_to_sql(o, cols, funcs, rendered, allow_window, outer, level)
+            for o in options
+        )
+        return f"({rx} IN ({opts}))"
+    if 9 in f:  # multi_or_list: (a, b) IN ((…), (…))
+        mf = _fields(_one(f, 9))
+        values = [m for _, m in mf.get(1, [])]
+        records = [m for _, m in mf.get(2, [])]
+        if not values or not records:
+            raise SubstraitMalformed("multi_or_list without value/options")
+        lhs = ", ".join(
+            _expr_to_sql(v, cols, funcs, rendered, allow_window, outer, level)
+            for v in values
+        )
+        rows = []
+        for rec in records:
+            fields_ = [m for _, m in _fields(rec).get(1, [])]
+            if len(fields_) != len(values):
+                raise SubstraitMalformed(
+                    "multi_or_list record arity differs from value arity"
+                )
+            rows.append(
+                "("
+                + ", ".join(
+                    _expr_to_sql(
+                        x, cols, funcs, rendered, allow_window, outer, level
+                    )
+                    for x in fields_
+                )
+                + ")"
+            )
+        return f"(({lhs}) IN ({', '.join(rows)}))"
     present = [f"expression field {n}" for n in f]
     raise SubstraitUnsupported(
         f"Substrait consumer: unsupported expression "
         f"({', '.join(present) or 'empty expression'}); supported: field "
         f"reference, literal, cast, comparison/boolean/arithmetic scalar "
-        f"function, window function, uncorrelated subquery"
+        f"function, window function, IN-list, uncorrelated subquery"
     )
 
 
@@ -487,6 +587,35 @@ def _if_then_to_sql(
     return "(" + " ".join(parts) + ")"
 
 
+def _type_to_sql(ty: bytes) -> str:
+    """Substrait Type message (type.proto oneof) → Spark SQL type name.
+
+    Shared by Expression.Cast targets and typed-null literals."""
+    tf = _fields(ty)
+    present = [n for n in tf]
+    if len(present) != 1:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: type message with arms {present} is "
+            f"not supported"
+        )
+    arm = present[0]
+    if arm == 24:  # decimal: scale=1, precision=2 (type.proto Decimal)
+        df = _fields(_one(tf, 24))
+        scale = int(_one(df, 1) or 0)
+        precision = int(_one(df, 2) or 38)
+        return f"DECIMAL({precision},{scale})"
+    if arm in (21, 22):  # fixed-char / varchar with length
+        lf = _fields(_one(tf, arm))
+        length = int(_one(lf, 1) or 0)
+        return f"VARCHAR({length})" if length else "STRING"
+    sql_type = _CAST_TYPES.get(arm)
+    if sql_type is None:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: type arm {arm} is not supported"
+        )
+    return sql_type
+
+
 def _cast_to_sql(
     body: bytes,
     cols: list[str],
@@ -508,30 +637,7 @@ def _cast_to_sql(
     ty = _one(f, 1)
     if ty is None:
         raise SubstraitMalformed("cast without target type")
-    tf = _fields(ty)
-    present = [n for n in tf]
-    if len(present) != 1:
-        raise SubstraitUnsupported(
-            f"Substrait consumer: cast type message with arms {present} is "
-            f"not supported"
-        )
-    arm = present[0]
-    if arm == 24:  # decimal: scale=1, precision=2 (type.proto Decimal)
-        df = _fields(_one(tf, 24))
-        scale = int(_one(df, 1) or 0)
-        precision = int(_one(df, 2) or 38)
-        sql_type = f"DECIMAL({precision},{scale})"
-    elif arm in (21, 22):  # fixed-char / varchar with length
-        lf = _fields(_one(tf, arm))
-        length = int(_one(lf, 1) or 0)
-        sql_type = f"VARCHAR({length})" if length else "STRING"
-    else:
-        sql_type = _CAST_TYPES.get(arm)
-        if sql_type is None:
-            raise SubstraitUnsupported(
-                f"Substrait consumer: cast to type arm {arm} is not "
-                f"supported"
-            )
+    sql_type = _type_to_sql(ty)
     behavior = int(_one(f, 3) or 0)
     fn = "CAST" if behavior == 2 else "TRY_CAST"
     return (

@@ -94,6 +94,35 @@ def literal(kind: str, value) -> bytes:
         body = encode_varint((11 << 3) | 1) + _struct.pack("<d", value)
     elif kind == "string":
         body = _string_field(12, value)
+    elif kind == "binary":
+        body = _len_field(13, value)
+    elif kind == "timestamp":  # deprecated naive micros-since-epoch arm
+        body = _varint_field(14, value & ((1 << 64) - 1))
+    elif kind == "date":
+        body = _varint_field(16, value & ((1 << 64) - 1))
+    elif kind == "fixed_char":
+        body = _string_field(21, value)
+    elif kind == "var_char":  # VarChar{value=1, length=2}
+        body = _len_field(
+            22, _string_field(1, value) + _varint_field(2, len(value))
+        )
+    elif kind == "decimal":  # (unscaled, precision, scale)
+        unscaled, precision, scale = value
+        body = _len_field(
+            24,
+            _len_field(1, unscaled.to_bytes(16, "little", signed=True))
+            + _varint_field(2, precision)
+            + _varint_field(3, scale),
+        )
+    elif kind == "null":  # value = serialized Type message
+        body = _len_field(29, value)
+    elif kind == "precision_timestamp":  # (precision, value)
+        precision, ticks = value
+        body = _len_field(
+            34,
+            _varint_field(1, precision)
+            + _varint_field(2, ticks & ((1 << 64) - 1)),
+        )
     else:  # pragma: no cover - test bug
         raise AssertionError(kind)
     return _len_field(1, body)  # Expression.literal
@@ -2033,3 +2062,164 @@ class TestSortedStringAgg:
         p = plan_bytes(agg, extensions=extension_function(1, "string_agg:str_str"))
         with pytest.raises(SubstraitUnsupported, match="separator"):
             substrait_to_sql(p)
+
+
+# -- literal widening + IN-lists (round 5) ----------------------------------
+
+
+def singular_or_list(value: bytes, options: list[bytes]) -> bytes:
+    """Expression.singular_or_list (algebra.proto field 8)."""
+    body = _len_field(1, value) + b"".join(_len_field(2, o) for o in options)
+    return _len_field(8, body)
+
+
+def multi_or_list(values: list[bytes], records: list[list[bytes]]) -> bytes:
+    """Expression.multi_or_list (field 9); each record is a field list."""
+    body = b"".join(_len_field(1, v) for v in values)
+    for rec in records:
+        body += _len_field(2, b"".join(_len_field(1, x) for x in rec))
+    return _len_field(9, body)
+
+
+class TestLiteralWideningTranslate:
+    def _filter_sql(self, cond: bytes, exts: bytes = b"") -> str:
+        return substrait_to_sql(
+            plan_bytes(rel(2, filter_rel(USERS_READ, cond)), extensions=exts)
+        )
+
+    def test_singular_or_list(self):
+        cond = singular_or_list(
+            field_ref(0), [literal("i64", 1), literal("i64", 3)]
+        )
+        assert self._filter_sql(cond) == (
+            "SELECT `id`, `name` FROM `users` WHERE (`id` IN (1, 3))"
+        )
+
+    def test_multi_or_list(self):
+        cond = multi_or_list(
+            [field_ref(0), field_ref(1)],
+            [
+                [literal("i64", 1), literal("string", "Alice")],
+                [literal("i64", 2), literal("string", "Bob")],
+            ],
+        )
+        assert self._filter_sql(cond) == (
+            "SELECT `id`, `name` FROM `users` WHERE ((`id`, `name`) IN "
+            "((1, 'Alice'), (2, 'Bob')))"
+        )
+
+    def test_multi_or_list_arity_mismatch_rejected(self):
+        cond = multi_or_list(
+            [field_ref(0), field_ref(1)], [[literal("i64", 1)]]
+        )
+        with pytest.raises(SubstraitMalformed, match="arity"):
+            self._filter_sql(cond)
+
+    def test_decimal_literal(self):
+        cond = scalar_fn(
+            1, [field_ref(0), literal("decimal", (1995, 6, 2))]
+        )
+        assert self._filter_sql(
+            cond, extension_function(1, "gt:any_any")
+        ) == (
+            "SELECT `id`, `name` FROM `users` WHERE "
+            "(`id` > CAST(19.95 AS DECIMAL(6,2)))"
+        )
+
+    def test_negative_decimal_literal(self):
+        cond = scalar_fn(
+            1, [field_ref(0), literal("decimal", (-1995, 6, 2))]
+        )
+        assert "CAST(-19.95 AS DECIMAL(6,2))" in self._filter_sql(
+            cond, extension_function(1, "gt:any_any")
+        )
+
+    def test_decimal_scale_zero_and_small_value(self):
+        cond = scalar_fn(1, [field_ref(0), literal("decimal", (7, 10, 0))])
+        assert "CAST(7 AS DECIMAL(10,0))" in self._filter_sql(
+            cond, extension_function(1, "gt:any_any")
+        )
+        cond = scalar_fn(1, [field_ref(0), literal("decimal", (3, 4, 3))])
+        assert "CAST(0.003 AS DECIMAL(4,3))" in self._filter_sql(
+            cond, extension_function(1, "gt:any_any")
+        )
+
+    def test_timestamp_literal_micros(self):
+        # 2024-03-05 06:07:08.000009 UTC = 1709618828000009 micros
+        cond = scalar_fn(
+            1, [field_ref(0), literal("timestamp", 1709618828000009)]
+        )
+        assert "TIMESTAMP '2024-03-05 06:07:08.000009'" in self._filter_sql(
+            cond, extension_function(1, "gt:any_any")
+        )
+
+    def test_precision_timestamp_millis(self):
+        cond = scalar_fn(
+            1, [field_ref(0), literal("precision_timestamp", (3, 1709618828123))]
+        )
+        assert "TIMESTAMP '2024-03-05 06:07:08.123000'" in self._filter_sql(
+            cond, extension_function(1, "gt:any_any")
+        )
+
+    def test_precision_timestamp_nanos_rejected(self):
+        cond = scalar_fn(
+            1, [field_ref(0), literal("precision_timestamp", (9, 1))]
+        )
+        with pytest.raises(SubstraitUnsupported, match="precision"):
+            self._filter_sql(cond, extension_function(1, "gt:any_any"))
+
+    def test_binary_literal(self):
+        cond = scalar_fn(1, [field_ref(1), literal("binary", b"\x01\xab")])
+        assert "X'01AB'" in self._filter_sql(
+            cond, extension_function(1, "equal:any_any")
+        )
+
+    def test_var_char_and_fixed_char_literals(self):
+        cond = scalar_fn(
+            1, [field_ref(1), literal("var_char", "bo'b")]
+        )
+        assert "'bo''b'" in self._filter_sql(
+            cond, extension_function(1, "equal:any_any")
+        )
+        cond = scalar_fn(1, [field_ref(1), literal("fixed_char", "ab")])
+        assert "'ab'" in self._filter_sql(
+            cond, extension_function(1, "equal:any_any")
+        )
+
+    def test_typed_null_literal(self):
+        p = rel(
+            7,
+            computed_project(
+                USERS_READ, [literal("null", _len_field(12, b""))], [2]
+            ),
+        )
+        assert substrait_to_sql(plan_bytes(p)) == (
+            "SELECT `expr0` FROM (SELECT CAST(NULL AS STRING) AS `expr0` "
+            "FROM `users`) AS `p`"
+        )
+
+
+class TestLiteralWideningOverWire:
+    def test_in_list_filter_round_trip(self, substrait_server, spark):
+        # earlier tests may have replaced the shared `users` temp view
+        register_memtable(
+            spark,
+            "users",
+            [(1, "Alice"), (2, "Bob"), (3, "Charlie")],
+            "id INT NOT NULL, name STRING NOT NULL",
+        )
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            cond = singular_or_list(
+                field_ref(0), [literal("i64", 1), literal("i64", 3)]
+            )
+            p = plan_bytes(rel(2, filter_rel(USERS_READ, cond)))
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert sorted(table.column("name").to_pylist()) == [
+                "Alice", "Charlie",
+            ]
+        finally:
+            ex.close()
