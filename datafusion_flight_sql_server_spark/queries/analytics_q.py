@@ -611,3 +611,197 @@ def q_event_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson/Sparck Jones; the Lucene +1 idf form)
+# ---------------------------------------------------------------------------
+
+#: Fixed evaluation query for the registered BM25 run (terms from the
+#: fixture vocabulary, present at every scale factor).
+BM25_TERMS = ("vector", "join", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: Per-(doc, term) BM25 contribution in integer micros. ONE ln per term and
+#: a fixed-shape double expression evaluated identically by both engines,
+#: then floor(x*1e6 + 0.5) so the per-doc SUM is integer — order-independent
+#: and hash-exact (the repo's floor-micros idiom; a double SUM over terms
+#: would be association-dependent at the last ulp).
+_BM25_TERM_PPM = (
+    "CAST(floor("
+    "ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    " * (CAST(tf AS DOUBLE) * {k1p1})"
+    " / (CAST(tf AS DOUBLE) + {k1} * ({one_minus_b} + {b} *"
+    " (CAST(dl AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+).format(k1p1=BM25_K1 + 1, k1=BM25_K1, one_minus_b=1 - BM25_B, b=BM25_B)
+
+_BM25_TOKENS_DUCK = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+        WITH per AS (SELECT doc_id,
+                 CAST(len({_BM25_TOKENS_DUCK}) AS BIGINT) AS dl,
+                 CAST(len(list_filter({_BM25_TOKENS_DUCK},
+                                      x -> x = '{BM25_TERMS[0]}')) AS BIGINT) AS tf_0,
+                 CAST(len(list_filter({_BM25_TOKENS_DUCK},
+                                      x -> x = '{BM25_TERMS[1]}')) AS BIGINT) AS tf_1,
+                 CAST(len(list_filter({_BM25_TOKENS_DUCK},
+                                      x -> x = '{BM25_TERMS[2]}')) AS BIGINT) AS tf_2
+             FROM documents),
+        long AS (SELECT doc_id, dl, '{BM25_TERMS[0]}' AS w, tf_0 AS tf FROM per
+                 UNION ALL
+                 SELECT doc_id, dl, '{BM25_TERMS[1]}', tf_1 FROM per
+                 UNION ALL
+                 SELECT doc_id, dl, '{BM25_TERMS[2]}', tf_2 FROM per),
+        hits AS (SELECT * FROM long WHERE tf > 0),
+        dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY w),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(dl) AS BIGINT) AS total FROM per),
+        term AS (SELECT h.doc_id, {_BM25_TERM_PPM} AS s_ppm
+                 FROM hits h JOIN dfq USING (w) CROSS JOIN st),
+        docsc AS (SELECT doc_id, CAST(SUM(s_ppm) AS BIGINT) AS score_ppm
+                  FROM term GROUP BY doc_id),
+        ranked AS (SELECT doc_id, score_ppm,
+                          ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id)
+                              AS rk
+                   FROM docsc)
+        SELECT doc_id, score_ppm, CAST(rk AS BIGINT) AS rank
+        FROM ranked WHERE rk <= 10
+    """,
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75, Lucene +1 idf) for a fixed "
+    "3-term query — the scoring-side complement of text_inverted_index, "
+    "and the engine primitive behind contamination screens and "
+    "retrieval-based curation. Zero explodes: per-doc length and "
+    "per-term tf are ROW-LOCAL higher-order-function expressions "
+    "(size/filter over the token array), so the corpus never shuffles — "
+    "only an n_docs-row stats table does. Per-(doc,term) scores are "
+    "floor-micros integers (one ln each, identical expression shape in "
+    "both engines), so the per-doc SUM is order-independent and the "
+    "top-10 (score DESC, doc_id) is a total order. Scale: one corpus "
+    "scan, an n_docs-row persist shared by the stats and the long form, "
+    "broadcast df/N joins, TakeOrdered top-10 — no corpus-sized shuffle "
+    "anywhere.",
+    tags=("text", "retrieval", "analytics"),
+)
+def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from datafusion_flight_sql_server_spark.queries.catalog import (
+        register_query_cleanup,
+    )
+
+    d = tables(spark, sf)["documents"]
+    toks = "filter(split(lower(text), ' '), x -> x != '')"
+    per = d.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("dl"),
+        *[
+            F.expr(
+                f"CAST(size(filter({toks}, x -> x = '{t}')) AS BIGINT)"
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    # `per` feeds both the corpus stats and the long form; without the
+    # persist the documents scan (and 4 higher-order projections) runs
+    # twice (the text_keyword_extract lesson — exchange reuse does not
+    # apply across different aggregates)
+    per = register_query_cleanup(per.persist(StorageLevel.MEMORY_AND_DISK))
+    stack_args = ", ".join(
+        f"'{t}', tf_{i}" for i, t in enumerate(BM25_TERMS)
+    )
+    hits = per.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(BM25_TERMS)}, {stack_args}) AS (w, tf)"),
+    ).filter(F.col("tf") > 0)
+    dfq = hits.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    st = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("total"),
+    )
+    term = (
+        hits.join(F.broadcast(dfq), "w")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", F.expr(_BM25_TERM_PPM).alias("s_ppm"))
+    )
+    docsc = term.groupBy("doc_id").agg(
+        F.sum("s_ppm").cast("bigint").alias("score_ppm")
+    )
+    top = docsc.orderBy(F.desc("score_ppm"), "doc_id").limit(10)
+    return top.select(
+        "doc_id",
+        "score_ppm",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_ppm"), "doc_id"))
+        .cast("bigint")
+        .alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual k-NN graph over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_knn_graph",
+    oracle="""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                     ROUND(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                                AND sqrt(list_dot_product(b.v, b.v)) > 0
+                           THEN list_dot_product(a.v, b.v) /
+                                (sqrt(list_dot_product(a.v, a.v)) *
+                                 sqrt(list_dot_product(b.v, b.v)))
+                           ELSE 0.0 END, 6) AS sim
+              FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+        r AS (SELECT qa, qb, sim,
+                     ROW_NUMBER() OVER (PARTITION BY qa
+                                        ORDER BY sim DESC, qb) AS rk
+              FROM p),
+        knn AS (SELECT qa, qb, sim FROM r WHERE rk <= 5)
+        SELECT k1.qa AS a_id, k1.qb AS b_id, k1.sim
+        FROM knn k1 JOIN knn k2 ON k1.qa = k2.qb AND k1.qb = k2.qa
+        WHERE k1.qa < k1.qb
+    """,
+    doc="Mutual k-NN graph (k=5): undirected edges kept only when each "
+    "endpoint ranks in the other's top-k — the standard noise-robust "
+    "graph for clustering/community detection over embeddings, and the "
+    "edge input graph_components_star consumes. Built by composition: "
+    "the exact two-stage top-k (operators/similarity.py "
+    "brute_force_topk — Arrow/BLAS candidates + JVM re-rank, corpus "
+    "streams once) with the corpus as its own query side, then the "
+    "mutuality check is an edge-list self equi-join on (a,b)=(b,a) and "
+    "a<b dedups orientations. Scale: the directed edge list is n*k rows "
+    "(never n^2); the join is hash-partitioned on ids. The corpus-side "
+    "matmul design holds while the query matrix fits an executor "
+    "(guarded at 100k rows); past that the cell-blocked IVF path "
+    "(dedup_semantic's quantizer) generates the candidate pairs "
+    "instead.",
+    tags=("similarity", "graph"),
+)
+def q_embed_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = tables(spark, sf)["embeddings"]
+    knn = brute_force_topk(e, e, k=5)
+    fwd = knn.select(
+        F.col("query_id").alias("a_id"),
+        F.col("neighbor_id").alias("b_id"),
+        "sim",
+    )
+    rev = knn.select(
+        F.col("neighbor_id").alias("a_id"),
+        F.col("query_id").alias("b_id"),
+    )
+    return fwd.join(rev, ["a_id", "b_id"]).filter(
+        F.col("a_id") < F.col("b_id")
+    )

@@ -569,3 +569,30 @@ class TestRound5LateAdditions:
             r.doc_id for r in d.filter(is_batch).select("doc_id").collect()
         }
         assert fresh == batch_ids - dup_batch
+
+    def test_text_bm25_zero_explode_no_corpus_shuffle(self, spark):
+        # dl and per-term tf are row-local higher-order-function
+        # projections: the plan must contain NO Generate (explode) node,
+        # and the persisted n_docs-row stats table must be reused
+        # (InMemoryTableScan) instead of re-scanning documents
+        from datafusion_flight_sql_server_spark.queries.catalog import (
+            run_query_cleanups,
+        )
+
+        try:
+            plan = _executed_plan(_run(spark, "text_bm25"))
+            # the only row generator is the 3-row stack over the persisted
+            # per-doc table — the token array itself never explodes
+            assert "Generate explode" not in plan
+            assert "Generate stack" in plan
+            assert "InMemoryTableScan" in plan
+            assert "CartesianProduct" not in plan
+        finally:
+            run_query_cleanups()
+
+    def test_embed_knn_graph_no_cartesian_mutual_join(self, spark):
+        # the n*k directed edge list self-joins on (a,b) ids — an
+        # equi-join, never a pairwise cartesian of the corpus
+        plan = _executed_plan(_run(spark, "embed_knn_graph"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
