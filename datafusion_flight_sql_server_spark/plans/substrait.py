@@ -728,12 +728,84 @@ def _scalar_fn_to_sql(
         if len(args) < 1:
             raise SubstraitMalformed("coalesce without arguments")
         return "COALESCE(" + ", ".join(a(i) for i in range(len(args))) + ")"
+    plain = _PLAIN_SCALAR_FNS.get(name)
+    if plain is not None:
+        sql_name, lo, hi = plain
+        if not (lo <= len(args) <= hi):
+            raise SubstraitMalformed(
+                f"{name} with {len(args)} arguments (expected {lo}..{hi})"
+            )
+        return sql_name + "(" + ", ".join(a(i) for i in range(len(args))) + ")"
     raise SubstraitUnsupported(
         f"Substrait consumer: scalar function {name!r} is not in the "
         f"expression subset (and or not equal not_equal gt gte lt lte "
         f"is_null is_not_null between add subtract multiply divide "
-        f"modulus negate like coalesce)"
+        f"modulus negate like coalesce "
+        f"{' '.join(sorted(_PLAIN_SCALAR_FNS))})"
     )
+
+
+_MANY = 255
+
+#: Direct function-call renderings: substrait extension-yaml name →
+#: (Spark SQL function, min arity, max arity). Every name here has
+#: call-compatible semantics in Spark SQL for the arities listed (names
+#: from functions_string/arithmetic/comparison/rounding.yaml — the set
+#: DataFusion's producer emits for ordinary scalar expressions). Functions
+#: whose Substrait form carries enum/options arguments (extract, regex
+#: flags, rounding modes) are NOT here — they keep the named rejection
+#: until consumed with their options honored.
+_PLAIN_SCALAR_FNS = {
+    # strings (functions_string.yaml)
+    "concat": ("CONCAT", 1, _MANY),
+    "upper": ("UPPER", 1, 1),
+    "lower": ("LOWER", 1, 1),
+    "trim": ("TRIM", 1, 1),
+    "ltrim": ("LTRIM", 1, 1),
+    "rtrim": ("RTRIM", 1, 1),
+    "reverse": ("REVERSE", 1, 1),
+    "char_length": ("CHAR_LENGTH", 1, 1),
+    "bit_length": ("BIT_LENGTH", 1, 1),
+    "octet_length": ("OCTET_LENGTH", 1, 1),
+    "substring": ("SUBSTRING", 2, 3),
+    "starts_with": ("STARTSWITH", 2, 2),
+    "ends_with": ("ENDSWITH", 2, 2),
+    "contains": ("CONTAINS", 2, 2),
+    "replace": ("REPLACE", 3, 3),
+    "repeat": ("REPEAT", 2, 2),
+    "left": ("LEFT", 2, 2),
+    "right": ("RIGHT", 2, 2),
+    "lpad": ("LPAD", 2, 3),
+    "rpad": ("RPAD", 2, 3),
+    "strpos": ("INSTR", 2, 2),  # both: 1-based position, 0 when absent
+    # arithmetic / rounding (functions_arithmetic.yaml, functions_rounding)
+    "abs": ("ABS", 1, 1),
+    "sign": ("SIGN", 1, 1),
+    "sqrt": ("SQRT", 1, 1),
+    "exp": ("EXP", 1, 1),
+    "ln": ("LN", 1, 1),
+    "log10": ("LOG10", 1, 1),
+    "log2": ("LOG2", 1, 1),
+    "power": ("POWER", 2, 2),
+    "floor": ("FLOOR", 1, 1),
+    "ceil": ("CEIL", 1, 1),
+    "round": ("ROUND", 1, 2),
+    "sin": ("SIN", 1, 1),
+    "cos": ("COS", 1, 1),
+    "tan": ("TAN", 1, 1),
+    "asin": ("ASIN", 1, 1),
+    "acos": ("ACOS", 1, 1),
+    "atan": ("ATAN", 1, 1),
+    "atan2": ("ATAN2", 2, 2),
+    "sinh": ("SINH", 1, 1),
+    "cosh": ("COSH", 1, 1),
+    "tanh": ("TANH", 1, 1),
+    # comparison helpers (functions_comparison.yaml)
+    "nullif": ("NULLIF", 2, 2),
+    "least": ("LEAST", 2, _MANY),
+    "greatest": ("GREATEST", 2, _MANY),
+    "is_nan": ("ISNAN", 1, 1),
+}
 
 
 #: Type message oneof arms (type.proto) that are integer kinds — used to
@@ -1161,6 +1233,12 @@ _AGG_FUNCS = {
     "std_dev": "STDDEV_SAMP",
     "variance": "VAR_SAMP",
     "string_agg": "LISTAGG",  # functions_string.yaml; the one sorted agg
+    # round-5 late widening — names from the standard extension yamls with
+    # call-compatible Spark aggregates (DISTINCT/FILTER compose generically)
+    "bool_and": "BOOL_AND",  # functions_boolean.yaml
+    "bool_or": "BOOL_OR",
+    "median": "MEDIAN",  # functions_arithmetic.yaml
+    "approx_count_distinct": "APPROX_COUNT_DISTINCT",  # …_approx.yaml
 }
 
 #: AggregationInvocation enum (algebra.proto): ALL renders plainly,

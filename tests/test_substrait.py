@@ -283,9 +283,9 @@ class TestTranslate:
         cond = scalar_fn(1, [field_ref(0), literal("i64", 5)])
         p = plan_bytes(
             rel(2, filter_rel(USERS_READ, cond)),
-            extensions=extension_function(1, "concat:str_str"),
+            extensions=extension_function(1, "regexp_match:str_str"),
         )
-        with pytest.raises(SubstraitUnsupported, match="'concat'"):
+        with pytest.raises(SubstraitUnsupported, match="'regexp_match'"):
             substrait_to_sql(p)
 
     def test_undeclared_anchor_rejected(self):
@@ -2223,3 +2223,78 @@ class TestLiteralWideningOverWire:
             ]
         finally:
             ex.close()
+
+
+class TestPlainScalarFns:
+    def _project_sql(self, expr: bytes, exts: bytes) -> str:
+        p = rel(7, computed_project(USERS_READ, [expr], [2]))
+        return substrait_to_sql(plan_bytes(p, extensions=exts))
+
+    def test_string_functions_render(self):
+        e = scalar_fn(1, [field_ref(1)])
+        sql = self._project_sql(e, extension_function(1, "upper:str"))
+        assert "UPPER(`name`)" in sql
+        e = scalar_fn(
+            1, [field_ref(1), literal("i64", 2), literal("i64", 3)]
+        )
+        sql = self._project_sql(e, extension_function(1, "substring:str_i64"))
+        assert "SUBSTRING(`name`, 2, 3)" in sql
+
+    def test_concat_variadic_and_math(self):
+        e = scalar_fn(1, [field_ref(1), literal("string", "!"), field_ref(1)])
+        sql = self._project_sql(e, extension_function(1, "concat:str"))
+        assert "CONCAT(`name`, '!', `name`)" in sql
+        e = scalar_fn(2, [field_ref(0), literal("i64", 2)])
+        sql = substrait_to_sql(
+            plan_bytes(
+                rel(7, computed_project(USERS_READ, [scalar_fn(2, [field_ref(0), literal("i64", 2)])], [2])),
+                extensions=extension_function(2, "power:fp64_fp64"),
+            )
+        )
+        assert "POWER(`id`, 2)" in sql
+
+    def test_arity_violation_is_malformed(self):
+        e = scalar_fn(1, [field_ref(1)])
+        with pytest.raises(SubstraitMalformed, match="arguments"):
+            self._project_sql(e, extension_function(1, "power:fp64_fp64"))
+
+    def test_unknown_function_still_named_rejection(self):
+        e = scalar_fn(1, [field_ref(1)])
+        with pytest.raises(SubstraitUnsupported, match="no_such_fn"):
+            self._project_sql(e, extension_function(1, "no_such_fn:str"))
+
+    def test_executes_on_spark(self, spark):
+        register_memtable(
+            spark,
+            "users",
+            [(1, "Alice"), (2, "Bob"), (3, "Charlie")],
+            "id INT NOT NULL, name STRING NOT NULL",
+        )
+        e = scalar_fn(1, [field_ref(1)])
+        sql = self._project_sql(e, extension_function(1, "upper:str"))
+        got = sorted(r[0] for r in spark.sql(sql).collect())
+        assert got == ["ALICE", "BOB", "CHARLIE"]
+
+
+class TestAggWidening:
+    def test_bool_and_median_approx_render(self, spark):
+        agg = rel(4, aggregate_rel(
+            USERS_READ, [],
+            [measure(agg_function(1, [0])), measure(agg_function(2, [0]))],
+        ))
+        p = plan_bytes(
+            agg,
+            extensions=extension_function(1, "median:i64")
+            + extension_function(2, "approx_count_distinct:any"),
+        )
+        sql = substrait_to_sql(p)
+        assert "MEDIAN(`id`)" in sql
+        assert "APPROX_COUNT_DISTINCT(`id`)" in sql
+        register_memtable(
+            spark,
+            "users",
+            [(1, "Alice"), (2, "Bob"), (3, "Charlie")],
+            "id INT NOT NULL, name STRING NOT NULL",
+        )
+        row = spark.sql(sql).collect()[0]
+        assert float(row[0]) == 2.0 and int(row[1]) == 3
