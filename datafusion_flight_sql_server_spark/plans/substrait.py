@@ -226,6 +226,8 @@ _LITERAL_ARMS = {
     22: "var_char",  # VarChar{value=1, length=2}
     24: "decimal",  # Decimal{value=1 (16B LE two's-complement), p=2, s=3}
     29: "null",  # typed null: Type message → CAST(NULL AS t)
+    30: "list",  # List{values=1 repeated Literal} → ARRAY(…)
+    31: "empty_list",  # Type.List → CAST(ARRAY() AS ARRAY<t>)
     34: "precision_timestamp",  # PrecisionTimestamp{precision=1, value=2}
 }
 
@@ -318,6 +320,20 @@ def _literal_to_sql(lit: bytes) -> str:
         return f"CAST({text} AS DECIMAL({precision},{scale}))"
     if kind == "null":
         return f"CAST(NULL AS {_type_to_sql(raw)})"
+    if kind == "list":
+        values = [m for _, m in _fields(raw).get(1, [])]
+        if not values:
+            raise SubstraitMalformed(
+                "list literal without values (spec requires the typed "
+                "empty_list arm for empty lists)"
+            )
+        return "ARRAY(" + ", ".join(_literal_to_sql(v) for v in values) + ")"
+    if kind == "empty_list":
+        # raw is a Type.List message: element type in field 1
+        elem = _one(_fields(raw), 1)
+        if elem is None:
+            raise SubstraitMalformed("empty_list literal without element type")
+        return f"CAST(ARRAY() AS ARRAY<{_type_to_sql(elem)}>)"
     # string / fixed_char (both carry a UTF-8 payload; Spark has no padded
     # CHAR literal type, so fixed_char renders as a plain string)
     text = raw.decode("utf-8", "strict") if isinstance(raw, bytes) else str(raw)
@@ -485,6 +501,57 @@ def _expr_to_sql(
         return _subquery_to_sql(
             _one(f, 12), cols, funcs, rendered, outer + (level,)
         )
+    if 4 in f:  # switch_expression: CASE match WHEN lit THEN expr … END
+        sw = _fields(_one(f, 4))
+        match = _one(sw, 3)
+        clauses = sw.get(1, [])
+        if match is None or not clauses:
+            raise SubstraitMalformed("switch_expression without match/ifs")
+        parts = [
+            "CASE "
+            + _expr_to_sql(match, cols, funcs, rendered, allow_window, outer, level)
+        ]
+        for _, clause in clauses:
+            cf = _fields(clause)
+            lit, then = _one(cf, 1), _one(cf, 2)
+            if lit is None or then is None:
+                raise SubstraitMalformed("switch clause missing if/then")
+            parts.append(
+                f"WHEN {_literal_to_sql(lit)} THEN "
+                + _expr_to_sql(then, cols, funcs, rendered, allow_window, outer, level)
+            )
+        els = _one(sw, 2)
+        if els is not None:
+            parts.append(
+                "ELSE "
+                + _expr_to_sql(els, cols, funcs, rendered, allow_window, outer, level)
+            )
+        return "(" + " ".join(parts) + " END)"
+    if 13 in f:  # nested constructor: list arm only
+        nf = _fields(_one(f, 13))
+        lst = _one(nf, 4)  # Nested.list
+        if lst is None:
+            arms = {3: "struct", 5: "map"}
+            present = [arms.get(n, f"nested field {n}") for n in nf if n in (3, 5)]
+            raise SubstraitUnsupported(
+                f"Substrait consumer: nested constructor "
+                f"({', '.join(present) or 'empty'}) is not supported — "
+                f"list constructors only"
+            )
+        values = [m for _, m in _fields(lst).get(1, [])]
+        if not values:
+            raise SubstraitUnsupported(
+                "Substrait consumer: empty nested list constructor has no "
+                "element type; use the typed empty_list literal"
+            )
+        return (
+            "ARRAY("
+            + ", ".join(
+                _expr_to_sql(v, cols, funcs, rendered, allow_window, outer, level)
+                for v in values
+            )
+            + ")"
+        )
     if 8 in f:  # singular_or_list: value IN (options…)
         sf = _fields(_one(f, 8))
         value = _one(sf, 1)
@@ -530,7 +597,8 @@ def _expr_to_sql(
         f"Substrait consumer: unsupported expression "
         f"({', '.join(present) or 'empty expression'}); supported: field "
         f"reference, literal, cast, comparison/boolean/arithmetic scalar "
-        f"function, window function, IN-list, uncorrelated subquery"
+        f"function, window function, IN-list, CASE (if_then/switch), "
+        f"list constructor, uncorrelated subquery"
     )
 
 
@@ -608,6 +676,11 @@ def _type_to_sql(ty: bytes) -> str:
         lf = _fields(_one(tf, arm))
         length = int(_one(lf, 1) or 0)
         return f"VARCHAR({length})" if length else "STRING"
+    if arm == 27:  # Type.list → ARRAY<element>
+        elem = _one(_fields(_one(tf, 27)), 1)
+        if elem is None:
+            raise SubstraitMalformed("list type without element type")
+        return f"ARRAY<{_type_to_sql(elem)}>"
     sql_type = _CAST_TYPES.get(arm)
     if sql_type is None:
         raise SubstraitUnsupported(

@@ -82,6 +82,11 @@ def project_rel(input_rel: bytes, expr_indexes: list[int], emit: list[int] | Non
 def literal(kind: str, value) -> bytes:
     """Expression.literal for the consumed subset (field numbers from
     algebra.proto Literal)."""
+    return _len_field(1, literal_bare(kind, value))  # Expression.literal
+
+
+def literal_bare(kind: str, value) -> bytes:
+    """Bare Literal message payload (no Expression wrapper)."""
     import struct as _struct
 
     if kind == "boolean":
@@ -123,9 +128,13 @@ def literal(kind: str, value) -> bytes:
             _varint_field(1, precision)
             + _varint_field(2, ticks & ((1 << 64) - 1)),
         )
+    elif kind == "list":  # value = list of bare Literal payloads
+        body = _len_field(30, b"".join(_len_field(1, v) for v in value))
+    elif kind == "empty_list":  # value = serialized Type.List message
+        body = _len_field(31, value)
     else:  # pragma: no cover - test bug
         raise AssertionError(kind)
-    return _len_field(1, body)  # Expression.literal
+    return body
 
 
 def scalar_fn(anchor: int, args: list[bytes]) -> bytes:
@@ -2298,3 +2307,70 @@ class TestAggWidening:
         )
         row = spark.sql(sql).collect()[0]
         assert float(row[0]) == 2.0 and int(row[1]) == 3
+
+
+# -- switch / nested-list expressions ---------------------------------------
+
+
+def switch_expr(match: bytes, clauses: list[tuple[bytes, bytes]],
+                els: bytes | None = None) -> bytes:
+    """Expression.switch_expression (field 4): match=3, ifs=1
+    (IfValue{if=1 bare Literal, then=2}), else=2. Clause keys are BARE
+    Literal payloads (literal_bare), thens are Expressions."""
+    body = _len_field(3, match)
+    for lit_payload, then in clauses:
+        body += _len_field(1, _len_field(1, lit_payload) + _len_field(2, then))
+    if els is not None:
+        body += _len_field(2, els)
+    return _len_field(4, body)
+
+
+def nested_list(values: list[bytes]) -> bytes:
+    """Expression.nested (field 13) with the list arm (field 4)."""
+    lst = b"".join(_len_field(1, v) for v in values)
+    return _len_field(13, _len_field(4, lst))
+
+
+class TestSwitchAndNested:
+    def _project_sql(self, expr: bytes, exts: bytes = b"") -> str:
+        p = rel(7, computed_project(USERS_READ, [expr], [2]))
+        return substrait_to_sql(plan_bytes(p, extensions=exts))
+
+    def test_switch_with_else(self, spark):
+        e = switch_expr(
+            field_ref(1),
+            [(literal_bare("string", "Alice"), literal("i64", 1))],
+            literal("i64", 0),
+        )
+        sql = self._project_sql(e)
+        assert "(CASE `name` WHEN 'Alice' THEN 1 ELSE 0 END)" in sql
+        register_memtable(
+            spark,
+            "users",
+            [(1, "Alice"), (2, "Bob"), (3, "Charlie")],
+            "id INT NOT NULL, name STRING NOT NULL",
+        )
+        assert sorted(r[0] for r in spark.sql(sql).collect()) == [0, 0, 1]
+
+    def test_switch_without_else(self):
+        e = switch_expr(
+            field_ref(1),
+            [(literal_bare("string", "Bob"), literal("i64", 7))],
+        )
+        assert "(CASE `name` WHEN 'Bob' THEN 7 END)" in self._project_sql(e)
+
+    def test_nested_list_constructor(self, spark):
+        e = nested_list([field_ref(0), literal("i64", 9)])
+        sql = self._project_sql(e)
+        assert "ARRAY(`id`, 9)" in sql
+
+    def test_list_literal_and_empty_list(self):
+        e = literal("list", [literal_bare("i64", 4), literal_bare("i64", 5)])
+        assert "ARRAY(4, 5)" in self._project_sql(e)
+        e = literal("empty_list", _len_field(1, _len_field(7, b"")))
+        assert "CAST(ARRAY() AS ARRAY<BIGINT>)" in self._project_sql(e)
+
+    def test_null_of_list_type(self):
+        ty = _len_field(27, _len_field(1, _len_field(12, b"")))
+        e = literal("null", ty)
+        assert "CAST(NULL AS ARRAY<STRING>)" in self._project_sql(e)
