@@ -913,6 +913,11 @@ _WINDOW_FUNCS = {
     "max": "MAX",
     "avg": "AVG",
     "count": "COUNT",
+    # windowed forms of the round-5-late aggregate widening
+    "std_dev": "STDDEV_SAMP",
+    "variance": "VAR_SAMP",
+    "bool_and": "BOOL_AND",
+    "bool_or": "BOOL_OR",
 }
 
 

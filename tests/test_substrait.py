@@ -1307,6 +1307,14 @@ def computed_project(input_rel: bytes, exprs: list[bytes], emit: list[int] | Non
 
 
 class TestWindowTranslate:
+    def test_windowed_stddev_renders(self):
+        w = window_fn(1, args=(field_ref(0),), partitions=(field_ref(1),))
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "std_dev:fp64"),
+        )
+        assert "STDDEV_SAMP(`id`) OVER (PARTITION BY `name`)" in substrait_to_sql(p)
+
     def test_row_number_partition_order(self):
         w = window_fn(1, partitions=(field_ref(1),), sorts=((0, 2),))
         p = plan_bytes(
