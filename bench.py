@@ -75,6 +75,9 @@ HEADLINE = (
     # round-5-late: incremental batch-vs-history MinHash ingestion
     # (DuckDB 0.62 s at sf0.1 — see BASELINE.md round-5 closing section)
     "dedup_incremental_minhash",
+    # round-5-late: mutual k-NN graph (DuckDB all-pairs baseline 1.37 s
+    # at sf0.1 — see BASELINE.md round-5 closing section)
+    "embed_knn_graph",
 )
 
 WARMUP_RUNS = 1

@@ -196,6 +196,138 @@ def brute_force_topk(
     )
 
 
+def self_knn_topk(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidate_margin: int = 8,
+    max_corpus_rows: int = 100_000,
+) -> DataFrame:
+    """Exact corpus-self cosine top-k: (query_id, neighbor_id, sim, rank).
+
+    The k-NN-graph specialization of :func:`brute_force_topk`. When the
+    query set IS the corpus, the generic shape is wasteful: it keeps
+    ``k + margin`` candidates per query PER CORPUS BATCH and merges across
+    batches through the window (``n_batches × n × (k+margin)`` shuffled
+    rows). Here each batch row is a query scored against the ENTIRE
+    broadcast corpus matrix, so its per-row top-``k + margin`` is already
+    final — candidates shrink to ``n × (k+margin)`` with no cross-batch
+    merge, and the margin only has to absorb numpy-vs-JVM summation-order
+    noise (~1e-15 vs an 8-rank gap), not batch-boundary effects.
+
+    Stage 2 re-ranks the survivors with the exact JVM ``round_cosine``
+    (identical scores/tie-breaks to the all-pairs form). Both vector
+    lookups are broadcast joins on the corpus — the corpus must fit the
+    driver/broadcast guard (``max_corpus_rows``), the same contract as the
+    generic brute force; past it, cell-blocked candidates (IVF / LSH) are
+    the scale path.
+    """
+    m = k + candidate_margin
+    c_rows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .limit(max_corpus_rows + 1)
+        .collect()
+    )
+    if len(c_rows) > max_corpus_rows:
+        raise ValueError(
+            f"self_knn_topk broadcasts the corpus matrix; got > "
+            f"max_corpus_rows={max_corpus_rows} rows. Use the IVF/LSH "
+            f"cell-blocked pair generation for corpus-scale k-NN graphs."
+        )
+    spark = emb.sparkSession
+    if not c_rows:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, sim double, rank bigint"
+        )
+
+    import numpy as np
+
+    c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
+    c_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in c_rows])
+    c_norms = np.linalg.norm(c_mat, axis=1)
+    c_norms[c_norms == 0] = 1.0
+    c_unit = c_mat / c_norms[:, None]
+
+    def _candidates(batches):
+        import numpy as np  # noqa: F811 - worker-local import
+        import pyarrow as pa  # noqa: F811 - worker-local import
+
+        dim = c_unit.shape[1]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            vec = batch.column(1)
+            if isinstance(vec, pa.ChunkedArray):  # pragma: no cover
+                vec = vec.combine_chunks()
+            if vec.null_count:
+                raise ValueError(
+                    f"self_knn_topk: embedding column contains "
+                    f"{vec.null_count} null vector(s); drop or impute them "
+                    f"before the search."
+                )
+            flat = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            if len(flat) != n * dim:
+                raise ValueError(
+                    f"self_knn_topk: ragged embeddings — batch of {n} rows "
+                    f"flattened to {len(flat)} values, expected {n}*{dim}."
+                )
+            q_mat = flat.reshape(n, dim)
+            q_norms = np.linalg.norm(q_mat, axis=1)
+            q_norms[q_norms == 0] = 1.0
+            sims = (q_mat / q_norms[:, None]) @ c_unit.T  # (n, |corpus|)
+            sims[ids[:, None] == c_ids[None, :]] = -np.inf  # self matches
+            width = sims.shape[1]
+            if m < width:
+                top = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+            else:
+                top = np.broadcast_to(np.arange(width), (n, width))
+            row_q, row_n = [], []
+            for i in range(n):
+                idx = top[i][np.isfinite(sims[i, top[i]])]
+                row_q.append(np.full(len(idx), ids[i]))
+                row_n.append(c_ids[idx])
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(row_q), type=pa.int64()),
+                    pa.array(np.concatenate(row_n), type=pa.int64()),
+                ],
+                names=["query_id", "neighbor_id"],
+            )
+
+    cand = emb.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        _candidates, "query_id bigint, neighbor_id bigint"
+    )
+    corpus_q = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    corpus_n = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = (
+        cand.join(F.broadcast(corpus_q), "query_id")
+        .join(F.broadcast(corpus_n), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 # -- LSH (sign random projection) -------------------------------------------
 
 

@@ -774,9 +774,11 @@ def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
     "endpoint ranks in the other's top-k — the standard noise-robust "
     "graph for clustering/community detection over embeddings, and the "
     "edge input graph_components_star consumes. Built by composition: "
-    "the exact two-stage top-k (operators/similarity.py "
-    "brute_force_topk — Arrow/BLAS candidates + JVM re-rank, corpus "
-    "streams once) with the corpus as its own query side, then the "
+    "the self-kNN two-stage top-k (operators/similarity.py "
+    "self_knn_topk — each corpus batch row scores against the broadcast "
+    "corpus matrix, so its per-row candidates are FINAL: n*(k+8) rows "
+    "shuffle instead of n_batches*n*(k+64), then exact JVM re-rank), "
+    "then the "
     "mutuality check is an edge-list self equi-join on (a,b)=(b,a) and "
     "a<b dedups orientations. Scale: the directed edge list is n*k rows "
     "(never n^2); the join is hash-partitioned on ids. The corpus-side "
@@ -788,11 +790,11 @@ def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_embed_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     from datafusion_flight_sql_server_spark.operators.similarity import (
-        brute_force_topk,
+        self_knn_topk,
     )
 
     e = tables(spark, sf)["embeddings"]
-    knn = brute_force_topk(e, e, k=5)
+    knn = self_knn_topk(e, k=5)
     fwd = knn.select(
         F.col("query_id").alias("a_id"),
         F.col("neighbor_id").alias("b_id"),

@@ -22,6 +22,7 @@ from datafusion_flight_sql_server_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
     projection_tables,
+    self_knn_topk,
 )
 
 from tests.conftest import SF_SMALL
@@ -79,6 +80,32 @@ class TestBruteForceTopK:
         )
         with pytest.raises(ValueError, match="max_query_rows"):
             brute_force_topk(df, df, k=1, max_query_rows=5)
+
+
+class TestSelfKnnTopK:
+    def test_matches_generic_brute_force(self, embeddings):
+        # the self-kNN specialization must be result-identical to the
+        # generic two-stage form with the corpus as its own query side —
+        # same exact JVM re-rank, same (sim desc, neighbor_id) tie-break
+        exact = brute_force_topk(embeddings, embeddings, k=5).collect()
+        self_ = self_knn_topk(embeddings, k=5).collect()
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        exact_m = {key(r): (r.neighbor_id, r.sim) for r in exact}
+        self_m = {key(r): (r.neighbor_id, r.sim) for r in self_}
+        assert exact_m == self_m
+
+    def test_oversized_corpus_rejected(self, spark):
+        df = spark.range(10).selectExpr(
+            "id AS vec_id", "array(cast(id as float)) AS embedding"
+        )
+        with pytest.raises(ValueError, match="max_corpus_rows"):
+            self_knn_topk(df, k=1, max_corpus_rows=5)
+
+    def test_empty_corpus(self, spark):
+        df = spark.createDataFrame(
+            [], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        assert self_knn_topk(df, k=3).count() == 0
 
 
 class TestLshTopK:
