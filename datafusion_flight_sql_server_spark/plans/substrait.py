@@ -222,6 +222,8 @@ _LITERAL_ARMS = {
     13: "binary",  # bytes → X'…' hex literal
     14: "timestamp",  # deprecated naive micros since epoch (still emitted)
     16: "date",  # days since 1970-01-01 (type.proto Literal.date, int32)
+    19: "interval_year_to_month",  # IntervalYearToMonth{years=1, months=2}
+    20: "interval_day_to_second",  # IntervalDayToSecond{days=1, seconds=2, …}
     21: "fixed_char",  # string payload, space-padded semantics
     22: "var_char",  # VarChar{value=1, length=2}
     24: "decimal",  # Decimal{value=1 (16B LE two's-complement), p=2, s=3}
@@ -254,7 +256,8 @@ def _literal_to_sql(lit: bytes) -> str:
         raise SubstraitUnsupported(
             f"Substrait consumer: unsupported literal (fields [{arms}]); "
             f"supported: boolean, i8/i16/i32/i64, fp32/fp64, string, binary, "
-            f"date, timestamp, fixed_char/var_char, decimal, typed null"
+            f"date, timestamp, interval_year_to_month, interval_day_to_second, "
+            f"fixed_char/var_char, decimal, typed null"
         )
     num = present[0]
     kind = _LITERAL_ARMS[num]
@@ -284,6 +287,47 @@ def _literal_to_sql(lit: bytes) -> str:
                 f"{precision} exceeds Spark's microsecond timestamps"
             )
         return _micros_to_timestamp_sql(value * 10 ** (6 - precision))
+    if kind == "interval_year_to_month":
+        # algebra.proto IntervalYearToMonth{years=1, months=2}; the spec
+        # requires both fields to share a sign, so a total-month fold is
+        # lossless. Spark's ANSI year-month interval literal carries the
+        # sign on the whole quantity.
+        yf = _fields(raw)
+        months = 12 * _signed64(_one(yf, 1) or 0) + _signed64(_one(yf, 2) or 0)
+        sign = "-" if months < 0 else ""
+        return f"INTERVAL '{sign}{abs(months) // 12}-{abs(months) % 12}' YEAR TO MONTH"
+    if kind == "interval_day_to_second":
+        # IntervalDayToSecond{days=1, seconds=2, oneof precision_mode
+        # {microseconds=3 (deprecated), precision=4}, subseconds=5}. All
+        # fields share a sign per the spec; fold to total microseconds and
+        # render Spark's '[-]d hh:mm:ss[.ffffff]' DAY TO SECOND form.
+        ivf = _fields(raw)
+        days = _signed64(_one(ivf, 1) or 0)
+        seconds = _signed64(_one(ivf, 2) or 0)
+        if 3 in ivf:  # deprecated microseconds arm
+            sub_micros = _signed64(_one(ivf, 3) or 0)
+        else:
+            precision = int(_one(ivf, 4) or 0)
+            subseconds = _signed64(_one(ivf, 5) or 0)
+            if subseconds and 4 not in ivf:
+                raise SubstraitMalformed(
+                    "interval_day_to_second subseconds without a precision"
+                )
+            if precision > 6:
+                raise SubstraitUnsupported(
+                    f"Substrait consumer: interval_day_to_second precision "
+                    f"{precision} exceeds Spark's microsecond intervals"
+                )
+            sub_micros = subseconds * 10 ** (6 - precision)
+        total = days * 86_400_000_000 + seconds * 1_000_000 + sub_micros
+        sign = "-" if total < 0 else ""
+        t = abs(total)
+        d, rem = divmod(t, 86_400_000_000)
+        h, rem = divmod(rem, 3_600_000_000)
+        m, rem = divmod(rem, 60_000_000)
+        s, us = divmod(rem, 1_000_000)
+        frac = f".{us:06d}" if us else ""
+        return f"INTERVAL '{sign}{d} {h:02d}:{m:02d}:{s:02d}{frac}' DAY TO SECOND"
     if kind == "fp32":
         if wt != WT_I32:
             raise SubstraitMalformed("fp32 literal with wrong wire type")
@@ -737,10 +781,17 @@ def _scalar_fn_to_sql(
             f"extension declaration in the plan"
         )
     args: list[bytes] = []
+    enum_args: list[str] = []
     for _, arg in f.get(4, []):  # FunctionArgument
         af = _fields(arg)
         value = _one(af, 3)  # FunctionArgument.value (Expression)
         if value is None:
+            enum_v = _one(af, 1)  # FunctionArgument.enum (string)
+            if enum_v is not None and name in _ENUM_ARG_FNS:
+                if not isinstance(enum_v, bytes):
+                    raise SubstraitMalformed("enum argument with wrong wire type")
+                enum_args.append(enum_v.decode("utf-8", "strict"))
+                continue
             kinds = {1: "enum", 2: "type"}
             present = [kinds.get(n, f"argument field {n}") for n in af]
             raise SubstraitUnsupported(
@@ -756,6 +807,39 @@ def _scalar_fn_to_sql(
             args[i], cols, funcs, rendered, allow_window, outer, level
         )
 
+    if name == "extract":
+        # functions_datetime.yaml: extract(component [, indexing], x) — the
+        # component (and for some components a ONE/ZERO indexing origin)
+        # arrive as ENUM arguments, not expressions. Substrait's extract
+        # returns i64 with integer SECOND; Spark's EXTRACT returns INT (and
+        # DECIMAL(8,6) for SECOND), so the result is cast to BIGINT —
+        # decimal→bigint truncates toward zero, which IS the integer-seconds
+        # component.
+        if len(args) != 1 or not (1 <= len(enum_args) <= 2):
+            raise SubstraitUnsupported(
+                f"Substrait consumer: extract with {len(enum_args)} enum and "
+                f"{len(args)} expression arguments (expected component "
+                f"[, indexing], value)"
+            )
+        if len(enum_args) == 2 and enum_args[1].upper() != "ONE":
+            raise SubstraitUnsupported(
+                f"Substrait consumer: extract indexing {enum_args[1]!r} "
+                f"(Spark's date fields are 1-origin; only ONE is consumed)"
+            )
+        component = enum_args[0].upper()
+        field = _EXTRACT_COMPONENTS.get(component)
+        if field is None:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: extract component {component!r} is not "
+                f"consumed ({' '.join(sorted(_EXTRACT_COMPONENTS))}); "
+                f"week/day-of-week origins differ across engines"
+            )
+        return f"CAST(EXTRACT({field} FROM {a(0)}) AS BIGINT)"
+    if enum_args:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: enum arguments for {name!r} are not "
+            f"consumed"
+        )
     if name in ("and", "or"):
         if len(args) < 2:
             raise SubstraitMalformed(f"{name} with {len(args)} arguments")
@@ -813,12 +897,31 @@ def _scalar_fn_to_sql(
         f"Substrait consumer: scalar function {name!r} is not in the "
         f"expression subset (and or not equal not_equal gt gte lt lte "
         f"is_null is_not_null between add subtract multiply divide "
-        f"modulus negate like coalesce "
+        f"modulus negate like coalesce extract "
         f"{' '.join(sorted(_PLAIN_SCALAR_FNS))})"
     )
 
 
 _MANY = 255
+
+#: Functions whose Substrait signature carries ENUM arguments that the
+#: consumer honors (everything else with an enum argument keeps the named
+#: rejection).
+_ENUM_ARG_FNS = frozenset({"extract"})
+
+#: extract component enum → Spark EXTRACT field, restricted to components
+#: whose definition is engine-independent. WEEK/DAY_OF_WEEK/ISO_* variants
+#: have per-engine origin/rollover semantics and keep the named rejection.
+_EXTRACT_COMPONENTS = {
+    "YEAR": "YEAR",
+    "QUARTER": "QUARTER",
+    "MONTH": "MONTH",
+    "DAY": "DAY",
+    "DAY_OF_YEAR": "DOY",
+    "HOUR": "HOUR",
+    "MINUTE": "MINUTE",
+    "SECOND": "SECOND",
+}
 
 #: Direct function-call renderings: substrait extension-yaml name →
 #: (Spark SQL function, min arity, max arity). Every name here has

@@ -128,6 +128,23 @@ def literal_bare(kind: str, value) -> bytes:
             _varint_field(1, precision)
             + _varint_field(2, ticks & ((1 << 64) - 1)),
         )
+    elif kind == "interval_ym":  # (years, months)
+        years, months = value
+        body = _len_field(
+            19,
+            _varint_field(1, years & ((1 << 64) - 1))
+            + _varint_field(2, months & ((1 << 64) - 1)),
+        )
+    elif kind == "interval_ds":  # (days, seconds, precision, subseconds)
+        days, seconds, precision, subseconds = value
+        msg = _varint_field(1, days & ((1 << 64) - 1)) + _varint_field(
+            2, seconds & ((1 << 64) - 1)
+        )
+        if precision is not None:
+            msg += _varint_field(4, precision)
+        if subseconds:
+            msg += _varint_field(5, subseconds & ((1 << 64) - 1))
+        body = _len_field(20, msg)
     elif kind == "list":  # value = list of bare Literal payloads
         body = _len_field(30, b"".join(_len_field(1, v) for v in value))
     elif kind == "empty_list":  # value = serialized Type.List message
@@ -140,6 +157,16 @@ def literal_bare(kind: str, value) -> bytes:
 def scalar_fn(anchor: int, args: list[bytes]) -> bytes:
     """Expression.scalar_function with FunctionArgument.value args."""
     body = _varint_field(1, anchor)
+    for a in args:
+        body += _len_field(4, _len_field(3, a))
+    return _len_field(3, body)
+
+
+def scalar_fn_enums(anchor: int, enums: list[str], args: list[bytes]) -> bytes:
+    """Expression.scalar_function with leading FunctionArgument.enum args."""
+    body = _varint_field(1, anchor)
+    for e in enums:
+        body += _len_field(4, _string_field(1, e))
     for a in args:
         body += _len_field(4, _len_field(3, a))
     return _len_field(3, body)
@@ -2382,3 +2409,85 @@ class TestSwitchAndNested:
         ty = _len_field(27, _len_field(1, _len_field(12, b"")))
         e = literal("null", ty)
         assert "CAST(NULL AS ARRAY<STRING>)" in self._project_sql(e)
+
+
+class TestExtractAndIntervals:
+    def _project_sql(self, expr: bytes, exts: bytes = b"") -> str:
+        p = rel(7, computed_project(USERS_READ, [expr], [2]))
+        return substrait_to_sql(plan_bytes(p, extensions=exts))
+
+    def test_extract_component_renders(self):
+        e = scalar_fn_enums(1, ["YEAR"], [field_ref(0)])
+        sql = self._project_sql(e, extension_function(1, "extract:req_ts"))
+        assert "CAST(EXTRACT(YEAR FROM `id`) AS BIGINT)" in sql
+
+    def test_extract_indexing_one_accepted(self):
+        e = scalar_fn_enums(1, ["DAY_OF_YEAR", "ONE"], [field_ref(0)])
+        sql = self._project_sql(e, extension_function(1, "extract:req_ts"))
+        assert "CAST(EXTRACT(DOY FROM `id`) AS BIGINT)" in sql
+
+    def test_extract_indexing_zero_rejected(self):
+        e = scalar_fn_enums(1, ["DAY_OF_YEAR", "ZERO"], [field_ref(0)])
+        with pytest.raises(SubstraitUnsupported, match="indexing"):
+            self._project_sql(e, extension_function(1, "extract:req_ts"))
+
+    def test_extract_engine_dependent_component_rejected(self):
+        e = scalar_fn_enums(1, ["ISO_WEEK"], [field_ref(0)])
+        with pytest.raises(SubstraitUnsupported, match="ISO_WEEK"):
+            self._project_sql(e, extension_function(1, "extract:req_ts"))
+
+    def test_enum_arg_on_other_function_rejected(self):
+        e = scalar_fn_enums(1, ["SOME_MODE"], [field_ref(0)])
+        with pytest.raises(SubstraitUnsupported, match="enum"):
+            self._project_sql(e, extension_function(1, "round:fp64"))
+
+    def test_interval_year_to_month_renders(self):
+        e = literal("interval_ym", (1, 2))
+        assert "INTERVAL '1-2' YEAR TO MONTH" in self._project_sql(e)
+        e = literal("interval_ym", (-1, -2))
+        assert "INTERVAL '-1-2' YEAR TO MONTH" in self._project_sql(e)
+
+    def test_interval_day_to_second_renders(self):
+        e = literal("interval_ds", (1, 3723, None, 0))  # 1d 01:02:03
+        assert (
+            "INTERVAL '1 01:02:03' DAY TO SECOND" in self._project_sql(e)
+        )
+        e = literal("interval_ds", (0, -5, 3, -250))  # -5.25 s at millis
+        assert (
+            "INTERVAL '-0 00:00:05.250000' DAY TO SECOND"
+            in self._project_sql(e)
+        )
+
+    def test_interval_subseconds_without_precision_malformed(self):
+        e = literal("interval_ds", (0, 0, None, 7))
+        with pytest.raises(SubstraitMalformed, match="precision"):
+            self._project_sql(e)
+
+    def test_extract_and_interval_execute_on_spark(self, spark):
+        register_memtable(
+            spark,
+            "users",
+            [(1, "Alice"), (2, "Bob"), (3, "Charlie")],
+            "id INT NOT NULL, name STRING NOT NULL",
+        )
+        e = scalar_fn_enums(1, ["YEAR"], [literal("date", 19_000)])
+        sql = self._project_sql(
+            e,
+            extension_function(1, "extract:req_date")
+            + extension_function(2, "add:date_i32"),
+        )
+        got = {r[0] for r in spark.sql(sql).collect()}
+        assert got == {2022}  # 19000 days from epoch = 2022-01-08
+        # interval literal arithmetic executes: ts + INTERVAL DAY TO SECOND
+        add_e = scalar_fn(
+            2,
+            [
+                literal("timestamp", 86_400_000_000),
+                literal("interval_ds", (1, 0, None, 0)),
+            ],
+        )
+        sql = self._project_sql(
+            add_e, extension_function(2, "add:ts_iday")
+        )
+        got = {str(r[0]) for r in spark.sql(sql).collect()}
+        assert got == {"1970-01-03 00:00:00"}
