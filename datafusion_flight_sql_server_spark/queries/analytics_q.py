@@ -316,6 +316,90 @@ def q_doc_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_budget_select",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   CAST((1000000 * len(list_distinct(string_split(text, ' '))))
+                        // len(string_split(text, ' ')) AS BIGINT) AS score_ppm
+            FROM documents),
+        tot AS (SELECT SUM(n_tok) // 2 AS budget FROM scored),
+        ordered AS (
+            SELECT doc_id, n_tok, score_ppm,
+                   SUM(n_tok) OVER (ORDER BY score_ppm DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_tok
+            FROM scored)
+        SELECT o.doc_id, o.score_ppm, o.n_tok,
+               CAST(o.cum_tok AS BIGINT) AS cum_tok
+        FROM ordered o, tot t WHERE o.cum_tok <= t.budget
+    """,
+    doc="Token-budget corpus selection: keep the highest-quality documents "
+    "(type-token ratio in exact integer ppm, doc_id ties) until half the "
+    "corpus token count is spent — the data-mixing primitive behind "
+    "quality-thresholded pretraining subsets. The oracle's global "
+    "ORDER-BY running sum would be a single-partition sort at corpus "
+    "scale, so the Spark plan computes the SAME rows without any global "
+    "doc order: docs bucket by score_ppm DIV 1000, the <=1001-row bucket "
+    "spine carries budget + per-bucket prior cumulative tokens (the only "
+    "single-partition window, bounded by the bucket count, broadcast "
+    "back), and each doc's exact global cumulative is prior_cum + a "
+    "bucket-PARTITIONED running sum — per-bucket parallel windows, one "
+    "doc shuffle on bucket. Bit-exact: all integer arithmetic.",
+    tags=("documents", "sampling", "pipeline"),
+)
+def q_doc_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    scored = d.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tok"),
+        F.expr(
+            "CAST(1000000 * size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " DIV size(split(text, ' '))"
+        ).alias("score_ppm"),
+    )
+    scored = scored.withColumn("bucket", F.expr("score_ppm DIV 1000"))
+    # Tiny spine: per-bucket token totals, descending-cumulative prior sums,
+    # and the global budget. <=1001 rows — the single-partition window is
+    # bounded by the bucket count, never the corpus.
+    spine = scored.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
+    w_desc = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_all = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    spine = (
+        spine.select(
+            "bucket",
+            F.coalesce(
+                F.sum("btok").over(w_desc), F.lit(0).cast("bigint")
+            ).alias("prior_cum"),
+            F.sum("btok").over(w_all).alias("total"),
+        )
+        .withColumn("budget", F.expr("total DIV 2"))
+        .drop("total")
+    )
+    w_in = W.partitionBy("bucket").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id")
+    )
+    return (
+        scored.join(F.broadcast(spine), "bucket")
+        .withColumn(
+            "cum_tok",
+            (F.col("prior_cum") + F.sum("n_tok").over(w_in)).cast("bigint"),
+        )
+        .filter(F.col("cum_tok") <= F.col("budget"))
+        .select("doc_id", "score_ppm", "n_tok", "cum_tok")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Price elasticity (exact-integer least squares)
 # ---------------------------------------------------------------------------
 

@@ -596,3 +596,46 @@ class TestRound5LateAdditions:
         plan = _executed_plan(_run(spark, "embed_knn_graph"))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDocBudgetSelect:
+    def test_doc_windows_are_bucket_partitioned_and_spine_broadcasts(self, spark):
+        # The oracle's global running sum would be a single-partition sort
+        # over the corpus; the Spark plan must keep every doc-sized window
+        # PARTITIONED by bucket and only broadcast the <=1001-row spine.
+        df = _run(spark, "doc_budget_select")
+        plan = _executed_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # the per-doc running sum declares its bucket partitioning
+        assert "windowspecdefinition(bucket" in plan
+
+    def test_selected_set_is_budget_maximal_prefix(self, spark):
+        # the selection is the maximal prefix of (score desc, doc_id)
+        # whose token total fits the budget — re-derive from raw rows
+        from pyspark.sql import functions as F
+
+        from datafusion_flight_sql_server_spark.queries.catalog import tables
+
+        d = tables(spark, SF_SMALL)["documents"]
+        rows = d.select(
+            "doc_id",
+            F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n"),
+            F.expr(
+                "CAST(1000000 * size(array_distinct(split(text, ' '))) AS BIGINT)"
+                " DIV size(split(text, ' '))"
+            ).alias("s"),
+        ).collect()
+        rows.sort(key=lambda r: (-r.s, r.doc_id))
+        budget = sum(r.n for r in rows) // 2
+        expect, cum = [], 0
+        for r in rows:
+            cum += r.n
+            if cum > budget:
+                break
+            expect.append((r.doc_id, cum))
+        got = sorted(
+            (r.doc_id, r.cum_tok)
+            for r in _run(spark, "doc_budget_select").collect()
+        )
+        assert got == sorted(expect)
