@@ -96,6 +96,12 @@ def main() -> int:
     ap.add_argument("--mult-docs", type=int, default=32)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--dst", default=None)
+    ap.add_argument(
+        "--queries",
+        nargs="*",
+        default=None,
+        help="subset of the WEAK set to measure (default: all)",
+    )
     args = ap.parse_args()
     dst = args.dst or f"/tmp/scaleup_f{args.mult_fact}_d{args.mult_docs}"
     if not Path(dst, "lineitem.parquet").exists():
@@ -122,7 +128,8 @@ def main() -> int:
             f"CREATE VIEW {f.stem} AS SELECT * FROM read_parquet('{f}')"
         )
 
-    names = [n for n in WEAK if n in REGISTRY]
+    wanted = tuple(args.queries) if args.queries else WEAK
+    names = [n for n in wanted if n in REGISTRY]
     results: dict[str, dict] = {n: {"spark": [], "duck": []} for n in names}
     # warm-up both engines once per query, then interleave timed runs so
     # co-tenant noise hits both engines alike

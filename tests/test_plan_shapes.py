@@ -163,12 +163,17 @@ class TestRound4PlanShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_text_lm_unigram_corpus_totals_broadcast(self, spark):
-        # the (N, V) spine is a 1-row broadcast; the token->count join is
-        # an equi-join (broadcast at test SF, shuffle-hash at scale)
+    def test_text_lm_unigram_folds_small_vocab_row_local(self, spark):
+        # the fixture vocabulary is under the counted fold gate, so the
+        # scoring pass must be ROW-LOCAL: a literal-map array aggregate
+        # with no join and no token-stream exchange (the only permitted
+        # exchange is rebalance_for_compute's doc_id repartition of the
+        # single-row-group fixture scan)
         plan = _executed_plan(_run(spark, "text_lm_unigram"))
-        assert "IdentityBroadcastMode" in plan
+        assert "Join" not in plan
         assert "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "aggregate(" in plan  # the row-local array fold
 
     def test_embed_matryoshka_probes_build_broadcast_side(self, spark):
         # the 8-row probe set must be the BUILD side of the nested-loop
