@@ -71,10 +71,15 @@ def brute_force_topk(
        column expression as the all-pairs form, so scores, tie-breaks, and
        the driver's value hash are identical to computing every pair.
 
-    The margin makes stage 1's float ordering inconsequential: a true
-    top-k neighbor is lost only if numpy's pairwise-summed similarity
-    disagrees with the sequential-fold JVM similarity across a gap of
-    ``candidate_margin`` batch-local ranks (~1e-15 noise vs a 64-rank gap).
+    Stage 1 ranks candidates by the SAME total order as stage 2 —
+    similarity quantized to 6 digits descending, neighbor id ascending, as
+    one int64 composite key — so rounded-similarity TIES (duplicate or
+    near-duplicate embeddings, however many) select exactly the ids the
+    final ranking wants. The margin then only absorbs quantization-boundary
+    noise: a true top-k neighbor is lost only if numpy's rint of the
+    pairwise-summed similarity and the JVM's ROUND of the sequential-fold
+    similarity land in different 1e-6 quanta across ``candidate_margin``
+    batch-local ranks.
 
     100 TB posture: the corpus streams once with NO per-pair row explosion;
     per-batch work is one BLAS matmul; the only shuffle is the tiny
@@ -151,15 +156,30 @@ def brute_force_topk(
             c_norms = np.linalg.norm(c_mat, axis=1)
             c_norms[c_norms == 0] = 1.0
             sims = (c_mat / c_norms[:, None]) @ q_unit.T  # (n, |Q|)
+            # Candidate ranking uses the SAME total order as the stage-2
+            # re-rank — (similarity rounded to 6 digits DESC, id ASC) — as
+            # one int64 composite key. Raw-float ranking loses true
+            # neighbors whenever more than `margin` candidates tie on the
+            # ROUNDED similarity (e.g. duplicate embeddings): the float
+            # order cuts an arbitrary subset, while the final order wants
+            # the lowest ids. The margin now only absorbs quantization-
+            # boundary noise (numpy rint vs JVM ROUND at .5-ulp), not ties.
+            order = np.argsort(ids, kind="stable")
+            id_rank = np.empty(n, dtype=np.int64)
+            id_rank[order] = np.arange(n, dtype=np.int64)
+            keys = np.rint(sims * 1e6).astype(np.int64) * (1 << 24) - id_rank[
+                :, None
+            ]
+            key_min = np.iinfo(np.int64).min
             sel_q, sel_n, sel_v = [], [], []
             for j in range(len(q_ids)):
-                col = sims[:, j].copy()
-                col[ids == q_ids[j]] = -np.inf
+                kcol = keys[:, j].copy()
+                kcol[ids == q_ids[j]] = key_min
                 if m < n:
-                    idx = np.argpartition(-col, m - 1)[:m]
+                    idx = np.argpartition(-kcol, m - 1)[:m]
                 else:
                     idx = np.arange(n)
-                idx = idx[np.isfinite(col[idx])]
+                idx = idx[kcol[idx] != key_min]
                 sel_q.append(np.full(len(idx), q_ids[j]))
                 sel_n.append(ids[idx])
                 sel_v.extend(c_mat[i].tolist() for i in idx)
@@ -213,8 +233,10 @@ def self_knn_topk(
     rows). Here each batch row is a query scored against the ENTIRE
     broadcast corpus matrix, so its per-row top-``k + margin`` is already
     final — candidates shrink to ``n × (k+margin)`` with no cross-batch
-    merge, and the margin only has to absorb numpy-vs-JVM summation-order
-    noise (~1e-15 vs an 8-rank gap), not batch-boundary effects.
+    merge. Candidates rank by the stage-2 total order (rounded sim DESC,
+    id ASC) as a composite integer key, so rounded-similarity ties pick
+    the final ranking's ids; the margin only absorbs numpy-rint-vs-JVM-
+    ROUND quantization-boundary noise, not batch-boundary effects.
 
     Stage 2 re-ranks the survivors with the exact JVM ``round_cosine``
     (identical scores/tie-breaks to the all-pairs form). Both vector
@@ -244,10 +266,33 @@ def self_knn_topk(
     import numpy as np
 
     c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
-    c_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in c_rows])
+    # Validate at the driver (this is where the corpus is first realized):
+    # np.stack over nulls/ragged rows would raise an opaque shape error.
+    vecs = []
+    dim = None
+    for r in c_rows:
+        if r[1] is None:
+            raise ValueError(
+                "self_knn_topk: embedding column contains null vector(s); "
+                "drop or impute them before the search."
+            )
+        a = np.asarray(r[1], dtype=np.float64)
+        if dim is None:
+            dim = a.shape[0]
+        elif a.shape != (dim,):
+            raise ValueError(
+                f"self_knn_topk: ragged embeddings — vector of length "
+                f"{a.shape[0]} for id {r[0]}, expected {dim}."
+            )
+        vecs.append(a)
+    c_mat = np.stack(vecs)
     c_norms = np.linalg.norm(c_mat, axis=1)
     c_norms[c_norms == 0] = 1.0
     c_unit = c_mat / c_norms[:, None]
+    # id rank (order-isomorphic to ids) for the composite candidate key
+    c_order = np.argsort(c_ids, kind="stable")
+    c_rank = np.empty(len(c_ids), dtype=np.int64)
+    c_rank[c_order] = np.arange(len(c_ids), dtype=np.int64)
 
     def _candidates(batches):
         import numpy as np  # noqa: F811 - worker-local import
@@ -278,15 +323,23 @@ def self_knn_topk(
             q_norms = np.linalg.norm(q_mat, axis=1)
             q_norms[q_norms == 0] = 1.0
             sims = (q_mat / q_norms[:, None]) @ c_unit.T  # (n, |corpus|)
-            sims[ids[:, None] == c_ids[None, :]] = -np.inf  # self matches
-            width = sims.shape[1]
+            # Composite candidate key = the stage-2 total order (rounded
+            # sim DESC, neighbor id ASC) — see brute_force_topk: raw-float
+            # ranking drops true neighbors under rounded-similarity ties
+            # (duplicate embeddings), which this corpus type is full of.
+            keys = np.rint(sims * 1e6).astype(np.int64) * (1 << 24) - c_rank[
+                None, :
+            ]
+            key_min = np.iinfo(np.int64).min
+            keys[ids[:, None] == c_ids[None, :]] = key_min  # self matches
+            width = keys.shape[1]
             if m < width:
-                top = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+                top = np.argpartition(-keys, m - 1, axis=1)[:, :m]
             else:
                 top = np.broadcast_to(np.arange(width), (n, width))
             row_q, row_n = [], []
             for i in range(n):
-                idx = top[i][np.isfinite(sims[i, top[i]])]
+                idx = top[i][keys[i, top[i]] != key_min]
                 row_q.append(np.full(len(idx), ids[i]))
                 row_n.append(c_ids[idx])
             yield pa.record_batch(

@@ -787,7 +787,7 @@ def _scalar_fn_to_sql(
         value = _one(af, 3)  # FunctionArgument.value (Expression)
         if value is None:
             enum_v = _one(af, 1)  # FunctionArgument.enum (string)
-            if enum_v is not None and name in _ENUM_ARG_FNS:
+            if enum_v is not None:
                 if not isinstance(enum_v, bytes):
                     raise SubstraitMalformed("enum argument with wrong wire type")
                 enum_args.append(enum_v.decode("utf-8", "strict"))
@@ -903,11 +903,6 @@ def _scalar_fn_to_sql(
 
 
 _MANY = 255
-
-#: Functions whose Substrait signature carries ENUM arguments that the
-#: consumer honors (everything else with an enum argument keeps the named
-#: rejection).
-_ENUM_ARG_FNS = frozenset({"extract"})
 
 #: extract component enum → Spark EXTRACT field, restricted to components
 #: whose definition is engine-independent. WEEK/DAY_OF_WEEK/ISO_* variants

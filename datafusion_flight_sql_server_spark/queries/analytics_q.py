@@ -358,8 +358,10 @@ def q_doc_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tok"),
+        # cast BEFORE the 1e6 multiply: docs with >2147 distinct tokens
+        # overflow 32-bit INT under ANSI mode (the oracle's len() is BIGINT)
         F.expr(
-            "CAST(1000000 * size(array_distinct(split(text, ' '))) AS BIGINT)"
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000"
             " DIV size(split(text, ' '))"
         ).alias("score_ppm"),
     )

@@ -88,7 +88,21 @@ def q_text_lm_unigram(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("ws"),
     )
     tok = base.select("doc_id", F.explode("ws").alias("word"))
-    gc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark import StorageLevel
+
+    from datafusion_flight_sql_server_spark.queries.catalog import (
+        register_query_cleanup,
+    )
+
+    # gc is persisted (at most |V| tiny rows) because the gate below
+    # MATERIALIZES it once to count the vocabulary; without the persist the
+    # join path would re-run the whole explode+aggregate a second time
+    # inside the returned plan.
+    gc = register_query_cleanup(
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Counted (not assumed) vocabulary fold: when the trained vocabulary is
     # tiny, scoring needs NO second token pass at all — the (word → count)
     # table folds into a literal map and each doc scores row-locally with

@@ -98,9 +98,9 @@ def main() -> int:
     ap.add_argument("--dst", default=None)
     ap.add_argument(
         "--queries",
-        nargs="*",
+        nargs="+",
         default=None,
-        help="subset of the WEAK set to measure (default: all)",
+        help="registered query names to measure (default: the WEAK set)",
     )
     args = ap.parse_args()
     dst = args.dst or f"/tmp/scaleup_f{args.mult_fact}_d{args.mult_docs}"
@@ -129,7 +129,10 @@ def main() -> int:
         )
 
     wanted = tuple(args.queries) if args.queries else WEAK
-    names = [n for n in wanted if n in REGISTRY]
+    unknown = [n for n in wanted if n not in REGISTRY]
+    if unknown:
+        ap.error(f"not registered queries: {', '.join(unknown)}")
+    names = list(wanted)
     results: dict[str, dict] = {n: {"spark": [], "duck": []} for n in names}
     # warm-up both engines once per query, then interleave timed runs so
     # co-tenant noise hits both engines alike

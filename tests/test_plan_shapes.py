@@ -627,8 +627,8 @@ class TestDocBudgetSelect:
             "doc_id",
             F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n"),
             F.expr(
-                "CAST(1000000 * size(array_distinct(split(text, ' '))) AS BIGINT)"
-                " DIV size(split(text, ' '))"
+                "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+                " * 1000000 DIV size(split(text, ' '))"
             ).alias("s"),
         ).collect()
         rows.sort(key=lambda r: (-r.s, r.doc_id))

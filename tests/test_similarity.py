@@ -101,6 +101,46 @@ class TestSelfKnnTopK:
         with pytest.raises(ValueError, match="max_corpus_rows"):
             self_knn_topk(df, k=1, max_corpus_rows=5)
 
+    def test_mass_ties_pick_lowest_ids(self, spark):
+        # 30 identical embeddings: every pair ties at rounded sim 1.0, far
+        # past the candidate margin — stage 1 must rank ties by id (the
+        # stage-2 order), not by arbitrary float order (round-5 review bug)
+        df = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        out = self_knn_topk(df, k=5).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rows in by_q.items():
+            rows.sort(key=lambda r: r.rank)
+            want = [i for i in range(30) if i != q][:5]
+            assert [r.neighbor_id for r in rows] == want, f"query {q}"
+        # and the generic form under the same ties
+        out2 = brute_force_topk(df, df.filter(F.col("vec_id") < 2), k=5)
+        got = {}
+        for r in out2.collect():
+            got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        assert sorted(got[0]) == [(i, i) for i in range(1, 6)]
+        assert sorted(got[1]) == [(1, 0), (2, 2), (3, 3), (4, 4), (5, 5)]
+
+    def test_null_embedding_clear_error(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0])],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        with pytest.raises(ValueError, match="null vector"):
+            self_knn_topk(df, k=1)
+
+    def test_ragged_embedding_clear_error(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [3.0]), (2, [3.0, 4.0])],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        with pytest.raises(ValueError, match="ragged"):
+            self_knn_topk(df, k=1)
+
     def test_empty_corpus(self, spark):
         df = spark.createDataFrame(
             [], "vec_id BIGINT, embedding ARRAY<FLOAT>"
