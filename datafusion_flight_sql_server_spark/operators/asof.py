@@ -127,14 +127,33 @@ def asof_join_nearest(
         .orderBy(*order)
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        FloatType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
-    if isinstance(left.schema[ts_col].dataType, TimestampType):
+    ts_type = left.schema[ts_col].dataType
+    if isinstance(ts_type, TimestampType):
         # exact integer microseconds — a double epoch loses sub-us ties
         def _num(c):
             return F.unix_micros(c)
+    elif isinstance(ts_type, TimestampNTZType):
+        # NTZ carries no instant; the engine contract pins sessions to
+        # UTC, making the cast the identity wall-clock mapping — without
+        # it a long cast would collapse gaps to whole seconds
+        def _num(c):
+            return F.unix_micros(c.cast("timestamp"))
+    elif isinstance(ts_type, (DoubleType, FloatType, DecimalType)):
+        # fractional timestamps subtract in their OWN type: a long cast
+        # truncates sub-unit gaps and flips nearest picks (|1.9-1.2|
+        # would beat |2.1-1.9|)
+        def _num(c):
+            return c
     else:
-        # numeric timestamps (epochs, sequence numbers) subtract directly
+        # integer timestamps (epochs, sequence numbers) subtract directly
         def _num(c):
             return c.cast("long")
 

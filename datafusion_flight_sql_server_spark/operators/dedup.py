@@ -539,7 +539,7 @@ def minhash_fresh_vs_history(
             )
             >= threshold
         )
-        .select(F.col("bdoc").alias("doc_id"))
+        .select(F.col("bdoc").alias(id_col))  # caller's id name, not "doc_id"
         .distinct()
     )
     return docs.filter(batch_pred).join(dup_ids, id_col, "left_anti")

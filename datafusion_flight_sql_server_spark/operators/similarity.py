@@ -167,10 +167,15 @@ def brute_force_topk(
             order = np.argsort(ids, kind="stable")
             id_rank = np.empty(n, dtype=np.int64)
             id_rank[order] = np.arange(n, dtype=np.int64)
-            keys = np.rint(sims * 1e6).astype(np.int64) * (1 << 24) - id_rank[
-                :, None
-            ]
             key_min = np.iinfo(np.int64).min
+            # NaN similarities (NaN-valued embeddings) must never become
+            # candidates: NaN→int64 is undefined and Spark's descending
+            # sort ranks NaN first (the old isfinite guard, kept here)
+            nan_mask = np.isnan(sims)
+            keys = np.rint(np.where(nan_mask, 0.0, sims) * 1e6).astype(
+                np.int64
+            ) * (1 << 24) - id_rank[:, None]
+            keys[nan_mask] = key_min
             sel_q, sel_n, sel_v = [], [], []
             for j in range(len(q_ids)):
                 kcol = keys[:, j].copy()
@@ -327,10 +332,12 @@ def self_knn_topk(
             # sim DESC, neighbor id ASC) — see brute_force_topk: raw-float
             # ranking drops true neighbors under rounded-similarity ties
             # (duplicate embeddings), which this corpus type is full of.
-            keys = np.rint(sims * 1e6).astype(np.int64) * (1 << 24) - c_rank[
-                None, :
-            ]
             key_min = np.iinfo(np.int64).min
+            nan_mask = np.isnan(sims)  # see brute_force_topk: NaN guard
+            keys = np.rint(np.where(nan_mask, 0.0, sims) * 1e6).astype(
+                np.int64
+            ) * (1 << 24) - c_rank[None, :]
+            keys[nan_mask] = key_min
             keys[ids[:, None] == c_ids[None, :]] = key_min  # self matches
             width = keys.shape[1]
             if m < width:

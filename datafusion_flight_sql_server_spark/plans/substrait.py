@@ -458,6 +458,11 @@ def _pin_alias(state: "_State", alias: str) -> None:
     table = state.table
     if table.endswith("`") and " AS `" in table:
         state.table = table.rsplit(" AS ", 1)[0] + f" AS {_quote(alias)}"
+    elif " AS " in table or table.upper().startswith("VALUES"):
+        # already-aliased relations that don't end in a bare alias (e.g. a
+        # virtual_table's "VALUES … AS `v`(cols)") cannot take a second
+        # AS — pin the alias on a derived table instead
+        state.table = f"(SELECT * FROM {table}) AS {_quote(alias)}"
     else:
         state.table = f"{table} AS {_quote(alias)}"
 
@@ -545,8 +550,8 @@ def _expr_to_sql(
         return _subquery_to_sql(
             _one(f, 12), cols, funcs, rendered, outer + (level,)
         )
-    if 4 in f:  # switch_expression: CASE match WHEN lit THEN expr … END
-        sw = _fields(_one(f, 4))
+    if 7 in f:  # switch_expression: CASE match WHEN lit THEN expr … END
+        sw = _fields(_one(f, 7))
         match = _one(sw, 3)
         clauses = sw.get(1, [])
         if match is None or not clauses:
@@ -802,6 +807,37 @@ def _scalar_fn_to_sql(
     if not args:  # deprecated ScalarFunction.args (Expression, field 2)
         args = [v for _, v in f.get(2, [])]
 
+    # ScalarFunction.options (field 5, repeated FunctionOption{name=1,
+    # preference=2}): a plan that PINS an option constrains the consumer —
+    # the preference list is ordered and the consumer may pick any entry it
+    # implements. Each (function, option) pair this consumer renders with
+    # fixed Spark semantics is listed in _CONSUMED_OPTIONS with the
+    # preference values Spark's rendering satisfies; a pinned option whose
+    # preferences contain none of them rejects by name (silently rendering
+    # e.g. round(2.5) as HALF_UP under a TIE_TO_EVEN pin would be wrong
+    # VALUES, not a wrong shape). Absent options leave the choice to the
+    # consumer per the spec, so the plain renderings below stand.
+    for _, opt in f.get(5, []):
+        of = _fields(opt)
+        opt_name_raw = _one(of, 1)
+        opt_name = (
+            opt_name_raw.decode("utf-8", "replace")
+            if isinstance(opt_name_raw, bytes)
+            else str(opt_name_raw)
+        )
+        prefs = [
+            v.decode("utf-8", "replace")
+            for _, v in of.get(2, [])
+            if isinstance(v, bytes)
+        ]
+        honored = _CONSUMED_OPTIONS.get((name, opt_name))
+        if honored is not None and (not prefs or honored & set(prefs)):
+            continue
+        raise SubstraitUnsupported(
+            f"Substrait consumer: function option {opt_name!r}="
+            f"{prefs or '?'} for {name!r} is not consumed"
+        )
+
     def a(i: int) -> str:
         return _expr_to_sql(
             args[i], cols, funcs, rendered, allow_window, outer, level
@@ -885,6 +921,18 @@ def _scalar_fn_to_sql(
         if len(args) < 1:
             raise SubstraitMalformed("coalesce without arguments")
         return "COALESCE(" + ", ".join(a(i) for i in range(len(args))) + ")"
+    if name in ("least", "greatest"):
+        # substrait's least/greatest PROPAGATE nulls (the skip-null
+        # semantics are the separate *_skip_null functions); Spark's
+        # LEAST/GREATEST skip nulls, so wrap with an explicit null gate
+        if len(args) < 2:
+            raise SubstraitMalformed(f"{name} with {len(args)} arguments")
+        vals = [a(i) for i in range(len(args))]
+        null_gate = " OR ".join(f"{v} IS NULL" for v in vals)
+        return (
+            f"(CASE WHEN {null_gate} THEN NULL "
+            f"ELSE {name.upper()}({', '.join(vals)}) END)"
+        )
     plain = _PLAIN_SCALAR_FNS.get(name)
     if plain is not None:
         sql_name, lo, hi = plain
@@ -897,12 +945,20 @@ def _scalar_fn_to_sql(
         f"Substrait consumer: scalar function {name!r} is not in the "
         f"expression subset (and or not equal not_equal gt gte lt lte "
         f"is_null is_not_null between add subtract multiply divide "
-        f"modulus negate like coalesce extract "
+        f"modulus negate like coalesce extract least greatest "
         f"{' '.join(sorted(_PLAIN_SCALAR_FNS))})"
     )
 
 
 _MANY = 255
+
+#: (function, option) → preference values the Spark rendering satisfies.
+#: Spark float `/` is IEEE 754 (TIE_TO_EVEN result rounding); Spark ROUND
+#: is BigDecimal HALF_UP = round half away from zero.
+_CONSUMED_OPTIONS = {
+    ("divide", "rounding"): {"TIE_TO_EVEN"},
+    ("round", "rounding"): {"TIE_AWAY_FROM_ZERO"},
+}
 
 #: extract component enum → Spark EXTRACT field, restricted to components
 #: whose definition is engine-independent. WEEK/DAY_OF_WEEK/ISO_* variants
@@ -922,10 +978,11 @@ _EXTRACT_COMPONENTS = {
 #: (Spark SQL function, min arity, max arity). Every name here has
 #: call-compatible semantics in Spark SQL for the arities listed (names
 #: from functions_string/arithmetic/comparison/rounding.yaml — the set
-#: DataFusion's producer emits for ordinary scalar expressions). Functions
-#: whose Substrait form carries enum/options arguments (extract, regex
-#: flags, rounding modes) are NOT here — they keep the named rejection
-#: until consumed with their options honored.
+#: DataFusion's producer emits for ordinary scalar expressions). Pinned
+#: FunctionOptions are checked against _CONSUMED_OPTIONS (absent options
+#: are the consumer's choice per the spec); enum-argument forms other
+#: than extract (regex flags etc.) keep the named rejection until
+#: consumed with their options honored.
 _PLAIN_SCALAR_FNS = {
     # strings (functions_string.yaml)
     "concat": ("CONCAT", 1, _MANY),
@@ -971,10 +1028,12 @@ _PLAIN_SCALAR_FNS = {
     "sinh": ("SINH", 1, 1),
     "cosh": ("COSH", 1, 1),
     "tanh": ("TANH", 1, 1),
-    # comparison helpers (functions_comparison.yaml)
+    # comparison helpers (functions_comparison.yaml); least/greatest are
+    # rendered by a dedicated arm (null-propagating per the spec) — the
+    # *_skip_null variants ARE Spark's native skip-null LEAST/GREATEST
     "nullif": ("NULLIF", 2, 2),
-    "least": ("LEAST", 2, _MANY),
-    "greatest": ("GREATEST", 2, _MANY),
+    "least_skip_null": ("LEAST", 2, _MANY),
+    "greatest_skip_null": ("GREATEST", 2, _MANY),
     "is_nan": ("ISNAN", 1, 1),
 }
 
@@ -1942,9 +2001,14 @@ def _window_rel(body: bytes, funcs: dict[int, str]) -> _State:
     if inp is None:
         raise SubstraitMalformed("ConsistentPartitionWindowRel without input")
     state = _interpret_rel(inp, funcs)
-    if state.select_exprs is not None or state.order or state.limit is not None:
-        # clause-bearing input: wrap it so the window computes over the
-        # finished result
+    if (
+        state.select_exprs is not None
+        or state.order
+        or state.limit is not None
+        or state.offset
+    ):
+        # clause-bearing input (incl. a standalone OFFSET): wrap it so the
+        # window computes over the finished result
         state = _subquery_state(_render_sql(state, []), state.cols, "w")
     cols = state.cols
     if not cols:
@@ -2210,17 +2274,12 @@ def _interpret_rel(
                 "Substrait consumer: FetchRel without a literal count"
             )
 
-        def signed(v: int) -> int:
-            # protobuf int64 varints are two's-complement on the wire
-            v = int(v)
-            return v - (1 << 64) if v >= 1 << 63 else v
-
-        count = signed(count)
+        count = _signed64(count)
         if count < -1:
             raise SubstraitMalformed(f"FetchRel count {count}")
         # count = -1 is the spec's "return all records": emit no LIMIT
         state.limit = None if count == -1 else count
-        offset = signed(_one(ff, 3) or 0)
+        offset = _signed64(_one(ff, 3) or 0)
         if offset < 0:
             raise SubstraitMalformed(f"FetchRel offset {offset}")
         if offset:

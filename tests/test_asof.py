@@ -97,6 +97,26 @@ class TestAsofJoinNearest:
         assert rows[203].event_id_r is None  # no right rows at all
         assert rows[204].event_id_r == 6  # forward-only key matches
 
+    def test_fractional_timestamps_keep_subunit_gaps(self, spark):
+        # DOUBLE timestamps must compare in their own type: a long cast
+        # truncates |1.9-1.2|=0.7 to 0 and |2.1-1.9|=0.2 to 1, flipping
+        # the nearest pick (round-5 review bug)
+        from datafusion_flight_sql_server_spark.operators.asof import (
+            asof_join_nearest,
+        )
+
+        left = spark.createDataFrame(
+            [(100, 1, 1.9)], "purchase_id bigint, user_id bigint, ts double"
+        )
+        right = spark.createDataFrame(
+            [(1, 1.2, 1, 1.0), (1, 2.1, 2, 2.0)],
+            "user_id bigint, ts double, event_id bigint, value double",
+        )
+        rows = {
+            r.purchase_id: r for r in asof_join_nearest(left, right).collect()
+        }
+        assert rows[100].event_id_r == 2  # forward gap 0.2 < backward 0.7
+
     def test_single_shuffle_no_join_node(self, spark):
         from datafusion_flight_sql_server_spark.operators.asof import (
             asof_join_nearest,

@@ -644,3 +644,25 @@ class TestDocBudgetSelect:
             for r in _run(spark, "doc_budget_select").collect()
         )
         assert got == sorted(expect)
+
+
+class TestReviewRegressionFixes:
+    def test_minhash_fresh_vs_history_custom_id_col(self, spark):
+        # dup_ids used to be hard-aliased to "doc_id", crashing the final
+        # anti-join for any non-default id_col (round-5 review bug)
+        from pyspark.sql import functions as F
+
+        from datafusion_flight_sql_server_spark.operators.dedup import (
+            minhash_fresh_vs_history,
+        )
+        from datafusion_flight_sql_server_spark.queries.catalog import tables
+        from tests.conftest import SF_SMALL
+
+        d = tables(spark, SF_SMALL)["documents"].select(
+            F.col("doc_id").alias("img_id"), "text"
+        )
+        out = minhash_fresh_vs_history(
+            d, F.col("img_id") % 10 == 0, id_col="img_id"
+        )
+        assert out.columns[0] == "img_id"
+        assert out.count() >= 0  # executes without AnalysisException

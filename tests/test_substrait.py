@@ -2349,15 +2349,16 @@ class TestAggWidening:
 
 def switch_expr(match: bytes, clauses: list[tuple[bytes, bytes]],
                 els: bytes | None = None) -> bytes:
-    """Expression.switch_expression (field 4): match=3, ifs=1
-    (IfValue{if=1 bare Literal, then=2}), else=2. Clause keys are BARE
-    Literal payloads (literal_bare), thens are Expressions."""
+    """Expression.switch_expression (field 7 per algebra.proto — verified
+    against the descriptor embedded in libarrow_substrait): match=3,
+    ifs=1 (IfValue{if=1 bare Literal, then=2}), else=2. Clause keys are
+    BARE Literal payloads (literal_bare), thens are Expressions."""
     body = _len_field(3, match)
     for lit_payload, then in clauses:
         body += _len_field(1, _len_field(1, lit_payload) + _len_field(2, then))
     if els is not None:
         body += _len_field(2, els)
-    return _len_field(4, body)
+    return _len_field(7, body)
 
 
 def nested_list(values: list[bytes]) -> bytes:
@@ -2491,3 +2492,101 @@ class TestExtractAndIntervals:
         )
         got = {str(r[0]) for r in spark.sql(sql).collect()}
         assert got == {"1970-01-03 00:00:00"}
+
+
+class TestRound5ReviewFixes:
+    def _project_sql(self, expr: bytes, exts: bytes = b"") -> str:
+        p = rel(7, computed_project(USERS_READ, [expr], [2]))
+        return substrait_to_sql(plan_bytes(p, extensions=exts))
+
+    def _round_with_option(self, pref: str) -> bytes:
+        body = _varint_field(1, 1)
+        body += _len_field(4, _len_field(3, field_ref(0)))
+        body += _len_field(
+            5, _string_field(1, "rounding") + _string_field(2, pref)
+        )
+        return _len_field(3, body)
+
+    def test_round_option_tie_away_consumed(self):
+        sql = self._project_sql(
+            self._round_with_option("TIE_AWAY_FROM_ZERO"),
+            extension_function(1, "round:fp64"),
+        )
+        assert "ROUND(`id`)" in sql
+
+    def test_round_option_tie_to_even_rejected(self):
+        # Spark ROUND is HALF_UP; silently rendering a TIE_TO_EVEN pin
+        # would return wrong VALUES at .5 — reject by name instead
+        with pytest.raises(SubstraitUnsupported, match="rounding"):
+            self._project_sql(
+                self._round_with_option("TIE_TO_EVEN"),
+                extension_function(1, "round:fp64"),
+            )
+
+    def test_least_propagates_nulls(self, spark):
+        # substrait least/greatest are the NULL-PROPAGATING variants;
+        # Spark's LEAST skips nulls, so the render wraps a null gate
+        e = scalar_fn(1, [field_ref(0), literal("i64", 5)])
+        sql = self._project_sql(e, extension_function(1, "least:any_any"))
+        assert "CASE WHEN" in sql and "IS NULL" in sql and "LEAST" in sql
+        register_memtable(
+            spark, "users", [(None, "a"), (7, "b")], "id INT, name STRING"
+        )
+        got = sorted(
+            (r[0] is None) for r in spark.sql(sql).collect()
+        )
+        assert got == [False, True]  # NULL row stays NULL, 7 -> 5
+
+    def test_least_skip_null_is_plain(self):
+        e = scalar_fn(1, [field_ref(0), literal("i64", 5)])
+        sql = self._project_sql(
+            e, extension_function(1, "least_skip_null:any_any")
+        )
+        assert "LEAST(`id`, 5)" in sql and "CASE WHEN" not in sql
+
+    def test_offset_only_fetch_survives_window_rel(self):
+        # an accumulated standalone OFFSET below a
+        # ConsistentPartitionWindowRel must wrap into the derived table,
+        # not silently vanish (round-5 review bug)
+        fetched = rel(3, fetch_rel(USERS_READ, (1 << 64) - 1, offset=5))
+        w = window_rel(fetched, [window_rel_fn(1)], sorts=((0, 2),))
+        p = plan_bytes(
+            rel(17, w), extensions=extension_function(1, "row_number:")
+        )
+        sql = substrait_to_sql(p)
+        assert "OFFSET 5" in sql
+        assert "OFFSET 5) AS" in sql  # inside the wrapped input
+
+    def test_correlated_exists_over_values_read(self, spark):
+        # pinning the correlation alias on a VALUES relation must wrap it
+        # in a derived table — a second trailing AS is a parse error
+        def lit_bytes(kind, v):
+            return literal(kind, v)[2:]
+
+        vt = virtual_table_read(
+            ["id", "name"],
+            [
+                [lit_bytes("i64", 1), lit_bytes("string", "Alice")],
+                [lit_bytes("i64", 9), lit_bytes("string", "Nobody")],
+            ],
+        )
+        inner = rel(
+            2,
+            filter_rel(
+                USERS_READ, scalar_fn(1, [field_ref(0), outer_field_ref(0)])
+            ),
+        )
+        cond = exists_subquery(inner)
+        p = plan_bytes(
+            rel(2, filter_rel(vt, cond)),
+            extensions=extension_function(1, "equal:any_any"),
+        )
+        sql = substrait_to_sql(p)
+        register_memtable(
+            spark,
+            "users",
+            [(1, "Alice"), (2, "Bob")],
+            "id INT NOT NULL, name STRING NOT NULL",
+        )
+        got = [r[0] for r in spark.sql(sql).collect()]
+        assert got == [1]  # only the VALUES row with a users match
