@@ -40,6 +40,42 @@ from datafusion_flight_sql_server_spark.queries.catalog import query, tables
 from datafusion_flight_sql_server_spark.queries.pipeline_q import _SCD2_DIM_SQL
 
 
+def _await_memory_sink(
+    spark: SparkSession, stream_df: DataFrame, sink_name: str
+) -> DataFrame:
+    """Run a streaming DataFrame into a FRESH memory sink with
+    availableNow and return the sink table; raise on stream failure or
+    timeout (a partial sink must never flow into the correctness gate).
+    Single copy of the run protocol — every streaming twin goes through
+    here regardless of how its source was staged."""
+    # a previous invocation's memory-sink table would collide with the new
+    # query's temp view of the same name
+    try:
+        spark.catalog.dropTempView(sink_name)
+    except Exception:
+        pass
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+    finally:
+        if q.isActive:  # pragma: no cover - hung stream
+            q.stop()
+    if q.exception() is not None:  # pragma: no cover - surfaced for driver
+        raise q.exception()
+    if not finished:  # pragma: no cover - timed out mid-batch
+        raise TimeoutError(
+            f"stream {sink_name!r} did not finish within 300 s; partial "
+            f"sink discarded"
+        )
+    return spark.table(sink_name)
+
+
 def _run_stream_once(
     spark: SparkSession,
     sf: str,
@@ -55,35 +91,7 @@ def _run_stream_once(
     )
     source.coalesce(1).write.mode("overwrite").parquet(stage)
     reader = spark.readStream.schema(source.schema).parquet(stage)
-    # a previous invocation's memory-sink table would collide with the new
-    # query's temp view of the same name
-    try:
-        spark.catalog.dropTempView(sink_name)
-    except Exception:
-        pass
-    q = (
-        build_stream(reader)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(300)
-    finally:
-        if q.isActive:  # pragma: no cover - hung stream
-            q.stop()
-    if q.exception() is not None:  # pragma: no cover - surfaced for driver
-        raise q.exception()
-    if not finished:  # pragma: no cover - timed out mid-batch
-        # a stopped-on-timeout stream leaves a PARTIAL memory sink — it
-        # must never flow into the correctness gate as if it were real
-        raise TimeoutError(
-            f"stream {sink_name!r} did not finish within 300 s; partial "
-            f"sink discarded"
-        )
-    return spark.table(sink_name)
+    return _await_memory_sink(spark, build_stream(reader), sink_name)
 
 
 @query(
@@ -256,10 +264,6 @@ def q_stream_tumbling_batch(spark: SparkSession, sf: str) -> DataFrame:
         # distinct mtimes: the file source orders batches by mod time
         _time.sleep(0.1)
         sentinel.coalesce(1).write.mode("append").parquet(stage)
-    try:
-        spark.catalog.dropTempView("stream_tumbling_out")
-    except Exception:
-        pass
     agg = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
@@ -280,28 +284,11 @@ def q_stream_tumbling_batch(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_tumbling_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(300)
-    finally:
-        if q.isActive:  # pragma: no cover - hung stream
-            q.stop()
-    if q.exception() is not None:  # pragma: no cover
-        raise q.exception()
-    if not finished:  # pragma: no cover
-        raise TimeoutError("stream_tumbling_out did not finish within 300 s")
+    out = _await_memory_sink(spark, agg, "stream_tumbling_out")
     # defensive: the sentinel's own window must never appear (it stays
     # open — no batch 3 advances the watermark past it)
     cutoff = int(max_ts.timestamp()) + 86400
-    return spark.table("stream_tumbling_out").filter(
-        F.col("window_start") < F.lit(cutoff)
-    )
+    return out.filter(F.col("window_start") < F.lit(cutoff))
 
 
 @query(
@@ -378,24 +365,4 @@ def q_stream_interval_join_batch(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_us"),
     )
-    try:
-        spark.catalog.dropTempView("stream_ivj_out")
-    except Exception:
-        pass
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_ivj_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(300)
-    finally:
-        if q.isActive:  # pragma: no cover - hung stream
-            q.stop()
-    if q.exception() is not None:  # pragma: no cover
-        raise q.exception()
-    if not finished:  # pragma: no cover
-        raise TimeoutError("stream_ivj_out did not finish within 300 s")
-    return spark.table("stream_ivj_out")
+    return _await_memory_sink(spark, joined, "stream_ivj_out")
