@@ -106,6 +106,12 @@ def _fields(data: bytes) -> dict[int, list[tuple[int, object]]]:
     (not just expected ones) is what lets the interpreters below REJECT an
     unsupported oneof arm by name instead of silently ignoring it.
     """
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        # a scalar wire value where an embedded message was expected
+        raise SubstraitMalformed(
+            f"malformed Substrait bytes: expected an embedded message, got "
+            f"wire value {data!r}"
+        )
     out: dict[int, list[tuple[int, object]]] = {}
     pos = 0
     try:
@@ -121,9 +127,13 @@ def _fields(data: bytes) -> dict[int, list[tuple[int, object]]]:
                 value = data[pos : pos + length]
                 pos += length
             elif wt == WT_I32:
+                if pos + 4 > len(data):
+                    raise ValueError("truncated fixed32 field")
                 value = data[pos : pos + 4]
                 pos += 4
             elif wt == WT_I64:
+                if pos + 8 > len(data):
+                    raise ValueError("truncated fixed64 field")
                 value = data[pos : pos + 8]
                 pos += 8
             else:
@@ -137,6 +147,30 @@ def _fields(data: bytes) -> dict[int, list[tuple[int, object]]]:
 def _one(fields, num):
     vals = fields.get(num)
     return vals[-1][1] if vals else None
+
+
+
+def _varint_one(fields, num, default: int = 0) -> int:
+    """Last value of a varint field, or ``default``; a length-delimited
+    payload where a scalar was expected is a malformed plan, not a crash."""
+    v = _one(fields, num)
+    if v is None:
+        return default
+    if not isinstance(v, int):
+        raise SubstraitMalformed(
+            f"malformed Substrait bytes: field {num} expected a varint, "
+            f"got {v!r}"
+        )
+    return v
+
+
+
+def _utf8(raw, what: str) -> str:
+    """Strict UTF-8 decode that reports garbage as a malformed plan."""
+    try:
+        return raw.decode("utf-8", "strict")
+    except UnicodeDecodeError as exc:
+        raise SubstraitMalformed(f"non-UTF-8 {what}") from exc
 
 
 def _strings(fields, num) -> list[str]:
@@ -279,7 +313,7 @@ def _literal_to_sql(lit: bytes) -> str:
         return _micros_to_timestamp_sql(_signed64(raw))
     if kind == "precision_timestamp":
         pf = _fields(raw)
-        precision = int(_one(pf, 1) or 0)
+        precision = _varint_one(pf, 1, 0)
         value = _signed64(_one(pf, 2) or 0)
         if precision > 6:
             raise SubstraitUnsupported(
@@ -307,7 +341,7 @@ def _literal_to_sql(lit: bytes) -> str:
         if 3 in ivf:  # deprecated microseconds arm
             sub_micros = _signed64(_one(ivf, 3) or 0)
         else:
-            precision = int(_one(ivf, 4) or 0)
+            precision = _varint_one(ivf, 4, 0)
             subseconds = _signed64(_one(ivf, 5) or 0)
             if subseconds and 4 not in ivf:
                 raise SubstraitMalformed(
@@ -341,7 +375,7 @@ def _literal_to_sql(lit: bytes) -> str:
     if kind == "var_char":
         vf = _fields(raw)
         payload = _one(vf, 1) or b""
-        text = payload.decode("utf-8", "strict")
+        text = _utf8(payload, "var_char literal")
         return "'" + text.replace("'", "''") + "'"
     if kind == "decimal":
         df = _fields(raw)
@@ -350,8 +384,8 @@ def _literal_to_sql(lit: bytes) -> str:
             raise SubstraitMalformed(
                 "decimal literal without a 16-byte twos-complement value"
             )
-        precision = int(_one(df, 2) or 38)
-        scale = int(_one(df, 3) or 0)
+        precision = _varint_one(df, 2, 38)
+        scale = _varint_one(df, 3, 0)
         unscaled = int.from_bytes(payload, "little", signed=True)
         sign = "-" if unscaled < 0 else ""
         if scale > 0:
@@ -380,7 +414,7 @@ def _literal_to_sql(lit: bytes) -> str:
         return f"CAST(ARRAY() AS ARRAY<{_type_to_sql(elem)}>)"
     # string / fixed_char (both carry a UTF-8 payload; Spark has no padded
     # CHAR literal type, so fixed_char renders as a plain string)
-    text = raw.decode("utf-8", "strict") if isinstance(raw, bytes) else str(raw)
+    text = _utf8(raw, "string literal") if isinstance(raw, bytes) else str(raw)
     return "'" + text.replace("'", "''") + "'"
 
 
@@ -476,7 +510,7 @@ def _outer_ref_to_sql(
     outer_msg = _one(ref, 5)  # FieldReference.outer_reference
     if outer_msg is None:
         return None
-    steps = int(_one(_fields(outer_msg), 1) or 0)
+    steps = _varint_one(_fields(outer_msg), 1, 0)
     if steps < 1 or steps > len(outer) or outer[-steps] is None:
         raise SubstraitUnsupported(
             f"Substrait consumer: outer reference with steps_out={steps} "
@@ -493,7 +527,7 @@ def _outer_ref_to_sql(
             "Substrait consumer: only struct_field outer references are "
             "supported"
         )
-    idx = int(_one(_fields(struct_field), 1) or 0)
+    idx = _varint_one(_fields(struct_field), 1, 0)
     return outer[-steps].ref(idx)
 
 
@@ -576,30 +610,48 @@ def _expr_to_sql(
                 + _expr_to_sql(els, cols, funcs, rendered, allow_window, outer, level)
             )
         return "(" + " ".join(parts) + " END)"
-    if 13 in f:  # nested constructor: list arm only
+    if 13 in f:  # nested constructor: list / struct / map arms
         nf = _fields(_one(f, 13))
+
+        def _sub(v: bytes) -> str:
+            return _expr_to_sql(
+                v, cols, funcs, rendered, allow_window, outer, level
+            )
+
         lst = _one(nf, 4)  # Nested.list
-        if lst is None:
-            arms = {3: "struct", 5: "map"}
-            present = [arms.get(n, f"nested field {n}") for n in nf if n in (3, 5)]
-            raise SubstraitUnsupported(
-                f"Substrait consumer: nested constructor "
-                f"({', '.join(present) or 'empty'}) is not supported — "
-                f"list constructors only"
-            )
-        values = [m for _, m in _fields(lst).get(1, [])]
-        if not values:
-            raise SubstraitUnsupported(
-                "Substrait consumer: empty nested list constructor has no "
-                "element type; use the typed empty_list literal"
-            )
-        return (
-            "ARRAY("
-            + ", ".join(
-                _expr_to_sql(v, cols, funcs, rendered, allow_window, outer, level)
-                for v in values
-            )
-            + ")"
+        if lst is not None:
+            values = [m for _, m in _fields(lst).get(1, [])]
+            if not values:
+                raise SubstraitUnsupported(
+                    "Substrait consumer: empty nested list constructor has "
+                    "no element type; use the typed empty_list literal"
+                )
+            return "ARRAY(" + ", ".join(_sub(v) for v in values) + ")"
+        st = _one(nf, 3)  # Nested.Struct{fields=1 repeated Expression}
+        if st is not None:
+            values = [m for _, m in _fields(st).get(1, [])]
+            if not values:
+                raise SubstraitMalformed("nested struct constructor without fields")
+            # substrait struct fields are positional (no names); Spark's
+            # STRUCT() names them col1, col2, … — the declared divergence
+            return "STRUCT(" + ", ".join(_sub(v) for v in values) + ")"
+        mp = _one(nf, 5)  # Nested.Map{key_values=1 rep KeyValue{key=1,value=2}}
+        if mp is not None:
+            pairs = []
+            for _, kv in _fields(mp).get(1, []):
+                kvf = _fields(kv)
+                k, v = _one(kvf, 1), _one(kvf, 2)
+                if k is None or v is None:
+                    raise SubstraitMalformed("map constructor entry missing key/value")
+                pairs.extend([_sub(k), _sub(v)])
+            if not pairs:
+                raise SubstraitUnsupported(
+                    "Substrait consumer: empty nested map constructor has "
+                    "no key/value types; use a typed null literal"
+                )
+            return "MAP(" + ", ".join(pairs) + ")"
+        raise SubstraitUnsupported(
+            "Substrait consumer: empty nested constructor"
         )
     if 8 in f:  # singular_or_list: value IN (options…)
         sf = _fields(_one(f, 8))
@@ -718,12 +770,12 @@ def _type_to_sql(ty: bytes) -> str:
     arm = present[0]
     if arm == 24:  # decimal: scale=1, precision=2 (type.proto Decimal)
         df = _fields(_one(tf, 24))
-        scale = int(_one(df, 1) or 0)
-        precision = int(_one(df, 2) or 38)
+        scale = _varint_one(df, 1, 0)
+        precision = _varint_one(df, 2, 38)
         return f"DECIMAL({precision},{scale})"
     if arm in (21, 22):  # fixed-char / varchar with length
         lf = _fields(_one(tf, arm))
-        length = int(_one(lf, 1) or 0)
+        length = _varint_one(lf, 1, 0)
         return f"VARCHAR({length})" if length else "STRING"
     if arm == 27:  # Type.list → ARRAY<element>
         elem = _one(_fields(_one(tf, 27)), 1)
@@ -760,7 +812,7 @@ def _cast_to_sql(
     if ty is None:
         raise SubstraitMalformed("cast without target type")
     sql_type = _type_to_sql(ty)
-    behavior = int(_one(f, 3) or 0)
+    behavior = _varint_one(f, 3, 0)
     fn = "CAST" if behavior == 2 else "TRY_CAST"
     return (
         f"{fn}({_expr_to_sql(inp, cols, funcs, rendered, allow_window, outer, level)} "
@@ -778,7 +830,7 @@ def _scalar_fn_to_sql(
     level: "_CorrelationLevel | None" = None,
 ) -> str:
     f = _fields(body)
-    anchor = int(_one(f, 1) or 0)
+    anchor = _varint_one(f, 1, 0)
     name = funcs.get(anchor)
     if name is None:
         raise SubstraitUnsupported(
@@ -795,7 +847,7 @@ def _scalar_fn_to_sql(
             if enum_v is not None:
                 if not isinstance(enum_v, bytes):
                     raise SubstraitMalformed("enum argument with wrong wire type")
-                enum_args.append(enum_v.decode("utf-8", "strict"))
+                enum_args.append(_utf8(enum_v, "enum argument"))
                 continue
             kinds = {1: "enum", 2: "type"}
             present = [kinds.get(n, f"argument field {n}") for n in af]
@@ -1083,10 +1135,10 @@ def _bound_to_sql(bound: bytes, end: str) -> str:
     (decides which direction UNBOUNDED renders as)."""
     f = _fields(bound)
     if 1 in f:  # preceding {offset=1}
-        off = int(_one(_fields(_one(f, 1)), 1) or 0)
+        off = _varint_one(_fields(_one(f, 1)), 1)
         return f"{off} PRECEDING"
     if 2 in f:  # following {offset=1}
-        off = int(_one(_fields(_one(f, 2)), 1) or 0)
+        off = _varint_one(_fields(_one(f, 2)), 1)
         return f"{off} FOLLOWING"
     if 3 in f:  # current_row
         return "CURRENT ROW"
@@ -1111,7 +1163,7 @@ def _sort_field_to_sql(
         raise SubstraitUnsupported(
             "Substrait consumer: comparison-function sorts are not supported"
         )
-    direction = int(_one(sff, 2) or 0)
+    direction = _varint_one(sff, 2, 0)
     sql_dir = _SORT_DIRECTIONS.get(direction)
     if sql_dir is None:
         raise SubstraitUnsupported(
@@ -1130,7 +1182,7 @@ def _window_fn_to_sql(
     arguments=9, invocation=10, bounds_type=12.
     """
     f = _fields(body)
-    anchor = int(_one(f, 1) or 0)
+    anchor = _varint_one(f, 1, 0)
     name = funcs.get(anchor)
     if name is None:
         raise SubstraitUnsupported(
@@ -1143,13 +1195,13 @@ def _window_fn_to_sql(
             f"Substrait consumer: window function {name!r} is not in the "
             f"window subset ({' '.join(sorted(_WINDOW_FUNCS))})"
         )
-    phase = int(_one(f, 6) or 0)
+    phase = _varint_one(f, 6, 0)
     if phase not in (0, 3):  # unspecified / INITIAL_TO_RESULT
         raise SubstraitUnsupported(
             f"Substrait consumer: partial window phase {phase} is not "
             f"supported"
         )
-    invocation = int(_one(f, 10) or 0)
+    invocation = _varint_one(f, 10, 0)
     if invocation == _INVOCATION_DISTINCT:
         raise SubstraitUnsupported(
             "Substrait consumer: DISTINCT window invocation is not supported"
@@ -1181,7 +1233,7 @@ def _window_fn_to_sql(
     ]
     if orders:
         over.append("ORDER BY " + ", ".join(orders))
-    bounds_type = int(_one(f, 12) or 0)
+    bounds_type = _varint_one(f, 12, 0)
     lower, upper = _one(f, 5), _one(f, 4)
     if lower is not None or upper is not None:
         if bounds_type == 1:
@@ -1253,7 +1305,7 @@ def _subquery_to_sql(
         return f"({left} IN ({sub_sql}))"
     if 3 in f:  # set_predicate
         pf = _fields(_one(f, 3))
-        op = int(_one(pf, 1) or 0)
+        op = _varint_one(pf, 1, 0)
         if op != 1:  # PREDICATE_OP_EXISTS
             raise SubstraitUnsupported(
                 f"Substrait consumer: set predicate op {op} is not supported "
@@ -1352,7 +1404,7 @@ def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
                     "Substrait consumer: nested ReadRel mask selections "
                     "are not supported (flat column masks only)"
                 )
-            mask_indexes.append(int(_one(itf, 1) or 0))
+            mask_indexes.append(_varint_one(itf, 1, 0))
         if not mask_indexes:
             raise SubstraitMalformed("ReadRel mask with no struct items")
     for num, label in ((6, "local_files"), (8, "extension_table")):
@@ -1579,7 +1631,7 @@ def _aggregate_rel(
         if fn is None:
             raise SubstraitMalformed("Measure without aggregate function")
         af = _fields(fn)
-        anchor = int(_one(af, 1) or 0)
+        anchor = _varint_one(af, 1, 0)
         name = funcs.get(anchor)
         if name is None:
             raise SubstraitUnsupported(
@@ -1600,7 +1652,7 @@ def _aggregate_rel(
                 "Substrait consumer: sorted aggregate functions are not "
                 "supported (except string_agg -> LISTAGG WITHIN GROUP)"
             )
-        phase = int(_one(af, 4) or 0)
+        phase = _varint_one(af, 4, 0)
         if phase not in (0, 3):  # unspecified / INITIAL_TO_RESULT
             raise SubstraitUnsupported(
                 f"Substrait consumer: partial aggregation phase {phase} is "
@@ -1618,7 +1670,7 @@ def _aggregate_rel(
             args.append(value)
         if not args:  # deprecated AggregateFunction.args (field 2)
             args = [v for _, v in af.get(2, [])]
-        invocation = int(_one(af, 6) or 0)
+        invocation = _varint_one(af, 6, 0)
         distinct = invocation == _INVOCATION_DISTINCT
         if invocation not in (0, _INVOCATION_ALL, _INVOCATION_DISTINCT):
             raise SubstraitUnsupported(
@@ -1660,7 +1712,7 @@ def _aggregate_rel(
                     sexpr = _one(sff, 1)
                     if sexpr is None:
                         raise SubstraitMalformed("SortField without expression")
-                    direction = int(_one(sff, 2) or 0)
+                    direction = _varint_one(sff, 2, 0)
                     sql_dir = _SORT_DIRECTIONS.get(direction)
                     if sql_dir is None:
                         raise SubstraitUnsupported(
@@ -1776,7 +1828,7 @@ def _join_rel(body: bytes, funcs: dict[int, str]) -> _State:
     left, right = _one(f, 2), _one(f, 3)
     if left is None or right is None:
         raise SubstraitMalformed("JoinRel without both inputs")
-    jt = int(_one(f, 6) or 0)
+    jt = _varint_one(f, 6, 0)
     join_sql = _JOIN_TYPES.get(jt)
     if join_sql is None:
         raise SubstraitUnsupported(
@@ -1905,7 +1957,7 @@ def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
     """
     f = _fields(body)
     inputs = [v for _, v in f.get(2, [])]
-    opno = int(_one(f, 3) or 0)
+    opno = _varint_one(f, 3, 0)
     op = _SET_OPS.get(opno)
     presence = _SET_PRESENCE.get(opno)
     if op is None and presence is None:
@@ -2235,7 +2287,7 @@ def _interpret_rel(
                     "Substrait consumer: comparison-function sorts are not "
                     "supported"
                 )
-            direction = int(_one(sff, 2) or 0)
+            direction = _varint_one(sff, 2, 0)
             sql_dir = _SORT_DIRECTIONS.get(direction)
             if sql_dir is None:
                 raise SubstraitUnsupported(

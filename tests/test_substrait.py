@@ -2590,3 +2590,127 @@ class TestRound5ReviewFixes:
         )
         got = [r[0] for r in spark.sql(sql).collect()]
         assert got == [1]  # only the VALUES row with a users match
+
+
+def nested_struct(values: list[bytes]) -> bytes:
+    """Expression.nested (field 13) with the struct arm (field 3)."""
+    st = b"".join(_len_field(1, v) for v in values)
+    return _len_field(13, _len_field(3, st))
+
+
+def nested_map(pairs: list[tuple[bytes, bytes]]) -> bytes:
+    """Expression.nested (field 13) with the map arm (field 5)."""
+    body = b"".join(
+        _len_field(1, _len_field(1, k) + _len_field(2, v)) for k, v in pairs
+    )
+    return _len_field(13, _len_field(5, body))
+
+
+class TestNestedStructMap:
+    def _project_sql(self, expr: bytes, exts: bytes = b"") -> str:
+        p = rel(7, computed_project(USERS_READ, [expr], [2]))
+        return substrait_to_sql(plan_bytes(p, extensions=exts))
+
+    def test_struct_constructor_renders_and_executes(self, spark):
+        e = nested_struct([field_ref(0), literal("string", "x")])
+        sql = self._project_sql(e)
+        assert "STRUCT(`id`, 'x')" in sql
+        register_memtable(
+            spark, "users", [(1, "Alice")], "id INT NOT NULL, name STRING NOT NULL"
+        )
+        row = spark.sql(sql).collect()[0][0]
+        assert (row[0], row[1]) == (1, "x")
+
+    def test_map_constructor_renders_and_executes(self, spark):
+        e = nested_map(
+            [
+                (literal("string", "a"), field_ref(0)),
+                (literal("string", "b"), literal("i64", 9)),
+            ]
+        )
+        sql = self._project_sql(e)
+        assert "MAP('a', `id`, 'b', 9)" in sql
+        register_memtable(
+            spark, "users", [(1, "Alice")], "id INT NOT NULL, name STRING NOT NULL"
+        )
+        m = spark.sql(sql).collect()[0][0]
+        assert m == {"a": 1, "b": 9}
+
+    def test_empty_struct_malformed(self):
+        with pytest.raises(SubstraitMalformed, match="struct"):
+            self._project_sql(_len_field(13, _len_field(3, b"")))
+
+    def test_empty_map_rejected_by_name(self):
+        with pytest.raises(SubstraitUnsupported, match="map"):
+            self._project_sql(_len_field(13, _len_field(5, b"")))
+
+
+class TestConsumerFuzz:
+    def test_random_bytes_raise_only_typed_errors(self):
+        # total-function contract: arbitrary bytes must produce
+        # SubstraitMalformed / SubstraitUnsupported (mapped to clean Flight
+        # errors), never an uncaught UnicodeDecodeError / struct.error /
+        # IndexError from deep inside the decoder
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st_
+
+        @given(st_.binary(max_size=300))
+        @settings(
+            max_examples=300,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        def run(data):
+            try:
+                substrait_to_sql(data)
+            except (SubstraitMalformed, SubstraitUnsupported):
+                pass
+
+        run()
+
+    def test_mutated_real_plan_bytes_raise_only_typed_errors(self):
+        # bit-flip VALID plans of several shapes at every byte offset —
+        # mutations reach deep decoder paths plain random bytes rarely
+        # touch (this corpus found the scalar-where-message and the
+        # int()-of-bytes crashes)
+        w = window_fn(1, sorts=((0, 2),))
+        corpus = [
+            plan_bytes(
+                rel(7, computed_project(USERS_READ, [w], [2])),
+                extensions=extension_function(1, "row_number:"),
+            ),
+            plan_bytes(
+                rel(4, aggregate_rel(
+                    USERS_READ, [0], [measure(agg_function(1, [0]))]
+                )),
+                extensions=extension_function(1, "sum:i64"),
+            ),
+            plan_bytes(
+                rel(2, filter_rel(
+                    USERS_READ,
+                    singular_or_list(
+                        field_ref(0),
+                        [literal("decimal", (12345, 10, 2)),
+                         literal("interval_ds", (1, 2, 3, 4)),
+                         literal("var_char", "héllo")],
+                    ),
+                )),
+            ),
+            plan_bytes(
+                rel(7, computed_project(
+                    USERS_READ,
+                    [scalar_fn_enums(1, ["YEAR"], [literal("date", 19000)])],
+                    [2],
+                )),
+                extensions=extension_function(1, "extract:req_date"),
+            ),
+        ]
+        for p in corpus:
+            for i in range(len(p)):
+                mutated = (
+                    bytes(p[:i]) + bytes([p[i] ^ 0xFF]) + bytes(p[i + 1:])
+                )
+                try:
+                    substrait_to_sql(mutated)
+                except (SubstraitMalformed, SubstraitUnsupported):
+                    pass
