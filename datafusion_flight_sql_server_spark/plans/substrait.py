@@ -1381,6 +1381,65 @@ class _State:
         self.select_exprs: list[str] | None = None
 
 
+#: FileOrFiles format oneof arms (algebra.proto) → Spark SQL datasource
+#: name for the direct-path `format.`uri`` syntax. arrow/dwrf/extension
+#: and text options reject by name.
+_LOCAL_FILE_FORMATS = {9: "parquet", 11: "orc"}
+
+
+def _local_files_state(lf: bytes, cols: list[str]) -> "_State":
+    """ReadRel.local_files → FROM over Spark's direct-path table syntax.
+
+    Parity target: DataFusion's consumer reads LocalFiles natively
+    (service.rs:1018-1029 reaches the full DataFusion substrait consumer).
+    Spark SQL reads a concrete path as ``parquet.`uri``` / ``orc.`uri```;
+    multiple items union by NAME against the declared base schema, so the
+    plan's column order is authoritative regardless of per-file layouts.
+    Byte-range splits (partition_index/start/length) have no Spark SQL
+    equivalent and reject by name rather than silently reading whole files
+    twice.
+    """
+    if not cols:
+        raise SubstraitUnsupported(
+            "Substrait consumer: local_files requires a declared base "
+            "schema for column names"
+        )
+    items = _fields(lf).get(1, [])
+    if not items:
+        raise SubstraitMalformed("local_files with no items")
+    selects = []
+    proj = ", ".join(_quote(c) for c in cols)
+    for _, item in items:
+        itf = _fields(item)
+        if any(n in itf for n in (6, 7, 8)) and any(
+            _varint_one(itf, n, 0) for n in (6, 7, 8)
+        ):
+            raise SubstraitUnsupported(
+                "Substrait consumer: local_files byte-range/partition "
+                "splits (partition_index/start/length) are not supported"
+            )
+        fmt = next((v for n, v in _LOCAL_FILE_FORMATS.items() if n in itf), None)
+        if fmt is None:
+            present = [n for n in itf if n in (10, 12, 13, 14)]
+            raise SubstraitUnsupported(
+                f"Substrait consumer: local_files format (fields {present}) "
+                f"is not supported (parquet and orc only)"
+            )
+        path_arm = next((n for n in (1, 2, 3, 4) if n in itf), None)
+        if path_arm is None:
+            raise SubstraitMalformed("local_files item without a path")
+        raw = _one(itf, path_arm)
+        if not isinstance(raw, bytes):
+            raise SubstraitMalformed("local_files path with wrong wire type")
+        uri = _utf8(raw, "local_files path")
+        if "`" in uri:
+            raise SubstraitMalformed("local_files path contains a backtick")
+        selects.append(f"SELECT {proj} FROM {fmt}.`{uri}`")
+    if len(selects) == 1:
+        return _subquery_state(selects[0], cols, "lf")
+    return _subquery_state(" UNION ALL ".join(selects), cols, "lf")
+
+
 def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
     """ReadRel → initial state (FROM clause, base columns, read filters)."""
     f = _fields(read)
@@ -1407,16 +1466,24 @@ def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
             mask_indexes.append(_varint_one(itf, 1, 0))
         if not mask_indexes:
             raise SubstraitMalformed("ReadRel mask with no struct items")
-    for num, label in ((6, "local_files"), (8, "extension_table")):
-        if num in f:
-            raise SubstraitUnsupported(
-                f"Substrait consumer: ReadRel read type {label!r} is not "
-                f"supported (only named_table and literal virtual_table)"
-            )
+    if 8 in f:
+        raise SubstraitUnsupported(
+            "Substrait consumer: ReadRel read type 'extension_table' is not "
+            "supported (named_table, literal virtual_table, local_files)"
+        )
     cols: list[str] = []
     base_schema = _one(f, 2)
     if base_schema is not None:
         cols = _strings(_fields(base_schema), 1)  # NamedStruct.names
+
+    lf = _one(f, 6)
+    if lf is not None:
+        state = _local_files_state(lf, cols)
+        for num in (3, 11):
+            cond = _one(f, num)
+            if cond is not None:
+                state.where.append(_expr_to_sql(cond, cols, funcs))
+        return _apply_read_mask(state, mask_indexes)
 
     vt = _one(f, 5)
     if vt is not None:

@@ -2714,3 +2714,63 @@ class TestConsumerFuzz:
                     substrait_to_sql(mutated)
                 except (SubstraitMalformed, SubstraitUnsupported):
                     pass
+
+
+def local_files_read(
+    col_names: list[str],
+    uris: list[str],
+    fmt_field: int = 9,
+    split: bytes = b"",
+) -> bytes:
+    """ReadRel with LocalFiles items (uri_file arm, empty format options)."""
+    body = _len_field(2, named_struct(col_names))
+    items = b""
+    for u in uris:
+        item = _string_field(3, u) + _len_field(fmt_field, b"") + split
+        items += _len_field(1, item)
+    body += _len_field(6, items)
+    return rel(1, body)
+
+
+REGION_PARQUET = "/root/testdata/sf0.001/region.parquet"
+
+
+class TestLocalFiles:
+    def test_single_parquet_file_translates_and_executes(self, spark):
+        r = local_files_read(["r_regionkey", "r_name"], [REGION_PARQUET])
+        sql = substrait_to_sql(plan_bytes(r))
+        assert f"FROM parquet.`{REGION_PARQUET}`" in sql
+        rows = spark.sql(sql).collect()
+        assert len(rows) == 5 and {"r_regionkey", "r_name"} == set(
+            rows[0].asDict()
+        )
+
+    def test_multiple_files_union_all_by_declared_schema(self, spark):
+        r = local_files_read(
+            ["r_regionkey"], [REGION_PARQUET, REGION_PARQUET]
+        )
+        sql = substrait_to_sql(plan_bytes(r))
+        assert "UNION ALL" in sql
+        assert spark.sql(sql).count() == 10
+
+    def test_byte_range_split_rejected(self):
+        r = local_files_read(
+            ["r_regionkey"], [REGION_PARQUET], split=_varint_field(7, 100)
+        )
+        with pytest.raises(SubstraitUnsupported, match="byte-range"):
+            substrait_to_sql(plan_bytes(r))
+
+    def test_unsupported_format_rejected(self):
+        r = local_files_read(["r_regionkey"], [REGION_PARQUET], fmt_field=10)
+        with pytest.raises(SubstraitUnsupported, match="format"):
+            substrait_to_sql(plan_bytes(r))
+
+    def test_missing_schema_rejected(self):
+        r = local_files_read([], [REGION_PARQUET])
+        with pytest.raises(SubstraitUnsupported, match="base schema"):
+            substrait_to_sql(plan_bytes(r))
+
+    def test_backtick_path_malformed(self):
+        r = local_files_read(["a"], ["/tmp/evil`.parquet"])
+        with pytest.raises(SubstraitMalformed, match="backtick"):
+            substrait_to_sql(plan_bytes(r))
