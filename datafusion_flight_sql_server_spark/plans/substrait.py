@@ -2031,10 +2031,16 @@ def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
         raise SubstraitUnsupported(
             f"Substrait consumer: set operation {opno} is not supported"
         )
-    if len(inputs) > 2 and opno in (5, 6):
-        # UNION [ALL] is pairwise-associative, so the multi-input form
-        # folds to a chain; the primary/multiset minus/intersect ops have
-        # counting semantics SQL cannot express pairwise and stay 2-input.
+    if len(inputs) > 2 and op is not None:
+        # Every rendered arm left-folds to the spec's multi-input
+        # multiplicity: UNION [ALL] is associative; EXCEPT chains give
+        # "in primary and in no other" (and EXCEPT ALL max(m-Σn, 0),
+        # since max(max(m-n1,0)-n2,0) = max(m-n1-n2,0)); INTERSECT chains
+        # give "positive in all" (and INTERSECT ALL the running min). A
+        # same-operator chain parses left-associative in SQL, which IS
+        # the fold. Only the presence arms (2/3) stay 2-input: their
+        # multi-input "present in the others" is an any/all ambiguity
+        # the spec text does not settle.
         states = [_interpret_rel(i, funcs) for i in inputs]
         widths = {len(s.cols) for s in states}
         if len(widths) != 1:
@@ -2057,8 +2063,8 @@ def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
     if len(inputs) != 2:
         raise SubstraitUnsupported(
             f"Substrait consumer: SetRel with {len(inputs)} inputs is not "
-            f"supported for this operation (exactly 2; multi-input is "
-            f"consumed for UNION/UNION ALL only)"
+            f"supported for this operation (presence set operations take "
+            f"exactly 2; the union/minus/intersect arms fold multi-input)"
         )
     ls = _interpret_rel(inputs[0], funcs)
     rs = _interpret_rel(inputs[1], funcs)

@@ -1589,8 +1589,28 @@ class TestGroupingSetsAndMultiUnion:
         sql = substrait_to_sql(p)
         assert sql.count("UNION ALL") == 2
 
-    def test_multi_input_minus_still_rejected(self):
-        p = plan_bytes(rel(8, set_rel([USERS_READ, USERS_READ, USERS_READ], 1)))
+    def test_multi_input_minus_and_intersect_fold(self, spark):
+        # EXCEPT/INTERSECT chains left-fold to the spec's multi-input
+        # multiplicities; verify values, not just shape
+        register_memtable(
+            spark,
+            "seta", [(1,), (2,), (3,), (4,)], "id INT NOT NULL",
+        )
+        setb = rel(1, read_rel(["setb"], ["id"]))
+        setc = rel(1, read_rel(["setc"], ["id"]))
+        seta = rel(1, read_rel(["seta"], ["id"]))
+        register_memtable(spark, "setb", [(2,)], "id INT NOT NULL")
+        register_memtable(spark, "setc", [(3,)], "id INT NOT NULL")
+        p = plan_bytes(rel(8, set_rel([seta, setb, setc], 1)))
+        sql = substrait_to_sql(p)
+        assert sql.count("EXCEPT") == 2
+        assert sorted(r[0] for r in spark.sql(sql).collect()) == [1, 4]
+        p = plan_bytes(rel(8, set_rel([seta, seta, seta], 4)))
+        got = sorted(r[0] for r in spark.sql(substrait_to_sql(p)).collect())
+        assert got == [1, 2, 3, 4]
+
+    def test_multi_input_presence_still_rejected(self):
+        p = plan_bytes(rel(8, set_rel([USERS_READ, USERS_READ, USERS_READ], 2)))
         with pytest.raises(SubstraitUnsupported, match="3 inputs"):
             substrait_to_sql(p)
 
