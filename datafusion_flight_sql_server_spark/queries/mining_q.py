@@ -1552,3 +1552,64 @@ def q_text_prefix_dup(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("prefix_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold calibration curve
+# ---------------------------------------------------------------------------
+
+#: Jaccard thresholds (ppm) swept by dedup_threshold_curve.
+_CURVE_THRESHOLDS = tuple(range(500_000, 950_000, 50_000))
+
+
+@query(
+    "dedup_threshold_curve",
+    oracle=f"""
+        WITH pairs AS ({_minhash_eval_oracle()}),
+             thr AS (SELECT UNNEST([{", ".join(str(t) for t in _CURVE_THRESHOLDS)}])
+                     AS threshold_ppm)
+        SELECT CAST(t.threshold_ppm AS BIGINT) AS threshold_ppm,
+               CAST(COUNT(p.doc_a) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_docs_removed
+        FROM thr t LEFT JOIN pairs p ON p.exact_ppm >= t.threshold_ppm
+        GROUP BY t.threshold_ppm
+    """,
+    doc="Dedup threshold calibration curve: for each candidate Jaccard "
+    "threshold (0.50…0.90 in exact ppm), how many verified LSH candidate "
+    "pairs survive and how many documents a keep-lowest-id policy would "
+    "remove (distinct greater-id endpoints) — the operating-point sweep "
+    "run before committing a near-dup threshold to a corpus, composing "
+    "the production sketch audit (dedup_minhash_eval, identical "
+    "constants) instead of re-deriving it. Scale: the pair list is the "
+    "audit's output (LSH-blocked, never all-pairs); the 9-row threshold "
+    "spine broadcasts and the curve is one tiny aggregation — thresholds "
+    "with zero survivors still appear (left join from the spine).",
+    tags=("dedup", "similarity", "evaluation"),
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = q_dedup_minhash_eval(spark, sf).select("doc_a", "doc_b", "exact_ppm")
+    # row-local explode of the thresholds each pair passes (a non-equi
+    # spine join could not broadcast its outer side); the ladder is 9
+    # literals, so the blow-up is bounded 9x on the tiny pair list
+    ladder = F.array(*[F.lit(t).cast("bigint") for t in _CURVE_THRESHOLDS])
+    passed = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.filter(ladder, lambda t: t <= F.col("exact_ppm"))
+        ).alias("threshold_ppm"),
+    )
+    curve = passed.groupBy("threshold_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("bigint").alias("n_docs_removed"),
+    )
+    spine = spark.createDataFrame(
+        [(t,) for t in _CURVE_THRESHOLDS], "threshold_ppm BIGINT"
+    )
+    return spine.join(F.broadcast(curve), "threshold_ppm", "left").select(
+        "threshold_ppm",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce("n_docs_removed", F.lit(0))
+        .cast("bigint")
+        .alias("n_docs_removed"),
+    )

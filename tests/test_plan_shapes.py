@@ -666,3 +666,17 @@ class TestReviewRegressionFixes:
         )
         assert out.columns[0] == "img_id"
         assert out.count() >= 0  # executes without AnalysisException
+
+    def test_dedup_threshold_curve_monotone_with_full_spine(self, spark):
+        # every ladder threshold appears (zero-survivor rows included) and
+        # both counts are nonincreasing in the threshold
+        rows = sorted(
+            (r.threshold_ppm, r.n_pairs, r.n_docs_removed)
+            for r in _run(spark, "dedup_threshold_curve").collect()
+        )
+        assert [t for t, _, _ in rows] == list(range(500_000, 950_000, 50_000))
+        pairs = [p for _, p, _ in rows]
+        docs = [d for _, _, d in rows]
+        assert pairs == sorted(pairs, reverse=True)
+        assert docs == sorted(docs, reverse=True)
+        assert all(d <= p for p, d in zip(pairs, docs))
