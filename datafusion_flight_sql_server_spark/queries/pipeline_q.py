@@ -83,6 +83,19 @@ _VOCAB_FOLD_LIMIT = 64
 )
 def q_text_lm_unigram(spark: SparkSession, sf: str) -> DataFrame:
     d = rebalance_for_compute(tables(spark, sf)["documents"], "doc_id")
+    return unigram_lm_scores(d)
+
+
+def unigram_lm_scores(
+    d: DataFrame, fold_limit: int = _VOCAB_FOLD_LIMIT
+) -> DataFrame:
+    """Per-doc add-one-smoothed unigram-LM score in exact ppm.
+
+    Adaptive on the COUNTED vocabulary size (see q_text_lm_unigram's doc);
+    ``fold_limit`` is parameterized so tests can force both the
+    literal-map fold path and the vocabulary-join path on the same data
+    and assert identical output.
+    """
     base = d.select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("ws"),
@@ -111,8 +124,8 @@ def q_text_lm_unigram(spark: SparkSession, sf: str) -> DataFrame:
     # Spark literal-map probe is a linear scan per token — past ~64 words
     # the broadcast-hash-join probe below wins. limit(k+1) ships at most
     # 65 rows; the gate, not the corpus, bounds the driver.
-    head = gc.limit(_VOCAB_FOLD_LIMIT + 1).collect()
-    if len(head) <= _VOCAB_FOLD_LIMIT:
+    head = gc.limit(fold_limit + 1).collect()
+    if len(head) <= fold_limit:
         n = sum(int(r.c) for r in head)
         v = len(head)
         entries: list = []

@@ -680,3 +680,30 @@ class TestReviewRegressionFixes:
         assert pairs == sorted(pairs, reverse=True)
         assert docs == sorted(docs, reverse=True)
         assert all(d <= p for p, d in zip(pairs, docs))
+
+    def test_lm_unigram_fold_and_join_paths_identical(self, spark):
+        # force BOTH adaptive paths on the same corpus: the literal-map
+        # fold (fold_limit high) and the vocabulary join (fold_limit 0)
+        # must produce identical exact-ppm scores — and the fixture run
+        # must have exercised the fold path's gate (vocab <= 64)
+        from datafusion_flight_sql_server_spark.queries.catalog import (
+            run_query_cleanups,
+            tables,
+        )
+        from datafusion_flight_sql_server_spark.queries.pipeline_q import (
+            unigram_lm_scores,
+        )
+
+        try:
+            d = tables(spark, SF_SMALL)["documents"]
+            fold = {
+                r.doc_id: (r.n_tok, r.lm_score_ppm)
+                for r in unigram_lm_scores(d, fold_limit=10_000).collect()
+            }
+            join = {
+                r.doc_id: (r.n_tok, r.lm_score_ppm)
+                for r in unigram_lm_scores(d, fold_limit=0).collect()
+            }
+            assert fold == join and len(fold) > 0
+        finally:
+            run_query_cleanups()
