@@ -174,10 +174,15 @@ def _utf8(raw, what: str) -> str:
 
 
 def _strings(fields, num) -> list[str]:
-    try:
-        return [v.decode("utf-8") for _, v in fields.get(num, [])]
-    except UnicodeDecodeError as exc:  # pragma: no cover - garbage bytes
-        raise SubstraitMalformed(f"non-UTF-8 string field {num}") from exc
+    out = []
+    for _, v in fields.get(num, []):
+        if not isinstance(v, bytes):
+            raise SubstraitMalformed(
+                f"malformed Substrait bytes: string field {num} with wrong "
+                f"wire type"
+            )
+        out.append(_utf8(v, f"string field {num}"))
+    return out
 
 
 def _packed_ints(fields, num) -> list[int]:
@@ -188,9 +193,14 @@ def _packed_ints(fields, num) -> list[int]:
             out.append(int(v))
         elif wt == WT_LEN:
             pos = 0
-            while pos < len(v):
-                value, pos = decode_varint(v, pos)
-                out.append(value)
+            try:
+                while pos < len(v):
+                    value, pos = decode_varint(v, pos)
+                    out.append(value)
+            except ValueError as exc:
+                raise SubstraitMalformed(
+                    f"malformed Substrait bytes: packed field {num}: {exc}"
+                ) from exc
     return out
 
 
@@ -267,8 +277,15 @@ _LITERAL_ARMS = {
     34: "precision_timestamp",  # PrecisionTimestamp{precision=1, value=2}
 }
 
-def _signed64(raw: int | bytes) -> int:
-    """Protobuf varint payload → Python int, two's-complement at 64 bits."""
+def _signed64(raw) -> int:
+    """Protobuf varint payload → Python int, two's-complement at 64 bits.
+
+    Rejects non-varint wire values: int(b"123") would silently ASCII-parse
+    a length-delimited payload into a fabricated number."""
+    if not isinstance(raw, int):
+        raise SubstraitMalformed(
+            f"malformed Substrait bytes: expected a varint, got {raw!r}"
+        )
     value = int(raw)
     if value >= 1 << 63:
         value -= 1 << 64
@@ -454,8 +471,7 @@ def _field_ref_index(expr: bytes) -> int:
             "Substrait consumer: outer (correlated) field references are "
             "not supported — uncorrelated subqueries only"
         )
-    idx = _one(sf, 1)
-    return int(idx or 0)
+    return _varint_one(sf, 1, 0)
 
 
 def _col_at(cols: list[str], i: int) -> str:
@@ -1411,9 +1427,7 @@ def _local_files_state(lf: bytes, cols: list[str]) -> "_State":
     proj = ", ".join(_quote(c) for c in cols)
     for _, item in items:
         itf = _fields(item)
-        if any(n in itf for n in (6, 7, 8)) and any(
-            _varint_one(itf, n, 0) for n in (6, 7, 8)
-        ):
+        if any(_varint_one(itf, n, 0) for n in (6, 7, 8)):
             raise SubstraitUnsupported(
                 "Substrait consumer: local_files byte-range/partition "
                 "splits (partition_index/start/length) are not supported"

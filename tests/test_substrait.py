@@ -2725,15 +2725,20 @@ class TestConsumerFuzz:
                 extensions=extension_function(1, "extract:req_date"),
             ),
         ]
+        # XOR 0xFF flips whole bytes; XOR 0x02 flips LEN<->VARINT wire
+        # types on key bytes (0x08^0x02=0x0A), reaching the
+        # scalar-where-bytes / bytes-where-scalar decode paths a full-byte
+        # flip cannot (round-5 second review found exactly those holes)
         for p in corpus:
-            for i in range(len(p)):
-                mutated = (
-                    bytes(p[:i]) + bytes([p[i] ^ 0xFF]) + bytes(p[i + 1:])
-                )
-                try:
-                    substrait_to_sql(mutated)
-                except (SubstraitMalformed, SubstraitUnsupported):
-                    pass
+            for mask in (0xFF, 0x02, 0x07):
+                for i in range(len(p)):
+                    mutated = (
+                        bytes(p[:i]) + bytes([p[i] ^ mask]) + bytes(p[i + 1:])
+                    )
+                    try:
+                        substrait_to_sql(mutated)
+                    except (SubstraitMalformed, SubstraitUnsupported):
+                        pass
 
 
 def local_files_read(
@@ -2752,7 +2757,9 @@ def local_files_read(
     return rel(1, body)
 
 
-REGION_PARQUET = "/root/testdata/sf0.001/region.parquet"
+from tests.conftest import SF_SMALL as _SF_SMALL
+
+REGION_PARQUET = f"{_SF_SMALL}/region.parquet"
 
 
 class TestLocalFiles:
@@ -2794,3 +2801,55 @@ class TestLocalFiles:
         r = local_files_read(["a"], ["/tmp/evil`.parquet"])
         with pytest.raises(SubstraitMalformed, match="backtick"):
             substrait_to_sql(plan_bytes(r))
+
+
+class TestWireTypeConfusion:
+    """Round-5 second-review repros: wrong-wire-type fields must reject as
+    SubstraitMalformed — int(b"123") would silently ASCII-parse a
+    length-delimited payload into a fabricated number."""
+
+    def test_bytes_field_index_rejected(self):
+        # FieldReference whose StructField.field is length-delimited b"1"
+        bad_ref = _len_field(  # Expression.selection
+            2,
+            _len_field(  # FieldReference.direct_reference
+                1,
+                _len_field(  # ReferenceSegment.struct_field
+                    2, _string_field(1, "1")  # StructField.field as BYTES
+                ),
+            ),
+        )
+        cond = scalar_fn(1, [bad_ref, literal("i64", 5)])
+        q = plan_bytes(
+            rel(2, filter_rel(USERS_READ, cond)),
+            extensions=extension_function(1, "gt:any_any"),
+        )
+        with pytest.raises(SubstraitMalformed, match="varint"):
+            substrait_to_sql(q)
+
+    def test_bytes_precision_timestamp_value_rejected(self):
+        # PrecisionTimestamp.value encoded length-delimited b"123" must not
+        # become TIMESTAMP ...123000
+        body = _varint_field(1, 6) + _string_field(2, "123")
+        e = _len_field(1, _len_field(34, body))
+        p = plan_bytes(rel(7, computed_project(USERS_READ, [e], [2])))
+        with pytest.raises(SubstraitMalformed, match="varint"):
+            substrait_to_sql(p)
+
+    def test_varint_schema_names_rejected(self):
+        # NamedStruct.names as wire-type varint must reject, not crash
+        schema = _varint_field(1, 5)
+        body = _len_field(2, schema) + _len_field(
+            7, _string_field(1, "users")
+        )
+        with pytest.raises(SubstraitMalformed, match="wire type"):
+            substrait_to_sql(plan_bytes(rel(1, body)))
+
+    def test_truncated_packed_grouping_refs_rejected(self):
+        # packed expression_references with a dangling continuation byte
+        grouping = _len_field(2, b"\x85")  # Grouping.expression_references
+        body = _len_field(2, USERS_READ) + _len_field(
+            3, _len_field(1, field_ref(0)) + grouping
+        )
+        with pytest.raises((SubstraitMalformed, SubstraitUnsupported)):
+            substrait_to_sql(plan_bytes(rel(4, body)))
