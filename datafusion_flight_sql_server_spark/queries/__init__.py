@@ -33,8 +33,8 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: registered query driver-verified at least once (the r1 long tail's
 #: rows stand from round 1 and re-verify locally in every pytest run).
 #: Round-5 end state: tier 1 holds the two round-4 stragglers (now at
-#: positions 1-2 per VERDICT round-5 item 1), tier 2 the 26 round-5
-#: registrations; with 28 never-driver-checked names the prefix keeps 22
+#: positions 1-2 per VERDICT round-5 item 1), tier 2 the 27 round-5
+#: registrations; with 29 never-driver-checked names the prefix keeps 21
 #: tier-3 rotation slots — the r6 driver run closes every open row.
 _PRIORITY = (
     # tier 1: registered round 4 after the driver run — never checked.
@@ -68,6 +68,7 @@ _PRIORITY = (
     "embed_knn_graph",
     "doc_budget_select",
     "dedup_threshold_curve",
+    "embed_coreset_sample",
     # tier 3: rotation of r1/r2-green rows as regression insurance
     # (trimmed so the prefix is exactly 50 once tier 2 is final).
     "tpch_q1_pricing_summary",

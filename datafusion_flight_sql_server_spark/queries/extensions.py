@@ -3166,3 +3166,82 @@ def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("prev_type", "next_type")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-blocked diversity coreset
+# ---------------------------------------------------------------------------
+
+
+def _coreset_oracle(n_cells: int = 16, iters: int = IVF_TRAIN_ITERS) -> str:
+    """Per trained-quantizer cell: the most-central member + cell size."""
+    block, prev = _ivf_chain(n_cells, iters)
+    cs = _COS.format(a="e.v", b="c.cv")
+    return f"""
+        WITH {block},
+             asg AS (SELECT neighbor_id AS vec_id, cell, cs FROM (
+                 SELECT e.neighbor_id, c.cent_id AS cell, {cs} AS cs,
+                        ROW_NUMBER() OVER (PARTITION BY e.neighbor_id
+                            ORDER BY {cs} DESC, c.cent_id) AS rn
+                 FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+             ranked AS (SELECT cell, vec_id, cs,
+                               COUNT(*) OVER (PARTITION BY cell) AS n_members,
+                               ROW_NUMBER() OVER (PARTITION BY cell
+                                   ORDER BY cs DESC, vec_id) AS rk
+                        FROM asg)
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(vec_id AS BIGINT) AS rep_vec_id,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(FLOOR(cs * 1000000 + 0.5) AS BIGINT) AS centrality_ppm
+        FROM ranked WHERE rk = 1
+    """
+
+
+@query(
+    "embed_coreset_sample",
+    oracle=_coreset_oracle(),
+    doc="Cluster-blocked diversity coreset: one representative per trained-"
+    "quantizer cell (the member most cosine-central to its centroid, "
+    "vec_id ties) with the cell population — the embedding-space "
+    "DIVERSITY sampling primitive (coreset/k-center style) next to the "
+    "frequency/quality-based doc samplers: 16 spread-out exemplars that "
+    "cover the corpus's regions instead of its modes, the seed set for "
+    "curriculum/dedup-aware curation. Reuses the bit-deterministic "
+    "trained quantizer (train_cells) and the aggregation-only "
+    "assignment (assign_cells); representative pick and cell size share "
+    "ONE (cell) partitioning. Scale: assignment is |cells| broadcast "
+    "dot products per vector; the only data-sized exchange is the cell "
+    "hash partition — no pairwise distances anywhere.",
+    tags=("similarity", "sampling", "embedding"),
+)
+def q_embed_coreset_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from datafusion_flight_sql_server_spark.operators.similarity import (
+        assign_cells,
+        train_cells,
+    )
+
+    e = tables(spark, sf)["embeddings"]
+    cents = train_cells(e, n_cells=16, train_iters=IVF_TRAIN_ITERS, dim=64)
+    asg = assign_cells(e, cents)
+    w = W.partitionBy("cell")
+    wr = w.orderBy(F.col("cs").desc(), F.col("vec_id"))
+    return (
+        asg.select(
+            "cell",
+            "vec_id",
+            "cs",
+            F.count(F.lit(1)).over(w).alias("n_members"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("vec_id").cast("bigint").alias("rep_vec_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.floor(F.col("cs") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("centrality_ppm"),
+        )
+    )
