@@ -191,6 +191,11 @@ def _packed_ints(fields, num) -> list[int]:
     for wt, v in fields.get(num, []):
         if wt == WT_VARINT:
             out.append(int(v))
+        elif wt != WT_LEN:
+            raise SubstraitMalformed(
+                f"malformed Substrait bytes: packed field {num} with wrong "
+                f"wire type"
+            )
         elif wt == WT_LEN:
             pos = 0
             try:
@@ -227,12 +232,17 @@ def _function_names(plan_fields) -> dict[int, str]:
         if ext_fn is None:
             continue  # type / type-variation declarations are irrelevant here
         ff = _fields(ext_fn)
-        anchor = _one(ff, 2) or 0
+        anchor = _varint_one(ff, 2, 0)
         raw = _one(ff, 3)
         if raw is None:
             continue
+        if not isinstance(raw, bytes):
+            raise SubstraitMalformed(
+                "malformed Substrait bytes: extension function name with "
+                "wrong wire type"
+            )
         name = raw.decode("utf-8", "replace")
-        out[int(anchor)] = name.split(":", 1)[0]
+        out[anchor] = name.split(":", 1)[0]
     return out
 
 
@@ -277,6 +287,16 @@ _LITERAL_ARMS = {
     34: "precision_timestamp",  # PrecisionTimestamp{precision=1, value=2}
 }
 
+#: expected wire type per literal arm — scalar arms are varints, float
+#: arms fixed32/64, everything else an embedded message / byte payload.
+_LITERAL_WIRE = {
+    1: WT_VARINT, 2: WT_VARINT, 3: WT_VARINT, 5: WT_VARINT, 7: WT_VARINT,
+    14: WT_VARINT, 16: WT_VARINT,
+    10: WT_I32, 11: WT_I64,
+    12: WT_LEN, 13: WT_LEN, 19: WT_LEN, 20: WT_LEN, 21: WT_LEN, 22: WT_LEN,
+    24: WT_LEN, 29: WT_LEN, 30: WT_LEN, 31: WT_LEN, 34: WT_LEN,
+}
+
 def _signed64(raw) -> int:
     """Protobuf varint payload → Python int, two's-complement at 64 bits.
 
@@ -313,6 +333,14 @@ def _literal_to_sql(lit: bytes) -> str:
     num = present[0]
     kind = _LITERAL_ARMS[num]
     wt, raw = f[num][-1]
+    expected_wt = _LITERAL_WIRE[num]
+    if wt != expected_wt:
+        # a length-delimited payload where a varint arm was declared (or
+        # vice versa) must reject: bool(b"\x00") is True, int(b"123")
+        # ASCII-parses — silent value fabrication, not a decode
+        raise SubstraitMalformed(
+            f"malformed Substrait bytes: {kind} literal with wrong wire type"
+        )
     if kind == "boolean":
         return "TRUE" if raw else "FALSE"
     if kind in ("i8", "i16", "i32", "i64"):
@@ -331,7 +359,7 @@ def _literal_to_sql(lit: bytes) -> str:
     if kind == "precision_timestamp":
         pf = _fields(raw)
         precision = _varint_one(pf, 1, 0)
-        value = _signed64(_one(pf, 2) or 0)
+        value = _signed64(_varint_one(pf, 2, 0))
         if precision > 6:
             raise SubstraitUnsupported(
                 f"Substrait consumer: precision_timestamp with precision "
@@ -344,7 +372,7 @@ def _literal_to_sql(lit: bytes) -> str:
         # lossless. Spark's ANSI year-month interval literal carries the
         # sign on the whole quantity.
         yf = _fields(raw)
-        months = 12 * _signed64(_one(yf, 1) or 0) + _signed64(_one(yf, 2) or 0)
+        months = 12 * _signed64(_varint_one(yf, 1, 0)) + _signed64(_varint_one(yf, 2, 0))
         sign = "-" if months < 0 else ""
         return f"INTERVAL '{sign}{abs(months) // 12}-{abs(months) % 12}' YEAR TO MONTH"
     if kind == "interval_day_to_second":
@@ -353,13 +381,13 @@ def _literal_to_sql(lit: bytes) -> str:
         # fields share a sign per the spec; fold to total microseconds and
         # render Spark's '[-]d hh:mm:ss[.ffffff]' DAY TO SECOND form.
         ivf = _fields(raw)
-        days = _signed64(_one(ivf, 1) or 0)
-        seconds = _signed64(_one(ivf, 2) or 0)
+        days = _signed64(_varint_one(ivf, 1, 0))
+        seconds = _signed64(_varint_one(ivf, 2, 0))
         if 3 in ivf:  # deprecated microseconds arm
-            sub_micros = _signed64(_one(ivf, 3) or 0)
+            sub_micros = _signed64(_varint_one(ivf, 3, 0))
         else:
             precision = _varint_one(ivf, 4, 0)
-            subseconds = _signed64(_one(ivf, 5) or 0)
+            subseconds = _signed64(_varint_one(ivf, 5, 0))
             if subseconds and 4 not in ivf:
                 raise SubstraitMalformed(
                     "interval_day_to_second subseconds without a precision"
@@ -392,6 +420,8 @@ def _literal_to_sql(lit: bytes) -> str:
     if kind == "var_char":
         vf = _fields(raw)
         payload = _one(vf, 1) or b""
+        if not isinstance(payload, bytes):
+            raise SubstraitMalformed("var_char literal with wrong wire type")
         text = _utf8(payload, "var_char literal")
         return "'" + text.replace("'", "''") + "'"
     if kind == "decimal":
@@ -430,8 +460,9 @@ def _literal_to_sql(lit: bytes) -> str:
             raise SubstraitMalformed("empty_list literal without element type")
         return f"CAST(ARRAY() AS ARRAY<{_type_to_sql(elem)}>)"
     # string / fixed_char (both carry a UTF-8 payload; Spark has no padded
-    # CHAR literal type, so fixed_char renders as a plain string)
-    text = _utf8(raw, "string literal") if isinstance(raw, bytes) else str(raw)
+    # CHAR literal type, so fixed_char renders as a plain string — raw is
+    # bytes by the arm-level wire check above)
+    text = _utf8(raw, "string literal")
     return "'" + text.replace("'", "''") + "'"
 
 
@@ -2418,7 +2449,7 @@ def _interpret_rel(
             raise SubstraitMalformed(f"FetchRel count {count}")
         # count = -1 is the spec's "return all records": emit no LIMIT
         state.limit = None if count == -1 else count
-        offset = _signed64(_one(ff, 3) or 0)
+        offset = _signed64(_varint_one(ff, 3, 0))
         if offset < 0:
             raise SubstraitMalformed(f"FetchRel offset {offset}")
         if offset:

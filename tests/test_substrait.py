@@ -2853,3 +2853,48 @@ class TestWireTypeConfusion:
         )
         with pytest.raises((SubstraitMalformed, SubstraitUnsupported)):
             substrait_to_sql(plan_bytes(rel(4, body)))
+
+    def test_value_fabricating_literal_arms_rejected(self):
+        def project(expr_payload: bytes) -> bytes:
+            e = _len_field(1, expr_payload)  # Expression.literal
+            return plan_bytes(rel(7, computed_project(USERS_READ, [e], [2])))
+
+        # boolean encoded length-delimited: bool(b"\x00") is True
+        with pytest.raises(SubstraitMalformed, match="wire type"):
+            substrait_to_sql(project(_len_field(1, b"\x00")))
+        # string encoded as varint: str(53) would fabricate '53'
+        with pytest.raises(SubstraitMalformed, match="wire type"):
+            substrait_to_sql(project(_varint_field(12, 53)))
+        # binary encoded as varint: would fabricate X''
+        with pytest.raises(SubstraitMalformed, match="wire type"):
+            substrait_to_sql(project(_varint_field(13, 7)))
+        # precision_timestamp with EMPTY length-delimited value: the
+        # `or 0` default must not fabricate the epoch
+        body = _varint_field(1, 6) + _len_field(2, b"")
+        with pytest.raises(SubstraitMalformed, match="varint"):
+            substrait_to_sql(project(_len_field(34, body)))
+
+    def test_extension_anchor_and_name_wire_types_rejected(self):
+        # anchor as bytes b"123" must not ASCII-parse to anchor 123
+        ext = _len_field(2, _len_field(3, _string_field(2, "123") + _string_field(3, "gt:any_any")))
+        cond = scalar_fn(123, [field_ref(0), literal("i64", 5)])
+        p = plan_bytes(rel(2, filter_rel(USERS_READ, cond)), extensions=ext)
+        with pytest.raises(SubstraitMalformed, match="varint"):
+            substrait_to_sql(p)
+        # name as varint must not leak AttributeError
+        ext = _len_field(
+            2, _len_field(3, _varint_field(2, 1) + _varint_field(3, 9))
+        )
+        p = plan_bytes(rel(2, filter_rel(USERS_READ, cond)), extensions=ext)
+        with pytest.raises(SubstraitMalformed, match="wire type"):
+            substrait_to_sql(p)
+
+    def test_packed_field_fixed_wire_type_rejected(self):
+        # emit output_mapping entry with a fixed32 wire type must reject,
+        # not silently decode as an empty mapping
+        emit_msg = encode_varint((1 << 3) | 5) + b"\x01\x00\x00\x00"
+        body = _len_field(1, _len_field(2, emit_msg)) + _len_field(
+            2, USERS_READ
+        ) + _len_field(3, field_ref(0))
+        with pytest.raises(SubstraitMalformed, match="wire type"):
+            substrait_to_sql(plan_bytes(rel(7, body)))
