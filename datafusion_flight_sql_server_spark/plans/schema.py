@@ -171,6 +171,15 @@ def _infer_types_from_context(
             t = col_types.get(col.split(".")[-1].lower())
             if t is not None:
                 out[name] = t
+                continue
+        # LIMIT/OFFSET positions are typed int64 by grammar; the analyzed-
+        # plan fallback cannot see them (a placeholder there fails
+        # analysis), so this closes the last documented string-default
+        # residual for the common paging shape
+        if re.search(
+            rf"(?i)\b(?:LIMIT|OFFSET)\s+\${re.escape(name)}\b", sql
+        ):
+            out[name] = pa.int64()
     return out
 
 

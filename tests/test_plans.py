@@ -187,11 +187,23 @@ class TestParameterSchema:
         )
         assert schema.field("$1").type == pa.int64()
 
-    def test_plan_probe_failure_keeps_string_default(self, spark):
-        # a placeholder where a literal is required: analysis fails, the
-        # default survives instead of raising
+    def test_limit_offset_placeholders_typed_int64(self, spark):
+        # LIMIT/OFFSET positions are int64 by grammar; the analyzed-plan
+        # probe can't see them (analysis fails there), so the grammar rule
+        # types them directly — closing the last documented
+        # string-default residual for the paging shape
         schema = parameter_schema_for_sql(
-            spark, "SELECT * FROM users LIMIT $1"
+            spark, "SELECT * FROM users LIMIT $1 OFFSET $2"
+        )
+        assert schema.field("$1").type == pa.int64()
+        assert schema.field("$2").type == pa.int64()
+
+    def test_plan_probe_failure_keeps_string_default(self, spark):
+        # a placeholder where neither comparison, grammar-position, nor
+        # plan analysis can type it: the default survives instead of
+        # raising (GROUP BY $1 is positional-or-expression, ambiguous)
+        schema = parameter_schema_for_sql(
+            spark, "SELECT name FROM users GROUP BY $1"
         )
         assert schema.field("$1").type == pa.string()
 
