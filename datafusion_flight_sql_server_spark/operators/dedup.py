@@ -189,7 +189,7 @@ def _minhash_hashed_buckets(
     # five+ registered queries run through this front end: without a
     # cleanup registration, full-registry sweeps accumulate one cached
     # shingle-set relation per minhash query in the shared session
-    from datafusion_flight_sql_server_spark.queries.catalog import (
+    from datafusion_flight_sql_server_spark.engine.cleanup import (
         register_query_cleanup,
     )
 

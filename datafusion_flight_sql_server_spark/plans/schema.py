@@ -217,9 +217,17 @@ def _infer_types_from_plan(
         return {}
     probe = sql
     for name in sorted(names, key=len, reverse=True):  # $10 before $1
-        probe = re.sub(
-            r"\$" + re.escape(name) + r"\b", f"'<!p:{name}!>'", probe
+        # LIMIT/OFFSET placeholders are already grammar-typed int64 and a
+        # STRING marker there fails the whole analysis, poisoning typing
+        # for every other unresolved placeholder — substitute a plain 0
+        marker = (
+            "0"
+            if re.search(
+                rf"(?i)\b(?:LIMIT|OFFSET)\s+\${re.escape(name)}\b", sql
+            )
+            else f"'<!p:{name}!>'"
         )
+        probe = re.sub(r"\$" + re.escape(name) + r"\b", marker, probe)
     try:
         plan_str = spark.sql(probe)._jdf.queryExecution().analyzed().toString()
     except Exception:

@@ -315,7 +315,14 @@ def _signed64(raw) -> int:
 def _micros_to_timestamp_sql(micros: int) -> str:
     import datetime
 
-    ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=micros)
+    try:
+        ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=micros
+        )
+    except OverflowError as exc:
+        raise SubstraitMalformed(
+            f"timestamp literal out of range: {micros} microseconds"
+        ) from exc
     return f"TIMESTAMP '{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
 
 
@@ -349,7 +356,14 @@ def _literal_to_sql(lit: bytes) -> str:
     if kind == "date":
         import datetime
 
-        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=_signed64(raw))
+        try:
+            d = datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=_signed64(raw)
+            )
+        except OverflowError as exc:
+            raise SubstraitMalformed(
+                f"date literal out of range: {_signed64(raw)} days"
+            ) from exc
         return f"DATE '{d.isoformat()}'"
     if kind == "timestamp":
         # algebra.proto Literal.timestamp (deprecated but widely produced):
@@ -419,8 +433,12 @@ def _literal_to_sql(lit: bytes) -> str:
         return "X'" + (raw.hex().upper() if isinstance(raw, bytes) else "") + "'"
     if kind == "var_char":
         vf = _fields(raw)
-        payload = _one(vf, 1) or b""
-        if not isinstance(payload, bytes):
+        payload = _one(vf, 1)
+        if payload is None:
+            payload = b""
+        elif not isinstance(payload, bytes):
+            # `or b""` would swallow a varint 0 into an empty string —
+            # silent value fabrication, exactly the class rejected above
             raise SubstraitMalformed("var_char literal with wrong wire type")
         text = _utf8(payload, "var_char literal")
         return "'" + text.replace("'", "''") + "'"

@@ -476,23 +476,29 @@ def q_part_price_elasticity(spark: SparkSession, sf: str) -> DataFrame:
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(c) AS BIGINT) AS sx,
-                   CAST(SUM(c * c) AS BIGINT) AS sxx
+                   SUM(CAST(c AS HUGEINT) * c) AS sxx
             FROM daily GROUP BY event_type
         )
         SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.c
         FROM daily d JOIN stats s ON d.event_type = s.event_type
-        WHERE s.n > 1 AND d.c * s.n > s.sx
-          AND (d.c * s.n - s.sx) * (d.c * s.n - s.sx) * (s.n - 1)
-              > 4 * s.n * (s.n * s.sxx - s.sx * s.sx)
+        WHERE s.n > 1 AND CAST(d.c AS HUGEINT) * s.n > s.sx
+          AND (CAST(d.c AS HUGEINT) * s.n - s.sx)
+              * (CAST(d.c AS HUGEINT) * s.n - s.sx) * (s.n - 1)
+              > 4 * CAST(s.n AS HUGEINT)
+                  * (CAST(s.n AS HUGEINT) * s.sxx
+                     - CAST(s.sx AS HUGEINT) * s.sx)
         ORDER BY d.event_type, day
     """,
     doc="Daily-count anomaly peaks per event type: a day is a peak when "
     "count > mean + 2*stddev, tested in PURE INTEGER algebra — "
     "(c*n - Sx)^2 * (n-1) > 4n(n*Sxx - Sx^2) is the squared form of the "
     "z-score test, so no engine sqrt/double enters the comparison and "
-    "the flag set is bit-deterministic. Scale: daily counts partial-"
-    "aggregate map-side; stats is a per-type 3-scalar table joined "
-    "back broadcast.",
+    "the flag set is bit-deterministic. The squared products route "
+    "through DECIMAL(38,0)/HUGEINT (like part_price_elasticity's "
+    "identical n*Sxx - Sx^2 algebra): Sxx alone exceeds int64 at c~1e9 "
+    "daily counts, and lhs^2*(n-1) far earlier — exact up to "
+    "c*n < ~1e16. Scale: daily counts partial-aggregate map-side; "
+    "stats is a per-type 3-scalar table joined back broadcast.",
     tags=("events", "anomaly", "analytics"),
 )
 def q_event_peak_detect(spark: SparkSession, sf: str) -> DataFrame:
@@ -503,19 +509,22 @@ def q_event_peak_detect(spark: SparkSession, sf: str) -> DataFrame:
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("c").cast("bigint").alias("sx"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sxx"),
     )
     d = daily.join(F.broadcast(stats), "event_type")
-    lhs = F.col("c") * F.col("n") - F.col("sx")
+    lhs = F.col("c").cast("decimal(38,0)") * F.col("n") - F.col("sx")
     return (
         d.filter(
             (F.col("n") > 1)
-            & (F.col("c") * F.col("n") > F.col("sx"))
+            & (F.col("c").cast("decimal(38,0)") * F.col("n") > F.col("sx"))
             & (
                 lhs * lhs * (F.col("n") - 1)
                 > 4
-                * F.col("n")
-                * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.col("n").cast("decimal(38,0)")
+                * (
+                    F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                    - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+                )
             )
         )
         .select(

@@ -57,28 +57,14 @@ def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, 
     return deco
 
 
-#: Persisted intermediates whose lifetime outlives the query function (the
-#: result DataFrame is returned lazily, so the function cannot unpersist
-#: before the caller materializes). Harnesses that run many queries in one
-#: session (oracle-parity sweep, bench loop, the driver) call
-#: :func:`run_query_cleanups` between queries to release them.
-_PENDING_UNPERSIST: list[DataFrame] = []
-
-
-def register_query_cleanup(df: DataFrame) -> DataFrame:
-    """Record a persisted DataFrame for deferred unpersist; returns ``df``."""
-    _PENDING_UNPERSIST.append(df)
-    return df
-
-
-def run_query_cleanups() -> None:
-    """Unpersist every intermediate registered since the last call."""
-    while _PENDING_UNPERSIST:
-        df = _PENDING_UNPERSIST.pop()
-        try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing to release
-            pass
+# Deferred-unpersist registry: canonical home is engine/cleanup.py (so the
+# operator library can register cleanups without importing queries/); the
+# names are re-exported here because every harness imports them from the
+# catalog.
+from datafusion_flight_sql_server_spark.engine.cleanup import (  # noqa: F401
+    register_query_cleanup,
+    run_query_cleanups,
+)
 
 
 # Keyed on the live session object (not id()) so a garbage-collected session

@@ -314,3 +314,15 @@ class TestExecuteStream:
         engine = Engine(spark)
         df = spark.range(10).where("id < 0")
         assert list(engine.execute_stream(df)) == []
+
+
+class TestProbePoisoning:
+    def test_paging_placeholder_does_not_poison_plan_probe(self, spark):
+        # $2 (LIMIT) is grammar-typed; $1 needs the plan probe — a string
+        # marker in LIMIT used to fail the whole analysis and leave $1 at
+        # the string default (round-5 final review)
+        schema = parameter_schema_for_sql(
+            spark, "SELECT * FROM users WHERE abs(id) > $1 LIMIT $2"
+        )
+        assert schema.field("$1").type == pa.int64()
+        assert schema.field("$2").type == pa.int64()
