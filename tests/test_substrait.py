@@ -2802,6 +2802,23 @@ class TestLocalFiles:
         with pytest.raises(SubstraitMalformed, match="backtick"):
             substrait_to_sql(plan_bytes(r))
 
+    def test_orc_file_executes(self, spark):
+        # the orc leg of the format map, over a real ORC rewrite of region
+        import glob
+        import tempfile
+        from pathlib import Path
+
+        out = str(Path(tempfile.gettempdir()) / "sgraft_lf_orc_region")
+        spark.read.parquet(REGION_PARQUET).coalesce(1).write.mode(
+            "overwrite"
+        ).orc(out)
+        orc_file = glob.glob(f"{out}/part-*.orc")[0]
+        r = local_files_read(["r_regionkey", "r_name"], [orc_file], fmt_field=11)
+        sql = substrait_to_sql(plan_bytes(r))
+        assert f"FROM orc.`{orc_file}`" in sql
+        assert spark.sql(sql).count() == 5
+
+
 
 class TestWireTypeConfusion:
     """Round-5 second-review repros: wrong-wire-type fields must reject as
