@@ -181,7 +181,12 @@ def brute_force_topk(
                 kcol = keys[:, j].copy()
                 kcol[ids == q_ids[j]] = key_min
                 if m < n:
-                    idx = np.argpartition(-kcol, m - 1)[:m]
+                    # Partition for the m LARGEST keys WITHOUT negating:
+                    # masked entries hold int64.min, and -int64.min wraps
+                    # back to int64.min, which would rank every masked row
+                    # as a best candidate and evict true neighbors whenever
+                    # masked rows exceed the margin.
+                    idx = np.argpartition(kcol, n - m)[n - m :]
                 else:
                     idx = np.arange(n)
                 idx = idx[kcol[idx] != key_min]
@@ -341,7 +346,10 @@ def self_knn_topk(
             keys[ids[:, None] == c_ids[None, :]] = key_min  # self matches
             width = keys.shape[1]
             if m < width:
-                top = np.argpartition(-keys, m - 1, axis=1)[:, :m]
+                # m LARGEST without negation — see brute_force_topk: the
+                # int64.min mask sentinel negates to itself and would
+                # occupy the top-m slots, evicting true neighbors.
+                top = np.argpartition(keys, width - m, axis=1)[:, width - m :]
             else:
                 top = np.broadcast_to(np.arange(width), (n, width))
             row_q, row_n = [], []

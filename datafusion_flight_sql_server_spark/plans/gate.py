@@ -123,35 +123,73 @@ QUERY_ONLY = SQLOptions(allow_ddl=False, allow_dml=False, allow_statements=False
 
 def _classify(spark: SparkSession, sql: str) -> str:
     """Classify a statement as 'query' | 'ddl' | 'dml' | 'statement'."""
-    cls = _parsed_plan_class(spark, sql)
-    if cls is not None:
-        if any(f in cls for f in _DDL_FRAGMENTS):
+    classes = _parsed_plan_classes(spark, sql)
+    if classes is not None:
+        # Walk EVERY node, not just the root: `WITH cte AS (...) INSERT
+        # INTO ...` parses to UnresolvedWith with the DML node as its
+        # child, so a root-only check admits CTE-wrapped DML (round-6 fix).
+        if any(f in cls for cls in classes for f in _DDL_FRAGMENTS):
             return "ddl"
-        if any(f in cls for f in _DML_FRAGMENTS):
+        if any(f in cls for cls in classes for f in _DML_FRAGMENTS):
             return "dml"
-        if any(f in cls for f in _STATEMENT_FRAGMENTS):
+        if any(f in cls for cls in classes for f in _STATEMENT_FRAGMENTS):
             return "statement"
         return "query"
     # JVM unavailable → keyword fallback.
     if _DDL_RE.match(sql):
         return "ddl"
-    if _DML_RE.match(sql):
+    if _DML_RE.match(sql) or (
+        re.match(r"^\s*WITH\b", sql, re.I)
+        and re.search(r"\b(INSERT|UPDATE|DELETE|MERGE)\b", sql, re.I)
+    ):
+        # A CTE prefix can hide DML from the head-of-statement check; for a
+        # deny-by-default gate, a DML keyword anywhere in a WITH statement
+        # conservatively classifies as DML (string-literal false positives
+        # reject a query the JVM path would admit — safe direction).
         return "dml"
     if _STMT_RE.match(sql):
         return "statement"
     return "query"
 
 
-def _parsed_plan_class(spark: SparkSession, sql: str) -> str | None:
-    """Simple class name of the parsed (unanalyzed) logical plan, or None."""
+def is_pure_query(spark: SparkSession, sql: str) -> bool:
+    """True only when ``sql`` is provably a plain query (no DDL/DML/command).
+
+    Used by prepared-statement schema inference before ``spark.sql()``-probing
+    a statement: Spark executes command plans EAGERLY, so anything not
+    provably a query must never be probed. Unparseable statements return
+    False (they could not be probed anyway).
+    """
+    classes = _parsed_plan_classes(spark, sql)
+    if classes is None:
+        return False
+    return not any(
+        f in cls
+        for cls in classes
+        for f in _DDL_FRAGMENTS + _DML_FRAGMENTS + _STATEMENT_FRAGMENTS
+    )
+
+
+def _parsed_plan_classes(spark: SparkSession, sql: str) -> set[str] | None:
+    """Simple class names of every node in the parsed (unanalyzed) logical
+    plan — children AND innerChildren (CTE definitions live there) — or
+    None when the statement does not parse / the JVM is unreachable."""
     try:
         jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
-        return jplan.getClass().getSimpleName()
-    except Exception as exc:  # noqa: BLE001 - parse errors surface later
+    except Exception:  # noqa: BLE001 - parse errors surface later
         # A genuine parse error should surface as an AnalysisException when
         # the query actually runs; the gate only cares about classification.
-        name = type(exc).__name__
-        if "ParseException" in name or "Parse" in str(exc)[:200]:
-            # Let spark.sql raise the real error with its rich message.
-            return None
         return None
+    names: set[str] = set()
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        names.add(node.getClass().getSimpleName())
+        for getter in ("children", "innerChildren"):
+            try:
+                seq = getattr(node, getter)()
+                for i in range(seq.size()):
+                    stack.append(seq.apply(i))
+            except Exception:  # noqa: BLE001 - non-TreeNode inner child
+                pass
+    return names

@@ -26,6 +26,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from datafusion_flight_sql_server_spark.plans.gate import is_pure_query
 from datafusion_flight_sql_server_spark.plans.params import placeholder_names
 
 try:  # pyspark's canonical Spark→Arrow type mapping
@@ -228,6 +229,11 @@ def _infer_types_from_plan(
             else f"'<!p:{name}!>'"
         )
         probe = re.sub(r"\$" + re.escape(name) + r"\b", marker, probe)
+    # The head regex alone admits `WITH cte AS (...) INSERT INTO ...` —
+    # classify the parsed (unexecuted) probe tree and require a pure query
+    # before handing it to spark.sql (round-6 fix, ADVICE r5).
+    if not is_pure_query(spark, probe):
+        return {}
     try:
         plan_str = spark.sql(probe)._jdf.queryExecution().analyzed().toString()
     except Exception:

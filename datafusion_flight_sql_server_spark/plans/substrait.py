@@ -82,6 +82,7 @@ Field numbers below come from the public ``substrait/plan.proto`` /
 from __future__ import annotations
 
 import struct
+from contextvars import ContextVar
 
 from datafusion_flight_sql_server_spark.protocol.wire import decode_varint
 
@@ -1194,6 +1195,25 @@ _WINDOW_FUNCS = {
     "bool_or": "BOOL_OR",
 }
 
+#: window functions that accept an explicit frame in Spark (aggregates and
+#: the value-position family); ranking/offset functions reject frames.
+_FRAMED_WINDOW_FUNCS = frozenset(
+    {
+        "first_value",
+        "last_value",
+        "nth_value",
+        "sum",
+        "min",
+        "max",
+        "avg",
+        "count",
+        "std_dev",
+        "variance",
+        "bool_and",
+        "bool_or",
+    }
+)
+
 
 def _bound_to_sql(bound: bytes, end: str) -> str:
     """WindowFunction.Bound → frame bound SQL. ``end`` is 'lower'/'upper'
@@ -1238,7 +1258,11 @@ def _sort_field_to_sql(
 
 
 def _window_fn_to_sql(
-    body: bytes, cols: list[str], funcs: dict[int, str], rendered: bool
+    body: bytes,
+    cols: list[str],
+    funcs: dict[int, str],
+    rendered: bool,
+    rel_ordered: bool = False,
 ) -> str:
     """Expression.WindowFunction → ``FN(args) OVER (...)``.
 
@@ -1300,7 +1324,18 @@ def _window_fn_to_sql(
         over.append("ORDER BY " + ", ".join(orders))
     bounds_type = _varint_one(f, 12, 0)
     lower, upper = _one(f, 5), _one(f, 4)
-    if lower is not None or upper is not None:
+    if lower is None and upper is None:
+        # BOTH bounds unset: the substrait default is start..end of
+        # partition, but with ORDER BY present Spark's implicit frame is
+        # RANGE UNBOUNDED PRECEDING..CURRENT ROW — a windowed aggregate
+        # would silently render a running sum instead of the partition
+        # total. Emit the explicit whole-partition frame for the
+        # frame-accepting functions; ranking/offset functions (row_number,
+        # rank, lead, ...) reject explicit frames in Spark and are
+        # frame-insensitive anyway (round-6 fix, ADVICE r5).
+        if (orders or rel_ordered) and name in _FRAMED_WINDOW_FUNCS:
+            over.append("ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
+    else:
         if bounds_type == 1:
             frame_kind = "ROWS"
         elif bounds_type == 2:
@@ -1451,6 +1486,37 @@ class _State:
 #: and text options reject by name.
 _LOCAL_FILE_FORMATS = {9: "parquet", 11: "orc"}
 
+#: per-translation allowlist of local_files path roots, set by
+#: ``substrait_to_sql``: None = unrestricted (direct library use), a tuple
+#: of prefixes = only paths under one of them may be read (empty = deny
+#: all — the Flight server's default posture, since local_files otherwise
+#: lets any client read any file the Spark session user can).
+_LOCAL_FILES_ROOTS: ContextVar[tuple[str, ...] | None] = ContextVar(
+    "_LOCAL_FILES_ROOTS", default=None
+)
+
+
+def _path_within_roots(uri: str, roots: tuple[str, ...]) -> bool:
+    """Prefix-allowlist check for a local_files uri.
+
+    ``..`` segments reject outright (prefix matching can't see through
+    them); a ``file:`` scheme is stripped so file:///x and /x match the
+    same root; other schemes (s3://...) compare the full uri, letting
+    operators allow object-store prefixes explicitly.
+    """
+    if ".." in uri:
+        return False
+    p = uri
+    if p.startswith("file://"):
+        p = p[len("file://") :]
+        if not p.startswith("/"):  # authority component: file://host/x
+            p = "/" + p.split("/", 1)[1] if "/" in p else ""
+    for root in roots:
+        r = root.rstrip("/")
+        if r and (p == r or p.startswith(r + "/")):
+            return True
+    return False
+
 
 def _local_files_state(lf: bytes, cols: list[str]) -> "_State":
     """ReadRel.local_files → FROM over Spark's direct-path table syntax.
@@ -1497,6 +1563,13 @@ def _local_files_state(lf: bytes, cols: list[str]) -> "_State":
         uri = _utf8(raw, "local_files path")
         if "`" in uri:
             raise SubstraitMalformed("local_files path contains a backtick")
+        roots = _LOCAL_FILES_ROOTS.get()
+        if roots is not None and not _path_within_roots(uri, roots):
+            raise SubstraitUnsupported(
+                f"Substrait consumer: local_files path {uri!r} is outside "
+                f"the configured allowlist roots (server opt-in: "
+                f"FlightSqlServiceConfig.substrait_local_files_roots)"
+            )
         selects.append(f"SELECT {proj} FROM {fmt}.`{uri}`")
     if len(selects) == 1:
         return _subquery_state(selects[0], cols, "lf")
@@ -2218,7 +2291,7 @@ def _window_rel(body: bytes, funcs: dict[int, str]) -> _State:
         # rel-level partitions/sorts are absent (fields 2/3 unused by
         # WindowRelFunction), so the frame/args/invocation decoding is
         # identical — render the call and attach the shared OVER clause.
-        call = _window_fn_to_sql(wf, cols, funcs, False)
+        call = _window_fn_to_sql(wf, cols, funcs, False, rel_ordered=bool(orders))
         # _window_fn_to_sql rendered "FN(...) OVER (<frame-only>)"; merge
         # the rel-level partition/order in front of any frame clause
         head, over = call.rsplit(" OVER (", 1)
@@ -2539,14 +2612,33 @@ def _render_sql(state: _State, out_names: list[str]) -> str:
     return sql
 
 
-def substrait_to_sql(plan_bytes: bytes) -> str:
+def substrait_to_sql(
+    plan_bytes: bytes, local_files_roots: tuple[str, ...] | None = None
+) -> str:
     """Translate serialized ``substrait.Plan`` bytes to a SQL statement.
 
     Raises ``SubstraitUnsupported`` for plans outside the subset and
     ``SubstraitMalformed`` for undecodable bytes.
+
+    ``local_files_roots``: allowlist of path prefixes for
+    ``ReadRel.local_files``. None (default) leaves paths unrestricted —
+    appropriate for direct library use where the caller controls the plan;
+    a tuple restricts reads to paths under one of the roots (empty tuple =
+    reject every local_files plan). The Flight server passes its
+    config's roots here, defaulting to deny (round-6, ADVICE r5: parity
+    with DataFusion's native LocalFiles consumption would otherwise give
+    any client an arbitrary-read primitive on the server).
     """
     if not plan_bytes:
         raise SubstraitMalformed("empty Substrait plan")
+    token = _LOCAL_FILES_ROOTS.set(local_files_roots)
+    try:
+        return _substrait_to_sql_inner(plan_bytes)
+    finally:
+        _LOCAL_FILES_ROOTS.reset(token)
+
+
+def _substrait_to_sql_inner(plan_bytes: bytes) -> str:
     plan = _fields(plan_bytes)
     funcs = _function_names(plan)
     relations = plan.get(3, [])  # Plan.relations

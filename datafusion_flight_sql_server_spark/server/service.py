@@ -107,11 +107,18 @@ class FlightSqlServiceConfig:
         batch_rows: int = 65536,
         result_endpoints: int = 1,
         max_staged_results: int = 16,
+        substrait_local_files_roots: tuple[str, ...] = (),
     ):
         self.schema_with_metadata = schema_with_metadata
         self.batch_rows = batch_rows
         self.result_endpoints = result_endpoints
         self.max_staged_results = max_staged_results
+        # Allowlist of path prefixes a Substrait ReadRel.local_files may
+        # read. Default () = deny: local_files otherwise hands any Flight
+        # client an arbitrary-read primitive on whatever the Spark session
+        # user can open (round-6 hardening; DataFusion consumes LocalFiles
+        # natively, but its embedders opt in by registering providers).
+        self.substrait_local_files_roots = substrait_local_files_roots
 
 
 # Flight SQL metadata result schemas (Arrow Flight SQL specification; the
@@ -381,7 +388,10 @@ class FlightSqlServer(fl.FlightServerBase):
 
         if command.plan is None or not command.plan.plan:
             raise ValueError("CommandStatementSubstraitPlan without plan bytes")
-        sql = substrait_to_sql(command.plan.plan)
+        sql = substrait_to_sql(
+            command.plan.plan,
+            local_files_roots=self.config.substrait_local_files_roots,
+        )
         return self._info_statement(
             engine, CommandStatementQuery(query=sql), descriptor
         )

@@ -68,6 +68,12 @@ class TestGate:
         ("UPDATE users SET name = 'x' WHERE id = 1", "dml"),
         ("MERGE INTO users USING orders ON users.id = orders.user_id "
          "WHEN MATCHED THEN DELETE", "dml"),
+        # CTE-wrapped DML parses to UnresolvedWith with the DML node as a
+        # child — a root-only class check admitted these (round-6 fix)
+        ("WITH c AS (SELECT 9 AS i) INSERT INTO users SELECT i, 'x' FROM c",
+         "dml"),
+        ("WITH c AS (SELECT 1 AS i) DELETE FROM users "
+         "WHERE id IN (SELECT i FROM c)", "dml"),
         ("SET spark.sql.shuffle.partitions=1", "statement"),
         ("RESET", "statement"),
         ("CACHE TABLE users", "statement"),
@@ -326,3 +332,25 @@ class TestProbePoisoning:
         )
         assert schema.field("$1").type == pa.int64()
         assert schema.field("$2").type == pa.int64()
+
+    def test_cte_wrapped_dml_never_probe_executed(self, spark, tmp_path):
+        # Round-6 regression (ADVICE r5 medium): the head regex admits
+        # `WITH cte AS (...) INSERT INTO ...`, and spark.sql() executes
+        # command plans EAGERLY — schema inference must never write the
+        # '<!p:N!>' marker rows into a user table.
+        spark.sql(
+            "CREATE TABLE probe_guard_t(x INT) USING parquet "
+            f"LOCATION '{tmp_path}/probe_guard_t'"
+        )
+        try:
+            schema = parameter_schema_for_sql(
+                spark,
+                "WITH c AS (SELECT 1 AS y) "
+                "INSERT INTO probe_guard_t SELECT y FROM c WHERE y > $1",
+            )
+            # typing degrades safely to the string default...
+            assert schema.field("$1").type == pa.string()
+            # ...and, the point: nothing executed during inference
+            assert spark.table("probe_guard_t").count() == 0
+        finally:
+            spark.sql("DROP TABLE probe_guard_t")

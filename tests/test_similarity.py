@@ -125,6 +125,31 @@ class TestSelfKnnTopK:
         assert sorted(got[0]) == [(i, i) for i in range(1, 6)]
         assert sorted(got[1]) == [(1, 0), (2, 2), (3, 3), (4, 4), (5, 5)]
 
+    def test_masked_entries_do_not_evict_candidates(self, spark):
+        # Round-6 regression (ADVICE high): the int64.min mask sentinel
+        # negated to itself under np.argpartition(-keys, ...), so NaN /
+        # self-match entries ranked as the BEST candidates and silently
+        # evicted true neighbors whenever masked entries per query reached
+        # k + candidate_margin.
+        nan = float("nan")
+        rows = [(i, [float(i + 1), 1.0, 0.0, 0.0]) for i in range(5)]
+        rows += [(i, [nan, nan, nan, nan]) for i in range(5, 8)]
+        df = spark.createDataFrame(
+            rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        ).coalesce(1)
+        # self-kNN: per query masked = self + 3 NaN = 4 = k + margin
+        out = self_knn_topk(df, k=3, candidate_margin=1)
+        by_q = {}
+        for r in out.collect():
+            by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        for q in range(5):
+            assert len(by_q.get(q, [])) == 3, f"query {q} lost candidates"
+        # generic brute force: masked count (4) == m == k + margin
+        out2 = brute_force_topk(
+            df, df.filter(F.col("vec_id") == 0), k=4, candidate_margin=0
+        ).collect()
+        assert sorted(r.neighbor_id for r in out2) == [1, 2, 3, 4]
+
     def test_null_embedding_clear_error(self, spark):
         df = spark.createDataFrame(
             [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0])],

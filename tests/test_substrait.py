@@ -1394,6 +1394,47 @@ class TestWindowTranslate:
         )
         assert "COUNT(*) OVER (PARTITION BY `name`)" in substrait_to_sql(p)
 
+    def test_unset_bounds_with_order_is_partition_total(self):
+        # Round-6 fix (ADVICE r5): BOTH bounds unset defaults to the
+        # substrait start..end-of-partition frame; without an explicit
+        # frame Spark's ORDER BY default (RANGE ..CURRENT ROW) would
+        # silently render a running sum instead of the partition total.
+        w = window_fn(1, args=(field_ref(0),), sorts=((0, 2),))
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "sum:i64"),
+        )
+        assert (
+            "SUM(`id`) OVER (ORDER BY `id` ASC NULLS LAST ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)" in substrait_to_sql(p)
+        )
+
+    def test_unset_bounds_last_value_sees_partition_end(self):
+        w = window_fn(
+            1, args=(field_ref(0),), partitions=(field_ref(1),), sorts=((0, 2),)
+        )
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "last_value:any"),
+        )
+        assert (
+            "LAST_VALUE(`id`) OVER (PARTITION BY `name` ORDER BY `id` ASC "
+            "NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+            "FOLLOWING)" in substrait_to_sql(p)
+        )
+
+    def test_unset_bounds_ranking_fn_keeps_no_frame(self):
+        # ranking/offset functions reject explicit frames in Spark and are
+        # frame-insensitive — no frame clause may appear
+        w = window_fn(1, args=(field_ref(0),), sorts=((0, 2),))
+        p = plan_bytes(
+            rel(7, computed_project(USERS_READ, [w], [2])),
+            extensions=extension_function(1, "lag:any"),
+        )
+        sql = substrait_to_sql(p)
+        assert "LAG(`id`) OVER (ORDER BY `id` ASC NULLS LAST)" in sql
+        assert "BETWEEN" not in sql
+
     def test_bounds_without_type_rejected(self):
         w = window_fn(
             1, sorts=((0, 2),), bounds=(0, BOUND_UNBOUNDED, BOUND_CURRENT)
@@ -1739,6 +1780,24 @@ class TestConsistentPartitionWindowRel:
         assert (
             "SUM(`id`) OVER (ORDER BY `id` ASC NULLS LAST ROWS BETWEEN "
             "UNBOUNDED PRECEDING AND CURRENT ROW) AS `window0`" in sql
+        )
+
+    def test_rel_level_order_unset_bounds_is_partition_total(self):
+        # Round-6 fix (ADVICE r5): sorts live at the REL level here, so the
+        # unset-bounds partition-total default must fire off the rel's
+        # ORDER BY, not the (absent) per-function sorts.
+        p = plan_bytes(
+            rel(17, window_rel(
+                USERS_READ,
+                [window_rel_fn(1, args=(field_ref(0),))],
+                sorts=((0, 2),),
+            )),
+            extensions=extension_function(1, "sum:i64"),
+        )
+        assert (
+            "SUM(`id`) OVER (ORDER BY `id` ASC NULLS LAST ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS `window0`"
+            in substrait_to_sql(p)
         )
 
     def test_round_trip_rank_per_partition(self, substrait_server):
@@ -2801,6 +2860,52 @@ class TestLocalFiles:
         r = local_files_read(["a"], ["/tmp/evil`.parquet"])
         with pytest.raises(SubstraitMalformed, match="backtick"):
             substrait_to_sql(plan_bytes(r))
+
+    def test_allowlist_roots_enforced(self):
+        # Round-6 hardening (ADVICE r5 low): local_files is an arbitrary-
+        # read primitive; a roots tuple restricts it, None (library
+        # default) leaves it open, () denies everything.
+        r = plan_bytes(local_files_read(["r_regionkey"], [REGION_PARQUET]))
+        assert "FROM parquet." in substrait_to_sql(r)  # None = unrestricted
+        with pytest.raises(SubstraitUnsupported, match="allowlist"):
+            substrait_to_sql(r, local_files_roots=())
+        assert "FROM parquet." in substrait_to_sql(
+            r, local_files_roots=(_SF_SMALL,)
+        )
+        with pytest.raises(SubstraitUnsupported, match="allowlist"):
+            substrait_to_sql(r, local_files_roots=("/somewhere/else",))
+        # prefix must end on a path boundary: /root/testdata/sf0.001-evil
+        # must not match the /root/testdata/sf0.001 root
+        evil_sibling = plan_bytes(
+            local_files_read(["a"], [f"{_SF_SMALL}-evil/x.parquet"])
+        )
+        with pytest.raises(SubstraitUnsupported, match="allowlist"):
+            substrait_to_sql(evil_sibling, local_files_roots=(_SF_SMALL,))
+        # .. segments cannot escape an allowed root
+        dotdot = plan_bytes(
+            local_files_read(["a"], [f"{_SF_SMALL}/../../etc/passwd"])
+        )
+        with pytest.raises(SubstraitUnsupported, match="allowlist"):
+            substrait_to_sql(dotdot, local_files_roots=(_SF_SMALL,))
+        # file:// scheme resolves against the same roots
+        scheme = plan_bytes(
+            local_files_read(["r_regionkey"], [f"file://{REGION_PARQUET}"])
+        )
+        assert "FROM parquet." in substrait_to_sql(
+            scheme, local_files_roots=(_SF_SMALL,)
+        )
+
+    def test_server_denies_local_files_by_default(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            p = plan_bytes(
+                local_files_read(["r_regionkey", "r_name"], [REGION_PARQUET])
+            )
+            with pytest.raises(NotImplementedError, match="allowlist"):
+                ex.flight_info(_substrait_command(p))
+            assert ex.execute("SELECT 1 AS x").num_rows == 1  # server alive
+        finally:
+            ex.close()
 
     def test_orc_file_executes(self, spark):
         # the orc leg of the format map, over a real ORC rewrite of region
