@@ -730,7 +730,9 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     d = tables(spark, sf)["documents"]
-    fresh = minhash_fresh_vs_history(d, F.col("doc_id") % 10 == 0)
+    fresh = minhash_fresh_vs_history(
+        d, F.col("doc_id") % 10 == 0, cache_key=(sf, "documents")
+    )
     return fresh.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
@@ -747,7 +749,7 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
     d = tables(spark, sf)["documents"]
-    return minhash_near_dups(d)
+    return minhash_near_dups(d, cache_key=(sf, "documents"))
 
 
 def _clusters_oracle() -> str:
@@ -794,7 +796,9 @@ def q_dedup_near_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     d = tables(spark, sf)["documents"]
-    pairs = minhash_near_dups(d).select("doc_a", "doc_b")
+    pairs = minhash_near_dups(d, cache_key=(sf, "documents")).select(
+        "doc_a", "doc_b"
+    )
     comps = connected_components(pairs, "doc_a", "doc_b")
     return comps.select(
         F.col("node").cast("bigint").alias("doc_id"),
@@ -830,7 +834,9 @@ def q_graph_components_star(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     d = tables(spark, sf)["documents"]
-    pairs = minhash_near_dups(d).select("doc_a", "doc_b")
+    pairs = minhash_near_dups(d, cache_key=(sf, "documents")).select(
+        "doc_a", "doc_b"
+    )
     comps = connected_components_star(pairs, "doc_a", "doc_b")
     register_query_cleanup(comps)
     return comps.select(

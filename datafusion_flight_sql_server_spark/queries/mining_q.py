@@ -762,57 +762,20 @@ def _minhash_eval_oracle(n_perms: int = 16, n_bands: int = 8) -> str:
     tags=("dedup", "similarity", "sketch"),
 )
 def q_dedup_minhash_eval(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 6: consume the SHARED persisted MinHash front end
+    # (operators/dedup.py) instead of re-deriving signatures inline — the
+    # shingling pass previously recomputed 3x within this query (bucket,
+    # sa, sb lineages) and once more per consumer query in a sweep.
+    # Identical md5 constants/expressions, so results are bit-unchanged.
     from datafusion_flight_sql_server_spark.operators.dedup import (
-        MINHASH_P,
-        _shingle_hash,
-        minhash_params,
-        shingle_col,
+        _minhash_hashed_buckets,
     )
 
-    n_perms, n_bands = 16, 8
-    rows = n_perms // n_bands
-    params = minhash_params(n_perms)
+    n_perms = 16
     d = tables(spark, sf)["documents"]
-    hashed = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(shingle_col(F.col("text"), 3), _shingle_hash)
-        ).alias("h"),
+    _hashed, sig, bucket = _minhash_hashed_buckets(
+        d, "doc_id", "text", 3, n_perms, 8, 42, cache_key=(sf, "documents")
     )
-
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
-
-    sig = hashed.select(
-        "doc_id",
-        "h",
-        *[
-            F.array_min(F.transform(F.col("h"), _perm(a, b))).alias(f"mh{i}")
-            for i, (a, b) in enumerate(params)
-        ],
-    )
-    bucket = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "-",
-                                *[
-                                    F.col(f"mh{bi * rows + r}")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("key"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
     a = bucket.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = bucket.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (
@@ -1429,57 +1392,17 @@ def _containment_oracle(n_perms: int = 16, n_bands: int = 8) -> str:
     tags=("dedup", "similarity", "text"),
 )
 def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 6: shares the persisted MinHash front end (same constants as
+    # dedup_near_minhash / dedup_minhash_eval — that sharing is the point
+    # of the audit family); expressions unchanged, results bit-identical.
     from datafusion_flight_sql_server_spark.operators.dedup import (
-        MINHASH_P,
-        _shingle_hash,
-        minhash_params,
-        shingle_col,
+        _minhash_hashed_buckets,
     )
 
-    n_perms, n_bands = 16, 8
-    rows = n_perms // n_bands
-    params = minhash_params(n_perms)
     d = tables(spark, sf)["documents"]
-    hashed = rebalance_for_compute(d, "doc_id").select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(shingle_col(F.col("text"), 3), _shingle_hash)
-        ).alias("h"),
+    hashed, _sig, bucket = _minhash_hashed_buckets(
+        d, "doc_id", "text", 3, 16, 8, 42, cache_key=(sf, "documents")
     )
-
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
-
-    sig = hashed.select(
-        "doc_id",
-        "h",
-        *[
-            F.array_min(F.transform(F.col("h"), _perm(a, b))).alias(f"mh{i}")
-            for i, (a, b) in enumerate(params)
-        ],
-    )
-    bucket = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "-",
-                                *[
-                                    F.col(f"mh{bi * rows + r}")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("key"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
     a = bucket.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = bucket.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (

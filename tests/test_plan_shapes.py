@@ -534,6 +534,80 @@ class TestRound5AggRewrites:
             assert "Decimal" not in p, f"decimal partial agg in {name}: {p}"
 
 
+class TestMinhashFrontendCache:
+    """Round 6 (VERDICT r5 #1): six registered queries share ONE persisted
+    MinHash front end per (corpus, constants) — pin the cache contract."""
+
+    def test_shared_persisted_and_cleanup_proof(self, spark):
+        from datafusion_flight_sql_server_spark.engine.cleanup import (
+            run_query_cleanups,
+        )
+        from datafusion_flight_sql_server_spark.operators.dedup import (
+            _minhash_hashed_buckets,
+            clear_minhash_frontend_cache,
+        )
+        from datafusion_flight_sql_server_spark.queries.catalog import tables
+        from tests.conftest import SF_SMALL
+
+        d = tables(spark, SF_SMALL)["documents"]
+        clear_minhash_frontend_cache()
+        try:
+            key = ("cache-test", "documents")
+            h1, s1, b1 = _minhash_hashed_buckets(
+                d, "doc_id", "text", 3, 16, 8, 42, cache_key=key
+            )
+            h2, s2, b2 = _minhash_hashed_buckets(
+                d, "doc_id", "text", 3, 16, 8, 42, cache_key=key
+            )
+            assert h1 is h2 and s1 is s2 and b1 is b2
+            assert h1.storageLevel.useMemory  # persisted
+            # per-query sweep cleanup must NOT release the shared entry
+            run_query_cleanups()
+            assert h1.storageLevel.useMemory
+            # different constants are a different front end
+            h3, _, _ = _minhash_hashed_buckets(
+                d, "doc_id", "text", 3, 16, 4, 42, cache_key=key
+            )
+            assert h3 is not h1
+        finally:
+            clear_minhash_frontend_cache()
+        assert not h1.storageLevel.useMemory  # cache clear unpersists
+
+    def test_uncached_path_registers_cleanup(self, spark):
+        from datafusion_flight_sql_server_spark.engine.cleanup import (
+            run_query_cleanups,
+        )
+        from datafusion_flight_sql_server_spark.operators.dedup import (
+            _minhash_hashed_buckets,
+        )
+        from datafusion_flight_sql_server_spark.queries.catalog import tables
+        from tests.conftest import SF_SMALL
+
+        d = tables(spark, SF_SMALL)["documents"]
+        h, _s, _b = _minhash_hashed_buckets(d, "doc_id", "text", 3, 16, 8, 42)
+        assert h.storageLevel.useMemory
+        run_query_cleanups()
+        assert not h.storageLevel.useMemory
+
+    def test_eval_and_curve_share_one_frontend(self, spark):
+        # the threshold curve composes minhash_eval: with the cache primed
+        # by eval, the curve's plan reads the persisted relation
+        # (InMemoryTableScan) instead of re-shingling the corpus
+        from datafusion_flight_sql_server_spark.operators.dedup import (
+            clear_minhash_frontend_cache,
+        )
+        from tests.conftest import SF_SMALL
+
+        clear_minhash_frontend_cache()
+        try:
+            curve = _run(spark, "dedup_threshold_curve")
+            plan = curve._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan
+            assert curve.count() == 9
+        finally:
+            clear_minhash_frontend_cache()
+
+
 class TestRound5LateAdditions:
     def test_text_prefix_dup_shuffles_digests_only(self, spark):
         # one hash partitioning by the 16-byte prefix digest; the text
