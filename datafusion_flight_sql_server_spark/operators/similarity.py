@@ -24,6 +24,7 @@ across engines and runs.
 from __future__ import annotations
 
 import hashlib
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -494,6 +495,23 @@ def lsh_topk(
     )
 
 
+#: Session-scoped LRU of TRAINED coarse quantizers. Five registered queries
+#: (sim_topk_ivf, embed_ivf_recall, embed_cluster_quality, dedup_semantic,
+#: embed_coreset_sample) each re-ran the identical deterministic Lloyd
+#: steps per invocation (~3.4 s of embed_coreset_sample's 4.25 s at sf0.1;
+#: at 100 TB that is 2 extra corpus passes per consumer per sweep) —
+#: round 6, VERDICT r5 #2. Entries are localCheckpointed 16-row
+#: DataFrames; holding the reference keeps their blocks alive, eviction
+#: just drops it (ContextCleaner reclaims the blocks).
+_CENTROID_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_CENTROID_CACHE_MAX = 4
+
+
+def clear_centroid_cache() -> None:
+    """Drop every cached trained quantizer."""
+    _CENTROID_CACHE.clear()
+
+
 def train_cells(
     emb: DataFrame,
     n_cells: int = 16,
@@ -501,6 +519,7 @@ def train_cells(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key=None,
 ) -> DataFrame:
     """Deterministic spherical-k-means coarse quantizer → (cent_id, cent_vec).
 
@@ -514,7 +533,28 @@ def train_cells(
     on bit-identical inputs — so both engines see bit-identical centroids
     and therefore identical discrete assignments. Shared by ``ivf_topk``
     (ANN) and ``semantic_dedup`` (SemDeDup-style cluster-blocked dedup).
+
+    ``cache_key`` (an engine-chosen corpus identity, e.g. the fixture dir)
+    opts a TRAINED quantizer into the session-scoped LRU: train-once
+    semantics across every consumer passing the same key. Training is
+    deterministic, so sharing cannot change any result; the untrained
+    (``train_iters=0``) seed path is one cheap filter and is never cached.
     """
+    key = None
+    if cache_key is not None and train_iters > 0:
+        key = (
+            emb.sparkSession,
+            cache_key,
+            n_cells,
+            train_iters,
+            dim,
+            id_col,
+            vec_col,
+        )
+        hit = _CENTROID_CACHE.get(key)
+        if hit is not None:
+            _CENTROID_CACHE.move_to_end(key)
+            return hit
     cents = emb.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cent_vec")
     )
@@ -553,6 +593,10 @@ def train_cells(
                 F.col("cell").alias("cent_id"),
                 F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cent_vec"),
             ).localCheckpoint(eager=True)
+    if key is not None:
+        _CENTROID_CACHE[key] = cents
+        while len(_CENTROID_CACHE) > _CENTROID_CACHE_MAX:
+            _CENTROID_CACHE.popitem(last=False)
     return cents
 
 
@@ -604,6 +648,7 @@ def semantic_dedup(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key=None,
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with the trained coarse
@@ -635,6 +680,7 @@ def semantic_dedup(
         dim=dim,
         id_col=id_col,
         vec_col=vec_col,
+        cache_key=cache_key,
     )
     asg = assign_cells(emb, cents, id_col=id_col, vec_col=vec_col, out_id="vec_id")
     x = asg.select(
@@ -678,6 +724,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     train_iters: int = 0,
     dim: int | None = None,
+    cache_key=None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into ``n_cells`` cells, probe
     the ``n_probe`` best cells per query, exact-cosine re-rank.
@@ -714,6 +761,7 @@ def ivf_topk(
         dim=dim,
         id_col=id_col,
         vec_col=vec_col,
+        cache_key=cache_key,
     )
     assigned = assign_cells(
         emb, cents, id_col=id_col, vec_col=vec_col, out_id="neighbor_id"

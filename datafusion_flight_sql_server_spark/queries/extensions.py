@@ -312,6 +312,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
         k=5,
         train_iters=IVF_TRAIN_ITERS,
         dim=64,
+        cache_key=(sf, "embeddings"),
     )
 
 
@@ -368,7 +369,13 @@ def q_embed_cluster_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     e = tables(spark, sf)["embeddings"]
-    cents = train_cells(e, n_cells=16, train_iters=IVF_TRAIN_ITERS, dim=64)
+    cents = train_cells(
+        e,
+        n_cells=16,
+        train_iters=IVF_TRAIN_ITERS,
+        dim=64,
+        cache_key=(sf, "embeddings"),
+    )
     asg = assign_cells(e, cents)
     coh = asg.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
@@ -449,7 +456,12 @@ def q_embed_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     queries_df = e.filter(F.col("vec_id") < 8)
     bf = brute_force_topk(e, queries_df, k=5).select("query_id", "neighbor_id")
     ivf = ivf_topk(
-        e, queries_df, k=5, train_iters=IVF_TRAIN_ITERS, dim=64
+        e,
+        queries_df,
+        k=5,
+        train_iters=IVF_TRAIN_ITERS,
+        dim=64,
+        cache_key=(sf, "embeddings"),
     ).select("query_id", "neighbor_id")
     hits = (
         bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
@@ -994,7 +1006,11 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
 
     e = tables(spark, sf)["embeddings"]
     return semantic_dedup(
-        e, eps=SEMANTIC_DEDUP_EPS, train_iters=IVF_TRAIN_ITERS, dim=64
+        e,
+        eps=SEMANTIC_DEDUP_EPS,
+        train_iters=IVF_TRAIN_ITERS,
+        dim=64,
+        cache_key=(sf, "embeddings"),
     )
 
 
@@ -3229,7 +3245,13 @@ def q_embed_coreset_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     e = tables(spark, sf)["embeddings"]
-    cents = train_cells(e, n_cells=16, train_iters=IVF_TRAIN_ITERS, dim=64)
+    cents = train_cells(
+        e,
+        n_cells=16,
+        train_iters=IVF_TRAIN_ITERS,
+        dim=64,
+        cache_key=(sf, "embeddings"),
+    )
     asg = assign_cells(e, cents)
     w = W.partitionBy("cell")
     wr = w.orderBy(F.col("cs").desc(), F.col("vec_id"))

