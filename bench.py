@@ -78,6 +78,11 @@ HEADLINE = (
     # round-5-late: mutual k-NN graph (DuckDB all-pairs baseline 1.37 s
     # at sf0.1 — see BASELINE.md round-5 closing section)
     "embed_knn_graph",
+    # round-6: the two queries moved inside the 2x budget by the shared
+    # MinHash front end / trained-quantizer cache (VERDICT r5 #1-#2) —
+    # benched so the oracle_sec ratios stay mechanically checkable
+    "dedup_threshold_curve",
+    "embed_coreset_sample",
 )
 
 WARMUP_RUNS = 1
@@ -153,6 +158,47 @@ def main() -> int:
 
     timings, rows = _time_set(sf_dir)
 
+    # Same-session DuckDB oracle medians (VERDICT r5 #9): the 2x budget was
+    # previously audited against BASELINE.md prose recorded in other
+    # processes — DuckDB's cross-process variance is documented up to 6x,
+    # so only same-process numbers make bench_vs_baseline mechanically
+    # checkable. Warm connection, adaptive run count (expensive oracles run
+    # once; cheap ones take a median of 3). Disable: SPARK_GRAFT_BENCH_ORACLE=0.
+    oracle_sec: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        try:
+            import duckdb
+
+            con = duckdb.connect()
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split():
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            for name in names:
+                sql = REGISTRY[name].oracle
+                if not sql:
+                    continue
+                try:
+                    con.execute(sql).fetchdf()  # warm-up
+                    samples = []
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchdf()
+                    samples.append(time.perf_counter() - t0)
+                    if samples[0] < 5.0:
+                        for _ in range(2):
+                            t0 = time.perf_counter()
+                            con.execute(sql).fetchdf()
+                            samples.append(time.perf_counter() - t0)
+                    oracle_sec[name] = round(statistics.median(samples), 4)
+                except Exception:  # pragma: no cover - oracle-side failure
+                    continue
+        except Exception:  # pragma: no cover - duckdb unavailable
+            pass
+
     # Secondary measurement on a PRE-SPLIT copy of the same data (identical
     # values, smaller parquet row groups). Spark's scan split unit is the
     # row group: the driver fixtures are written as ONE row group per table,
@@ -203,6 +249,9 @@ def main() -> int:
         },
         "queries_presplit": presplit,
         "presplit_total": round(sum(presplit.values()), 4) if presplit else None,
+        # same-process DuckDB oracle medians at sf_dir (empty when duckdb
+        # is unavailable or disabled) — read ratio = presplit/oracle
+        "oracle_sec": oracle_sec,
     }
     print(json.dumps(result))
     return 0

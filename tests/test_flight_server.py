@@ -91,6 +91,16 @@ class TestIntegration:
         assert prepared.parameter_schema.field(0).type == pa.int32()
         prepared.close()
 
+    def test_prepared_statement_promoted_comparison_types_int32(self, client):
+        # Round 6 (H3 closure, VERDICT r5 #6): a placeholder the comparison
+        # regex can't see (function-wrapped column) types from the
+        # comparison's cast-STRIPPED sibling — the column type int32, not
+        # the string-promotion bigint (service.rs:1085-1105 parity)
+        prepared = client.prepare("SELECT * FROM users WHERE abs(id) = $1")
+        assert prepared.parameter_schema is not None
+        assert prepared.parameter_schema.field(0).type == pa.int32()
+        prepared.close()
+
     def test_get_schemas(self, client):
         # integration_test.rs:173-205: GetDbSchemas non-empty
         table = client.get_db_schemas()

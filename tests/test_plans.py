@@ -179,19 +179,23 @@ class TestParameterSchema:
 
     def test_plan_probe_types_function_context(self, spark):
         # the comparison regex can't see through abs(); the analyzed-plan
-        # probe reads the implicit cast Catalyst wraps around the marker
+        # walk types the marker from the comparison's cast-STRIPPED sibling
+        # (abs(id) is int), not the string-promotion bigint — round-6 H3
+        # closure, matching DataFusion's column-type report
         schema = parameter_schema_for_sql(
             spark, "SELECT * FROM users WHERE abs(id) > $1"
         )
-        assert schema.field("$1").type == pa.int64()
+        assert schema.field("$1").type == pa.int32()
 
     def test_plan_probe_types_subquery_context(self, spark):
+        # the walk recurses into the IN-subquery's plan; id + 1 is int in
+        # Spark (int column + int literal), so the sibling type is int32
         schema = parameter_schema_for_sql(
             spark,
             "SELECT * FROM users WHERE id IN "
             "(SELECT id FROM users WHERE id + 1 < $1)",
         )
-        assert schema.field("$1").type == pa.int64()
+        assert schema.field("$1").type == pa.int32()
 
     def test_limit_offset_placeholders_typed_int64(self, spark):
         # LIMIT/OFFSET positions are int64 by grammar; the analyzed-plan
@@ -330,7 +334,7 @@ class TestProbePoisoning:
         schema = parameter_schema_for_sql(
             spark, "SELECT * FROM users WHERE abs(id) > $1 LIMIT $2"
         )
-        assert schema.field("$1").type == pa.int64()
+        assert schema.field("$1").type == pa.int32()  # cast-stripped sibling
         assert schema.field("$2").type == pa.int64()
 
     def test_cte_wrapped_dml_never_probe_executed(self, spark, tmp_path):

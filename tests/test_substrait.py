@@ -424,6 +424,49 @@ class TestOverWire:
         finally:
             ex.close()
 
+    def test_phase_split_aggregate_round_trip(self, substrait_server):
+        # the distributed producer shape: partial sums/counts per user
+        # merged by a second aggregate — result must equal the one-phase
+        # GROUP BY (orders fixture: user 1 -> 150/2, 2 -> 75/1, 3 -> 25/1)
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            orders = rel(
+                1, read_rel(["orders"], ["order_id", "user_id", "amount"])
+            )
+            inner = rel(4, aggregate_rel(
+                orders, [1],
+                [
+                    measure(agg_function(1, [2], phase=1)),  # partial sum
+                    measure(agg_function(2, [], phase=1)),   # partial count
+                ],
+            ))
+            outer = rel(4, aggregate_rel(
+                inner, [0],
+                [
+                    measure(agg_function(1, [1], phase=4)),
+                    measure(agg_function(2, [2], phase=4)),
+                ],
+            ))
+            p = plan_bytes(
+                outer, ["user_id", "total", "n"],
+                extensions=extension_function(1, "sum:i64")
+                + extension_function(2, "count:"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            got = sorted(
+                zip(
+                    table.column("user_id").to_pylist(),
+                    table.column("total").to_pylist(),
+                    table.column("n").to_pylist(),
+                )
+            )
+            assert got == [(1, 150, 2), (2, 75, 1), (3, 25, 1)]
+        finally:
+            ex.close()
+
     def test_unsupported_plan_rejected_over_wire(self, substrait_server):
         ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
         try:
@@ -669,15 +712,81 @@ class TestAggregateTranslate:
         with pytest.raises(SubstraitUnsupported, match="duplicate grouping"):
             substrait_to_sql(p)
 
-    def test_partial_phase_rejected(self):
+    def test_partial_phase_sum_renders(self):
+        # round 6 (VERDICT r5 #5): INITIAL_TO_INTERMEDIATE sum — the
+        # intermediate state IS the sum, so the partial stage unparses
+        # to a plain SUM
         p = plan_bytes(
             rel(4, aggregate_rel(
                 ORDERS_READ, [0],
-                [measure(agg_function(1, [1], phase=1))],  # INITIAL_TO_INTERMEDIATE
+                [measure(agg_function(1, [1], phase=1))],
             )),
             extensions=extension_function(1, "sum:fp64"),
         )
-        with pytest.raises(SubstraitUnsupported, match="phase"):
+        assert "SUM(`amount`)" in substrait_to_sql(p)
+
+    def test_phase_split_pair_translates(self):
+        # the distributed shape: Aggregate(INTERMEDIATE_TO_RESULT) above
+        # Aggregate(INITIAL_TO_INTERMEDIATE); count's merge is SUM over
+        # the partial counts, sum merges with itself
+        inner = rel(4, aggregate_rel(
+            ORDERS_READ, [0],
+            [
+                measure(agg_function(1, [1], phase=1)),   # partial sum
+                measure(agg_function(2, [], phase=1)),    # partial count(*)
+            ],
+        ))
+        # inner output: (cust, sum_0, count_1) — merge on all groups
+        outer = rel(4, aggregate_rel(
+            inner, [0],
+            [
+                measure(agg_function(1, [1], phase=4)),   # SUM(partial sums)
+                measure(agg_function(2, [2], phase=4)),   # SUM(partial counts)
+            ],
+        ))
+        p = plan_bytes(
+            outer,
+            extensions=extension_function(1, "sum:fp64")
+            + extension_function(2, "count:"),
+        )
+        sql = substrait_to_sql(p)
+        assert "SUM(`sum_0`)" in sql
+        assert "SUM(`count_1`)" in sql  # merge-phase count = SUM
+        assert ") AS" in sql  # inner aggregate finished as derived table
+
+    def test_partial_phase_avg_rejected_by_name(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], phase=1))],
+            )),
+            extensions=extension_function(1, "avg:fp64"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="struct-state"):
+            substrait_to_sql(p)
+
+    def test_partial_phase_distinct_rejected(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], invocation=2, phase=1))],
+            )),
+            extensions=extension_function(1, "sum:fp64"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="phase-split"):
+            substrait_to_sql(p)
+
+    def test_merge_phase_count_star_malformed(self):
+        # INTERMEDIATE_TO_RESULT count without the partial-count column
+        # cannot be COUNT(*) — that would recount rows, not merge
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [], phase=4))],
+            )),
+            extensions=extension_function(1, "count:"),
+        )
+        with pytest.raises(SubstraitMalformed, match="partial-count"):
             substrait_to_sql(p)
 
     def test_project_above_aggregate_composes(self):
