@@ -9,6 +9,19 @@ the registered parquet-scan variant against an otherwise-identical
 bucketed-table variant, interleaved with the DuckDB oracle on the same
 replicated data, so all three numbers share one process and one host load.
 
+ROUND-6 FINDING (ran at 64x, idle host): NEGATIVE for these two queries at
+this scale. Bucketed scans engage (`Bucketed: true` in the FileScan), but
+(a) the q10 decomposition shows the orderkey exchange itself is only
+~0.5 s of the 2.1 s SHUFFLED-HASH plan (the round-6 q10 rewrite) — the
+rest is the 13M-row scan + probe, which bucketing cannot reduce — and
+(b) without table stats the in-memory catalog mis-sizes the bucketed
+side and Catalyst broadcast a 9.6M-row orders relation (9.3 s, 4x worse
+than the hint plan). Bucketing remains the right lever when the join is
+exchange-DOMINATED (many repeated joins over the same co-located key at
+cluster scale, amortizing the bucketed write); for these single-pass
+queries the shuffled-hash hint captures nearly all of it with no layout
+precondition. Kept as the runnable record of that measurement.
+
 Usage: python examples/bench_bucketed.py [--mult-fact 64] [--buckets 32]
 Prints one JSON line per (query, variant).
 """
@@ -65,38 +78,30 @@ def q5_from(spark, li, od, t):
 
 
 def q10_from(spark, li, od, t):
-    """tpch_q10 body over explicit lineitem/orders DataFrames."""
+    """tpch_q10 body (same plan as the registered query) over explicit
+    lineitem/orders DataFrames; no hash hint — the point of the bucketed
+    variant is that the layout itself deletes the exchange."""
     from pyspark.sql import functions as F
 
-    o = od.filter(
-        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp"))
-    )
-    l = li.filter(F.col("l_returnflag") == "R")
     rev4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
         100 - F.round(F.col("l_discount") * 100).cast("bigint")
     )
-    lo = (
-        l.select("l_orderkey", rev4.alias("rev4"))
-        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev4.alias("rev4"))
+        .join(od.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.sum("rev4").alias("rev4"))
-    )
-    c = t["customer"].join(
-        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
-    )
-    return (
-        lo.join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
-            "c_custkey", "c_name", "c_acctbal", "n_name",
-            "c_address", "c_phone", "c_comment",
-        )
         .agg(
             (
                 F.sum("rev4").cast("decimal(38,0)")
                 * F.lit("0.0001").cast("decimal(4,4)")
             ).cast("double").alias("revenue")
         )
+    )
+    return (
+        per_cust.join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )

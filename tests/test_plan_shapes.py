@@ -510,12 +510,16 @@ class TestRound5PlanShapes:
 
 
 class TestRound5AggRewrites:
-    def test_q10_preaggregates_below_the_orderkey_join(self, spark):
-        # the revenue pre-aggregation must shuffle on l_orderkey BELOW the
-        # orders join (partial-aggregation pushdown) — one narrow bigint
-        # per order crosses the join, not one decimal multiply per lineitem
+    def test_q10_orderkey_join_is_shuffled_hash(self, spark):
+        # round-6 rewrite: the orderkey join must be a SHUFFLED HASH join
+        # (sorting ~13M narrow probe rows was the measured 3x bottleneck at
+        # 64x: 6.2 s SMJ vs 2.1 s SHJ, 0.7x the oracle), and the previous
+        # per-order pre-aggregation (measured off: ~1.3 lineitems/order
+        # after the R filter for a full extra 9.6M-group exchange) must
+        # stay gone — no aggregation keyed by l_orderkey anywhere
         plan = _executed_plan(_run(spark, "tpch_q10_returned_items"))
-        assert "hashpartitioning(l_orderkey" in plan
+        assert "ShuffledHashJoin [l_orderkey" in plan
+        assert "keys=[l_orderkey" not in plan
 
     @pytest.mark.parametrize(
         "name",
