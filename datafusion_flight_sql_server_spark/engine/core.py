@@ -108,13 +108,24 @@ class Engine:
           window instead of landing whole on the driver the way
           ``collect()``/``toArrow()`` would.
 
+        The driver pulls partitions in ADAPTIVELY-GROWING GROUPS via
+        ``sc.runJob`` rather than ``toLocalIterator``: the iterator runs one
+        Spark job per partition, and at local job-launch latency (~100 ms)
+        a 32-partition result paid ~3 s of pure scheduling — measured 40x
+        the cost of the query itself on a small result (round-6 serving
+        profile; the whole prepared-statement round trip was 3.2 s). Groups
+        start at 1 partition (low first-byte latency) and double while the
+        pulled bytes stay small, shrink when they get big — so job count is
+        O(log n) on small results while peak driver memory stays one
+        bounded group of IPC blobs (the H1 contract) on huge ones.
+
         Falls back to the row-at-a-time path only if the plan's types cannot
         pass Spark's Arrow conversion. The try scope covers the FIRST pull
-        from ``toLocalIterator`` as well as ``mapInArrow`` analysis: under
-        lazy analysis (Spark Connect) or a runtime Arrow-conversion failure
-        the error surfaces on the first fetch, not at plan build — falling
-        back is only safe before any batch has been yielded, so a failure
-        after the first successful pull propagates instead.
+        as well as ``mapInArrow`` analysis: under lazy analysis (Spark
+        Connect) or a runtime Arrow-conversion failure the error surfaces on
+        the first fetch, not at plan build — falling back is only safe
+        before any batch has been yielded, so a failure after the first
+        successful pull propagates instead.
         """
         from datafusion_flight_sql_server_spark.plans.schema import (
             arrow_schema_for_df,
@@ -122,22 +133,39 @@ class Engine:
 
         schema = arrow_schema_for_df(df)
 
-        _sentinel = object()
         try:
             ipc_df = df.mapInArrow(_make_ipc_encoder(), "ipc binary")
-            rows_iter = iter(ipc_df.toLocalIterator(prefetchPartitions=True))
-            first_row = next(rows_iter, _sentinel)
+            rdd = ipc_df.rdd
+            n_parts = rdd.getNumPartitions()
+            sc = df.sparkSession.sparkContext
+            first = (
+                sc.runJob(rdd, list, [0]) if n_parts > 0 else []
+            )
         except Exception:
             yield from self._execute_stream_rows(df, batch_rows, schema)
             return
 
-        import itertools
+        def _rows():
+            yield from first
+            # a tiny first partition means a tiny result: take the rest in
+            # one job instead of doubling through six (partition sizes are
+            # near-uniform after a shuffle, and even a 64-partition skewed
+            # miss is bounded at 64 x 1 MB of blobs)
+            first_bytes = sum(len(r.ipc) for r in first)
+            start = 1
+            group = 64 if first_bytes < (1 << 20) else 2
+            while start < n_parts:
+                parts = list(range(start, min(start + group, n_parts)))
+                rows = sc.runJob(rdd, list, parts)
+                yield from rows
+                start += len(parts)
+                nbytes = sum(len(r.ipc) for r in rows)
+                if nbytes < (32 << 20):
+                    group = min(group * 2, 64)
+                elif nbytes > (128 << 20):
+                    group = max(group // 2, 1)
 
-        if first_row is _sentinel:
-            rows = iter(())
-        else:
-            rows = itertools.chain((first_row,), rows_iter)
-        yield from _rechunk_ipc_rows(rows, schema, batch_rows)
+        yield from _rechunk_ipc_rows(_rows(), schema, batch_rows)
 
     # -- multi-endpoint partitioned results ---------------------------------
 
