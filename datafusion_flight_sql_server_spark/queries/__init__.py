@@ -27,75 +27,47 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: the FIRST 50 registered queries each round, so ordering decides which
 #: operators get a row. Standing policy: tier 1 = prior-round
 #: registrations that have never received a driver row, tier 2 = this
-#: round's registrations (appended as they land, trimming the tier-3 tail
+#: round's registrations AND queries whose implementation materially
+#: changed this round (appended as they land, trimming the tier-3 tail
 #: to keep the prefix at exactly 50), tier 3 = a rotation of the oldest
-#: r1-green rows as regression insurance. Green on the prefix → every
-#: registered query driver-verified at least once (the r1 long tail's
-#: rows stand from round 1 and re-verify locally in every pytest run).
-#: Round-5 end state: tier 1 holds the two round-4 stragglers (now at
-#: positions 1-2 per VERDICT round-5 item 1), tier 2 the 27 round-5
-#: registrations; with 29 never-driver-checked names the prefix keeps 21
-#: tier-3 rotation slots — the r6 driver run closes every open row.
+#: green rows as regression insurance. Green on the prefix → every
+#: registered query driver-verified at least once.
+#: Round-6 state: tier 1 is EMPTY (r05 went 50/50 green, closing every
+#: open row); tier 2 = the 3 round-6 registrations + the 17 queries the
+#: round-6 perf/bugfix work rewrote (shared MinHash front end, trained-
+#: quantizer cache, top-k sentinel fix, q10 shuffled-hash rewrite,
+#: two-micro-batch streaming twins); tier 3 = the 30 rows whose only
+#: driver check is still round 1 (they were the r05 prefix's trimmed
+#: tail) — this prefix re-verifies everything touched in round 6 and
+#: retires the oldest standing rows.
 _PRIORITY = (
-    # tier 1: registered round 4 after the driver run — never checked.
-    "dedup_containment",
-    "text_compression_ratio",  # rows-only by design (zlib has no SQL oracle)
-    # tier 2: round-5 registrations (appended here as each one lands —
-    # test_priority_names_all_registered enforces no aspirational names).
-    "stream_sessionize_batch",
-    "stream_scd2_batch",
-    "stream_dedup_batch",
-    "stream_tumbling_batch",
-    "event_asof_nearest",
-    "event_running_distinct",
-    "dedup_incremental_minhash",
-    "stream_interval_join_batch",
-    "fn_posexplode",
-    "embed_cluster_quality",
-    "text_prefix_dup",
-    "sim_range_search",
-    "graph_components_star",
-    "orders_cohort_ltv",
-    "text_zipf_fit",
-    "text_keyword_extract",
-    "window_percent_change",
-    "doc_balanced_sample",
-    "part_price_elasticity",
-    "event_peak_detect",
-    "embed_pca_power",
-    "embed_ivf_recall",
-    "text_bm25",
-    "embed_knn_graph",
-    "doc_budget_select",
-    "dedup_threshold_curve",
-    "embed_coreset_sample",
-    # tier 3: rotation of r1/r2-green rows as regression insurance
-    # (trimmed so the prefix is exactly 50 once tier 2 is final).
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
+    # tier 2a: round-6 registrations
+    "doc_dup_report",
+    "embed_norm_audit",
+    "event_dow_profile",
+    # tier 2b: round-6 rewritten/affected queries
     "tpch_q10_returned_items",
-    "window_rank",
-    "window_running",
-    "dedup_exact",
-    "join_inner",
-    "window_analytic",
-    "window_topk_per_group",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "join_theta",
-    "join_derived",
-    "agg_group_multi",
-    "agg_having",
-    "agg_distinct",
-    "agg_stats",
+    "dedup_minhash_eval",
+    "dedup_containment",
+    "dedup_threshold_curve",
+    "dedup_incremental_minhash",
+    "dedup_near_minhash",
+    "dedup_near_clusters",
+    "graph_components_star",
+    "sim_topk_ivf",
+    "embed_ivf_recall",
+    "embed_cluster_quality",
+    "dedup_semantic",
+    "embed_coreset_sample",
+    "sim_topk",
+    "embed_knn_graph",
+    "stream_sessionize_batch",
+    "stream_tumbling_batch",
+    # tier 3: the 28 rows never re-checked since round 1 (the r05
+    # prefix's trimmed tail) + the two oldest scan rows
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_approx_distinct",
     "topk",
     "subquery_scalar",
     "subquery_in",
@@ -121,6 +93,8 @@ _PRIORITY = (
     "set_union_distinct",
     "set_intersect",
     "set_except",
+    "scan_csv",
+    "scan_json",
 )
 
 

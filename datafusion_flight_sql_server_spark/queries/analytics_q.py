@@ -902,3 +902,107 @@ def q_embed_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     return fwd.join(rev, ["a_id", "b_id"]).filter(
         F.col("a_id") < F.col("b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-norm QC audit (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_norm_audit",
+    oracle="""
+        WITH v AS (
+            SELECT label,
+                   CAST(FLOOR(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[]))
+                              * 1000000 + 0.5) AS BIGINT) AS nsq
+            FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_norm,
+               CAST(MIN(nsq) AS BIGINT) AS min_normsq_micros,
+               CAST(MAX(nsq) AS BIGINT) AS max_normsq_micros,
+               CAST(SUM(nsq) // COUNT(*) AS BIGINT) AS avg_normsq_micros
+        FROM v GROUP BY label
+    """,
+    doc="Embedding-norm QC audit per label: vector count, zero-norm count "
+    "(dead/failed encodes — they poison cosine math downstream), and "
+    "min/max/mean squared norm in exact integer micros — the ingest "
+    "screen run before any similarity/dedup pass (un-normalized or "
+    "collapsed batches show up as norm outliers). Determinism: each "
+    "vector's squared norm is one left-fold dot product on DOUBLE-cast "
+    "arrays (same fold order as DuckDB's list_dot_product), floored to "
+    "micros per vector, so every aggregate is order-free integer math. "
+    "Scale: one corpus scan, map-side partial aggregation, one "
+    "|labels|-row exchange — no pairwise anything.",
+    tags=("embedding", "quality", "agg"),
+)
+def q_embed_norm_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.functions.vector import dot
+
+    e = tables(spark, sf)["embeddings"]
+    v = F.col("embedding").cast("array<double>")
+    nsq = F.floor(dot(v, v) * 1000000.0 + F.lit(0.5)).cast("bigint")
+    return (
+        e.select(F.col("label").cast("bigint").alias("label"), nsq.alias("nsq"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("nsq") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_norm"),
+            F.min("nsq").alias("min_normsq_micros"),
+            F.max("nsq").alias("max_normsq_micros"),
+            F.expr("CAST(SUM(nsq) DIV COUNT(1) AS BIGINT)").alias(
+                "avg_normsq_micros"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_dow_profile",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, dow, CAST(n AS BIGINT) AS n_events,
+               CAST((1000000 * n) // SUM(n) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS share_ppm
+        FROM c
+    """,
+    doc="Day-of-week seasonality profile per event type: event counts and "
+    "each weekday's exact-ppm share of the type — the load/seasonality "
+    "fingerprint behind anomaly baselines and traffic-aware sampling. "
+    "Weekday portability: Spark's weekday() (Monday=0) + 1 equals "
+    "DuckDB's isodow (Monday=1); shares are integer DIV on exact counts. "
+    "Scale: one scan, map-side partial aggregation to |types| x 7 rows; "
+    "the share window runs over that tiny aggregate, never the stream.",
+    tags=("temporal", "agg"),
+)
+def q_event_dow_profile(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    c = e.groupBy(
+        "event_type",
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        "event_type",
+        "dow",
+        F.col("n").cast("bigint").alias("n_events"),
+        # integer DIV, never double division truncated (boundary-exact)
+        F.expr(
+            "CAST((1000000 * n) DIV SUM(n) OVER "
+            "(PARTITION BY event_type) AS BIGINT)"
+        ).alias("share_ppm"),
+    )

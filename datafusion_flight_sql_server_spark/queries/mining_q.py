@@ -1536,3 +1536,49 @@ def q_dedup_threshold_curve(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplication corpus report (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_dup_report",
+    oracle="""
+        WITH g AS (
+            SELECT md5(text) AS dg, COUNT(*) AS k, SUM(n_chars) AS chars
+            FROM documents GROUP BY md5(text)
+        )
+        SELECT CAST(k AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(k) AS BIGINT) AS n_docs,
+               CAST(SUM(chars - chars // k) AS BIGINT) AS redundant_chars
+        FROM g GROUP BY k
+    """,
+    doc="Exact-duplication corpus report: the cluster-size histogram over "
+    "content digests — how many duplicate groups of each size exist, how "
+    "many documents they hold, and how many characters a keep-one policy "
+    "would delete. The before/after accounting every dedup decision is "
+    "justified with (a corpus that is 40% size-2 clusters needs a "
+    "different pipeline than one with a single million-copy cluster). "
+    "redundant_chars is integer-exact: duplicates share identical text, "
+    "so each cluster's per-copy size is SUM(chars) DIV k with no "
+    "remainder. Scale: one 16-byte-digest shuffle (text never moves), "
+    "then a second aggregate over cluster sizes — O(distinct sizes) "
+    "output rows.",
+    tags=("dedup", "profiling"),
+)
+def q_doc_dup_report(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    g = d.groupBy(F.md5("text").alias("dg")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return g.groupBy(F.col("k").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("k").cast("bigint").alias("n_docs"),
+        F.expr("CAST(SUM(chars - chars DIV k) AS BIGINT)").alias(
+            "redundant_chars"
+        ),
+    )
