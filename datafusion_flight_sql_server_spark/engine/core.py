@@ -219,15 +219,47 @@ class Engine:
     def stream_result_bucket(
         staged: DataFrame, bucket: int, n_buckets: int, schema, batch_rows: int
     ):
-        """Yield re-chunked Arrow batches for one bucket of a staged result."""
+        """Yield re-chunked Arrow batches for one bucket of a staged result.
+
+        Bucket ``b`` IS partition set ``{p : p % n == b}`` of the staged
+        relation (no shuffle happens after the encode), so the bucket reads
+        exactly its own cached partitions via grouped ``runJob`` pulls —
+        no per-bucket full scan through a pid filter, and no
+        one-job-per-partition ``toLocalIterator`` latency (the round-6
+        serving profile measured ~100 ms of scheduling per partition job).
+        The pid-filter path remains as the fallback when the partition
+        count cannot be inspected (Spark Connect)."""
         from pyspark.sql import functions as F
 
-        rows = (
-            staged.filter(F.col("pid") % n_buckets == bucket)
-            .select("ipc")
-            .toLocalIterator(prefetchPartitions=True)
-        )
-        yield from _rechunk_ipc_rows(rows, schema, batch_rows)
+        try:
+            rdd = staged.select("ipc").rdd
+            n_parts = rdd.getNumPartitions()
+            sc = staged.sparkSession.sparkContext
+        except Exception:  # pragma: no cover - Connect fallback
+            rows = (
+                staged.filter(F.col("pid") % n_buckets == bucket)
+                .select("ipc")
+                .toLocalIterator(prefetchPartitions=True)
+            )
+            yield from _rechunk_ipc_rows(rows, schema, batch_rows)
+            return
+
+        mine = [p for p in range(n_parts) if p % n_buckets == bucket]
+
+        def _rows():
+            start, group = 0, 4  # cached blobs: no compute, start wider
+            while start < len(mine):
+                parts = mine[start : start + group]
+                rows = sc.runJob(rdd, list, parts)
+                yield from rows
+                start += len(parts)
+                nbytes = sum(len(r.ipc) for r in rows)
+                if nbytes < (32 << 20):
+                    group = min(group * 2, 64)
+                elif nbytes > (128 << 20):
+                    group = max(group // 2, 1)
+
+        yield from _rechunk_ipc_rows(_rows(), schema, batch_rows)
 
     @staticmethod
     def release_partitioned_result(staged: DataFrame) -> None:
