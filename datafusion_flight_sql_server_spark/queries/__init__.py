@@ -33,10 +33,10 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: green rows as regression insurance. Green on the prefix → every
 #: registered query driver-verified at least once.
 #: Round-6 state: tier 1 is EMPTY (r05 went 50/50 green, closing every
-#: open row); tier 2 = the 3 round-6 registrations + the 17 queries the
+#: open row); tier 2 = the 5 round-6 registrations + the 17 queries the
 #: round-6 perf/bugfix work rewrote (shared MinHash front end, trained-
 #: quantizer cache, top-k sentinel fix, q10 shuffled-hash rewrite,
-#: two-micro-batch streaming twins); tier 3 = the 30 rows whose only
+#: two-micro-batch streaming twins); tier 3 = the 28 rows whose only
 #: driver check is still round 1 (they were the r05 prefix's trimmed
 #: tail) — this prefix re-verifies everything touched in round 6 and
 #: retires the oldest standing rows.
@@ -45,6 +45,8 @@ _PRIORITY = (
     "doc_dup_report",
     "embed_norm_audit",
     "event_dow_profile",
+    "event_quantile_rollup",
+    "text_length_quantiles",
     # tier 2b: round-6 rewritten/affected queries
     "tpch_q10_returned_items",
     "dedup_minhash_eval",
@@ -64,7 +66,7 @@ _PRIORITY = (
     "stream_sessionize_batch",
     "stream_tumbling_batch",
     # tier 3: the 28 rows never re-checked since round 1 (the r05
-    # prefix's trimmed tail) + the two oldest scan rows
+    # prefix's trimmed tail)
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
@@ -93,8 +95,6 @@ _PRIORITY = (
     "set_union_distinct",
     "set_intersect",
     "set_except",
-    "scan_csv",
-    "scan_json",
 )
 
 

@@ -1006,3 +1006,133 @@ def q_event_dow_profile(spark: SparkSession, sf: str) -> DataFrame:
             "(PARTITION BY event_type) AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile rollup via fixed-bin histogram sketches (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_quantile_rollup",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR(value * 10) AS BIGINT) AS bin
+            FROM events WHERE value IS NOT NULL
+        ),
+        daily AS (SELECT day, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        merged AS (SELECT bin, SUM(c) AS c FROM daily GROUP BY bin),
+        cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum,
+                       SUM(c) OVER () AS total
+                FROM merged),
+        q AS (SELECT UNNEST([50, 90, 99]) AS q_pct)
+        SELECT CAST(q.q_pct AS BIGINT) AS q_pct,
+               CAST(MIN(cum.bin) AS BIGINT) AS q_bin
+        FROM q JOIN cum ON 100 * cum.cum >= q.q_pct * cum.total
+        GROUP BY q.q_pct
+    """,
+    doc="Mergeable quantile rollup — the percentile leg of the sketch "
+    "family (agg_hll_rollup merges distinct-count sketches, "
+    "agg_topk_sketch heavy-hitter summaries; this merges VALUE-HISTOGRAM "
+    "sketches): each day stores fixed-bin counts (bin = floor(value*10), "
+    "IEEE-exact both engines), coarser grains merge by pure addition, "
+    "and any quantile reads off the merged cumulative counts — the "
+    "continuous-aggregate pattern where p50/p90/p99 over a quarter comes "
+    "from KB-sized daily sketches, never a raw re-scan. Bin-level "
+    "quantiles are EXACT (the histogram loses only intra-bin order, and "
+    "the k-th element's bin is rank-determined), so the result "
+    "hash-matches the oracle's rank computation with no error-bound "
+    "contract needed. Scale: one event scan -> per-(day,bin) partial "
+    "aggregation; every later grain is an O(bins) aggregate; the "
+    "quantile extraction windows over the tiny merged histogram.",
+    tags=("temporal", "sketch", "agg"),
+)
+def q_event_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"].filter(F.col("value").isNotNull())
+    daily = (
+        e.select(
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 10).cast("bigint").alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = daily.groupBy("bin").agg(F.sum("c").alias("c"))
+    cum = merged.select(
+        "bin",
+        F.sum("c").over(W.orderBy("bin")).alias("cum"),
+        F.sum("c").over(W.partitionBy()).alias("total"),
+    )
+    spine = (
+        tables(spark, sf)["events"]
+        .sparkSession.createDataFrame([(50,), (90,), (99,)], "q_pct BIGINT")
+    )
+    return (
+        cum.join(
+            F.broadcast(spine),
+            100 * F.col("cum") >= F.col("q_pct") * F.col("total"),
+        )
+        .groupBy("q_pct")
+        .agg(F.min("bin").cast("bigint").alias("q_bin"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language document-length quantiles (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_length_quantiles",
+    oracle="""
+        WITH b AS (
+            SELECT lang, CAST(n_chars // 100 AS BIGINT) AS bin
+            FROM documents
+        ),
+        h AS (SELECT lang, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        cum AS (SELECT lang, bin,
+                       SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                       SUM(c) OVER (PARTITION BY lang) AS total
+                FROM h),
+        q AS (SELECT UNNEST([25, 50, 75, 95]) AS q_pct)
+        SELECT cum.lang, CAST(q.q_pct AS BIGINT) AS q_pct,
+               CAST(MIN(cum.bin) * 100 AS BIGINT) AS q_chars_floor
+        FROM q JOIN cum ON 100 * cum.cum >= q.q_pct * cum.total
+        GROUP BY cum.lang, q.q_pct
+    """,
+    doc="Per-language document-length quantile profile (p25/p50/p75/p95 "
+    "floored to 100-char bins) — the GROUPED form of the mergeable "
+    "histogram-sketch quantile (event_quantile_rollup is the rollup "
+    "form): corpus curation reads length cutoffs per language from "
+    "per-shard histograms that merge by addition, instead of sorting "
+    "the corpus per language. Bin-level quantiles are exact by rank, "
+    "integer end to end. Scale: one scan, per-(lang,bin) partial "
+    "aggregation, windows over the tiny per-language histograms.",
+    tags=("text", "sketch", "sampling"),
+)
+def q_text_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    h = (
+        d.select("lang", F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wl = W.partitionBy("lang")
+    cum = h.select(
+        "lang",
+        "bin",
+        F.sum("c").over(wl.orderBy("bin")).alias("cum"),
+        F.sum("c").over(wl).alias("total"),
+    )
+    spine = d.sparkSession.createDataFrame(
+        [(25,), (50,), (75,), (95,)], "q_pct BIGINT"
+    )
+    return (
+        cum.join(
+            F.broadcast(spine),
+            100 * F.col("cum") >= F.col("q_pct") * F.col("total"),
+        )
+        .groupBy("lang", "q_pct")
+        .agg((F.min("bin") * 100).cast("bigint").alias("q_chars_floor"))
+    )
