@@ -82,6 +82,13 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Vectorized parquet reader batch: 4096-row default leaves per-batch
+        # overhead dominating narrow scans — 16384 measured the bare
+        # 38M-row lineitem scan 1.01 -> 0.64 s at the 64x replicas
+        # (round 6). Memory cost is per-column x batch, safe for
+        # reasonable widths; deployments scanning 1000-column tables
+        # should lower it back.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
