@@ -33,7 +33,7 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: green rows as regression insurance. Green on the prefix → every
 #: registered query driver-verified at least once.
 #: Round-6 state: tier 1 is EMPTY (r05 went 50/50 green, closing every
-#: open row); tier 2 = the 5 round-6 registrations + the 17 queries the
+#: open row); tier 2 = the 6 round-6 registrations + the 17 queries the
 #: round-6 perf/bugfix work rewrote (shared MinHash front end, trained-
 #: quantizer cache, top-k sentinel fix, q10 shuffled-hash rewrite,
 #: two-micro-batch streaming twins); tier 3 = the 28 rows whose only
@@ -47,6 +47,7 @@ _PRIORITY = (
     "event_dow_profile",
     "event_quantile_rollup",
     "text_length_quantiles",
+    "doc_dsir_select",
     # tier 2b: round-6 rewritten/affected queries
     "tpch_q10_returned_items",
     "dedup_minhash_eval",
@@ -94,7 +95,6 @@ _PRIORITY = (
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
-    "set_except",
 )
 
 

@@ -1532,3 +1532,133 @@ def q_text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
             ",",
         ).alias("top_postings")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_dsir_select",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ),
+        vocab AS (
+            SELECT w,
+                   CAST(COUNT(*) AS BIGINT) AS c_all,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_tgt
+            FROM tok GROUP BY w
+        ),
+        tot AS (
+            SELECT CAST(SUM(c_all) AS BIGINT) AS n_all,
+                   CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM vocab
+        ),
+        scored_w AS (
+            SELECT vocab.w,
+                   CAST((1000000 * (c_tgt + 1)) // (n_tgt + v) AS BIGINT)
+                   - CAST((1000000 * (c_all + 1)) // (n_all + v) AS BIGINT)
+                       AS diff_ppm
+            FROM vocab CROSS JOIN tot
+        ),
+        per_doc AS (
+            SELECT t.doc_id,
+                   CAST(SUM(s.diff_ppm) AS BIGINT) AS sum_diff,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM tok t JOIN scored_w s ON t.w = s.w
+            GROUP BY t.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN sum_diff >= 0 THEN sum_diff // n_tok
+                        ELSE -((-sum_diff) // n_tok) END AS BIGINT)
+                       AS dsir_ppm,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CASE WHEN sum_diff >= 0 THEN sum_diff // n_tok
+                                ELSE -((-sum_diff) // n_tok) END DESC, doc_id
+                   ) AS rank
+            FROM per_doc
+        )
+        SELECT doc_id, dsir_ppm, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 100
+    """,
+    doc="DSIR-style importance selection (Xie et al., arXiv:2302.03169, "
+    "linearized): score every document by the mean per-token probability "
+    "GAP between a target-domain unigram LM (here: the lang='en' slice) "
+    "and the raw-corpus LM, both add-one smoothed over the joint "
+    "vocabulary, and keep the top-100 — the data-selection primitive "
+    "that up-weights documents that look like the target domain. All "
+    "arithmetic is exact integer ppm (per-word smoothed probabilities "
+    "floor to ppm, the per-doc mean is a truncated-toward-zero integer "
+    "division on both engines), so the selected set is bit-reproducible "
+    "and auditable — the property a 100 TB curation decision needs. "
+    "Scale: ONE token explode feeds both LM aggregates and the scoring "
+    "join (the vocabulary table is corpus-vocab-sized, AQE broadcasts "
+    "real-text vocabularies); per-doc means partial-aggregate map-side; "
+    "top-100 is TakeOrdered, no global sort.",
+    tags=("sampling", "text", "pipeline"),
+)
+def q_doc_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("w"),
+    )
+    vocab = tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_tgt"),
+    )
+    tot = vocab.agg(
+        F.sum("c_all").cast("bigint").alias("n_all"),
+        F.sum("c_tgt").cast("bigint").alias("n_tgt"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    scored_w = vocab.join(F.broadcast(tot)).select(
+        "w",
+        (
+            F.expr("CAST((1000000 * (c_tgt + 1)) DIV (n_tgt + v) AS BIGINT)")
+            - F.expr("CAST((1000000 * (c_all + 1)) DIV (n_all + v) AS BIGINT)")
+        ).alias("diff_ppm"),
+    )
+    per_doc = (
+        tok.select("doc_id", "w")
+        .join(scored_w, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("diff_ppm").cast("bigint").alias("sum_diff"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+        )
+    )
+    # truncate-toward-zero mean: Spark's DIV and DuckDB's // both floor,
+    # which disagree on negatives — normalize via the sign-split form
+    mean = F.expr(
+        "CAST(CASE WHEN sum_diff >= 0 THEN sum_diff DIV n_tok "
+        "ELSE -((-sum_diff) DIV n_tok) END AS BIGINT)"
+    )
+    top = (
+        per_doc.select("doc_id", mean.alias("dsir_ppm"))
+        .orderBy(F.desc("dsir_ppm"), "doc_id")
+        .limit(100)
+    )
+    from pyspark.sql import Window as W
+
+    return top.select(
+        "doc_id",
+        "dsir_ppm",
+        F.row_number()
+        .over(W.orderBy(F.desc("dsir_ppm"), "doc_id"))
+        .cast("bigint")
+        .alias("rank"),
+    )
