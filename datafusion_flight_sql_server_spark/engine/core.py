@@ -115,17 +115,24 @@ class Engine:
         the cost of the query itself on a small result (round-6 serving
         profile; the whole prepared-statement round trip was 3.2 s). Groups
         start at 1 partition (low first-byte latency) and double while the
-        pulled bytes stay small, shrink when they get big — so job count is
-        O(log n) on small results while peak driver memory stays one
-        bounded group of IPC blobs (the H1 contract) on huge ones.
+        pulled bytes stay small — so job count is O(log n) on small results.
+        Growth is bounded by OBSERVED partition sizes: the next group never
+        exceeds what the largest partition seen so far would fit in the
+        128 MB byte budget, so a skewed miss is one doubling step past the
+        last in-budget pull, not an unbounded jump (the H1 contract holds
+        up to that 2x overshoot — vs one whole partition for
+        ``toLocalIterator``).
 
-        Falls back to the row-at-a-time path only if the plan's types cannot
-        pass Spark's Arrow conversion. The try scope covers the FIRST pull
-        as well as ``mapInArrow`` analysis: under lazy analysis (Spark
-        Connect) or a runtime Arrow-conversion failure the error surfaces on
-        the first fetch, not at plan build — falling back is only safe
-        before any batch has been yielded, so a failure after the first
-        successful pull propagates instead.
+        Spark Connect has no RDD API, so it streams the same executor-encoded
+        IPC blobs through ``toLocalIterator`` (one job per partition — the
+        latency optimization is classic-mode only, the Arrow path is not).
+        The row-at-a-time fallback is reserved for plans whose types cannot
+        pass Spark's Arrow conversion at all. Each path probes through empty
+        partitions to the FIRST NON-EMPTY pull inside its try scope: a
+        runtime Arrow-conversion failure only surfaces when a batch is
+        actually converted, and falling back is only safe before any batch
+        has been yielded — a failure after the first successful pull
+        propagates instead.
         """
         from datafusion_flight_sql_server_spark.plans.schema import (
             arrow_schema_for_df,
@@ -135,34 +142,68 @@ class Engine:
 
         try:
             ipc_df = df.mapInArrow(_make_ipc_encoder(), "ipc binary")
+        except Exception:
+            yield from self._execute_stream_rows(df, batch_rows, schema)
+            return
+
+        try:
             rdd = ipc_df.rdd
             n_parts = rdd.getNumPartitions()
             sc = df.sparkSession.sparkContext
-            first = (
-                sc.runJob(rdd, list, [0]) if n_parts > 0 else []
-            )
+        except Exception:
+            # Spark Connect: no RDD access. Arrow IPC blobs still stream
+            # through toLocalIterator (Connect supports mapInArrow +
+            # toLocalIterator), keeping DoGet at batch-decode speed; only
+            # an Arrow-conversion failure drops to the row path.
+            try:
+                it = ipc_df.toLocalIterator(prefetchPartitions=True)
+                head = next(it, None)  # reads through empty partitions
+            except Exception:
+                yield from self._execute_stream_rows(df, batch_rows, schema)
+                return
+            rows = iter(()) if head is None else _chain_row(head, it)
+            yield from _rechunk_ipc_rows(rows, schema, batch_rows)
+            return
+
+        # Probe to the first non-empty pull inside the try: empty partitions
+        # convert nothing, so only a pull that returns rows proves the
+        # Arrow path works. Probe groups stay small (<=8) — they are sized
+        # blind, before any byte observation exists.
+        probe: list = []
+        probed = 0
+        try:
+            group = 1
+            while probed < n_parts and not probe:
+                parts = list(range(probed, min(probed + group, n_parts)))
+                probe.extend(sc.runJob(rdd, list, parts))
+                probed += len(parts)
+                group = min(group * 2, 8)
         except Exception:
             yield from self._execute_stream_rows(df, batch_rows, schema)
             return
 
         def _rows():
-            yield from first
-            # a tiny first partition means a tiny result: take the rest in
-            # one job instead of doubling through six (partition sizes are
-            # near-uniform after a shuffle, and even a 64-partition skewed
-            # miss is bounded at 64 x 1 MB of blobs)
-            first_bytes = sum(len(r.ipc) for r in first)
-            start = 1
-            group = 64 if first_bytes < (1 << 20) else 2
+            yield from probe
+            budget = 128 << 20
+            max_part = max(
+                [len(r.ipc) for r in probe] or [1 << 20]
+            )
+            start, group = probed, 2
             while start < n_parts:
+                # cap the pull so group x largest-seen-partition fits the
+                # budget; a first-of-its-size skewed partition can overshoot
+                # by at most one doubling step
+                group = max(1, min(group, budget // max(max_part, 1), 64))
                 parts = list(range(start, min(start + group, n_parts)))
                 rows = sc.runJob(rdd, list, parts)
                 yield from rows
                 start += len(parts)
                 nbytes = sum(len(r.ipc) for r in rows)
+                if rows:
+                    max_part = max(max_part, max(len(r.ipc) for r in rows))
                 if nbytes < (32 << 20):
                     group = min(group * 2, 64)
-                elif nbytes > (128 << 20):
+                elif nbytes > budget:
                     group = max(group // 2, 1)
 
         yield from _rechunk_ipc_rows(_rows(), schema, batch_rows)
@@ -194,7 +235,8 @@ class Engine:
         recomputing a partition. At 1000-executor scale this is the lever
         that stops one driver-side ``toLocalIterator`` from being the
         result-transfer bottleneck: each bucket streams through its own
-        gRPC call, driver memory stays one partition per concurrent stream.
+        gRPC call, driver memory stays one byte-budgeted group of cached
+        partitions per concurrent stream.
 
         LOOPBACK caveat: if the *same* Spark application both serves the
         result and scans it back (the in-process federation pattern), keep
@@ -247,16 +289,26 @@ class Engine:
         mine = [p for p in range(n_parts) if p % n_buckets == bucket]
 
         def _rows():
+            # Same observed-size cap as execute_stream: with result_endpoints
+            # buckets streaming concurrently, peak driver memory is
+            # N_buckets x one bounded group — so each group is held to the
+            # byte budget via the largest partition seen, not a blind
+            # partition count.
+            budget = 128 << 20
+            max_part = 1 << 20
             start, group = 0, 4  # cached blobs: no compute, start wider
             while start < len(mine):
+                group = max(1, min(group, budget // max_part, 64))
                 parts = mine[start : start + group]
                 rows = sc.runJob(rdd, list, parts)
                 yield from rows
                 start += len(parts)
                 nbytes = sum(len(r.ipc) for r in rows)
+                if rows:
+                    max_part = max(max_part, max(len(r.ipc) for r in rows))
                 if nbytes < (32 << 20):
                     group = min(group * 2, 64)
-                elif nbytes > (128 << 20):
+                elif nbytes > budget:
                     group = max(group // 2, 1)
 
         yield from _rechunk_ipc_rows(_rows(), schema, batch_rows)
@@ -437,6 +489,12 @@ def _sql_like(value: str, pattern: str) -> bool:
         else:
             out.append(re.escape(ch))
     return re.fullmatch("".join(out), value) is not None
+
+
+def _chain_row(head, rest):
+    """Re-attach the probed first row to the remaining iterator."""
+    yield head
+    yield from rest
 
 
 def _make_ipc_encoder():

@@ -1505,20 +1505,32 @@ def _path_within_roots(uri: str, roots: tuple[str, ...]) -> bool:
     """Prefix-allowlist check for a local_files uri.
 
     ``..`` segments reject outright (prefix matching can't see through
-    them); a ``file:`` scheme is stripped so file:///x and /x match the
-    same root; other schemes (s3://...) compare the full uri, letting
-    operators allow object-store prefixes explicitly.
+    them); a ``file:`` scheme is stripped — all three URI spellings
+    (``file:/x``, ``file:///x``, ``file://host/x``; Hadoop's
+    ``Path.toString`` emits the single-slash form) normalize to ``/x`` so
+    they match the same root; other schemes (s3://...) compare the full
+    uri, letting operators allow object-store prefixes explicitly. A
+    configured root of ``/`` allows any absolute local path (explicit
+    opt-in to the whole filesystem); an empty-string root stays inert so
+    the empty-tuple deny-all default can't be weakened by accident.
     """
     if ".." in uri:
         return False
     p = uri
-    if p.startswith("file://"):
-        p = p[len("file://") :]
-        if not p.startswith("/"):  # authority component: file://host/x
-            p = "/" + p.split("/", 1)[1] if "/" in p else ""
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+        if p.startswith("//"):
+            p = p[2:]
+            if not p.startswith("/"):  # authority component: file://host/x
+                p = "/" + p.split("/", 1)[1] if "/" in p else ""
+        # file:/x already reads as /x
     for root in roots:
         r = root.rstrip("/")
-        if r and (p == r or p.startswith(r + "/")):
+        if not r:
+            if root and p.startswith("/"):  # root "/": any absolute path
+                return True
+            continue
+        if p == r or p.startswith(r + "/"):
             return True
     return False
 

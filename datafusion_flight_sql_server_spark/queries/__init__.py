@@ -36,10 +36,13 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: open row); tier 2 = the 6 round-6 registrations + the 17 queries the
 #: round-6 perf/bugfix work rewrote (shared MinHash front end, trained-
 #: quantizer cache, top-k sentinel fix, q10 shuffled-hash rewrite,
-#: two-micro-batch streaming twins); tier 3 = the 28 rows whose only
-#: driver check is still round 1 (they were the r05 prefix's trimmed
+#: two-micro-batch streaming twins; embed_ivf_recall is the one cache
+#: consumer left to the local oracle suite — the cache change is already
+#: double-covered by sim_topk_ivf + embed_cluster_quality, and dropping
+#: it makes room for the last round-1-only row); tier 3 = all 28 rows
+#: whose only driver check is still round 1 (the r05 prefix's trimmed
 #: tail) — this prefix re-verifies everything touched in round 6 and
-#: retires the oldest standing rows.
+#: retires every round-1-only row.
 _PRIORITY = (
     # tier 2a: round-6 registrations
     "doc_dup_report",
@@ -58,7 +61,6 @@ _PRIORITY = (
     "dedup_near_clusters",
     "graph_components_star",
     "sim_topk_ivf",
-    "embed_ivf_recall",
     "embed_cluster_quality",
     "dedup_semantic",
     "embed_coreset_sample",
@@ -68,6 +70,7 @@ _PRIORITY = (
     "stream_tumbling_batch",
     # tier 3: the 28 rows never re-checked since round 1 (the r05
     # prefix's trimmed tail)
+    "set_except",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",

@@ -1599,10 +1599,14 @@ def q_text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     "floor to ppm, the per-doc mean is a truncated-toward-zero integer "
     "division on both engines), so the selected set is bit-reproducible "
     "and auditable — the property a 100 TB curation decision needs. "
-    "Scale: ONE token explode feeds both LM aggregates and the scoring "
-    "join (the vocabulary table is corpus-vocab-sized, AQE broadcasts "
-    "real-text vocabularies); per-doc means partial-aggregate map-side; "
-    "top-100 is TakeOrdered, no global sort.",
+    "Scale: both the LM aggregates and the scoring join consume ONE "
+    "(doc_id, w) -> count pre-aggregate, so its exchange is planned as a "
+    "ReusedExchange and the corpus tokenizes exactly once (plan-pinned in "
+    "tests/test_plan_shapes.py); the scoring join probes per-(doc, word) "
+    "rows, not per-token (the vocabulary side is corpus-vocab-sized, AQE "
+    "broadcasts real-text vocabularies); per-doc sums weight by the "
+    "count and partial-aggregate map-side; top-100 is TakeOrdered, no "
+    "global sort.",
     tags=("sampling", "text", "pipeline"),
 )
 def q_doc_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
@@ -1614,9 +1618,18 @@ def q_doc_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("filter(split(lower(text), ' '), x -> x != '')")
         ).alias("w"),
     )
-    vocab = tok.groupBy("w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_all"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    # Single tokenization pass: both the vocabulary LM and the scoring join
+    # consume this (doc_id, w) -> count pre-aggregate. The two lineages
+    # share an IDENTICAL Exchange(hash(doc_id, lang, w)) subtree, which
+    # Catalyst plans as one Exchange + a ReusedExchange — without this
+    # common shuffle the broadcast-join probe side has no exchange in
+    # common with the vocab branch and the corpus would tokenize twice.
+    doc_w = tok.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    vocab = doc_w.groupBy("w").agg(
+        F.sum("cnt").cast("bigint").alias("c_all"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("c_tgt"),
     )
@@ -1633,12 +1646,14 @@ def q_doc_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("diff_ppm"),
     )
     per_doc = (
-        tok.select("doc_id", "w")
+        doc_w.select("doc_id", "w", "cnt")
         .join(scored_w, "w")
         .groupBy("doc_id")
         .agg(
-            F.sum("diff_ppm").cast("bigint").alias("sum_diff"),
-            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(F.col("diff_ppm") * F.col("cnt"))
+            .cast("bigint")
+            .alias("sum_diff"),
+            F.sum("cnt").cast("bigint").alias("n_tok"),
         )
     )
     # truncate-toward-zero mean: Spark's DIV and DuckDB's // both floor,

@@ -341,6 +341,19 @@ class TestAdaptiveBroadcast:
         assert "isFinalPlan=true" in final
         assert "BroadcastHashJoin" in final
 
+    def test_doc_dsir_select_tokenizes_once(self, spark):
+        """Both DSIR branches (vocabulary LM and scoring join) consume one
+        (doc_id, lang, w) pre-aggregate, so the executed plan reuses its
+        exchange instead of running the corpus explode per branch — at
+        100 TB a second tokenization pass is a full extra corpus scan."""
+        df = REGISTRY["doc_dsir_select"].fn(spark, SF_SMALL)
+        df.collect()  # materialize so AQE finalizes the plan
+        final = df._jdf.queryExecution().executedPlan().toString()
+        final_section = final.split("== Initial Plan ==")[0]
+        assert "ReusedExchange" in final_section
+        # exactly one explode survives in the final plan
+        assert final_section.count("Generate explode") == 1
+
 
 class TestMiningPlanShapes:
     def test_graph_triangles_equi_joins_only(self, spark):

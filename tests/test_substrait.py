@@ -3003,6 +3003,21 @@ class TestLocalFiles:
         assert "FROM parquet." in substrait_to_sql(
             scheme, local_files_roots=(_SF_SMALL,)
         )
+        # Hadoop Path.toString emits the single-slash file:/x form — it
+        # must resolve against the same roots (r6 review fix)
+        single = plan_bytes(
+            local_files_read(["r_regionkey"], [f"file:{REGION_PARQUET}"])
+        )
+        assert "FROM parquet." in substrait_to_sql(
+            single, local_files_roots=(_SF_SMALL,)
+        )
+        # a configured root of "/" is the explicit allow-all opt-in, not a
+        # silent deny (r6 review fix); an empty-string root stays inert
+        assert "FROM parquet." in substrait_to_sql(
+            r, local_files_roots=("/",)
+        )
+        with pytest.raises(SubstraitUnsupported, match="allowlist"):
+            substrait_to_sql(r, local_files_roots=("",))
 
     def test_server_denies_local_files_by_default(self, substrait_server):
         ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
