@@ -71,15 +71,23 @@ with everything else rejected by a descriptive ``SubstraitUnsupported``
   row_number/rank/dense_rank/percent_rank/cume_dist/ntile/lead/lag/
   first_value/last_value/nth_value and windowed sum/min/max/avg/count,
   with PARTITION BY / ORDER BY / ROWS|RANGE frames;
-- uncorrelated subquery expressions (round 5): scalar subqueries,
-  ``IN`` predicates, and ``EXISTS`` set predicates; correlated plans are
-  rejected at the outer-reference site.
+- subquery expressions (round 5): scalar subqueries, ``IN`` predicates,
+  and ``EXISTS`` set predicates, uncorrelated AND correlated — outer
+  references (steps_out=k) render as alias-qualified columns of the k-th
+  enclosing query; round 6 late threads the correlation chain through
+  EVERY relation scope (join/cross/set/window inputs, join conditions
+  and post-join filters, ReadRel filters, measure FILTER clauses), so a
+  correlated subquery whose body is a join/set/window also consumes
+  (Spark 4 decorrelates all of these — verified empirically). The one
+  residual: a subquery nested inside a join condition cannot correlate
+  against the join's own concatenated schema (steps_out=1 there keeps
+  the named rejection — no stable alias exists for that scope).
 
 That covers the filtered-scan class ADBC/JDBC-over-Substrait front-ends
 emit for probes, previews and predicate-pushdown scans, plus the
 join/set/computed-projection/window class query builders and
-DataFusion-federation clients emit; GROUPING SETS, correlated subqueries
-and DML are rejected with a message naming the unsupported construct.
+DataFusion-federation clients emit; DML and the remaining named
+residuals are rejected with a message naming the unsupported construct.
 Field numbers below come from the public ``substrait/plan.proto`` /
 ``algebra.proto`` / ``extensions.proto``.
 """
@@ -1593,7 +1601,9 @@ def _local_files_state(lf: bytes, cols: list[str]) -> "_State":
     return _subquery_state(" UNION ALL ".join(selects), cols, "lf")
 
 
-def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
+def _read_rel(
+    read: bytes, funcs: dict[int, str], outer: tuple = ()
+) -> _State:
     """ReadRel → initial state (FROM clause, base columns, read filters)."""
     f = _fields(read)
     mask_indexes: list[int] | None = None
@@ -1635,7 +1645,7 @@ def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
         for num in (3, 11):
             cond = _one(f, num)
             if cond is not None:
-                state.where.append(_expr_to_sql(cond, cols, funcs))
+                state.where.append(_expr_to_sql(cond, cols, funcs, outer=outer))
         return _apply_read_mask(state, mask_indexes)
 
     vt = _one(f, 5)
@@ -1673,7 +1683,7 @@ def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
         for num in (3, 11):
             cond = _one(f, num)
             if cond is not None:
-                state.where.append(_expr_to_sql(cond, cols, funcs))
+                state.where.append(_expr_to_sql(cond, cols, funcs, outer=outer))
         return _apply_read_mask(state, mask_indexes)
 
     named = _one(f, 7)
@@ -1693,7 +1703,7 @@ def _read_rel(read: bytes, funcs: dict[int, str]) -> _State:
     for num in (3, 11):
         cond = _one(f, num)
         if cond is not None:
-            state.where.append(_expr_to_sql(cond, cols, funcs))
+            state.where.append(_expr_to_sql(cond, cols, funcs, outer=outer))
     return _apply_read_mask(state, mask_indexes)
 
 
@@ -1975,9 +1985,8 @@ def _aggregate_rel(
                 )
         flt = _one(mf, 2)  # Measure.filter: over the aggregate's INPUT
         if flt is not None:
-            rendered_fn += (
-                f" FILTER (WHERE {_expr_to_sql(flt, state.cols, funcs)})"
-            )
+            flt_sql = _expr_to_sql(flt, state.cols, funcs, outer=outer)
+            rendered_fn += f" FILTER (WHERE {flt_sql})"
         measures.append((rendered_fn, f"{name}_{i}"))
 
     if not group_cols and not measures:
@@ -2062,7 +2071,9 @@ _JOIN_TYPES = {
 }
 
 
-def _join_rel(body: bytes, funcs: dict[int, str]) -> _State:
+def _join_rel(
+    body: bytes, funcs: dict[int, str], outer: tuple = ()
+) -> _State:
     """JoinRel → derived-table state.
 
     algebra.proto field numbers: common=1, left=2, right=3, expression=4,
@@ -2085,8 +2096,8 @@ def _join_rel(body: bytes, funcs: dict[int, str]) -> _State:
             f"(inner/outer/left/right/left-semi/left-anti)"
         )
     clause, left_only = join_sql
-    ls = _interpret_rel(left, funcs)
-    rs = _interpret_rel(right, funcs)
+    ls = _interpret_rel(left, funcs, outer)
+    rs = _interpret_rel(right, funcs, outer)
     if not ls.cols or not rs.cols:
         raise SubstraitUnsupported(
             "Substrait consumer: JoinRel inputs must declare a read schema"
@@ -2101,7 +2112,7 @@ def _join_rel(body: bytes, funcs: dict[int, str]) -> _State:
             "Substrait consumer: JoinRel without a join expression is not "
             "supported"
         )
-    cond_sql = _expr_to_sql(cond, qualified, funcs, rendered=True)
+    cond_sql = _expr_to_sql(cond, qualified, funcs, rendered=True, outer=outer)
 
     out_exprs = qualified[: len(ls.cols)] if left_only else list(qualified)
     out_names = list(ls.cols) if left_only else list(ls.cols) + list(rs.cols)
@@ -2131,18 +2142,23 @@ def _join_rel(body: bytes, funcs: dict[int, str]) -> _State:
                 "Substrait consumer: post_join_filter on a semi/anti join "
                 "is not supported (the right columns are not emitted)"
             )
-        sql += f" WHERE {_expr_to_sql(post, qualified, funcs, rendered=True)}"
+        sql += (
+            f" WHERE "
+            f"{_expr_to_sql(post, qualified, funcs, rendered=True, outer=outer)}"
+        )
     return _subquery_state(sql, out_names, "j")
 
 
-def _cross_rel(body: bytes, funcs: dict[int, str]) -> _State:
+def _cross_rel(
+    body: bytes, funcs: dict[int, str], outer: tuple = ()
+) -> _State:
     """CrossRel (common=1, left=2, right=3) → derived-table state."""
     f = _fields(body)
     left, right = _one(f, 2), _one(f, 3)
     if left is None or right is None:
         raise SubstraitMalformed("CrossRel without both inputs")
-    ls = _interpret_rel(left, funcs)
-    rs = _interpret_rel(right, funcs)
+    ls = _interpret_rel(left, funcs, outer)
+    rs = _interpret_rel(right, funcs, outer)
     if not ls.cols or not rs.cols:
         raise SubstraitUnsupported(
             "Substrait consumer: CrossRel inputs must declare a read schema"
@@ -2198,7 +2214,9 @@ _SET_OPS = {
 _SET_PRESENCE = {2: "NOT EXISTS", 3: "EXISTS"}
 
 
-def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
+def _set_rel(
+    body: bytes, funcs: dict[int, str], outer: tuple = ()
+) -> _State:
     """SetRel (common=1, inputs=2 repeated, op=3) → derived-table state.
 
     Two inputs only: the multi-input forms of the primary/multiset ops
@@ -2223,7 +2241,7 @@ def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
         # the fold. Only the presence arms (2/3) stay 2-input: their
         # multi-input "present in the others" is an any/all ambiguity
         # the spec text does not settle.
-        states = [_interpret_rel(i, funcs) for i in inputs]
+        states = [_interpret_rel(i, funcs, outer) for i in inputs]
         widths = {len(s.cols) for s in states}
         if len(widths) != 1:
             raise SubstraitMalformed(
@@ -2248,8 +2266,8 @@ def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
             f"supported for this operation (presence set operations take "
             f"exactly 2; the union/minus/intersect arms fold multi-input)"
         )
-    ls = _interpret_rel(inputs[0], funcs)
-    rs = _interpret_rel(inputs[1], funcs)
+    ls = _interpret_rel(inputs[0], funcs, outer)
+    rs = _interpret_rel(inputs[1], funcs, outer)
     if len(ls.cols) != len(rs.cols):
         raise SubstraitMalformed(
             f"SetRel inputs have {len(ls.cols)} vs {len(rs.cols)} columns"
@@ -2292,7 +2310,9 @@ def _set_rel(body: bytes, funcs: dict[int, str]) -> _State:
     return state
 
 
-def _window_rel(body: bytes, funcs: dict[int, str]) -> _State:
+def _window_rel(
+    body: bytes, funcs: dict[int, str], outer: tuple = ()
+) -> _State:
     """ConsistentPartitionWindowRel → derived-table state.
 
     algebra.proto field numbers: common=1, input=2, window_functions=3,
@@ -2307,7 +2327,7 @@ def _window_rel(body: bytes, funcs: dict[int, str]) -> _State:
     inp = _one(f, 2)
     if inp is None:
         raise SubstraitMalformed("ConsistentPartitionWindowRel without input")
-    state = _interpret_rel(inp, funcs)
+    state = _interpret_rel(inp, funcs, outer)
     if (
         state.select_exprs is not None
         or state.order
@@ -2389,22 +2409,22 @@ def _interpret_rel(
     body = _one(f, arm)
 
     if kind == "read":
-        return _read_rel(body, funcs)
+        return _read_rel(body, funcs, outer)
 
     if kind == "aggregate":
         return _aggregate_rel(body, funcs, outer)
 
     if kind == "join":
-        return _join_rel(body, funcs)
+        return _join_rel(body, funcs, outer)
 
     if kind == "cross":
-        return _cross_rel(body, funcs)
+        return _cross_rel(body, funcs, outer)
 
     if kind == "set":
-        return _set_rel(body, funcs)
+        return _set_rel(body, funcs, outer)
 
     if kind == "window":
-        return _window_rel(body, funcs)
+        return _window_rel(body, funcs, outer)
 
     if kind == "project":
         pf = _fields(body)

@@ -2166,6 +2166,122 @@ class TestCorrelatedSubqueries:
             substrait_to_sql(p)
 
 
+class TestCorrelationThroughRelScopes:
+    """Round-6 late: the correlation chain threads through EVERY relation
+    scope — a correlated subquery whose body is a join/set/window, or
+    whose outer reference sits in a ReadRel filter or join condition,
+    consumes and executes (Spark 4 decorrelates all of these; verified
+    empirically before this landed). Parity target: DataFusion's native
+    consumer handles arbitrary outer-reference placement
+    (service.rs:1018-1029)."""
+
+    def _views(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'c') AS t(id,name)"
+        ).createOrReplaceTempView("users")
+        spark.sql(
+            "SELECT * FROM VALUES (10,1,5.0),(11,3,7.0) "
+            "AS t(order_id,user_id,amount)"
+        ).createOrReplaceTempView("orders")
+        spark.sql(
+            "SELECT * FROM VALUES (1,2.0),(2,3.0) AS t(uid,paid)"
+        ).createOrReplaceTempView("payments")
+
+    def test_outer_ref_in_join_condition_executes(self, spark):
+        # EXISTS (orders JOIN payments ON user_id = uid AND user_id = o.id)
+        payments = rel(1, read_rel(["payments"], ["uid", "paid"]))
+        cond = scalar_fn(3, [
+            scalar_fn(1, [field_ref(1), field_ref(3)]),
+            scalar_fn(1, [field_ref(1), outer_field_ref(0)]),
+        ])
+        body = rel(6, join_rel(ORDERS_FOR_SUB, payments, cond, 1))
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, exists_subquery(body))),
+            extensions=extension_function(1, "equal:any_any")
+            + extension_function(3, "and:bool"),
+        )
+        sql = substrait_to_sql(p)
+        self._views(spark)
+        got = sorted(r[0] for r in spark.sql(sql).collect())
+        assert got == [1]  # only user 1's order joins to a payment
+
+    def test_outer_ref_in_set_branches_executes(self, spark):
+        # EXISTS ((orders WHERE user_id = o.id) INTERSECT
+        #         (orders WHERE amount > 6.0)) — whole-row intersection
+        lb = rel(2, filter_rel(
+            ORDERS_FOR_SUB,
+            scalar_fn(1, [field_ref(1), outer_field_ref(0)]),
+        ))
+        rb = rel(2, filter_rel(
+            ORDERS_FOR_SUB,
+            scalar_fn(2, [field_ref(2), literal("fp64", 6.0)]),
+        ))
+        body = rel(8, set_rel([lb, rb], 4))  # INTERSECTION_MULTISET
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, exists_subquery(body))),
+            extensions=extension_function(1, "equal:any_any")
+            + extension_function(2, "gt:any_any"),
+        )
+        sql = substrait_to_sql(p)
+        self._views(spark)
+        got = sorted(r[0] for r in spark.sql(sql).collect())
+        assert got == [3]  # only user 3's order clears the amount bar
+
+    def test_outer_ref_in_read_filter_executes(self, spark):
+        # the shape DataFusion's optimizer emits after pushing a correlated
+        # predicate into the scan: ReadRel.filter = user_id = o.id
+        cond = scalar_fn(1, [field_ref(1), outer_field_ref(0)])
+        pushed = rel(1, read_rel(
+            ["orders"], ["order_id", "user_id", "amount"],
+            extra=_len_field(3, cond),
+        ))
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, exists_subquery(pushed))),
+            extensions=extension_function(1, "equal:any_any"),
+        )
+        sql = substrait_to_sql(p)
+        self._views(spark)
+        got = sorted(r[0] for r in spark.sql(sql).collect())
+        assert got == [1, 3]
+
+    def test_outer_ref_below_window_body_executes(self, spark):
+        # correlated filter feeding a window rel inside the subquery
+        filtered = rel(2, filter_rel(
+            ORDERS_FOR_SUB,
+            scalar_fn(1, [field_ref(1), outer_field_ref(0)]),
+        ))
+        body = rel(17, window_rel(
+            filtered, [window_rel_fn(2)], sorts=((0, 2),),
+        ))
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, exists_subquery(body))),
+            extensions=extension_function(1, "equal:any_any")
+            + extension_function(2, "row_number:"),
+        )
+        sql = substrait_to_sql(p)
+        self._views(spark)
+        got = sorted(r[0] for r in spark.sql(sql).collect())
+        assert got == [1, 3]
+
+    def test_subquery_in_join_condition_cannot_correlate_to_join(self):
+        # residual by design: a subquery nested INSIDE a join condition has
+        # no alias for the join's own concatenated schema — steps_out=1
+        # there keeps the named rejection instead of mis-resolving to the
+        # next enclosing query
+        nested = rel(2, filter_rel(
+            USERS_READ,
+            scalar_fn(1, [field_ref(0), outer_field_ref(0)]),
+        ))
+        cond = exists_subquery(nested)
+        body = rel(6, join_rel(ORDERS_FOR_SUB, USERS_READ, cond, 1))
+        p = plan_bytes(
+            rel(2, filter_rel(USERS_READ, exists_subquery(body))),
+            extensions=extension_function(1, "equal:any_any"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="no enclosing"):
+            substrait_to_sql(p)
+
+
 def virtual_table_read(col_names: list[str], rows: list[list[bytes]]) -> bytes:
     """ReadRel with VirtualTable values (Literal.Struct rows)."""
     body = _len_field(2, named_struct(col_names))
