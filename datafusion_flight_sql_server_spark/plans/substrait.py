@@ -1551,10 +1551,21 @@ def _local_files_state(lf: bytes, cols: list[str]) -> "_State":
     Spark SQL reads a concrete path as ``parquet.`uri``` / ``orc.`uri```;
     multiple items union by NAME against the declared base schema, so the
     plan's column order is authoritative regardless of per-file layouts.
-    Byte-range splits (partition_index/start/length) have no Spark SQL
-    equivalent and reject by name rather than silently reading whole files
-    twice.
+
+    Byte-range splits (start/length — the per-task file slices a
+    DISTRIBUTED producer emits, one FileOrFiles item per scan task): a
+    Spark table read has no partial-byte-range form, but when a file's
+    splits together tile the WHOLE file — contiguous from offset 0 to the
+    stat'd file size — they are exactly one whole-file read and consume
+    as such (relations are unordered, so per-split emission order does
+    not matter). Partial or overlapping coverage, and ranges on
+    non-local URIs (which cannot be stat-verified), keep the named
+    rejection rather than silently dropping or double-reading bytes.
+    ``partition_index`` is placement metadata with no relational effect
+    and is ignored.
     """
+    import os
+
     if not cols:
         raise SubstraitUnsupported(
             "Substrait consumer: local_files requires a declared base "
@@ -1563,15 +1574,12 @@ def _local_files_state(lf: bytes, cols: list[str]) -> "_State":
     items = _fields(lf).get(1, [])
     if not items:
         raise SubstraitMalformed("local_files with no items")
-    selects = []
+    selects: list[str] = []
+    #: uri → (fmt, [(start, length), ...]) for items carrying byte ranges
+    ranged: dict[str, tuple[str, list[tuple[int, int]]]] = {}
     proj = ", ".join(_quote(c) for c in cols)
     for _, item in items:
         itf = _fields(item)
-        if any(_varint_one(itf, n, 0) for n in (6, 7, 8)):
-            raise SubstraitUnsupported(
-                "Substrait consumer: local_files byte-range/partition "
-                "splits (partition_index/start/length) are not supported"
-            )
         fmt = next((v for n, v in _LOCAL_FILE_FORMATS.items() if n in itf), None)
         if fmt is None:
             present = [n for n in itf if n in (10, 12, 13, 14)]
@@ -1595,10 +1603,65 @@ def _local_files_state(lf: bytes, cols: list[str]) -> "_State":
                 f"the configured allowlist roots (server opt-in: "
                 f"FlightSqlServiceConfig.substrait_local_files_roots)"
             )
+        start = _varint_one(itf, 7, 0)
+        length = _varint_one(itf, 8, 0)
+        if start or length:
+            prev = ranged.setdefault(uri, (fmt, []))
+            if prev[0] != fmt:
+                raise SubstraitMalformed(
+                    f"local_files splits of {uri!r} declare differing formats"
+                )
+            prev[1].append((start, length))
+        else:
+            selects.append(f"SELECT {proj} FROM {fmt}.`{uri}`")
+    for uri, (fmt, ranges) in ranged.items():
+        path = _stat_local_path(uri)
+        size = (
+            os.path.getsize(path)
+            if path is not None and os.path.isfile(path)
+            else None
+        )
+        if size is None:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: local_files byte-range splits of "
+                f"{uri!r} cannot be verified as whole-file coverage (not a "
+                f"stat-able local file)"
+            )
+        ranges.sort()
+        pos = 0
+        for rstart, rlength in ranges:
+            if rstart != pos or rlength <= 0:
+                raise SubstraitUnsupported(
+                    f"Substrait consumer: local_files byte-range splits of "
+                    f"{uri!r} do not tile the whole file (gap/overlap at "
+                    f"offset {pos}); partial reads have no Spark SQL form"
+                )
+            pos = rstart + rlength
+        if pos != size:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: local_files byte-range splits of "
+                f"{uri!r} cover {pos} of {size} bytes; partial reads have "
+                f"no Spark SQL form"
+            )
         selects.append(f"SELECT {proj} FROM {fmt}.`{uri}`")
     if len(selects) == 1:
         return _subquery_state(selects[0], cols, "lf")
     return _subquery_state(" UNION ALL ".join(selects), cols, "lf")
+
+
+def _stat_local_path(uri: str) -> str | None:
+    """Filesystem path for a local uri (plain or any ``file:`` spelling),
+    or None for other schemes."""
+    if uri.startswith("file:"):
+        p = uri[len("file:") :]
+        if p.startswith("//"):
+            p = p[2:]
+            if not p.startswith("/"):  # authority component
+                p = "/" + p.split("/", 1)[1] if "/" in p else ""
+        return p or None
+    if "://" in uri:
+        return None
+    return uri
 
 
 def _read_rel(

@@ -3071,6 +3071,56 @@ class TestLocalFiles:
         with pytest.raises(SubstraitUnsupported, match="byte-range"):
             substrait_to_sql(plan_bytes(r))
 
+    def _split_items(self, uri: str, ranges: list[tuple[int, int]]) -> bytes:
+        items = b""
+        for start, length in ranges:
+            item = (
+                _string_field(3, uri)
+                + _len_field(9, b"")
+                + _varint_field(7, start)
+                + _varint_field(8, length)
+            )
+            items += _len_field(1, item)
+        return rel(1, _len_field(2, named_struct(["r_regionkey"]))
+                   + _len_field(6, items))
+
+    def test_whole_file_split_coverage_merges_and_executes(self, spark):
+        # a distributed producer's per-task splits tile the file exactly:
+        # they ARE one whole-file read (round-6 late; relations are
+        # unordered so per-split emission order is irrelevant)
+        import os
+
+        size = os.path.getsize(REGION_PARQUET)
+        cut = size // 2
+        r = self._split_items(
+            REGION_PARQUET, [(cut, size - cut), (0, cut)]  # out of order
+        )
+        sql = substrait_to_sql(plan_bytes(r))
+        assert f"FROM parquet.`{REGION_PARQUET}`" in sql
+        assert "UNION ALL" not in sql  # merged, not double-read
+        assert spark.sql(sql).count() == 5
+
+    def test_partial_split_coverage_rejected(self):
+        import os
+
+        size = os.path.getsize(REGION_PARQUET)
+        r = self._split_items(REGION_PARQUET, [(0, size - 1)])
+        with pytest.raises(SubstraitUnsupported, match="cover"):
+            substrait_to_sql(plan_bytes(r))
+
+    def test_overlapping_splits_rejected(self):
+        import os
+
+        size = os.path.getsize(REGION_PARQUET)
+        r = self._split_items(REGION_PARQUET, [(0, size), (0, size)])
+        with pytest.raises(SubstraitUnsupported, match="tile"):
+            substrait_to_sql(plan_bytes(r))
+
+    def test_ranged_remote_uri_rejected(self):
+        r = self._split_items("s3://bucket/x.parquet", [(0, 10)])
+        with pytest.raises(SubstraitUnsupported, match="stat-able"):
+            substrait_to_sql(plan_bytes(r))
+
     def test_unsupported_format_rejected(self):
         r = local_files_read(["r_regionkey"], [REGION_PARQUET], fmt_field=10)
         with pytest.raises(SubstraitUnsupported, match="format"):
