@@ -1669,38 +1669,45 @@ def _read_rel(
 ) -> _State:
     """ReadRel → initial state (FROM clause, base columns, read filters)."""
     f = _fields(read)
-    mask_indexes: list[int] | None = None
+    mask: tuple[list[tuple[int, object]], bool] | None = None
     if 4 in f:
         # ReadRel.projection (MaskExpression{select=1 StructSelect{
-        # struct_items=1 repeated StructItem{field=1, child=2}}}) — the
-        # column pruning DataFusion's producer pushes into the read.
-        # Flat items only; nested child selections reject by name.
-        sel = _one(_fields(_one(f, 4)), 1)
+        # struct_items=1 repeated StructItem{field=1, child=2 Select}},
+        # maintain_singular_struct=2}) — the column pruning DataFusion's
+        # producer pushes into the read. Flat items narrow the column
+        # list; nested struct selections (round-6 late) render
+        # NAMED_STRUCT sub-projections against the typed base schema.
+        mf = _fields(_one(f, 4))
+        sel = _one(mf, 1)
         if sel is None:
             raise SubstraitUnsupported(
                 "Substrait consumer: ReadRel mask projection without a "
                 "StructSelect is not supported"
             )
-        mask_indexes = []
-        for _, item in _fields(sel).get(1, []):
-            itf = _fields(item)
-            if _one(itf, 2) is not None:
-                raise SubstraitUnsupported(
-                    "Substrait consumer: nested ReadRel mask selections "
-                    "are not supported (flat column masks only)"
-                )
-            mask_indexes.append(_varint_one(itf, 1, 0))
-        if not mask_indexes:
-            raise SubstraitMalformed("ReadRel mask with no struct items")
+        items = _struct_select_items(sel)
+        mask = (items, bool(_varint_one(mf, 2, 0)))
     if 8 in f:
         raise SubstraitUnsupported(
             "Substrait consumer: ReadRel read type 'extension_table' is not "
             "supported (named_table, literal virtual_table, local_files)"
         )
     cols: list[str] = []
+    tree: "list[_SchemaNode] | None" = None
     base_schema = _one(f, 2)
     if base_schema is not None:
-        cols = _strings(_fields(base_schema), 1)  # NamedStruct.names
+        bs = _fields(base_schema)
+        names = _strings(bs, 1)  # NamedStruct.names (flat, depth-first)
+        st = _one(bs, 2)  # NamedStruct.struct (Type.Struct)
+        if st is not None:
+            # typed schema: names flatten depth-first over nested structs
+            # (type.proto NamedStruct contract), so the TOP-LEVEL columns
+            # are recovered by walking the type tree — without this, a
+            # schema containing a struct column would mis-index every
+            # field reference after it
+            tree = _schema_tree(names, st)
+            cols = [n.name for n in tree]
+        else:
+            cols = names
 
     lf = _one(f, 6)
     if lf is not None:
@@ -1709,7 +1716,7 @@ def _read_rel(
             cond = _one(f, num)
             if cond is not None:
                 state.where.append(_expr_to_sql(cond, cols, funcs, outer=outer))
-        return _apply_read_mask(state, mask_indexes)
+        return _apply_read_mask(state, mask, tree)
 
     vt = _one(f, 5)
     if vt is not None:
@@ -1747,7 +1754,7 @@ def _read_rel(
             cond = _one(f, num)
             if cond is not None:
                 state.where.append(_expr_to_sql(cond, cols, funcs, outer=outer))
-        return _apply_read_mask(state, mask_indexes)
+        return _apply_read_mask(state, mask, tree)
 
     named = _one(f, 7)
     if named is None:
@@ -1767,27 +1774,194 @@ def _read_rel(
         cond = _one(f, num)
         if cond is not None:
             state.where.append(_expr_to_sql(cond, cols, funcs, outer=outer))
-    return _apply_read_mask(state, mask_indexes)
+    return _apply_read_mask(state, mask, tree)
 
 
-def _apply_read_mask(state: _State, mask_indexes: list[int] | None) -> _State:
-    """Narrow the read's output to the mask's column subset (the WHERE
-    clauses keep referencing base-schema names, still in scope)."""
-    if mask_indexes is None:
+class _SchemaNode:
+    """One top-level or struct-nested field of a typed base schema."""
+
+    __slots__ = ("name", "children")
+
+    def __init__(self, name: str, children: "list[_SchemaNode] | None"):
+        self.name = name
+        self.children = children
+
+
+def _schema_tree(names: list[str], struct_bytes: bytes) -> list["_SchemaNode"]:
+    """NamedStruct (flat depth-first ``names`` + ``Type.Struct``) → the
+    top-level field nodes, with struct children attached recursively.
+
+    Structs nested inside list/map element types consume names too (the
+    spec flattens EVERY struct field), but carry no addressable column —
+    their names are consumed and discarded.
+    """
+    pos = 0
+
+    def take_name() -> str:
+        nonlocal pos
+        if pos >= len(names):
+            raise SubstraitMalformed(
+                f"NamedStruct declares fewer names ({len(names)}) than its "
+                f"struct has fields"
+            )
+        name = names[pos]
+        pos += 1
+        return name
+
+    def type_arm(ty: bytes) -> tuple[int, dict]:
+        tf = _fields(ty)
+        arms = [n for n in tf]
+        if len(arms) != 1:
+            raise SubstraitMalformed(
+                f"schema Type message with arms {sorted(arms)}"
+            )
+        return arms[0], tf
+
+    def consume_nameless(ty: bytes) -> None:
+        # structs under list/map elements: names consumed, not addressable
+        arm, tf = type_arm(ty)
+        if arm == 25:  # Type.struct
+            for _, child in _fields(_one(tf, 25)).get(1, []):
+                take_name()
+                consume_nameless(child)
+        elif arm == 27:  # Type.list{type=1}
+            elem = _one(_fields(_one(tf, 27)), 1)
+            if elem is not None:
+                consume_nameless(elem)
+        elif arm == 28:  # Type.map{key=1, value=2}
+            mf = _fields(_one(tf, 28))
+            for n in (1, 2):
+                part = _one(mf, n)
+                if part is not None:
+                    consume_nameless(part)
+
+    def build(st: bytes) -> list[_SchemaNode]:
+        nodes: list[_SchemaNode] = []
+        for _, ty in _fields(st).get(1, []):  # Type.Struct.types
+            name = take_name()
+            arm, tf = type_arm(ty)
+            children: list[_SchemaNode] | None = None
+            if arm == 25:
+                children = build(_one(tf, 25))
+            elif arm in (27, 28):
+                # structs nested in the container consume names too
+                consume_nameless(ty)
+            nodes.append(_SchemaNode(name, children))
+        return nodes
+
+    tree = build(struct_bytes)
+    if pos != len(names):
+        raise SubstraitMalformed(
+            f"NamedStruct declares {len(names)} names for {pos} struct fields"
+        )
+    return tree
+
+
+def _struct_select_items(sel: bytes) -> list[tuple[int, object]]:
+    """StructSelect bytes → [(field_index, child_Select_bytes | None)]."""
+    items: list[tuple[int, object]] = []
+    for _, item in _fields(sel).get(1, []):
+        itf = _fields(item)
+        child = _one(itf, 2)
+        if child is not None and not isinstance(child, bytes):
+            raise SubstraitMalformed("mask child selection with wrong wire type")
+        items.append((_varint_one(itf, 1, 0), child))
+    if not items:
+        raise SubstraitMalformed("ReadRel mask with no struct items")
+    return items
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _mask_parts(
+    parent_sql: str | None,
+    nodes: list["_SchemaNode"],
+    items: list[tuple[int, object]],
+    maintain: bool,
+) -> list[tuple[str, str]]:
+    """Mask items over schema nodes → [(output name, SQL expression)].
+
+    A nested struct selection renders ``NAMED_STRUCT('f', col.f, …)`` over
+    the selected subfields in mask order; with
+    ``maintain_singular_struct=false`` (the spec default) a
+    single-subfield selection collapses to the subfield value itself.
+    """
+    parts: list[tuple[str, str]] = []
+    for idx, child in items:
+        if idx < 0 or idx >= len(nodes):
+            raise SubstraitMalformed(
+                f"mask index {idx} out of range for {len(nodes)}-field struct"
+            )
+        node = nodes[idx]
+        base = (
+            _quote(node.name)
+            if parent_sql is None
+            else f"{parent_sql}.{_quote(node.name)}"
+        )
+        if child is None:
+            parts.append((node.name, base))
+            continue
+        cf = _fields(child)
+        ss = _one(cf, 1)  # Select.struct
+        if ss is None:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: ReadRel mask child selection arms "
+                f"{sorted(cf)} are not supported (struct selections only — "
+                f"list/map slices have no static column form)"
+            )
+        if node.children is None:
+            raise SubstraitMalformed(
+                f"nested mask selection into non-struct field {node.name!r}"
+            )
+        sub = _mask_parts(
+            base, node.children, _struct_select_items(ss), maintain
+        )
+        if len(sub) == 1 and not maintain:
+            parts.append((node.name, sub[0][1]))
+        else:
+            inner = ", ".join(f"{_sql_str(n)}, {e}" for n, e in sub)
+            parts.append((node.name, f"NAMED_STRUCT({inner})"))
+    return parts
+
+
+def _apply_read_mask(
+    state: _State,
+    mask: "tuple[list[tuple[int, object]], bool] | None",
+    tree: "list[_SchemaNode] | None",
+) -> _State:
+    """Narrow the read's output to the mask's column subset. Flat masks
+    just narrow the column list (the WHERE clauses keep referencing
+    base-schema names, still in scope); nested struct selections render a
+    sub-projection derived table against the typed schema tree."""
+    if mask is None:
         return state
+    items, maintain = mask
     if not state.cols:
         raise SubstraitUnsupported(
             "Substrait consumer: ReadRel mask projection requires a "
             "declared base schema"
         )
-    try:
-        state.cols = [state.cols[i] for i in mask_indexes]
-    except IndexError as exc:
-        raise SubstraitMalformed(
-            f"ReadRel mask index out of range for "
-            f"{len(state.cols)}-column schema"
-        ) from exc
-    return state
+    if all(child is None for _, child in items):
+        try:
+            state.cols = [state.cols[i] for i, _ in items]
+        except IndexError as exc:
+            raise SubstraitMalformed(
+                f"ReadRel mask index out of range for "
+                f"{len(state.cols)}-column schema"
+            ) from exc
+        return state
+    if tree is None:
+        raise SubstraitUnsupported(
+            "Substrait consumer: nested ReadRel mask selections require "
+            "base-schema struct types (NamedStruct.struct)"
+        )
+    parts = _mask_parts(None, tree, items, maintain)
+    names = _dedup_aliases([n for n, _ in parts])
+    state.select_exprs = [e for _, e in parts]
+    state.cols = names
+    return _subquery_state(_render_sql(state, []), names, "m")
 
 
 def _emit_mapping(common: bytes | None) -> list[int] | None:

@@ -2348,16 +2348,190 @@ class TestReadMask:
                   ).createOrReplaceTempView("users")
         assert [r[0] for r in spark.sql(sql).collect()] == ["b"]
 
-    def test_nested_mask_rejected(self):
+    def test_nested_mask_without_types_rejected(self):
+        # a nested selection cannot resolve subfield names without the
+        # NamedStruct.struct type tree
         items = _len_field(1, _varint_field(1, 0) + _len_field(2, b""))
         mask = _len_field(4, _len_field(1, items))
         r = rel(1, read_rel(["users"], ["id", "name"], extra=mask))
-        with pytest.raises(SubstraitUnsupported, match="flat column masks"):
+        with pytest.raises(SubstraitUnsupported, match="struct types"):
             substrait_to_sql(plan_bytes(r))
 
     def test_mask_index_out_of_range_malformed(self):
         r = rel(1, read_rel(["users"], ["id", "name"], extra=mask_projection([5])))
         with pytest.raises(SubstraitMalformed, match="out of range"):
+            substrait_to_sql(plan_bytes(r))
+
+
+def t_type(arm: int, body: bytes = b"") -> bytes:
+    """Type message with a single oneof arm."""
+    return _len_field(arm, body)
+
+
+def t_struct(children: list[bytes]) -> bytes:
+    """Type.struct (arm 25): Struct{types=1 repeated Type}."""
+    return t_type(25, b"".join(_len_field(1, c) for c in children))
+
+
+def t_list(elem: bytes) -> bytes:
+    """Type.list (arm 27): List{type=1}."""
+    return t_type(27, _len_field(1, elem))
+
+
+def typed_named_struct(names: list[str], types: list[bytes]) -> bytes:
+    """NamedStruct{names=1 (flat depth-first), struct=2 Type.Struct}."""
+    body = b"".join(_string_field(1, n) for n in names)
+    body += _len_field(2, b"".join(_len_field(1, t) for t in types))
+    return body
+
+
+def typed_read_rel(table: str, names: list[str], types: list[bytes],
+                   extra: bytes = b"") -> bytes:
+    return (
+        _len_field(2, typed_named_struct(names, types))
+        + _len_field(7, _string_field(1, table))
+        + extra
+    )
+
+
+def select_struct(items: list[tuple[int, bytes | None]]) -> bytes:
+    """StructSelect bytes from [(field index, child Select bytes | None)]."""
+    out = b""
+    for idx, child in items:
+        item = _varint_field(1, idx) if idx else b""
+        if child is not None:
+            item += _len_field(2, child)
+        out += _len_field(1, item)
+    return out
+
+
+def nested_mask(items: list[tuple[int, bytes | None]],
+                maintain: bool = True) -> bytes:
+    """ReadRel.projection with nested child selections."""
+    body = _len_field(1, select_struct(items))
+    if maintain:
+        body += _varint_field(2, 1)
+    return _len_field(4, body)
+
+
+PEOPLE_NAMES = ["id", "person", "name", "age", "score"]
+PEOPLE_TYPES = [
+    t_type(7),  # id: i64
+    t_struct([t_type(12), t_type(7)]),  # person: struct<name, age>
+    t_type(7),  # score: i64
+]
+
+
+class TestNestedSchemaAndMask:
+    """Round-6 late: typed NamedStruct schemas (names flatten depth-first
+    over nested structs) and nested MaskExpression selections — the
+    residual the round-5 verdict listed after partial aggregate phases."""
+
+    def _people(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES "
+            "(1, named_struct('name','ann','age',30), 10), "
+            "(2, named_struct('name','bob','age',40), 3) "
+            "AS t(id, person, score)"
+        ).createOrReplaceTempView("people")
+
+    def test_field_refs_index_top_level_columns(self, spark):
+        # names = 5 flat entries but only 3 top-level columns: field_ref(2)
+        # must hit `score`, not the flattened `name`
+        cond = scalar_fn(1, [field_ref(2), literal("i64", 5)])
+        r = rel(1, typed_read_rel(
+            "people", PEOPLE_NAMES, PEOPLE_TYPES, extra=_len_field(3, cond)
+        ))
+        p = plan_bytes(r, extensions=extension_function(1, "gt:any_any"))
+        sql = substrait_to_sql(p)
+        assert "`score` > 5" in sql
+        self._people(spark)
+        got = [row[0] for row in spark.sql(sql).collect()]
+        assert got == [1]
+
+    def test_nested_mask_renders_named_struct(self, spark):
+        # keep id and person.age only (struct wrapper maintained)
+        child = _len_field(1, select_struct([(1, None)]))  # Select.struct
+        r = rel(1, typed_read_rel(
+            "people", PEOPLE_NAMES, PEOPLE_TYPES,
+            extra=nested_mask([(0, None), (1, child)], maintain=True),
+        ))
+        sql = substrait_to_sql(plan_bytes(r))
+        assert "NAMED_STRUCT('age', `person`.`age`) AS `person`" in sql
+        self._people(spark)
+        rows = spark.sql(sql).collect()
+        assert [(row.id, row.person.age) for row in rows] == [(1, 30), (2, 40)]
+        assert rows[0].person.asDict() == {"age": 30}
+
+    def test_singular_selection_collapses_without_maintain(self, spark):
+        child = _len_field(1, select_struct([(1, None)]))
+        r = rel(1, typed_read_rel(
+            "people", PEOPLE_NAMES, PEOPLE_TYPES,
+            extra=nested_mask([(0, None), (1, child)], maintain=False),
+        ))
+        sql = substrait_to_sql(plan_bytes(r))
+        assert "`person`.`age` AS `person`" in sql
+        self._people(spark)
+        assert [tuple(row) for row in spark.sql(sql).collect()] == [
+            (1, 30), (2, 40),
+        ]
+
+    def test_multi_subfield_selection_keeps_mask_order(self, spark):
+        # age before name — NAMED_STRUCT follows the mask's order
+        child = _len_field(1, select_struct([(1, None), (0, None)]))
+        r = rel(1, typed_read_rel(
+            "people", PEOPLE_NAMES, PEOPLE_TYPES,
+            extra=nested_mask([(1, child)], maintain=False),
+        ))
+        sql = substrait_to_sql(plan_bytes(r))
+        assert (
+            "NAMED_STRUCT('age', `person`.`age`, 'name', `person`.`name`)"
+            in sql
+        )
+        self._people(spark)
+        rows = spark.sql(sql).collect()
+        assert rows[0].person.asDict() == {"age": 30, "name": "ann"}
+
+    def test_list_child_selection_rejected(self):
+        child = _len_field(2, b"")  # Select.list arm
+        r = rel(1, typed_read_rel(
+            "people", PEOPLE_NAMES, PEOPLE_TYPES,
+            extra=nested_mask([(1, child)]),
+        ))
+        with pytest.raises(SubstraitUnsupported, match="struct selections"):
+            substrait_to_sql(plan_bytes(r))
+
+    def test_nested_mask_into_scalar_field_malformed(self):
+        child = _len_field(1, select_struct([(0, None)]))
+        r = rel(1, typed_read_rel(
+            "people", PEOPLE_NAMES, PEOPLE_TYPES,
+            extra=nested_mask([(0, child)]),  # id is not a struct
+        ))
+        with pytest.raises(SubstraitMalformed, match="non-struct"):
+            substrait_to_sql(plan_bytes(r))
+
+    def test_list_nested_struct_consumes_names(self):
+        # tags: list<struct<k, v>> — k and v consume names but are not
+        # addressable columns; field_ref(2) is `score`
+        names = ["id", "tags", "k", "v", "score"]
+        types = [
+            t_type(7),
+            t_list(t_struct([t_type(12), t_type(12)])),
+            t_type(7),
+        ]
+        cond = scalar_fn(1, [field_ref(2), literal("i64", 5)])
+        r = rel(1, typed_read_rel(
+            "tagged", names, types, extra=_len_field(3, cond)
+        ))
+        p = plan_bytes(r, extensions=extension_function(1, "gt:any_any"))
+        sql = substrait_to_sql(p)
+        assert "`score` > 5" in sql and "`k`" not in sql
+
+    def test_name_count_mismatch_malformed(self):
+        r = rel(1, typed_read_rel(
+            "people", ["id", "person"], PEOPLE_TYPES  # 2 names, 5 fields
+        ))
+        with pytest.raises(SubstraitMalformed, match="names"):
             substrait_to_sql(plan_bytes(r))
 
 
