@@ -325,6 +325,52 @@ class TestExecuteStream:
         df = spark.range(10).where("id < 0")
         assert list(engine.execute_stream(df)) == []
 
+    def test_probe_reads_through_empty_leading_partitions(
+        self, spark, monkeypatch
+    ):
+        # A selective filter often leaves partition 0 empty; the probe must
+        # read through empties to the first non-empty pull (the round-6
+        # continuation review fix: a [0]-only probe proved nothing about
+        # the Arrow path and mis-sized the group loop).
+        engine = Engine(spark)
+
+        def _boom(*a, **k):
+            raise AssertionError("fallback used on Arrow-able plan")
+            yield  # pragma: no cover
+
+        monkeypatch.setattr(engine, "_execute_stream_rows", _boom)
+        df = spark.range(0, 100, 1, 8).where("id >= 90")
+        batches = list(engine.execute_stream(df))
+        assert sorted(
+            v for b in batches for v in b.column("id").to_pylist()
+        ) == list(range(90, 100))
+
+    def test_rddless_session_streams_arrow_not_rows(self, spark, monkeypatch):
+        # Spark Connect has no RDD API: the stream must fall back to the
+        # Arrow toLocalIterator path, NOT the row-at-a-time decode (the
+        # round-6 continuation review found Connect silently degraded).
+        from pyspark.sql import DataFrame
+
+        engine = Engine(spark)
+
+        def _no_rdd(self):
+            raise Exception("RDD API unsupported (Connect)")
+
+        monkeypatch.setattr(DataFrame, "rdd", property(_no_rdd))
+
+        def _boom(*a, **k):
+            raise AssertionError("row-at-a-time fallback used")
+            yield  # pragma: no cover
+
+        monkeypatch.setattr(engine, "_execute_stream_rows", _boom)
+        df = spark.range(0, 5_000, 1, 4).selectExpr(
+            "id", "cast(id as string) AS s"
+        )
+        batches = list(engine.execute_stream(df, batch_rows=1024))
+        assert sum(b.num_rows for b in batches) == 5_000
+        # empty results also resolve through the iterator path
+        assert list(engine.execute_stream(spark.range(10).where("id < 0"))) == []
+
 
 class TestProbePoisoning:
     def test_paging_placeholder_does_not_poison_plan_probe(self, spark):
