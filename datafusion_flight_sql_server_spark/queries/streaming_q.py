@@ -237,23 +237,35 @@ def q_stream_scd2_batch(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT DISTINCT user_id, event_type FROM events
     """,
-    doc="Streaming exact deduplication, driver-verified: Spark's stateful "
-    "dropDuplicates runs over the file-stream source (state = keys seen, "
-    "hash-partitioned by key) and emits each (user_id, event_type) pair "
-    "exactly once, at first arrival; the oracle is batch DISTINCT. The "
-    "row is projected to the key columns first so which physical row "
-    "arrives first cannot leak into the output. At 100 TB the production "
-    "form is dropDuplicatesWithinWatermark (state bounded by event time); "
-    "the state layout and single key-shuffle are identical.",
+    doc="Streaming exact deduplication, driver-verified over TWO "
+    "micro-batches (round-6 late): Spark's stateful dropDuplicates runs "
+    "over the history split at the mid-range timestamp "
+    "(maxFilesPerTrigger=1, mtime order), so keys first seen in batch 1 "
+    "are held in the STATE STORE and must suppress their batch-2 "
+    "re-arrivals — with the mid-range cut, most (user_id, event_type) "
+    "pairs occur on both sides, so the cross-batch suppression path is "
+    "actually load-bearing, not just the within-batch fold. Emits each "
+    "pair exactly once, at first arrival; the oracle is batch DISTINCT. "
+    "The stream projects to the key columns before deduplicating so "
+    "which physical row arrives first cannot leak into the output. At "
+    "100 TB the production form is dropDuplicatesWithinWatermark (state "
+    "bounded by event time); the state layout and single key-shuffle are "
+    "identical.",
     tags=("streaming", "dedup", "stateful"),
 )
 def q_stream_dedup_batch(spark: SparkSession, sf: str) -> DataFrame:
-    e = tables(spark, sf)["events"].select("user_id", "event_type")
-    out = _run_stream_once(
+    e = tables(spark, sf)["events"].select("user_id", "event_type", "ts")
+    stage = _stage_split_history(spark, sf, e, "dedup2")
+    reader = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = _await_memory_sink(
         spark,
-        sf,
-        e,
-        lambda reader: reader.dropDuplicates(["user_id", "event_type"]),
+        reader.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        ),
         "stream_dedup_out",
     )
     return out.select(
