@@ -207,11 +207,16 @@ def q_stream_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
         SELECT user_id, state, valid_from_us, valid_to_us, version
         FROM dim WHERE valid_to_us IS NOT NULL
     """,
-    doc="Streaming SCD-2 maintenance, driver-verified: scd2_stream "
-    "(streaming/scd2.py) folds the event history through the state store "
-    "and emits each version exactly once when it CLOSES; the oracle is "
-    "the batch SCD-2 dimension's closed rows (valid_to_us IS NOT NULL). "
-    "Same user_id partitioning as the batch build.",
+    doc="Streaming SCD-2 maintenance, driver-verified over TWO "
+    "micro-batches (round-6 late): scd2_stream (streaming/scd2.py) folds "
+    "the history split at the mid-range timestamp (maxFilesPerTrigger=1, "
+    "mtime order), so versions OPEN at the batch boundary are carried in "
+    "the STATE STORE and must be closed by batch-2 state changes with "
+    "the exact valid_from the batch-1 open recorded — the cross-batch "
+    "version-continuation path, not just the single-batch fold. Each "
+    "version emits exactly once when it CLOSES; the oracle is the batch "
+    "SCD-2 dimension's closed rows (valid_to_us IS NOT NULL). Same "
+    "user_id partitioning as the batch build.",
     tags=("streaming", "cdc", "stateful"),
 )
 def q_stream_scd2_batch(spark: SparkSession, sf: str) -> DataFrame:
@@ -220,9 +225,13 @@ def q_stream_scd2_batch(spark: SparkSession, sf: str) -> DataFrame:
     e = tables(spark, sf)["events"].select(
         "user_id", "event_type", "event_id", "ts"
     )
-    out = _run_stream_once(
-        spark, sf, e, scd2_stream, "stream_scd2_out"
+    stage = _stage_split_history(spark, sf, e, "scd2x2")
+    reader = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
     )
+    out = _await_memory_sink(spark, scd2_stream(reader), "stream_scd2_out")
     return out.select(
         F.col("user_id").cast("bigint").alias("user_id"),
         "state",
