@@ -76,24 +76,6 @@ def _await_memory_sink(
     return spark.table(sink_name)
 
 
-def _run_stream_once(
-    spark: SparkSession,
-    sf: str,
-    source: DataFrame,
-    build_stream,
-    sink_name: str,
-) -> DataFrame:
-    """Stage ``source`` as one parquet file, run ``build_stream(reader)``
-    through a memory sink with availableNow, return the sink table."""
-    stage = str(
-        Path(tempfile.gettempdir())
-        / f"stream_stage_{sink_name}_{Path(sf).name}"
-    )
-    source.coalesce(1).write.mode("overwrite").parquet(stage)
-    reader = spark.readStream.schema(source.schema).parquet(stage)
-    return _await_memory_sink(spark, build_stream(reader), sink_name)
-
-
 def _stage_split_history(
     spark: SparkSession,
     sf: str,
