@@ -3182,6 +3182,28 @@ class TestConsumerFuzz:
                 )),
                 extensions=extension_function(1, "extract:req_date"),
             ),
+            # round-6 late: typed nested schema + nested mask selection —
+            # mutations reach _schema_tree / _mask_parts decode paths
+            plan_bytes(rel(1, typed_read_rel(
+                "people", PEOPLE_NAMES, PEOPLE_TYPES,
+                extra=nested_mask(
+                    [(0, None),
+                     (1, _len_field(1, select_struct([(1, None)])))],
+                    maintain=False,
+                ),
+            ))),
+            # round-6 late: correlated EXISTS over a join body — mutations
+            # reach the outer-reference threading through join scopes
+            plan_bytes(
+                rel(2, filter_rel(USERS_READ, exists_subquery(
+                    rel(6, join_rel(
+                        ORDERS_FOR_SUB, USERS_READ,
+                        scalar_fn(1, [field_ref(1), outer_field_ref(0)]),
+                        1,
+                    )),
+                ))),
+                extensions=extension_function(1, "equal:any_any"),
+            ),
         ]
         # XOR 0xFF flips whole bytes; XOR 0x02 flips LEN<->VARINT wire
         # types on key bytes (0x08^0x02=0x0A), reaching the
