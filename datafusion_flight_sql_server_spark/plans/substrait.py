@@ -454,8 +454,7 @@ def _literal_to_sql(lit: bytes) -> str:
             # `or b""` would swallow a varint 0 into an empty string —
             # silent value fabrication, exactly the class rejected above
             raise SubstraitMalformed("var_char literal with wrong wire type")
-        text = _utf8(payload, "var_char literal")
-        return "'" + text.replace("'", "''") + "'"
+        return _sql_str(_utf8(payload, "var_char literal"))
     if kind == "decimal":
         df = _fields(raw)
         payload = _one(df, 1)
@@ -494,8 +493,7 @@ def _literal_to_sql(lit: bytes) -> str:
     # string / fixed_char (both carry a UTF-8 payload; Spark has no padded
     # CHAR literal type, so fixed_char renders as a plain string — raw is
     # bytes by the arm-level wire check above)
-    text = _utf8(raw, "string literal")
-    return "'" + text.replace("'", "''") + "'"
+    return _sql_str(_utf8(raw, "string literal"))
 
 
 def _field_ref_index(expr: bytes) -> int:
@@ -532,7 +530,8 @@ def _field_ref_index(expr: bytes) -> int:
     if _one(ref, 5) is not None:  # FieldReference.outer_reference
         raise SubstraitUnsupported(
             "Substrait consumer: outer (correlated) field references are "
-            "not supported — uncorrelated subqueries only"
+            "not supported in this expression position (grouping keys, "
+            "aggregate arguments, sort fields, emit-path projections)"
         )
     return _varint_one(sf, 1, 0)
 
@@ -655,7 +654,7 @@ def _expr_to_sql(
                 "projection output expressions, not in filter/join/sort "
                 "conditions"
             )
-        return _window_fn_to_sql(_one(f, 5), cols, funcs, rendered)
+        return _window_fn_to_sql(_one(f, 5), cols, funcs, rendered, outer=outer)
     if 12 in f:  # subquery
         # the subquery's relations are one query level deeper: this
         # expression's own level (None where correlation is unsupported)
@@ -1249,7 +1248,11 @@ def _bound_to_sql(bound: bytes, end: str) -> str:
 
 
 def _sort_field_to_sql(
-    sort_field: bytes, cols: list[str], funcs: dict[int, str], rendered: bool
+    sort_field: bytes,
+    cols: list[str],
+    funcs: dict[int, str],
+    rendered: bool,
+    outer: tuple = (),
 ) -> str:
     """SortField (expr=1, direction=2, comparison_function_reference=3)
     → ``<expr> <direction>`` (shared by window ORDER BY)."""
@@ -1267,7 +1270,7 @@ def _sort_field_to_sql(
         raise SubstraitUnsupported(
             f"Substrait consumer: sort direction {direction} is not supported"
         )
-    return f"{_expr_to_sql(expr, cols, funcs, rendered)} {sql_dir}"
+    return f"{_expr_to_sql(expr, cols, funcs, rendered, outer=outer)} {sql_dir}"
 
 
 def _window_fn_to_sql(
@@ -1276,6 +1279,7 @@ def _window_fn_to_sql(
     funcs: dict[int, str],
     rendered: bool,
     rel_ordered: bool = False,
+    outer: tuple = (),
 ) -> str:
     """Expression.WindowFunction → ``FN(args) OVER (...)``.
 
@@ -1323,15 +1327,21 @@ def _window_fn_to_sql(
     if name == "count" and not args:
         call = "COUNT(*)"
     else:
-        arg_sql = ", ".join(_expr_to_sql(a, cols, funcs, rendered) for a in args)
+        arg_sql = ", ".join(
+            _expr_to_sql(a, cols, funcs, rendered, outer=outer) for a in args
+        )
         call = f"{sql_fn}({arg_sql})"
 
     over: list[str] = []
-    parts = [_expr_to_sql(v, cols, funcs, rendered) for _, v in f.get(2, [])]
+    parts = [
+        _expr_to_sql(v, cols, funcs, rendered, outer=outer)
+        for _, v in f.get(2, [])
+    ]
     if parts:
         over.append("PARTITION BY " + ", ".join(parts))
     orders = [
-        _sort_field_to_sql(v, cols, funcs, rendered) for _, v in f.get(3, [])
+        _sort_field_to_sql(v, cols, funcs, rendered, outer=outer)
+        for _, v in f.get(3, [])
     ]
     if orders:
         over.append("ORDER BY " + ", ".join(orders))
@@ -1477,11 +1487,17 @@ class _State:
         "group",
         "having",
         "select_exprs",
+        "col_trees",
     )
 
     def __init__(self, table: str, cols: list[str]):
         self.table = table
         self.cols = cols
+        # per-column flat depth-first NESTED field names (empty list for a
+        # flat column); None = nesting unknown. Consumed at the root to
+        # interpret RelRoot's flattened name list (spec: names flatten
+        # depth-first over nested structs, like NamedStruct.names).
+        self.col_trees: list[list[str]] | None = None
         self.where: list[str] = []
         self.order: list[str] = []
         self.limit: int | None = None
@@ -1563,6 +1579,15 @@ def _local_files_state(lf: bytes, cols: list[str]) -> "_State":
     rejection rather than silently dropping or double-reading bytes.
     ``partition_index`` is placement metadata with no relational effect
     and is ignored.
+
+    Filesystem caveat: the tiling check stats the uri on the SERVER'S
+    local filesystem, while the rendered ``format.`uri``` read resolves
+    it against Spark's default Hadoop filesystem — the two agree exactly
+    when the default FS is the local one (file:///), which is the only
+    deployment where serving local paths to Flight clients makes sense
+    at all (the allowlist check shares the same assumption). Under an
+    HDFS/S3 default FS, schemeless ranged uris reject (the local stat
+    misses) rather than verifying against the wrong file.
     """
     import os
 
@@ -1778,13 +1803,24 @@ def _read_rel(
 
 
 class _SchemaNode:
-    """One top-level or struct-nested field of a typed base schema."""
+    """One top-level or struct-nested field of a typed base schema.
 
-    __slots__ = ("name", "children")
+    ``nested_names`` holds EVERY name the field consumes below its own in
+    the flat depth-first NamedStruct list — including names under list/
+    map element structs, which are not addressable columns but do occupy
+    name slots (needed to consume RelRoot's equally-flattened names)."""
 
-    def __init__(self, name: str, children: "list[_SchemaNode] | None"):
+    __slots__ = ("name", "children", "nested_names")
+
+    def __init__(
+        self,
+        name: str,
+        children: "list[_SchemaNode] | None",
+        nested_names: list[str] | None = None,
+    ):
         self.name = name
         self.children = children
+        self.nested_names = nested_names or []
 
 
 def _schema_tree(names: list[str], struct_bytes: bytes) -> list["_SchemaNode"]:
@@ -1839,6 +1875,7 @@ def _schema_tree(names: list[str], struct_bytes: bytes) -> list["_SchemaNode"]:
         nodes: list[_SchemaNode] = []
         for _, ty in _fields(st).get(1, []):  # Type.Struct.types
             name = take_name()
+            start = pos
             arm, tf = type_arm(ty)
             children: list[_SchemaNode] | None = None
             if arm == 25:
@@ -1846,7 +1883,7 @@ def _schema_tree(names: list[str], struct_bytes: bytes) -> list["_SchemaNode"]:
             elif arm in (27, 28):
                 # structs nested in the container consume names too
                 consume_nameless(ty)
-            nodes.append(_SchemaNode(name, children))
+            nodes.append(_SchemaNode(name, children, names[start:pos]))
         return nodes
 
     tree = build(struct_bytes)
@@ -1880,15 +1917,16 @@ def _mask_parts(
     nodes: list["_SchemaNode"],
     items: list[tuple[int, object]],
     maintain: bool,
-) -> list[tuple[str, str]]:
-    """Mask items over schema nodes → [(output name, SQL expression)].
+) -> list[tuple[str, str, list[str]]]:
+    """Mask items over schema nodes → [(output name, SQL expression,
+    flattened nested names of the output column)].
 
     A nested struct selection renders ``NAMED_STRUCT('f', col.f, …)`` over
     the selected subfields in mask order; with
     ``maintain_singular_struct=false`` (the spec default) a
     single-subfield selection collapses to the subfield value itself.
     """
-    parts: list[tuple[str, str]] = []
+    parts: list[tuple[str, str, list[str]]] = []
     for idx, child in items:
         if idx < 0 or idx >= len(nodes):
             raise SubstraitMalformed(
@@ -1901,7 +1939,7 @@ def _mask_parts(
             else f"{parent_sql}.{_quote(node.name)}"
         )
         if child is None:
-            parts.append((node.name, base))
+            parts.append((node.name, base, list(node.nested_names)))
             continue
         cf = _fields(child)
         ss = _one(cf, 1)  # Select.struct
@@ -1919,10 +1957,11 @@ def _mask_parts(
             base, node.children, _struct_select_items(ss), maintain
         )
         if len(sub) == 1 and not maintain:
-            parts.append((node.name, sub[0][1]))
+            parts.append((node.name, sub[0][1], sub[0][2]))
         else:
-            inner = ", ".join(f"{_sql_str(n)}, {e}" for n, e in sub)
-            parts.append((node.name, f"NAMED_STRUCT({inner})"))
+            inner = ", ".join(f"{_sql_str(n)}, {e}" for n, e, _ in sub)
+            nested = [x for n, _, sn in sub for x in (n, *sn)]
+            parts.append((node.name, f"NAMED_STRUCT({inner})", nested))
     return parts
 
 
@@ -1935,6 +1974,8 @@ def _apply_read_mask(
     just narrow the column list (the WHERE clauses keep referencing
     base-schema names, still in scope); nested struct selections render a
     sub-projection derived table against the typed schema tree."""
+    if tree is not None and len(tree) == len(state.cols):
+        state.col_trees = [list(n.nested_names) for n in tree]
     if mask is None:
         return state
     items, maintain = mask
@@ -1946,6 +1987,8 @@ def _apply_read_mask(
     if all(child is None for _, child in items):
         try:
             state.cols = [state.cols[i] for i, _ in items]
+            if state.col_trees is not None:
+                state.col_trees = [state.col_trees[i] for i, _ in items]
         except IndexError as exc:
             raise SubstraitMalformed(
                 f"ReadRel mask index out of range for "
@@ -1958,10 +2001,12 @@ def _apply_read_mask(
             "base-schema struct types (NamedStruct.struct)"
         )
     parts = _mask_parts(None, tree, items, maintain)
-    names = _dedup_aliases([n for n, _ in parts])
-    state.select_exprs = [e for _, e in parts]
+    names = _dedup_aliases([n for n, _, _ in parts])
+    state.select_exprs = [e for _, e, _ in parts]
     state.cols = names
-    return _subquery_state(_render_sql(state, []), names, "m")
+    return _subquery_state(
+        _render_sql(state, []), names, "m", [sn for _, _, sn in parts]
+    )
 
 
 def _emit_mapping(common: bytes | None) -> list[int] | None:
@@ -2254,6 +2299,7 @@ def _aggregate_rel(
         state.group = [_quote(c) for c in group_cols]
     state.select_exprs = exprs_out
     state.cols = aliases
+    state.col_trees = None  # grouped output: nesting info not tracked
     return state
 
 
@@ -2276,12 +2322,19 @@ def _dedup_aliases(aliases: list[str]) -> list[str]:
     return out
 
 
-def _subquery_state(sql: str, cols: list[str], alias: str) -> _State:
+def _subquery_state(
+    sql: str,
+    cols: list[str],
+    alias: str,
+    col_trees: "list[list[str]] | None" = None,
+) -> _State:
     """Wrap a rendered SELECT as a derived table so any relation can
     compose above it (the single-SELECT clause accumulator restarts).
     Aliases like ``t0``/``j`` are reused at different nesting depths —
     SQL scoping shadows them, so no global counter is needed."""
-    return _State(f"({sql}) AS {_quote(alias)}", cols)
+    out = _State(f"({sql}) AS {_quote(alias)}", cols)
+    out.col_trees = col_trees
+    return out
 
 
 def _finished(state: _State, alias: str) -> _State:
@@ -2293,7 +2346,9 @@ def _finished(state: _State, alias: str) -> _State:
     derived table, so composition points call this instead of rejecting
     the plan (DataFusion's producer emits Project-above-Aggregate and
     Sort-above-Fetch routinely)."""
-    return _subquery_state(_render_sql(state, []), state.cols, alias)
+    return _subquery_state(
+        _render_sql(state, []), state.cols, alias, state.col_trees
+    )
 
 
 #: JoinRel.JoinType enum (algebra.proto) → SQL join clause. Output columns
@@ -2580,8 +2635,14 @@ def _window_rel(
             "Substrait consumer: ConsistentPartitionWindowRel requires a "
             "declared input schema"
         )
-    parts = [_expr_to_sql(v, cols, funcs, False) for _, v in f.get(4, [])]
-    orders = [_sort_field_to_sql(v, cols, funcs, False) for _, v in f.get(5, [])]
+    parts = [
+        _expr_to_sql(v, cols, funcs, False, outer=outer)
+        for _, v in f.get(4, [])
+    ]
+    orders = [
+        _sort_field_to_sql(v, cols, funcs, False, outer=outer)
+        for _, v in f.get(5, [])
+    ]
     over_base: list[str] = []
     if parts:
         over_base.append("PARTITION BY " + ", ".join(parts))
@@ -2594,7 +2655,9 @@ def _window_rel(
         # rel-level partitions/sorts are absent (fields 2/3 unused by
         # WindowRelFunction), so the frame/args/invocation decoding is
         # identical — render the call and attach the shared OVER clause.
-        call = _window_fn_to_sql(wf, cols, funcs, False, rel_ordered=bool(orders))
+        call = _window_fn_to_sql(
+            wf, cols, funcs, False, rel_ordered=bool(orders), outer=outer
+        )
         # _window_fn_to_sql rendered "FN(...) OVER (<frame-only>)"; merge
         # the rel-level partition/order in front of any frame clause
         head, over = call.rsplit(" OVER (", 1)
@@ -2689,11 +2752,23 @@ def _interpret_rel(
             combined = list(state.cols) + [
                 _col_at(state.cols, i) for i in ref_indexes
             ]
+            trees = state.col_trees
+            combined_trees = (
+                None
+                if trees is None or len(trees) != len(state.cols)
+                else list(trees) + [trees[i] for i in ref_indexes]
+            )
             if emit is None:
                 state.cols = combined
+                state.col_trees = combined_trees
             else:
                 try:
                     state.cols = [combined[i] for i in emit]
+                    state.col_trees = (
+                        None
+                        if combined_trees is None
+                        else [combined_trees[i] for i in emit]
+                    )
                 except IndexError as exc:
                     raise SubstraitMalformed(
                         f"emit mapping {emit} out of range for "
@@ -2737,6 +2812,7 @@ def _interpret_rel(
         names = _dedup_aliases(names)
         state.select_exprs = combined_exprs
         state.cols = names
+        state.col_trees = None  # computed outputs: nesting not tracked
         return _subquery_state(_render_sql(state, []), names, "p")
 
     if kind == "filter":
@@ -2965,4 +3041,61 @@ def _substrait_to_sql_inner(plan_bytes: bytes) -> str:
         out_names = []
 
     state = _interpret_rel(rel, funcs)
-    return _render_sql(state, out_names)
+    return _render_sql(state, _root_names_to_aliases(state, out_names))
+
+
+def _root_names_to_aliases(state: _State, out_names: list[str]) -> list[str]:
+    """RelRoot.names → per-column output aliases.
+
+    The spec flattens RelRoot.names depth-first over nested structs (the
+    same contract as NamedStruct.names), so a plan whose output retains a
+    struct column carries MORE names than columns. When the output's
+    nested layout is known (``col_trees``, tracked from the typed read
+    through masks/filters/sorts/fetches/ref-projections), each column
+    consumes 1 + len(nested) names; the top-level name becomes the alias
+    and the nested names must MATCH the column's current subfield names —
+    renaming a nested field would require rebuilding the struct value,
+    which keeps a named rejection. Flat outputs pass through unchanged.
+    """
+    if not out_names or len(out_names) == len(state.cols):
+        return out_names
+    trees = state.col_trees
+    if trees is None or len(trees) != len(state.cols):
+        raise SubstraitUnsupported(
+            f"Substrait consumer: RelRoot declares {len(out_names)} names "
+            f"for {len(state.cols)} output columns and the output's nested "
+            f"layout is not tracked through this plan shape — flattened "
+            f"nested root names are supported over read/mask/filter/sort/"
+            f"fetch/projection plans only"
+        )
+    aliases: list[str] = []
+    pos = 0
+    for i in range(len(state.cols)):
+        if pos >= len(out_names):
+            raise SubstraitMalformed(
+                f"RelRoot has {len(out_names)} names for an output needing "
+                f"{sum(1 + len(t) for t in trees)}"
+            )
+        aliases.append(out_names[pos])
+        pos += 1
+        sub = trees[i]
+        got = out_names[pos : pos + len(sub)]
+        if len(got) < len(sub):
+            raise SubstraitMalformed(
+                f"RelRoot names exhausted mid-struct (column "
+                f"{state.cols[i]!r} flattens {len(sub)} nested names)"
+            )
+        if got != sub:
+            raise SubstraitUnsupported(
+                f"Substrait consumer: RelRoot renames nested struct fields "
+                f"of {state.cols[i]!r} ({sub} -> {got}) — only top-level "
+                f"renames are supported (a nested rename would rebuild the "
+                f"struct value)"
+            )
+        pos += len(sub)
+    if pos != len(out_names):
+        raise SubstraitMalformed(
+            f"RelRoot has {len(out_names)} names for an output that "
+            f"flattens to {pos}"
+        )
+    return aliases

@@ -103,10 +103,19 @@ def _stage_split_history(
     source.filter(F.col(ts_col) <= F.lit(cut)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(stage)
-    _time.sleep(0.1)  # distinct mtimes: the file source orders by mod time
+    batch1 = set(Path(stage).glob("part-*.parquet"))
     source.filter(F.col(ts_col) > F.lit(cut)).coalesce(1).write.mode(
         "append"
     ).parquet(stage)
+    # The file source orders ties arbitrarily, and an order-sensitive fold
+    # (SCD-2) would diverge if batch 2 replayed first — so the mtimes are
+    # SET explicitly, not left to write timing (a 1 s-granularity
+    # filesystem can tie two sub-second writes).
+    import os as _os
+
+    now = _time.time()
+    for f in Path(stage).glob("part-*.parquet"):
+        _os.utime(f, (now, now - 10 if f in batch1 else now))
     return stage
 
 

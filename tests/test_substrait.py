@@ -2534,6 +2534,55 @@ class TestNestedSchemaAndMask:
         with pytest.raises(SubstraitMalformed, match="names"):
             substrait_to_sql(plan_bytes(r))
 
+    def test_relroot_names_flatten_over_nested_output(self, spark):
+        # RelRoot.names is flat depth-first like NamedStruct.names: 5 names
+        # alias the 3 top-level columns; nested names must match the
+        # column's subfields and are consumed, not treated as columns
+        r = rel(1, typed_read_rel("people", PEOPLE_NAMES, PEOPLE_TYPES))
+        sql = substrait_to_sql(plan_bytes(
+            r, root_names=["pk", "who", "name", "age", "pts"]
+        ))
+        assert "`id` AS `pk`" in sql and "`person` AS `who`" in sql
+        assert "`score` AS `pts`" in sql
+        self._people(spark)
+        rows = spark.sql(sql).collect()
+        assert rows[0].who.name == "ann" and rows[0].pts == 10
+
+    def test_relroot_nested_rename_rejected_by_name(self):
+        r = rel(1, typed_read_rel("people", PEOPLE_NAMES, PEOPLE_TYPES))
+        with pytest.raises(SubstraitUnsupported, match="top-level renames"):
+            substrait_to_sql(plan_bytes(
+                r, root_names=["pk", "who", "nom", "age", "pts"]
+            ))
+
+    def test_relroot_names_after_nested_mask(self, spark):
+        # after masking person down to {age}, the flattened root names are
+        # [top, top, age] — consumption follows the MASKED layout
+        child = _len_field(1, select_struct([(1, None)]))
+        r = rel(1, typed_read_rel(
+            "people", PEOPLE_NAMES, PEOPLE_TYPES,
+            extra=nested_mask([(0, None), (1, child)], maintain=True),
+        ))
+        sql = substrait_to_sql(plan_bytes(
+            r, root_names=["pk", "who", "age"]
+        ))
+        assert "AS `pk`" in sql and "AS `who`" in sql
+        self._people(spark)
+        assert [
+            (row.pk, row.who.age) for row in spark.sql(sql).collect()
+        ] == [(1, 30), (2, 40)]
+
+    def test_relroot_name_count_mismatch_stays_malformed(self):
+        r = rel(1, typed_read_rel("people", PEOPLE_NAMES, PEOPLE_TYPES))
+        # too few: exhausted mid-struct
+        with pytest.raises(SubstraitMalformed, match="RelRoot"):
+            substrait_to_sql(plan_bytes(r, root_names=["a", "b"]))
+        # too many: excess names after consumption
+        with pytest.raises(SubstraitMalformed, match="RelRoot"):
+            substrait_to_sql(plan_bytes(
+                r, root_names=["a", "b", "name", "age", "e", "f", "g"]
+            ))
+
 
 def sorted_agg_function(anchor: int, arg_indexes: list[int],
                         sep: bytes | None = None,
