@@ -188,12 +188,16 @@ class Engine:
             max_part = max(
                 [len(r.ipc) for r in probe] or [1 << 20]
             )
-            start, group = probed, 2
+            start, group = probed, 4
             while start < n_parts:
-                # cap the pull so group x largest-seen-partition fits the
-                # budget; a first-of-its-size skewed partition can overshoot
-                # by at most one doubling step
-                group = max(1, min(group, budget // max(max_part, 1), 64))
+                # cap the pull so group x 2 x largest-seen-partition fits
+                # the budget (expected group bytes <= budget/2 with a 2x
+                # margin on the observed max; no observation-based scheme
+                # can bound an arbitrary size cliff, but growth stays
+                # gradual so a cliff is met by a small group first)
+                group = max(
+                    1, min(group, budget // max(2 * max_part, 1), 64)
+                )
                 parts = list(range(start, min(start + group, n_parts)))
                 rows = sc.runJob(rdd, list, parts)
                 yield from rows
@@ -202,7 +206,9 @@ class Engine:
                 if rows:
                     max_part = max(max_part, max(len(r.ipc) for r in rows))
                 if nbytes < (32 << 20):
-                    group = min(group * 2, 64)
+                    # x4 growth: a 32-partition small result drains in ~3
+                    # jobs (latency is job-launch-bound at ~100 ms/job)
+                    group = min(group * 4, 64)
                 elif nbytes > budget:
                     group = max(group // 2, 1)
 
@@ -298,7 +304,9 @@ class Engine:
             max_part = 1 << 20
             start, group = 0, 4  # cached blobs: no compute, start wider
             while start < len(mine):
-                group = max(1, min(group, budget // max_part, 64))
+                group = max(
+                    1, min(group, budget // max(2 * max_part, 1), 64)
+                )
                 parts = mine[start : start + group]
                 rows = sc.runJob(rdd, list, parts)
                 yield from rows
@@ -307,7 +315,7 @@ class Engine:
                 if rows:
                     max_part = max(max_part, max(len(r.ipc) for r in rows))
                 if nbytes < (32 << 20):
-                    group = min(group * 2, 64)
+                    group = min(group * 4, 64)
                 elif nbytes > budget:
                     group = max(group // 2, 1)
 
