@@ -78,6 +78,27 @@ class TestIntegration:
         table = client.execute("SELECT * FROM users WHERE id > 1")
         assert table.num_rows == 2
 
+    def test_datafusion_dialect_constructs_execute(self, client):
+        # Migration evidence: the DataFusion-dialect constructs a reference
+        # user's SQL most commonly leans on — pg-style `::` casts, ILIKE,
+        # `position(x IN y)`, and `||` concat — are shared by Spark 4's
+        # parser, so those statements run unchanged through this server.
+        t = client.execute(
+            "SELECT id::STRING || '!' AS tag, position('a' IN name) AS p "
+            "FROM users WHERE name ILIKE 'A%'"
+        )
+        assert t.num_rows == 1 and t.column("tag").to_pylist() == ["1!"]
+
+    def test_explain_passes_the_query_gate(self, client):
+        # EXPLAIN is read-only introspection: DataFusion's verify_plan
+        # admits Explain plans under deny-all SQLOptions, and so does this
+        # gate (ExplainCommand matches no DDL/DML/statement fragment)
+        t = client.execute("EXPLAIN SELECT id FROM users WHERE id > 1")
+        assert t.num_rows >= 1
+        assert "Filter" in t.column(0).to_pylist()[0] or "plan" in str(
+            t.schema.field(0).name
+        )
+
     def test_prepared_statement_creation(self, client):
         # integration_test.rs:148-171: dataset schema 2 fields, parameter
         # schema 1 field for SELECT * FROM users WHERE id = $1
