@@ -341,6 +341,27 @@ class TestAdaptiveBroadcast:
         assert "isFinalPlan=true" in final
         assert "BroadcastHashJoin" in final
 
+    def test_quantile_rollup_windows_over_histogram_not_raw(self, spark):
+        """The mergeable-histogram claim: the raw event scan feeds ONE
+        partial-aggregated (day, bin) count; the quantile windows and the
+        broadcast q-spine join run over the tiny merged histogram, never
+        the raw stream (at a quarter of data the histogram is KB-sized)."""
+        plan = _executed_plan(_run(spark, "event_quantile_rollup"))
+        assert "CartesianProduct" not in plan
+        # theta spine join: exactly one nested-loop, with the 3-row spine
+        # as the broadcast side
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        # partial aggregation (map-side combine) on the histogram build —
+        # this is what makes the window's input O(bins), not O(events)
+        assert "partial_count" in plan or "partial count" in plan.lower()
+        assert "Window" in plan
+
+    def test_length_quantiles_grouped_histogram_shape(self, spark):
+        plan = _executed_plan(_run(spark, "text_length_quantiles"))
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        assert "partial_count" in plan or "partial count" in plan.lower()
+
     def test_doc_dsir_select_tokenizes_once(self, spark):
         """Both DSIR branches (vocabulary LM and scoring join) consume one
         (doc_id, lang, w) pre-aggregate, so the executed plan reuses its
