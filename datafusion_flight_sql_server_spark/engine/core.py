@@ -113,15 +113,16 @@ class Engine:
         Spark job per partition, and at local job-launch latency (~100 ms)
         a 32-partition result paid ~3 s of pure scheduling — measured 40x
         the cost of the query itself on a small result (round-6 serving
-        profile; the whole prepared-statement round trip was 3.2 s). Groups
-        start at 1 partition (low first-byte latency) and double while the
-        pulled bytes stay small — so job count is O(log n) on small results.
-        Growth is bounded by OBSERVED partition sizes: the next group never
-        exceeds what the largest partition seen so far would fit in the
-        128 MB byte budget, so a skewed miss is one doubling step past the
-        last in-budget pull, not an unbounded jump (the H1 contract holds
-        up to that 2x overshoot — vs one whole partition for
-        ``toLocalIterator``).
+        profile; the whole prepared-statement round trip was 3.2 s). A
+        1-partition probe gives low first-byte latency, then groups grow
+        x4 while pulled bytes stay small — so job count is O(log n) on
+        small results. Growth is bounded by OBSERVED partition sizes:
+        every group is capped so group x 2 x largest-partition-seen fits
+        the 128 MB budget, holding EXPECTED group bytes under half the
+        budget. No observation-based scheme can bound an arbitrary size
+        cliff (partitions suddenly far larger than anything observed),
+        but gradual growth means a cliff is met by a small group first —
+        vs one whole partition of exposure for ``toLocalIterator``.
 
         Spark Connect has no RDD API, so it streams the same executor-encoded
         IPC blobs through ``toLocalIterator`` (one job per partition — the
@@ -184,33 +185,10 @@ class Engine:
 
         def _rows():
             yield from probe
-            budget = 128 << 20
-            max_part = max(
-                [len(r.ipc) for r in probe] or [1 << 20]
+            max_part = max([len(r.ipc) for r in probe] or [1 << 20])
+            yield from _grouped_pull(
+                sc, rdd, list(range(probed, n_parts)), max_part
             )
-            start, group = probed, 4
-            while start < n_parts:
-                # cap the pull so group x 2 x largest-seen-partition fits
-                # the budget (expected group bytes <= budget/2 with a 2x
-                # margin on the observed max; no observation-based scheme
-                # can bound an arbitrary size cliff, but growth stays
-                # gradual so a cliff is met by a small group first)
-                group = max(
-                    1, min(group, budget // max(2 * max_part, 1), 64)
-                )
-                parts = list(range(start, min(start + group, n_parts)))
-                rows = sc.runJob(rdd, list, parts)
-                yield from rows
-                start += len(parts)
-                nbytes = sum(len(r.ipc) for r in rows)
-                if rows:
-                    max_part = max(max_part, max(len(r.ipc) for r in rows))
-                if nbytes < (32 << 20):
-                    # x4 growth: a 32-partition small result drains in ~3
-                    # jobs (latency is job-launch-bound at ~100 ms/job)
-                    group = min(group * 4, 64)
-                elif nbytes > budget:
-                    group = max(group // 2, 1)
 
         yield from _rechunk_ipc_rows(_rows(), schema, batch_rows)
 
@@ -294,32 +272,17 @@ class Engine:
 
         mine = [p for p in range(n_parts) if p % n_buckets == bucket]
 
-        def _rows():
-            # Same observed-size cap as execute_stream: with result_endpoints
-            # buckets streaming concurrently, peak driver memory is
-            # N_buckets x one bounded group — so each group is held to the
-            # byte budget via the largest partition seen, not a blind
-            # partition count.
-            budget = 128 << 20
-            max_part = 1 << 20
-            start, group = 0, 4  # cached blobs: no compute, start wider
-            while start < len(mine):
-                group = max(
-                    1, min(group, budget // max(2 * max_part, 1), 64)
-                )
-                parts = mine[start : start + group]
-                rows = sc.runJob(rdd, list, parts)
-                yield from rows
-                start += len(parts)
-                nbytes = sum(len(r.ipc) for r in rows)
-                if rows:
-                    max_part = max(max_part, max(len(r.ipc) for r in rows))
-                if nbytes < (32 << 20):
-                    group = min(group * 4, 64)
-                elif nbytes > budget:
-                    group = max(group // 2, 1)
-
-        yield from _rechunk_ipc_rows(_rows(), schema, batch_rows)
+        # Same shared grouped-pull as execute_stream: with result_endpoints
+        # buckets streaming concurrently, peak driver memory is N_buckets x
+        # one byte-budgeted group. The first pull is a single partition —
+        # sizes of the cached blobs are unobserved until then, and a blind
+        # first group of 4 could land 4 x whatever-the-partitions-hold on
+        # the driver per concurrent stream.
+        yield from _rechunk_ipc_rows(
+            _grouped_pull(sc, rdd, mine, 1 << 20, group=1),
+            schema,
+            batch_rows,
+        )
 
     @staticmethod
     def release_partitioned_result(staged: DataFrame) -> None:
@@ -503,6 +466,36 @@ def _chain_row(head, rest):
     """Re-attach the probed first row to the remaining iterator."""
     yield head
     yield from rest
+
+
+def _grouped_pull(sc, rdd, parts: list, max_part: int, group: int = 4):
+    """Pull ``parts`` of ``rdd`` in adaptively-growing ``sc.runJob`` groups
+    (shared by ``execute_stream`` and the multi-endpoint bucket streams —
+    one copy of the cap/growth policy, so the two paths cannot drift).
+
+    Every group is capped so group x 2 x largest-partition-OBSERVED fits
+    the 128 MB budget: expected group bytes stay under half the budget.
+    Growth is x4 while pulled bytes stay small (job-launch latency
+    dominates small results — ~100 ms/job locally), halving on an
+    over-budget pull. No observation-based scheme can bound an arbitrary
+    size cliff, but gradual growth meets a cliff with a small group
+    first; callers without a size observation start at ``group=1``.
+    """
+    budget = 128 << 20
+    start = 0
+    while start < len(parts):
+        group = max(1, min(group, budget // max(2 * max_part, 1), 64))
+        chunk = parts[start : start + group]
+        rows = sc.runJob(rdd, list, chunk)
+        yield from rows
+        start += len(chunk)
+        nbytes = sum(len(r.ipc) for r in rows)
+        if rows:
+            max_part = max(max_part, max(len(r.ipc) for r in rows))
+        if nbytes < (32 << 20):
+            group = min(group * 4, 64)
+        elif nbytes > budget:
+            group = max(group // 2, 1)
 
 
 def _make_ipc_encoder():
