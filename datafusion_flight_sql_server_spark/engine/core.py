@@ -258,7 +258,7 @@ class Engine:
         from pyspark.sql import functions as F
 
         try:
-            rdd = staged.select("ipc").rdd
+            rdd = staged.select("pid", "ipc").rdd
             n_parts = rdd.getNumPartitions()
             sc = staged.sparkSession.sparkContext
         except Exception:  # pragma: no cover - Connect fallback
@@ -272,16 +272,30 @@ class Engine:
 
         mine = [p for p in range(n_parts) if p % n_buckets == bucket]
 
-        # Same shared grouped-pull as execute_stream: with result_endpoints
-        # buckets streaming concurrently, peak driver memory is N_buckets x
-        # one byte-budgeted group. The first pull is a single partition —
-        # sizes of the cached blobs are unobserved until then, and a blind
-        # first group of 4 could land 4 x whatever-the-partitions-hold on
-        # the driver per concurrent stream.
+        # The staged relation is PERSISTED, so a sizes pre-pass is cheap: one
+        # job computes (and caches) the bucket's partitions in parallel on
+        # the executors, returning only per-partition byte counts. Groups
+        # are then planned from TRUE sizes — a HARD driver-memory bound per
+        # pull (<= budget, or one partition if a single partition exceeds
+        # it), closing the size-cliff exposure an observation-based grower
+        # cannot (with result_endpoints buckets streaming concurrently the
+        # exposure multiplies, so the hard bound matters most here). The
+        # same job verifies the pid↔partition-index invariant the bucket
+        # mapping rests on: partition p of the staged relation must hold
+        # exactly the rows tagged pid == p at encode time.
+        sizes = _sized_partitions(sc, rdd, mine)
+        for pid, (part_sizes, part_pids) in zip(mine, sizes):
+            bad = [t for t in part_pids if t != pid]
+            if bad:  # pragma: no cover - invariant guard
+                raise RuntimeError(
+                    f"staged result partition {pid} holds rows tagged "
+                    f"pid={bad[0]}; bucket mapping would drop/duplicate data"
+                )
+        groups = _plan_groups_by_bytes(
+            mine, [sum(s) for s, _ in sizes], budget=128 << 20
+        )
         yield from _rechunk_ipc_rows(
-            _grouped_pull(sc, rdd, mine, 1 << 20, group=1),
-            schema,
-            batch_rows,
+            _pull_planned_groups(sc, rdd, groups), schema, batch_rows
         )
 
     @staticmethod
@@ -470,32 +484,84 @@ def _chain_row(head, rest):
 
 def _grouped_pull(sc, rdd, parts: list, max_part: int, group: int = 4):
     """Pull ``parts`` of ``rdd`` in adaptively-growing ``sc.runJob`` groups
-    (shared by ``execute_stream`` and the multi-endpoint bucket streams —
-    one copy of the cap/growth policy, so the two paths cannot drift).
+    (the UNCACHED ``execute_stream`` path; the persisted bucket streams
+    plan groups from exact sizes via ``_sized_partitions`` instead).
 
     Every group is capped so group x 2 x largest-partition-OBSERVED fits
     the 128 MB budget: expected group bytes stay under half the budget.
     Growth is x4 while pulled bytes stay small (job-launch latency
-    dominates small results — ~100 ms/job locally), halving on an
-    over-budget pull. No observation-based scheme can bound an arbitrary
-    size cliff, but gradual growth meets a cliff with a small group
-    first; callers without a size observation start at ``group=1``.
+    dominates small results — ~100 ms/job locally). Two backstops bound a
+    size cliff in LATER partitions (unobservable without recomputing the
+    uncached pipeline for a sizes pass): the group never exceeds the
+    number of partitions already observed + 1 (so the byte cap's
+    denominator rests on a real sample at least as large as the group —
+    one tiny partition 0 can no longer license a 64-partition pull), and
+    an over-budget pull drops straight to group=1 (re-growing from the
+    cliff's own observed sizes) instead of halving. Residual exposure is
+    one group sized before the cliff was visible; a hard bound would
+    require executor-side size metadata, which for an uncached result
+    costs a full extra compute pass.
     """
     budget = 128 << 20
     start = 0
+    observed = 1  # callers observed at least one partition (the probe)
     while start < len(parts):
-        group = max(1, min(group, budget // max(2 * max_part, 1), 64))
+        group = max(
+            1, min(group, observed + 1, budget // max(2 * max_part, 1), 64)
+        )
         chunk = parts[start : start + group]
         rows = sc.runJob(rdd, list, chunk)
         yield from rows
         start += len(chunk)
+        observed += len(chunk)
         nbytes = sum(len(r.ipc) for r in rows)
         if rows:
             max_part = max(max_part, max(len(r.ipc) for r in rows))
-        if nbytes < (32 << 20):
+        if nbytes > budget:
+            group = 1
+        elif nbytes < (32 << 20):
             group = min(group * 4, 64)
-        elif nbytes > budget:
-            group = max(group // 2, 1)
+
+
+def _sized_partitions(sc, rdd, parts: list) -> list:
+    """One job over the PERSISTED blob relation returning, per partition,
+    (list of blob sizes, list of distinct pid tags). Computes and caches
+    the partitions in parallel as a side effect; only integers return to
+    the driver. Nested function: cloudpickle serializes it by value, so
+    workers need no repo import (same posture as ``_make_ipc_encoder``)."""
+
+    def _sizes(iterator):
+        sizes, pids = [], set()
+        for row in iterator:
+            sizes.append(len(row.ipc))
+            pids.add(row.pid)
+        return sizes, sorted(pids)
+
+    return sc.runJob(rdd, _sizes, parts)
+
+
+def _plan_groups_by_bytes(parts: list, part_bytes: list, budget: int) -> list:
+    """Greedy contiguous grouping under an exact byte budget: each group's
+    TRUE bytes stay <= budget (a single over-budget partition forms its own
+    group — it must land on the driver whole regardless), and group length
+    is capped at 64 tasks per job."""
+    groups: list[list] = []
+    cur: list = []
+    cur_bytes = 0
+    for p, b in zip(parts, part_bytes):
+        if cur and (cur_bytes + b > budget or len(cur) >= 64):
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(p)
+        cur_bytes += b
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _pull_planned_groups(sc, rdd, groups: list):
+    for chunk in groups:
+        yield from sc.runJob(rdd, list, chunk)
 
 
 def _make_ipc_encoder():

@@ -32,72 +32,65 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: to keep the prefix at exactly 50), tier 3 = a rotation of the oldest
 #: green rows as regression insurance. Green on the prefix → every
 #: registered query driver-verified at least once.
-#: Round-6 state: tier 1 is EMPTY (r05 went 50/50 green, closing every
-#: open row); tier 2 = the 6 round-6 registrations + the 17 queries the
-#: round-6 perf/bugfix work rewrote (shared MinHash front end, trained-
-#: quantizer cache, top-k sentinel fix, q10 shuffled-hash rewrite,
-#: two-micro-batch streaming twins; embed_ivf_recall is the one cache
-#: consumer left to the local oracle suite — the cache change is already
-#: double-covered by sim_topk_ivf + embed_cluster_quality, and dropping
-#: it makes room for the last round-1-only row); tier 3 = all 28 rows
-#: whose only driver check is still round 1 (the r05 prefix's trimmed
-#: tail) — this prefix re-verifies everything touched in round 6 and
-#: retires every round-1-only row.
+#: Round-7 state: tier 1 = ``text_lm_unigram`` — rewritten in round 5
+#: (adaptive vocabulary fold) AFTER its last driver row (r4), the one
+#: freshness gap the round-6 verdict named; tier 2 = round-7
+#: registrations and rewrites, appended as they land; tier 3 = the
+#: oldest-first rotation — all 46 queries whose latest driver row is
+#: round 2 (rounds 3–6 re-verified everything newer). Green on this
+#: prefix → no registered query's latest driver row predates round 2,
+#: and none predates its last source rewrite.
 _PRIORITY = (
-    # tier 2a: round-6 registrations
-    "doc_dup_report",
-    "embed_norm_audit",
-    "event_dow_profile",
-    "event_quantile_rollup",
-    "text_length_quantiles",
-    "doc_dsir_select",
-    # tier 2b: round-6 rewritten/affected queries
-    "tpch_q10_returned_items",
-    "dedup_minhash_eval",
-    "dedup_containment",
-    "dedup_threshold_curve",
-    "dedup_incremental_minhash",
-    "dedup_near_minhash",
-    "dedup_near_clusters",
-    "graph_components_star",
-    "sim_topk_ivf",
-    "embed_cluster_quality",
-    "dedup_semantic",
-    "embed_coreset_sample",
-    "sim_topk",
-    "embed_knn_graph",
-    "stream_sessionize_batch",
-    "stream_tumbling_batch",
-    # tier 3: the 28 rows never re-checked since round 1 (the r05
-    # prefix's trimmed tail)
-    "set_except",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "topk",
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_exists",
-    "subquery_correlated_scalar",
-    "fn_string",
-    "fn_regex",
-    "fn_datetime",
-    "fn_math",
-    "fn_conditional",
-    "fn_cast",
-    "fn_array",
-    "fn_explode",
-    "fn_json",
-    "fn_struct",
-    "scan_star",
-    "scan_projection",
-    "filter_compare",
-    "filter_predicates",
-    "join_cross",
-    "agg_count_star",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
+    # tier 1: source rewritten after last driver check
+    "text_lm_unigram",
+    # tier 2: round-7 registrations / rewrites (appended as they land)
+    # tier 3: oldest-first rotation — latest driver row is round 2
+    "agg_array",
+    "agg_bitmap_distinct",
+    "agg_corr_regr",
+    "agg_filter_clause",
+    "agg_listagg",
+    "agg_minmax_by",
+    "agg_unpivot",
+    "corpus_mix_report",
+    "cte_recursive",
+    "dedup_embed_cosine",
+    "dedup_exact_keeprow",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_chunk",
+    "doc_pack",
+    "doc_sample_stratified",
+    "doc_split",
+    "embed_quantize",
+    "event_funnel",
+    "event_gapfill",
+    "event_retention",
+    "event_sessionize",
+    "event_transitions",
+    "event_tumbling_window",
+    "fn_try",
+    "fn_variant",
+    "graph_pagerank",
+    "join_lateral",
+    "multimodal_decode",
+    "multimodal_meta",
+    "multimodal_resize",
+    "pipeline_curate",
+    "profile_table",
+    "sim_topk_lsh",
+    "sink_clustered",
+    "text_contamination",
+    "text_entropy",
+    "text_fingerprint",
+    "text_langid",
+    "text_ngrams_top",
+    "text_quality",
+    "text_quality_rules",
+    "text_redact",
+    "text_stats",
+    "text_tokens",
+    "window_ignore_nulls",
 )
 
 
