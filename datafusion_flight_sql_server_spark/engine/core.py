@@ -187,7 +187,11 @@ class Engine:
             yield from probe
             max_part = max([len(r.ipc) for r in probe] or [1 << 20])
             yield from _grouped_pull(
-                sc, rdd, list(range(probed, n_parts)), max_part
+                sc,
+                rdd,
+                list(range(probed, n_parts)),
+                max_part,
+                observed=max(probed, 1),
             )
 
         yield from _rechunk_ipc_rows(_rows(), schema, batch_rows)
@@ -292,7 +296,7 @@ class Engine:
                     f"pid={bad[0]}; bucket mapping would drop/duplicate data"
                 )
         groups = _plan_groups_by_bytes(
-            mine, [sum(s) for s, _ in sizes], budget=128 << 20
+            mine, [sum(s) for s, _ in sizes], budget=_PULL_BUDGET
         )
         yield from _rechunk_ipc_rows(
             _pull_planned_groups(sc, rdd, groups), schema, batch_rows
@@ -482,7 +486,15 @@ def _chain_row(head, rest):
     yield from rest
 
 
-def _grouped_pull(sc, rdd, parts: list, max_part: int, group: int = 4):
+# Driver-memory budget per concurrent result pull, shared by BOTH serving
+# paths (the uncached adaptive _grouped_pull and the persisted bucket
+# stream's exact-size group planner) so the two cannot silently drift.
+_PULL_BUDGET = 128 << 20
+
+
+def _grouped_pull(
+    sc, rdd, parts: list, max_part: int, group: int = 4, observed: int = 1
+):
     """Pull ``parts`` of ``rdd`` in adaptively-growing ``sc.runJob`` groups
     (the UNCACHED ``execute_stream`` path; the persisted bucket streams
     plan groups from exact sizes via ``_sized_partitions`` instead).
@@ -502,9 +514,8 @@ def _grouped_pull(sc, rdd, parts: list, max_part: int, group: int = 4):
     require executor-side size metadata, which for an uncached result
     costs a full extra compute pass.
     """
-    budget = 128 << 20
+    budget = _PULL_BUDGET
     start = 0
-    observed = 1  # callers observed at least one partition (the probe)
     while start < len(parts):
         group = max(
             1, min(group, observed + 1, budget // max(2 * max_part, 1), 64)
@@ -535,7 +546,11 @@ def _sized_partitions(sc, rdd, parts: list) -> list:
         for row in iterator:
             sizes.append(len(row.ipc))
             pids.add(row.pid)
-        return sizes, sorted(pids)
+        # runJob is mapPartitions + collect: it FLATTENS each partition's
+        # returned iterable, so a bare tuple would arrive as two misaligned
+        # elements. One single-element list per partition keeps the result
+        # aligned 1:1 with ``parts``.
+        return [(sizes, sorted(pids))]
 
     return sc.runJob(rdd, _sizes, parts)
 

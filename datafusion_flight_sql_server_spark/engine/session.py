@@ -49,6 +49,14 @@ def build_session(
     env var is unset) so the driver's bench harness controls parallelism.
     """
     par = _default_parallelism()
+    # SPARK_GRAFT_MASTER overrides even an explicit ``master`` argument:
+    # the local-cluster verification harness sets it to e.g.
+    # ``local-cluster[2,8,4096]`` so the SAME tests/bench run against real
+    # executor processes (separate JVMs, real serialization boundary)
+    # instead of local-mode threads.
+    env_master = os.environ.get("SPARK_GRAFT_MASTER")
+    if env_master:
+        master = env_master
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
@@ -90,6 +98,19 @@ def build_session(
         # should lower it back.
         .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
     )
+    if master.startswith("local-cluster"):
+        # Real executor processes: they spawn python workers from a clean
+        # environment, so repo-defined (module-level, pickled-by-reference)
+        # UDFs need the repo importable executor-side. On a real cluster
+        # this is ``--py-files``/container image; here PYTHONPATH. The
+        # serving path's nested encoders deliberately do NOT rely on this
+        # (cloudpickle-by-value), but query-layer pandas UDFs may.
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        existing = os.environ.get("PYTHONPATH", "")
+        pypath = f"{repo_root}:{existing}" if existing else repo_root
+        builder = builder.config("spark.executorEnv.PYTHONPATH", pypath)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -45,8 +45,11 @@ with everything else rejected by a descriptive ``SubstraitUnsupported``
   AggregateRels finish the inner as a derived table, and PARTIAL
   aggregation phases consume for sum/min/max/count (the functions whose
   intermediate state is their own output type; count's merge phase is
-  SUM over partial counts) — avg/stddev/variance/DISTINCT phase splits
-  reject by name (struct/set intermediates);
+  SUM over partial counts); round 8: avg/std_dev/variance phase-split
+  through NAMED_STRUCT states (avg: sum/count pair; Welford n/mean/m2
+  merged by the parallel-variance identity) and DISTINCT count/min/max
+  through COLLECT_SET set states — DISTINCT sum/avg still reject
+  (runtime-typed array fold does not unparse to SQL);
 - ``RelRoot.names`` become output aliases.
 
 - ``JoinRel`` (round 4, late) for inner / full / left / right / left-semi
@@ -2045,9 +2048,126 @@ _AGG_FUNCS = {
 _INVOCATION_ALL, _INVOCATION_DISTINCT = 1, 2
 
 #: Aggregates whose intermediate state is their own output type, keyed to
-#: the SQL function that MERGES partial states — the phase-split subset
-#: (sum/min/max merge with themselves; partial counts merge by summing).
+#: the SQL function that MERGES partial states — the name-swap phase-split
+#: subset (sum/min/max merge with themselves; partial counts merge by
+#: summing). avg/std_dev/variance phase-split through struct states and
+#: DISTINCT through set states — see ``_render_phase_split``.
 _PHASE_SPLIT_MERGE = {"sum": "SUM", "min": "MIN", "max": "MAX", "count": "SUM"}
+
+
+def _render_phase_split(
+    name: str, phase: int, distinct: bool, arg_sql: str | None,
+    flt_sql: str | None,
+) -> str | None:
+    """Render a struct-/set-state phase-split measure, or return ``None``
+    when the plain name-swap path (`_PHASE_SPLIT_MERGE`, ALL invocation)
+    applies; raise for combinations with no SQL rendering.
+
+    State contracts (self-describing named structs / arrays, so a plan's
+    partial half and merge half agree without out-of-band type info —
+    the reference reaches full phase support through DataFusion's native
+    accumulator states, datafusion-flight-sql-server/src/service.rs:1018-1029;
+    here each state must round-trip through a column):
+
+    - ``avg`` → ``STRUCT<sum, count BIGINT>`` (DataFusion's avg
+      accumulator is the same (sum, count) pair); merge divides summed
+      sums by summed counts.
+    - ``std_dev``/``variance`` → ``STRUCT<n BIGINT, mean DOUBLE,
+      m2 DOUBLE>`` (Welford state); merge uses the parallel-variance
+      identity m2 = Σm2ᵢ + Σnᵢ·meanᵢ² − (Σnᵢ·meanᵢ)²/Σnᵢ.
+    - DISTINCT ``count``/``min``/``max`` → ``ARRAY<T>`` (the distinct
+      set); merge distinct-unions the arrays. DISTINCT sum/avg stay
+      unsupported: folding a runtime-typed array back into a sum does
+      not unparse to SQL without the element type.
+
+    ``flt_sql`` (Measure.filter, over the phase's input rows) is folded
+    into every internal aggregate call — a trailing generic FILTER clause
+    would be invalid SQL against a struct-building measure.
+    """
+
+    def agg(call: str) -> str:
+        return f"{call} FILTER (WHERE {flt_sql})" if flt_sql else call
+
+    if distinct:
+        if name not in ("count", "min", "max"):
+            raise SubstraitUnsupported(
+                f"Substrait consumer: DISTINCT {name!r} cannot phase-split "
+                f"(set-valued state folds back only for count/min/max)"
+            )
+        if arg_sql is None:
+            raise SubstraitMalformed(f"DISTINCT {name} without an argument")
+        if phase == 1:
+            # COLLECT_SET skips nulls — matching the null-skipping
+            # semantics of count/min/max DISTINCT.
+            return agg(f"COLLECT_SET({arg_sql})")
+        merged = (
+            f"ARRAY_DISTINCT(FLATTEN({agg(f'COLLECT_LIST({arg_sql})')}))"
+        )
+        if phase == 2:
+            return merged
+        if name == "count":
+            return f"CAST(SIZE({merged}) AS BIGINT)"
+        return f"ARRAY_{name.upper()}({merged})"
+
+    if name == "avg":
+        if arg_sql is None:
+            raise SubstraitMalformed("avg without an argument")
+        if phase == 1:
+            return (
+                f"NAMED_STRUCT('sum', {agg(f'SUM({arg_sql})')}, "
+                f"'count', {agg(f'COUNT({arg_sql})')})"
+            )
+        s, c = f"{arg_sql}.`sum`", f"{arg_sql}.`count`"
+        if phase == 2:
+            return (
+                f"NAMED_STRUCT('sum', {agg(f'SUM({s})')}, "
+                f"'count', {agg(f'SUM({c})')})"
+            )
+        return f"{agg(f'SUM({s})')} / {agg(f'SUM({c})')}"
+
+    if name in ("std_dev", "variance"):
+        if arg_sql is None:
+            raise SubstraitMalformed(f"{name} without an argument")
+        if phase == 1:
+            x = f"CAST({arg_sql} AS DOUBLE)"
+            n = agg(f"COUNT({arg_sql})")
+            # all-null partial: mean/m2 coalesce to 0 weighted by n=0, so
+            # the state contributes nothing to any merge sum
+            mean = f"COALESCE({agg(f'AVG({x})')}, CAST(0 AS DOUBLE))"
+            m2 = (
+                f"COALESCE({n} * {agg(f'VAR_POP({x})')}, "
+                f"CAST(0 AS DOUBLE))"
+            )
+            return f"NAMED_STRUCT('n', {n}, 'mean', {mean}, 'm2', {m2})"
+        sn = f"{arg_sql}.`n`"
+        sm = f"{arg_sql}.`mean`"
+        n = agg(f"SUM({sn})")
+        wsum = agg(f"SUM({sn} * {sm})")
+        m2 = (
+            f"({agg(f'SUM({arg_sql}.`m2`)')} + "
+            f"{agg(f'SUM({sn} * {sm} * {sm})')} - "
+            f"CASE WHEN {n} > 0 THEN ({wsum} * {wsum}) / {n} "
+            f"ELSE CAST(0 AS DOUBLE) END)"
+        )
+        if phase == 2:
+            mean = (
+                f"CASE WHEN {n} > 0 THEN {wsum} / {n} "
+                f"ELSE CAST(0 AS DOUBLE) END"
+            )
+            return f"NAMED_STRUCT('n', {n}, 'mean', {mean}, 'm2', {m2})"
+        # sample forms — the substrait yaml default (population is an
+        # option this consumer does not yet parse, same as single-phase)
+        var = f"CASE WHEN {n} > 1 THEN {m2} / ({n} - 1) END"
+        return f"SQRT({var})" if name == "std_dev" else var
+
+    merge_fn = _PHASE_SPLIT_MERGE.get(name)
+    if merge_fn is None:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: partial aggregation phase {phase} for "
+            f"{name!r} is not supported (sum/min/max/count/avg/std_dev/"
+            f"variance, plus DISTINCT count/min/max)"
+        )
+    return None
 
 
 def _aggregate_rel(
@@ -2190,41 +2310,44 @@ def _aggregate_rel(
                 f"Substrait consumer: aggregate invocation {invocation} is "
                 f"not supported"
             )
+        flt = _one(mf, 2)  # Measure.filter: over the aggregate's INPUT
+        flt_sql = (
+            _expr_to_sql(flt, state.cols, funcs, outer=outer)
+            if flt is not None
+            else None
+        )
+        custom_render: str | None = None
         if phase in (1, 2, 4):
             # Phase-split consumption (AggregationPhase: 1 INITIAL_TO_
             # INTERMEDIATE, 2 INTERMEDIATE_TO_INTERMEDIATE, 4 INTERMEDIATE_
             # TO_RESULT — DataFusion's distributed producers emit 1/4 pairs
-            # routinely): expressible in SQL exactly for the functions
-            # whose intermediate state IS their output type — sum/min/max
-            # (merge = the function itself) and count (merge = SUM over
-            # partial counts). avg/stddev/variance carry struct
-            # intermediates and DISTINCT needs a set-valued state; both
-            # reject by name.
-            merge_fn = _PHASE_SPLIT_MERGE.get(name)
-            if merge_fn is None:
-                raise SubstraitUnsupported(
-                    f"Substrait consumer: partial aggregation phase {phase} "
-                    f"for {name!r} is not supported (sum/min/max/count only "
-                    f"— struct-state intermediates cannot unparse to SQL)"
-                )
-            if distinct:
-                raise SubstraitUnsupported(
-                    "Substrait consumer: DISTINCT aggregates cannot "
-                    "phase-split (set-valued intermediate state)"
-                )
-            if phase in (2, 4):
+            # routinely). Two renderings: sum/min/max/count ALL merge by a
+            # name swap below (their state IS their output type);
+            # avg/std_dev/variance and DISTINCT count/min/max render
+            # struct-/set-state measures via _render_phase_split.
+            arg0_sql = (
+                _quote(_col_at(state.cols, _field_ref_index(args[0])))
+                if args
+                else None
+            )
+            custom_render = _render_phase_split(
+                name, phase, distinct, arg0_sql, flt_sql
+            )
+            if custom_render is None and phase in (2, 4):
                 if name == "count" and not args and not af.get(2, []):
                     raise SubstraitMalformed(
                         "merge-phase count without the partial-count argument"
                     )
-                sql_fn = merge_fn
+                sql_fn = _PHASE_SPLIT_MERGE[name]
         max_args = 2 if name == "string_agg" else 1
         if len(args) > max_args:
             raise SubstraitUnsupported(
                 f"Substrait consumer: {name!r} with {len(args)} arguments is "
                 f"not supported"
             )
-        if not args:
+        if custom_render is not None:
+            rendered_fn = custom_render  # FILTER already folded in
+        elif not args:
             if name != "count" or distinct:
                 raise SubstraitMalformed(f"{name} without an argument")
             rendered_fn = "COUNT(*)"
@@ -2265,9 +2388,7 @@ def _aggregate_rel(
                 rendered_fn += (
                     f" WITHIN GROUP (ORDER BY {', '.join(parts)})"
                 )
-        flt = _one(mf, 2)  # Measure.filter: over the aggregate's INPUT
-        if flt is not None:
-            flt_sql = _expr_to_sql(flt, state.cols, funcs, outer=outer)
+        if flt_sql is not None and custom_render is None:
             rendered_fn += f" FILTER (WHERE {flt_sql})"
         measures.append((rendered_fn, f"{name}_{i}"))
 

@@ -32,65 +32,72 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: to keep the prefix at exactly 50), tier 3 = a rotation of the oldest
 #: green rows as regression insurance. Green on the prefix → every
 #: registered query driver-verified at least once.
-#: Round-7 state: tier 1 = ``text_lm_unigram`` — rewritten in round 5
-#: (adaptive vocabulary fold) AFTER its last driver row (r4), the one
-#: freshness gap the round-6 verdict named; tier 2 = round-7
-#: registrations and rewrites, appended as they land; tier 3 = the
-#: oldest-first rotation — all 46 queries whose latest driver row is
-#: round 2 (rounds 3–6 re-verified everything newer). Green on this
-#: prefix → no registered query's latest driver row predates round 2,
-#: and none predates its last source rewrite.
+#: Round-8 state: tier 0 = PERMANENTLY PINNED infrastructure-coupled
+#: queries — ``scan_flight`` transits the live Flight serving path
+#: (execute_stream / multi-endpoint buckets), so a serving-engine change
+#: can break it with no change to its own source; the round-7 rotation
+#: proved rotating it out masks exactly that (the r7 serving regression
+#: shipped under a 50/50-green CORRECTNESS file). It stays in the prefix
+#: every round. Tier 2 = round-8 registrations and rewrites, appended as
+#: they land; tier 3 = the oldest-first rotation — 49 of the 50 queries
+#: whose latest driver row is round 3 (rounds 4–7 re-verified everything
+#: newer); ``window_range_frame`` waits for round 9 to make room for the
+#: pin. Green on this prefix → no registered query's latest driver row
+#: predates round 3, and none predates its last source rewrite.
 _PRIORITY = (
-    # tier 1: source rewritten after last driver check
-    "text_lm_unigram",
-    # tier 2: round-7 registrations / rewrites (appended as they land)
-    # tier 3: oldest-first rotation — latest driver row is round 2
-    "agg_array",
-    "agg_bitmap_distinct",
-    "agg_corr_regr",
-    "agg_filter_clause",
-    "agg_listagg",
-    "agg_minmax_by",
-    "agg_unpivot",
-    "corpus_mix_report",
-    "cte_recursive",
-    "dedup_embed_cosine",
-    "dedup_exact_keeprow",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_chunk",
-    "doc_pack",
-    "doc_sample_stratified",
-    "doc_split",
-    "embed_quantize",
-    "event_funnel",
-    "event_gapfill",
-    "event_retention",
-    "event_sessionize",
-    "event_transitions",
-    "event_tumbling_window",
-    "fn_try",
-    "fn_variant",
-    "graph_pagerank",
-    "join_lateral",
-    "multimodal_decode",
-    "multimodal_meta",
-    "multimodal_resize",
-    "pipeline_curate",
-    "profile_table",
-    "sim_topk_lsh",
-    "sink_clustered",
-    "text_contamination",
-    "text_entropy",
-    "text_fingerprint",
-    "text_langid",
-    "text_ngrams_top",
-    "text_quality",
-    "text_quality_rules",
-    "text_redact",
-    "text_stats",
-    "text_tokens",
-    "window_ignore_nulls",
+    # tier 0: permanently pinned — rides the serving engine internals
+    "scan_flight",
+    # tier 2: round-8 registrations / rewrites (appended as they land)
+    # tier 3: oldest-first rotation — latest driver row is round 3
+    "agg_approx_distinct",
+    "agg_bitwise",
+    "agg_bool",
+    "agg_percentile",
+    "agg_pivot",
+    "embed_centroids",
+    "event_asof_join",
+    "event_band_join",
+    "event_session_window_native",
+    "event_sliding_window",
+    "event_time_rollup",
+    "fn_bitwise",
+    "fn_date_bin",
+    "fn_hash_encode",
+    "fn_map",
+    "fn_string_distance",
+    "fn_url",
+    "join_skew_salted",
+    "multimodal_frames",
+    "param_bind_named",
+    "param_bind_positional",
+    "scan_binary",
+    "scan_csv",
+    "scan_json",
+    "scan_memtable",
+    "scan_orc",
+    "sink_partitioned",
+    "text_histogram",
+    "text_rolling_hash",
+    "text_topk_tokens",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_priority_class",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q22_global_sales",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "window_distribution",
 )
 
 

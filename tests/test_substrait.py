@@ -467,6 +467,62 @@ class TestOverWire:
         finally:
             ex.close()
 
+    def test_phase_split_avg_stddev_distinct_round_trip(self, substrait_server):
+        """Round-8 struct-/set-state phase splits execute end-to-end: a
+        per-(user, order) partial stage merged by a final stage must equal
+        the one-phase aggregate (orders fixture: user 1 → amounts [50, 100],
+        user 2 → [75], user 3 → [25])."""
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            orders = rel(
+                1, read_rel(["orders"], ["order_id", "user_id", "amount"])
+            )
+            # partial per (user_id, order_id): one state row per order —
+            # the merge stage must genuinely combine states for user 1
+            inner = rel(4, aggregate_rel(
+                orders, [1, 0],
+                [
+                    measure(agg_function(1, [2], phase=1)),  # avg state
+                    measure(agg_function(2, [2], phase=1)),  # stddev state
+                    measure(agg_function(3, [2], invocation=2, phase=1)),
+                ],
+            ))
+            # inner output: (user_id, order_id, avg_0, std_dev_1, count_2)
+            outer = rel(4, aggregate_rel(
+                inner, [0],
+                [
+                    measure(agg_function(1, [2], phase=4)),
+                    measure(agg_function(2, [3], phase=4)),
+                    measure(agg_function(3, [4], invocation=2, phase=4)),
+                ],
+            ))
+            p = plan_bytes(
+                outer, ["user_id", "mean", "sd", "nd"],
+                extensions=extension_function(1, "avg:i64")
+                + extension_function(2, "std_dev:fp64")
+                + extension_function(3, "count:"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            got = sorted(
+                zip(
+                    table.column("user_id").to_pylist(),
+                    table.column("mean").to_pylist(),
+                    table.column("sd").to_pylist(),
+                    table.column("nd").to_pylist(),
+                )
+            )
+            assert [g[0] for g in got] == [1, 2, 3]
+            assert [g[1] for g in got] == [75.0, 75.0, 25.0]
+            # stddev_samp([50,100]) = sqrt(1250); single-row groups → NULL
+            assert got[0][2] == pytest.approx(1250 ** 0.5)
+            assert got[1][2] is None and got[2][2] is None
+            assert [g[3] for g in got] == [2, 1, 1]
+        finally:
+            ex.close()
+
     def test_unsupported_plan_rejected_over_wire(self, substrait_server):
         ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
         try:
@@ -754,7 +810,9 @@ class TestAggregateTranslate:
         assert "SUM(`count_1`)" in sql  # merge-phase count = SUM
         assert ") AS" in sql  # inner aggregate finished as derived table
 
-    def test_partial_phase_avg_rejected_by_name(self):
+    def test_partial_phase_avg_renders_struct_state(self):
+        # round 8: avg's INITIAL_TO_INTERMEDIATE state is the (sum, count)
+        # pair — rendered as a NAMED_STRUCT measure
         p = plan_bytes(
             rel(4, aggregate_rel(
                 ORDERS_READ, [0],
@@ -762,10 +820,73 @@ class TestAggregateTranslate:
             )),
             extensions=extension_function(1, "avg:fp64"),
         )
-        with pytest.raises(SubstraitUnsupported, match="struct-state"):
-            substrait_to_sql(p)
+        sql = substrait_to_sql(p)
+        assert "NAMED_STRUCT('sum', SUM(`amount`)" in sql
+        assert "'count', COUNT(`amount`)" in sql
 
-    def test_partial_phase_distinct_rejected(self):
+    def test_merge_phase_avg_divides_summed_state(self):
+        # INTERMEDIATE_TO_RESULT avg over a struct-state column
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], phase=4))],
+            )),
+            extensions=extension_function(1, "avg:fp64"),
+        )
+        sql = substrait_to_sql(p)
+        assert "SUM(`amount`.`sum`) / SUM(`amount`.`count`)" in sql
+
+    def test_partial_phase_stddev_renders_welford_state(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], phase=1))],
+            )),
+            extensions=extension_function(1, "std_dev:fp64"),
+        )
+        sql = substrait_to_sql(p)
+        assert "NAMED_STRUCT('n', COUNT(`amount`)" in sql
+        assert "VAR_POP(CAST(`amount` AS DOUBLE))" in sql
+
+    def test_merge_phase_variance_parallel_identity(self):
+        # m2 merge: Σm2 + Σn·mean² − (Σn·mean)²/Σn, sample divisor n−1
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], phase=4))],
+            )),
+            extensions=extension_function(1, "variance:fp64"),
+        )
+        sql = substrait_to_sql(p)
+        assert "SUM(`amount`.`m2`)" in sql
+        assert "SUM(`amount`.`n` * `amount`.`mean` * `amount`.`mean`)" in sql
+        assert "- 1)" in sql  # sample form
+
+    def test_partial_phase_distinct_count_renders_set_state(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], invocation=2, phase=1))],
+            )),
+            extensions=extension_function(1, "count:"),
+        )
+        assert "COLLECT_SET(`amount`)" in substrait_to_sql(p)
+
+    def test_merge_phase_distinct_count_unions_sets(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], invocation=2, phase=4))],
+            )),
+            extensions=extension_function(1, "count:"),
+        )
+        sql = substrait_to_sql(p)
+        assert "ARRAY_DISTINCT(FLATTEN(COLLECT_LIST(`amount`)))" in sql
+        assert "CAST(SIZE(" in sql
+
+    def test_partial_phase_distinct_sum_still_rejected(self):
+        # folding a runtime-typed distinct set back into a sum does not
+        # unparse to SQL — DISTINCT phase splits stay count/min/max only
         p = plan_bytes(
             rel(4, aggregate_rel(
                 ORDERS_READ, [0],
@@ -773,7 +894,7 @@ class TestAggregateTranslate:
             )),
             extensions=extension_function(1, "sum:fp64"),
         )
-        with pytest.raises(SubstraitUnsupported, match="phase-split"):
+        with pytest.raises(SubstraitUnsupported, match="count/min/max"):
             substrait_to_sql(p)
 
     def test_merge_phase_count_star_malformed(self):
