@@ -32,3 +32,38 @@ def run_query_cleanups() -> None:
             df.unpersist()
         except Exception:  # session already stopped — nothing to release
             pass
+
+
+def corpus_fingerprint(cache_key) -> tuple | None:
+    """Filesystem fingerprint for a ``(fixture_dir, table)`` corpus key.
+
+    The session-scoped operator caches (MinHash front end, trained
+    quantizer) key on a caller-supplied corpus identity; when that
+    identity names a parquet fixture on local disk, the data can change
+    UNDER the key (regenerated fixtures, overwritten tables) and a
+    persisted cache entry would silently serve the old corpus. Folding
+    (max mtime_ns, total size) of the backing file — or directory of
+    part files — into the cache key turns any rewrite into a clean miss.
+    Returns ``None`` (fingerprint-less key, prior behavior) when the key
+    doesn't name a local parquet path — e.g. object-store URIs, where the
+    caller's key must carry version identity itself.
+    """
+    import os
+
+    try:
+        d, t = cache_key
+        path = os.path.join(str(d), f"{t}.parquet")
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return (st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            newest, total = 0, 0
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    st = os.stat(os.path.join(root, fn))
+                    newest = max(newest, st.st_mtime_ns)
+                    total += st.st_size
+            return (newest, total)
+    except (TypeError, ValueError, OSError):
+        return None
+    return None

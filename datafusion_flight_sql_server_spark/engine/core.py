@@ -125,8 +125,11 @@ class Engine:
         vs one whole partition of exposure for ``toLocalIterator``.
 
         Spark Connect has no RDD API, so it streams the same executor-encoded
-        IPC blobs through ``toLocalIterator`` (one job per partition — the
-        latency optimization is classic-mode only, the Arrow path is not).
+        IPC blobs through ``toLocalIterator`` — which under Connect is NOT
+        the classic one-job-per-partition loop: the Connect server executes
+        the plan once and streams result batches over gRPC, with client-side
+        prefetch bounding driver memory. Only the grouped-pull batching is
+        classic-mode specific; the Arrow path is shared.
         The row-at-a-time fallback is reserved for plans whose types cannot
         pass Spark's Arrow conversion at all. Each path probes through empty
         partitions to the FIRST NON-EMPTY pull inside its try scope: a
@@ -243,6 +246,17 @@ class Engine:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_buckets = max(1, int(max_endpoints))
+        # Spark Connect exposes no RDD API, so a bucket cannot read "its
+        # own partitions" — the fallback would pid-FILTER the staged
+        # relation once per bucket (n_buckets cached scans of the full
+        # result). Degrade to ONE endpoint there (exact reference parity:
+        # its FlightInfo always carries one endpoint) instead of shipping
+        # read amplification. Touching sparkSession.sparkContext does not
+        # finalize the AQE plan, so the laziness contract above holds.
+        try:
+            df.sparkSession.sparkContext
+        except Exception:  # pragma: no cover - Connect session
+            n_buckets = 1
         return staged, n_buckets
 
     @staticmethod
@@ -266,11 +280,19 @@ class Engine:
             n_parts = rdd.getNumPartitions()
             sc = staged.sparkSession.sparkContext
         except Exception:  # pragma: no cover - Connect fallback
-            rows = (
-                staged.filter(F.col("pid") % n_buckets == bucket)
-                .select("ipc")
-                .toLocalIterator(prefetchPartitions=True)
+            # prepare_partitioned_result degrades Connect results to one
+            # bucket, so this path normally streams the WHOLE relation
+            # with no pid filter (no per-bucket rescan). The filtered form
+            # remains only for a ticket that genuinely names a sub-bucket
+            # (e.g. a classic-staged result later served via Connect).
+            src = (
+                staged.select("ipc")
+                if n_buckets == 1
+                else staged.filter(F.col("pid") % n_buckets == bucket).select(
+                    "ipc"
+                )
             )
+            rows = src.toLocalIterator(prefetchPartitions=True)
             yield from _rechunk_ipc_rows(rows, schema, batch_rows)
             return
 

@@ -8,6 +8,7 @@ digest/bucket keys, and no all-pairs comparison without blocking.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
@@ -170,6 +171,12 @@ def _shingle_hash(sh):
 #: Entries hold PERSISTED DataFrames; eviction unpersists.
 _MINHASH_FRONTEND_CACHE: OrderedDict = OrderedDict()
 _MINHASH_FRONTEND_MAX = 4
+#: Guards lookup+insert as one unit: the Flight server handles requests on
+#: concurrent threads over one shared session, and an unguarded miss-miss
+#: race double-creates the front end — the loser's persisted relation is
+#: orphaned (never unpersisted, never shared). Building is lazy (no jobs),
+#: so holding the lock across the build is cheap.
+_MINHASH_CACHE_LOCK = threading.Lock()
 
 
 def clear_minhash_frontend_cache() -> None:
@@ -203,18 +210,35 @@ def _minhash_hashed_buckets(
     re-shingling the corpus per query. Training is deterministic, so
     sharing cannot change any result. Without a key the relation is
     registered for per-query cleanup as before (library callers with
-    arbitrary DataFrames)."""
-    if cache_key is not None:
-        key = (
-            docs.sparkSession,
-            cache_key,
-            id_col,
-            text_col,
-            shingle_n,
-            n_perms,
-            n_bands,
-            seed,
+    arbitrary DataFrames).
+
+    Round-8 hardening: the key folds in a filesystem fingerprint of the
+    backing parquet (``corpus_fingerprint``), so regenerated fixtures
+    miss cleanly instead of serving the stale persisted corpus; lookup
+    and insert happen under ``_MINHASH_CACHE_LOCK`` as one unit, so
+    concurrent server threads cannot double-create (and orphan) a
+    persisted front end."""
+    if cache_key is None:
+        return _minhash_build(
+            docs, id_col, text_col, shingle_n, n_perms, n_bands, seed,
+            cached=False,
         )
+    from datafusion_flight_sql_server_spark.engine.cleanup import (
+        corpus_fingerprint,
+    )
+
+    key = (
+        docs.sparkSession,
+        cache_key,
+        corpus_fingerprint(cache_key),
+        id_col,
+        text_col,
+        shingle_n,
+        n_perms,
+        n_bands,
+        seed,
+    )
+    with _MINHASH_CACHE_LOCK:
         hit = _MINHASH_FRONTEND_CACHE.get(key)
         if hit is not None:
             _MINHASH_FRONTEND_CACHE.move_to_end(key)
@@ -227,6 +251,30 @@ def _minhash_hashed_buckets(
 
                 hit[0].persist(StorageLevel.MEMORY_AND_DISK)
             return hit
+        out = _minhash_build(
+            docs, id_col, text_col, shingle_n, n_perms, n_bands, seed,
+            cached=True,
+        )
+        _MINHASH_FRONTEND_CACHE[key] = out
+        while len(_MINHASH_FRONTEND_CACHE) > _MINHASH_FRONTEND_MAX:
+            _, (old_hashed, _s, _b) = _MINHASH_FRONTEND_CACHE.popitem(last=False)
+            try:
+                old_hashed.unpersist()
+            except Exception:  # session already stopped
+                pass
+        return out
+
+
+def _minhash_build(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    n_perms: int,
+    n_bands: int,
+    seed: int,
+    cached: bool,
+):
     rows_per_band = n_perms // n_bands
     params = minhash_params(n_perms, seed)
 
@@ -242,7 +290,7 @@ def _minhash_hashed_buckets(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if cache_key is None:
+    if not cached:
         # uncached path: without a cleanup registration, full-registry
         # sweeps accumulate one cached shingle-set relation per minhash
         # query in the shared session
@@ -282,16 +330,7 @@ def _minhash_hashed_buckets(
     bucketed = signed.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
-    out = (hashed, signed, bucketed)
-    if cache_key is not None:
-        _MINHASH_FRONTEND_CACHE[key] = out
-        while len(_MINHASH_FRONTEND_CACHE) > _MINHASH_FRONTEND_MAX:
-            _, (old_hashed, _s, _b) = _MINHASH_FRONTEND_CACHE.popitem(last=False)
-            try:
-                old_hashed.unpersist()
-            except Exception:  # session already stopped
-                pass
-    return out
+    return (hashed, signed, bucketed)
 
 
 def minhash_near_dups(

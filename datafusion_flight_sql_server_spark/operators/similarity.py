@@ -24,6 +24,7 @@ across engines and runs.
 from __future__ import annotations
 
 import hashlib
+import threading
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, Window as W
@@ -505,6 +506,13 @@ def lsh_topk(
 #: just drops it (ContextCleaner reclaims the blocks).
 _CENTROID_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _CENTROID_CACHE_MAX = 4
+#: Lookup+train+insert run as one unit: concurrent server threads sharing
+#: the session must not double-train (the loser's localCheckpointed
+#: centroids would leak blocks until ContextCleaner catches up, and two
+#: trainings waste 2x the Lloyd passes). Training runs jobs, so the lock
+#: serializes concurrent first-trainings — rare by construction (the cache
+#: exists because training happens once per corpus per session).
+_CENTROID_CACHE_LOCK = threading.Lock()
 
 
 def clear_centroid_cache() -> None:
@@ -540,21 +548,44 @@ def train_cells(
     deterministic, so sharing cannot change any result; the untrained
     (``train_iters=0``) seed path is one cheap filter and is never cached.
     """
-    key = None
     if cache_key is not None and train_iters > 0:
+        from datafusion_flight_sql_server_spark.engine.cleanup import (
+            corpus_fingerprint,
+        )
+
         key = (
             emb.sparkSession,
             cache_key,
+            corpus_fingerprint(cache_key),
             n_cells,
             train_iters,
             dim,
             id_col,
             vec_col,
         )
-        hit = _CENTROID_CACHE.get(key)
-        if hit is not None:
-            _CENTROID_CACHE.move_to_end(key)
-            return hit
+        with _CENTROID_CACHE_LOCK:
+            hit = _CENTROID_CACHE.get(key)
+            if hit is not None:
+                _CENTROID_CACHE.move_to_end(key)
+                return hit
+            cents = _train_cells_build(
+                emb, n_cells, train_iters, dim, id_col, vec_col
+            )
+            _CENTROID_CACHE[key] = cents
+            while len(_CENTROID_CACHE) > _CENTROID_CACHE_MAX:
+                _CENTROID_CACHE.popitem(last=False)
+            return cents
+    return _train_cells_build(emb, n_cells, train_iters, dim, id_col, vec_col)
+
+
+def _train_cells_build(
+    emb: DataFrame,
+    n_cells: int,
+    train_iters: int,
+    dim: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     cents = emb.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cent_vec")
     )
@@ -593,10 +624,6 @@ def train_cells(
                 F.col("cell").alias("cent_id"),
                 F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cent_vec"),
             ).localCheckpoint(eager=True)
-    if key is not None:
-        _CENTROID_CACHE[key] = cents
-        while len(_CENTROID_CACHE) > _CENTROID_CACHE_MAX:
-            _CENTROID_CACHE.popitem(last=False)
     return cents
 
 

@@ -101,7 +101,9 @@ def qualifier_metadata(df: DataFrame) -> dict[str, str]:
 _NUM_RE = re.compile(r"^\d+$")
 
 
-def parameter_schema_for_sql(spark: SparkSession, sql: str) -> pa.Schema:
+def parameter_schema_for_sql(
+    spark: SparkSession, sql: str, strict: bool = False
+) -> pa.Schema:
     """Best-effort parameter schema for a prepared statement.
 
     Parity target: ``parameter_schema_for_plan`` (reference:
@@ -114,6 +116,15 @@ def parameter_schema_for_sql(spark: SparkSession, sql: str) -> pa.Schema:
     reference's BTreeMap order for ``$1 < $10 < $2`` string keys is matched
     for the common single-digit case; we sort numerics numerically, a
     declared improvement).
+
+    ``strict=True`` (H3 strict mode, the last declared divergence from
+    service.rs:1085-1105): instead of defaulting an untypeable placeholder
+    to string, raise — DataFusion's ``parameter_schema_for_plan`` surfaces
+    a planning error when the plan cannot type a placeholder, and a
+    string default silently binds the wrong type for clients that trust
+    the parameter schema. Off by default: the lenient string default is
+    friendlier to ad-hoc clients and was this server's documented
+    behavior since round 2.
     """
     names = placeholder_names(sql)
     if not names:
@@ -124,6 +135,17 @@ def parameter_schema_for_sql(spark: SparkSession, sql: str) -> pa.Schema:
         resolved_types.update(
             _infer_types_from_plan(spark, sql, names, unresolved)
         )
+    if strict:
+        untyped = [n for n in names if n not in resolved_types]
+        if untyped:
+            rendered = ", ".join(
+                f"${n}" if _NUM_RE.match(n) else n for n in sorted(untyped)
+            )
+            raise ValueError(
+                f"parameter type(s) could not be resolved for {rendered} "
+                f"(strict_parameter_types=True; the lenient default would "
+                f"report string)"
+            )
     nums = sorted((n for n in names if _NUM_RE.match(n)), key=int)
     named = sorted(n for n in names if not _NUM_RE.match(n))
     fields = [

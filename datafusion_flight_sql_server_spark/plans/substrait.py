@@ -1532,15 +1532,23 @@ def _path_within_roots(uri: str, roots: tuple[str, ...]) -> bool:
     """Prefix-allowlist check for a local_files uri.
 
     ``..`` segments reject outright (prefix matching can't see through
-    them); a ``file:`` scheme is stripped — all three URI spellings
-    (``file:/x``, ``file:///x``, ``file://host/x``; Hadoop's
-    ``Path.toString`` emits the single-slash form) normalize to ``/x`` so
-    they match the same root; other schemes (s3://...) compare the full
-    uri, letting operators allow object-store prefixes explicitly. A
-    configured root of ``/`` allows any absolute local path (explicit
-    opt-in to the whole filesystem); an empty-string root stays inert so
-    the empty-tuple deny-all default can't be weakened by accident.
+    them); a ``file:`` scheme is stripped — the no-authority URI
+    spellings (``file:/x``, ``file:///x``; Hadoop's ``Path.toString``
+    emits the single-slash form) normalize to ``/x`` so they match the
+    same root, and an authority component other than ``localhost``
+    (``file://host/x``) rejects outright — that uri names ANOTHER
+    machine's filesystem, which no local root can meaningfully allow.
+    Local paths canonicalize through ``os.path.realpath`` before the
+    prefix compare (roots too), so a symlink planted under an allowed
+    root cannot escape it. Other schemes (s3://...) compare the full
+    uri lexically, letting operators allow object-store prefixes
+    explicitly. A configured root of ``/`` allows any absolute local
+    path (explicit opt-in to the whole filesystem); an empty-string
+    root stays inert so the empty-tuple deny-all default can't be
+    weakened by accident.
     """
+    import os
+
     if ".." in uri:
         return False
     p = uri
@@ -1549,14 +1557,22 @@ def _path_within_roots(uri: str, roots: tuple[str, ...]) -> bool:
         if p.startswith("//"):
             p = p[2:]
             if not p.startswith("/"):  # authority component: file://host/x
-                p = "/" + p.split("/", 1)[1] if "/" in p else ""
+                host, _, rest = p.partition("/")
+                if host.partition(":")[0].lower() != "localhost":
+                    return False
+                p = "/" + rest
         # file:/x already reads as /x
+    is_local = p.startswith("/")
+    if is_local:
+        p = os.path.realpath(p)
     for root in roots:
         r = root.rstrip("/")
         if not r:
-            if root and p.startswith("/"):  # root "/": any absolute path
+            if root and is_local:  # root "/": any absolute path
                 return True
             continue
+        if is_local and r.startswith("/"):
+            r = os.path.realpath(r)
         if p == r or p.startswith(r + "/"):
             return True
     return False

@@ -108,11 +108,17 @@ class FlightSqlServiceConfig:
         result_endpoints: int = 1,
         max_staged_results: int = 16,
         substrait_local_files_roots: tuple[str, ...] = (),
+        strict_parameter_types: bool = False,
     ):
         self.schema_with_metadata = schema_with_metadata
         self.batch_rows = batch_rows
         self.result_endpoints = result_endpoints
         self.max_staged_results = max_staged_results
+        # H3 strict mode: error on untypeable placeholders at
+        # create_prepared_statement time (like DataFusion's
+        # parameter_schema_for_plan surfacing a planning error,
+        # service.rs:1085-1105) instead of defaulting them to string.
+        self.strict_parameter_types = strict_parameter_types
         # Allowlist of path prefixes a Substrait ReadRel.local_files may
         # read. Default () = deny: local_files otherwise hands any Flight
         # client an arbitrary-read primitive on whatever the Spark session
@@ -615,9 +621,22 @@ class FlightSqlServer(fl.FlightServerBase):
             handler = self._ACTIONS.get(action.type)
             if handler is None:
                 raise NotImplementedError(f"Implement do_action {action.type}")
-            return getattr(self, handler)(context, bytes(action.body))
+            results = getattr(self, handler)(context, bytes(action.body))
         except Exception as exc:  # noqa: BLE001
             raise _to_flight_error(exc)
+
+        # Handlers are GENERATORS: their bodies run at iteration time,
+        # after the try above has exited — without this wrapper any error
+        # they raise (e.g. strict-mode parameter typing) would bypass the
+        # A29 error mapping and reach the client as a raw pickled Python
+        # exception instead of a FlightError.
+        def _mapped():
+            try:
+                yield from results
+            except Exception as exc:  # noqa: BLE001
+                raise _to_flight_error(exc)
+
+        return _mapped()
 
     def list_actions(self, context):
         return [
@@ -640,7 +659,11 @@ class FlightSqlServer(fl.FlightServerBase):
         engine = self._ctx(context)
         df = engine.plan_for_schema(request.query)
         dataset_schema = arrow_schema_for_df(df, self.config.schema_with_metadata)
-        parameter_schema = parameter_schema_for_sql(engine.spark, request.query)
+        parameter_schema = parameter_schema_for_sql(
+            engine.spark,
+            request.query,
+            strict=self.config.strict_parameter_types,
+        )
         handle = QueryHandle(query=request.query, parameters=None)
         result = ActionCreatePreparedStatementResult(
             prepared_statement_handle=handle.encode(),

@@ -744,3 +744,91 @@ class TestMultiEndpoint:
             assert total == self.N * (self.N - 1) // 2
         finally:
             srv.shutdown()
+
+
+class TestStrictParameterTypes:
+    """H3 strict mode (round 8, VERDICT r7 #8): with
+    ``strict_parameter_types=True`` the server errors at
+    create_prepared_statement on placeholders it cannot type — DataFusion's
+    ``parameter_schema_for_plan`` surfaces a planning error there
+    (service.rs:1085-1105) — instead of defaulting them to string."""
+
+    @pytest.fixture(scope="class")
+    def strict_client(self, spark):
+        _register_fixtures(spark)
+        srv = FlightSqlServer(
+            Engine(spark),
+            location="grpc://0.0.0.0:0",
+            config=FlightSqlServiceConfig(strict_parameter_types=True),
+        )
+        threading.Thread(target=srv.serve, daemon=True).start()
+        ex = FlightSQLExecutor(f"grpc://localhost:{srv.port}")
+        yield ex
+        ex.close()
+        srv.shutdown()
+
+    def test_typeable_placeholder_still_prepares(self, strict_client):
+        prepared = strict_client.prepare("SELECT * FROM users WHERE id = $1")
+        assert prepared.parameter_schema.field(0).type == pa.int32()
+        prepared.close()
+
+    def test_untypeable_placeholder_errors(self, strict_client):
+        # a bare projected placeholder has no comparison sibling and no
+        # implicit cast to read a type from — DataFusion errors on it too
+        with pytest.raises(fl.FlightError, match="strict_parameter_types"):
+            strict_client.prepare("SELECT $1 AS v FROM users")
+
+    def test_default_mode_keeps_string_fallback(self, client):
+        # reference-divergent-but-documented lenient default: the same
+        # statement prepares with a string-typed parameter
+        prepared = client.prepare("SELECT $1 AS v FROM users")
+        assert prepared.parameter_schema.field(0).type == pa.utf8()
+        prepared.close()
+
+
+class TestDictionaryHydrationParity:
+    """Wire-verify the declared divergence at service.py:41-46: the
+    reference hydrates dictionary-encoded result fields before shipping
+    (service.rs:1072-1083); this server ships Spark's Arrow export, which
+    must therefore contain NO dictionary-encoded fields — even when the
+    source parquet is dictionary-encoded on disk — and the GetFlightInfo
+    schema must equal the DoGet stream's schema exactly."""
+
+    def test_no_dictionary_fields_on_the_wire(self, spark, server, tmp_path):
+        import pyarrow.parquet as pq
+
+        from datafusion_flight_sql_server_spark.protocol.flightsql import (
+            CommandStatementQuery,
+        )
+
+        path = str(tmp_path / "dicted.parquet")
+        t = pa.table(
+            {
+                "k": pa.array(["alpha", "beta", "alpha", "gamma"] * 500),
+                "v": pa.array(list(range(2000)), type=pa.int64()),
+            }
+        )
+        pq.write_table(t, path, use_dictionary=True)
+        # the fixture really is dictionary-encoded on disk
+        enc = pq.ParquetFile(path).metadata.row_group(0).column(0).encodings
+        assert any("DICTIONARY" in e for e in enc)
+        spark.read.parquet(path).createOrReplaceTempView("dicted")
+
+        ex = FlightSQLExecutor(f"grpc://localhost:{server.port}")
+        try:
+            sql = "SELECT k, v FROM dicted"
+            info = ex.flight_info(CommandStatementQuery(query=sql))
+            declared = info.schema
+            for f in declared:
+                assert not pa.types.is_dictionary(f.type)
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            for f in table.schema:
+                assert not pa.types.is_dictionary(f.type)
+            # post-"hydration" parity: declared schema == stream schema,
+            # with no re-encode pass needed anywhere
+            assert declared.equals(table.schema)
+            assert table.num_rows == 2000
+        finally:
+            ex.close()

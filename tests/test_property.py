@@ -395,6 +395,29 @@ def test_compression_ratio_deterministic_and_ordered(spark):
     assert rep_ratio < median
 
 
+def test_compression_ratio_golden_digest(spark):
+    """Round 8 (VERDICT r7 #9): the one rows-only driver row gets a golden
+    — a per-corpus digest (COUNT, SUM(ratio_ppm)) pinned at both fixture
+    scales, independently computed with plain zlib over the parquet. A
+    zlib-level drift, an encoding change, or a DIV/float regression moves
+    the sum; a dropped/duplicated document moves the count."""
+    from pyspark.sql import functions as F
+
+    from datafusion_flight_sql_server_spark.queries import REGISTRY
+
+    GOLDEN = {
+        "/root/testdata/sf0.001": (500, 277_366_353),
+        "/root/testdata/sf0.01": (500, 277_239_025),
+    }
+    fn = REGISTRY["text_compression_ratio"].fn
+    for sf, (n, total) in GOLDEN.items():
+        row = fn(spark, sf).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ratio_ppm").alias("s"),
+        ).collect()[0]
+        assert (row["n"], row["s"]) == (n, total), sf
+
+
 # -- CUSUM changepoint vs brute force ----------------------------------------
 
 _events = st.lists(

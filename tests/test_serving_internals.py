@@ -201,3 +201,49 @@ class TestPidInvariantGuard:
         )
         with pytest.raises(RuntimeError, match="pid"):
             list(gen)
+
+
+# -- Connect degradation ------------------------------------------------------
+
+
+class TestConnectDegradation:
+    def test_no_rdd_access_degrades_to_one_bucket(self, spark):
+        """A session without RDD access (Spark Connect) must get exactly
+        ONE bucket — reference parity — because the bucket fallback would
+        otherwise pid-filter-rescan the staged relation once per bucket."""
+        from datafusion_flight_sql_server_spark.engine.core import Engine
+
+        class _ConnectLikeDF:
+            """Delegates plan building but denies sparkContext, like a
+            Connect-session DataFrame."""
+
+            def __init__(self, df):
+                self._df = df
+
+            def mapInArrow(self, *a, **k):
+                return self._df.mapInArrow(*a, **k)
+
+            @property
+            def sparkSession(self):
+                class _S:
+                    @property
+                    def sparkContext(self):
+                        raise RuntimeError("Connect: no sparkContext")
+
+                return _S()
+
+        eng = Engine(spark)
+        df = spark.range(100).selectExpr("id", "id * 2 AS v")
+        staged, n = eng.prepare_partitioned_result(
+            _ConnectLikeDF(df), max_endpoints=4
+        )
+        try:
+            assert n == 1
+        finally:
+            staged.unpersist()
+        # classic sessions keep the configured bucket count
+        staged2, n2 = eng.prepare_partitioned_result(df, max_endpoints=4)
+        try:
+            assert n2 == 4
+        finally:
+            staged2.unpersist()

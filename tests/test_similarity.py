@@ -355,6 +355,47 @@ class TestIvfTopK:
         finally:
             clear_centroid_cache()
 
+    def test_concurrent_training_single_entry(self, embeddings):
+        # Round 8 (VERDICT r7 #7): racing threads must share ONE trained
+        # quantizer — the lock makes lookup+train+insert atomic.
+        import threading
+
+        from datafusion_flight_sql_server_spark.operators.similarity import (
+            _CENTROID_CACHE,
+            clear_centroid_cache,
+            train_cells,
+        )
+
+        clear_centroid_cache()
+        results: list = []
+        errors: list = []
+        barrier = threading.Barrier(4)
+
+        def go():
+            try:
+                barrier.wait()
+                results.append(
+                    train_cells(
+                        embeddings, n_cells=16, train_iters=1, dim=64,
+                        cache_key=("race", "embeddings"),
+                    )
+                )
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        threads = [threading.Thread(target=go) for _ in range(4)]
+        try:
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(120)
+            assert not errors
+            assert len(results) == 4
+            assert len({id(r) for r in results}) == 1
+            assert len(_CENTROID_CACHE) == 1
+        finally:
+            clear_centroid_cache()
+
     def test_trained_deterministic_across_runs(self, embeddings):
         queries = embeddings.filter(F.col("vec_id") < 3)
         a = sorted(map(tuple,

@@ -3551,6 +3551,59 @@ class TestLocalFiles:
         with pytest.raises(SubstraitUnsupported, match="allowlist"):
             substrait_to_sql(r, local_files_roots=("",))
 
+    def test_allowlist_symlink_escape_rejected(self, tmp_path):
+        # Round-8 hardening (VERDICT r7 #7): the prefix compare runs on
+        # realpath-canonicalized paths, so a symlink planted under an
+        # allowed root cannot read outside it.
+        import shutil
+
+        root = tmp_path / "allowed"
+        root.mkdir()
+        shutil.copy(REGION_PARQUET, root / "region.parquet")
+        outside = tmp_path / "outside"
+        outside.mkdir()
+        shutil.copy(REGION_PARQUET, outside / "secret.parquet")
+        (root / "link").symlink_to(outside)
+        escape = plan_bytes(
+            local_files_read(["a"], [f"{root}/link/secret.parquet"])
+        )
+        with pytest.raises(SubstraitUnsupported, match="allowlist"):
+            substrait_to_sql(escape, local_files_roots=(str(root),))
+        # a genuine file under the root still resolves
+        fine = plan_bytes(
+            local_files_read(["r_regionkey"], [f"{root}/region.parquet"])
+        )
+        assert "FROM parquet." in substrait_to_sql(
+            fine, local_files_roots=(str(root),)
+        )
+        # and a symlinked ROOT allows files reached through its real path
+        # (both sides canonicalize)
+        alias = tmp_path / "alias"
+        alias.symlink_to(root)
+        assert "FROM parquet." in substrait_to_sql(
+            fine, local_files_roots=(str(alias),)
+        )
+
+    def test_allowlist_remote_authority_rejected(self):
+        # file://host/x names ANOTHER machine's filesystem — no local root
+        # can meaningfully allow it; only the localhost authority (and the
+        # no-authority forms) resolve
+        remote = plan_bytes(
+            local_files_read(["a"], [f"file://evil-host{REGION_PARQUET}"])
+        )
+        with pytest.raises(SubstraitUnsupported, match="allowlist"):
+            substrait_to_sql(remote, local_files_roots=(_SF_SMALL,))
+        with pytest.raises(SubstraitUnsupported, match="allowlist"):
+            substrait_to_sql(remote, local_files_roots=("/",))
+        localhost = plan_bytes(
+            local_files_read(
+                ["r_regionkey"], [f"file://localhost{REGION_PARQUET}"]
+            )
+        )
+        assert "FROM parquet." in substrait_to_sql(
+            localhost, local_files_roots=(_SF_SMALL,)
+        )
+
     def test_server_denies_local_files_by_default(self, substrait_server):
         ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
         try:
