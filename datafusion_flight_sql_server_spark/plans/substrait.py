@@ -1578,6 +1578,70 @@ def _path_within_roots(uri: str, roots: tuple[str, ...]) -> bool:
     return False
 
 
+#: per-translation registry of extension_table resolvers, set by
+#: ``substrait_to_sql``: maps an Any ``type_url`` to a callable
+#: ``(type_url, detail_bytes, declared_cols) -> FROM-able SQL fragment``.
+#: None/empty (the default) rejects every extension_table by name.
+_EXTENSION_TABLE_HANDLERS: ContextVar[dict | None] = ContextVar(
+    "_EXTENSION_TABLE_HANDLERS", default=None
+)
+
+
+def _extension_table_state(ext: bytes, cols: list[str]) -> "_State":
+    """ReadRel.extension_table → embedder-resolved FROM fragment.
+
+    The reference consumes extension_table natively because its embedders
+    register DataFusion TableProviders ahead of time — the payload is a
+    ``google.protobuf.Any`` only the embedder can interpret
+    (service.rs:1018-1029 delegates to DataFusion's consumer, which
+    dispatches on the Any's type_url). The Spark analogue: the embedder
+    registers per-type_url RESOLVERS
+    (``FlightSqlServiceConfig.substrait_extension_tables`` /
+    ``substrait_to_sql(extension_table_handlers=...)``) mapping the
+    opaque detail bytes to a FROM-able SQL fragment — a registered temp
+    view, a ``format.`path``` direct read, a catalog table. With no
+    handler for the type_url (and under the default empty registry) the
+    named rejection stands: the payload is meaningless without one.
+
+    The declared base schema binds the resolved relation BY NAME (same
+    discipline as local_files), so a resolver returning a wider or
+    reordered view cannot shift field-reference indexes.
+    """
+    handlers = _EXTENSION_TABLE_HANDLERS.get() or {}
+    ef = _fields(ext)
+    detail = _one(ef, 1)
+    if detail is None:
+        raise SubstraitMalformed("extension_table without a detail Any")
+    af = _fields(detail)
+    raw_url = _one(af, 1)
+    if raw_url is None:
+        raise SubstraitMalformed("extension_table Any without a type_url")
+    type_url = _utf8(raw_url, "extension_table type_url")
+    value = _one(af, 2)
+    if value is None or isinstance(value, int):
+        value = b""
+    handler = handlers.get(type_url)
+    if handler is None:
+        raise SubstraitUnsupported(
+            f"Substrait consumer: ReadRel extension_table with type_url "
+            f"{type_url!r} has no registered resolver (server opt-in: "
+            f"FlightSqlServiceConfig.substrait_extension_tables)"
+        )
+    if not cols:
+        raise SubstraitUnsupported(
+            "Substrait consumer: extension_table requires a declared base "
+            "schema (column names bind the resolved relation)"
+        )
+    frag = handler(type_url, value, list(cols))
+    if not isinstance(frag, str) or not frag.strip():
+        raise SubstraitMalformed(
+            f"extension_table resolver for {type_url!r} returned "
+            f"{type(frag).__name__}, expected a FROM-able SQL fragment"
+        )
+    proj = ", ".join(_quote(c) for c in cols)
+    return _subquery_state(f"SELECT {proj} FROM {frag}", cols, "xt")
+
+
 def _local_files_state(lf: bytes, cols: list[str]) -> "_State":
     """ReadRel.local_files → FROM over Spark's direct-path table syntax.
 
@@ -1730,11 +1794,6 @@ def _read_rel(
             )
         items = _struct_select_items(sel)
         mask = (items, bool(_varint_one(mf, 2, 0)))
-    if 8 in f:
-        raise SubstraitUnsupported(
-            "Substrait consumer: ReadRel read type 'extension_table' is not "
-            "supported (named_table, literal virtual_table, local_files)"
-        )
     cols: list[str] = []
     tree: "list[_SchemaNode] | None" = None
     base_schema = _one(f, 2)
@@ -1752,6 +1811,15 @@ def _read_rel(
             cols = [n.name for n in tree]
         else:
             cols = names
+
+    ext = _one(f, 8)
+    if ext is not None:
+        state = _extension_table_state(ext, cols)
+        for num in (3, 11):
+            cond = _one(f, num)
+            if cond is not None:
+                state.where.append(_expr_to_sql(cond, cols, funcs, outer=outer))
+        return _apply_read_mask(state, mask, tree)
 
     lf = _one(f, 6)
     if lf is not None:
@@ -3129,7 +3197,9 @@ def _render_sql(state: _State, out_names: list[str]) -> str:
 
 
 def substrait_to_sql(
-    plan_bytes: bytes, local_files_roots: tuple[str, ...] | None = None
+    plan_bytes: bytes,
+    local_files_roots: tuple[str, ...] | None = None,
+    extension_table_handlers: dict | None = None,
 ) -> str:
     """Translate serialized ``substrait.Plan`` bytes to a SQL statement.
 
@@ -3144,13 +3214,21 @@ def substrait_to_sql(
     config's roots here, defaulting to deny (round-6, ADVICE r5: parity
     with DataFusion's native LocalFiles consumption would otherwise give
     any client an arbitrary-read primitive on the server).
+
+    ``extension_table_handlers``: per-type_url resolvers for
+    ``ReadRel.extension_table`` (round 8) — the embedder-registered
+    analogue of DataFusion TableProviders; see
+    ``_extension_table_state``. None/empty rejects every
+    extension_table by name.
     """
     if not plan_bytes:
         raise SubstraitMalformed("empty Substrait plan")
     token = _LOCAL_FILES_ROOTS.set(local_files_roots)
+    xt_token = _EXTENSION_TABLE_HANDLERS.set(extension_table_handlers)
     try:
         return _substrait_to_sql_inner(plan_bytes)
     finally:
+        _EXTENSION_TABLE_HANDLERS.reset(xt_token)
         _LOCAL_FILES_ROOTS.reset(token)
 
 

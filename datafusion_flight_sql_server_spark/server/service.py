@@ -109,6 +109,7 @@ class FlightSqlServiceConfig:
         max_staged_results: int = 16,
         substrait_local_files_roots: tuple[str, ...] = (),
         strict_parameter_types: bool = False,
+        substrait_extension_tables: dict | None = None,
     ):
         self.schema_with_metadata = schema_with_metadata
         self.batch_rows = batch_rows
@@ -125,6 +126,12 @@ class FlightSqlServiceConfig:
         # user can open (round-6 hardening; DataFusion consumes LocalFiles
         # natively, but its embedders opt in by registering providers).
         self.substrait_local_files_roots = substrait_local_files_roots
+        # Per-type_url resolvers for Substrait ReadRel.extension_table —
+        # the embedder-registered analogue of DataFusion TableProviders
+        # (the reference reaches extension tables through providers its
+        # embedder registered; here the embedder maps the opaque Any
+        # payload to a FROM-able SQL fragment). Default None = reject.
+        self.substrait_extension_tables = substrait_extension_tables
 
 
 # Flight SQL metadata result schemas (Arrow Flight SQL specification; the
@@ -397,6 +404,7 @@ class FlightSqlServer(fl.FlightServerBase):
         sql = substrait_to_sql(
             command.plan.plan,
             local_files_roots=self.config.substrait_local_files_roots,
+            extension_table_handlers=self.config.substrait_extension_tables,
         )
         return self._info_statement(
             engine, CommandStatementQuery(query=sql), descriptor

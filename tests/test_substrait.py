@@ -31,7 +31,10 @@ from datafusion_flight_sql_server_spark.protocol.flightsql import (
     SubstraitPlan,
 )
 from datafusion_flight_sql_server_spark.protocol.wire import encode_varint
-from datafusion_flight_sql_server_spark.server import FlightSqlServer
+from datafusion_flight_sql_server_spark.server import (
+    FlightSqlServer,
+    FlightSqlServiceConfig,
+)
 
 
 # -- minimal test-side Substrait producer ------------------------------------
@@ -3729,3 +3732,125 @@ class TestWireTypeConfusion:
         ) + _len_field(3, field_ref(0))
         with pytest.raises(SubstraitMalformed, match="wire type"):
             substrait_to_sql(plan_bytes(rel(7, body)))
+
+
+# -- extension_table (round 8): embedder-registered resolvers -----------------
+
+
+def extension_table_read(col_names: list[str], type_url: str, value: bytes) -> bytes:
+    """ReadRel with an extension_table read type (field 8): detail is a
+    google.protobuf.Any{type_url=1, value=2}."""
+    any_msg = _string_field(1, type_url) + _len_field(2, value)
+    body = _len_field(2, named_struct(col_names)) + _len_field(
+        8, _len_field(1, any_msg)
+    )
+    return rel(1, body)
+
+
+class TestExtensionTable:
+    """The reference reaches extension tables through DataFusion
+    TableProviders its embedder registered (service.rs:1018-1029 delegates
+    to the native consumer). Spark analogue: per-type_url resolvers map
+    the opaque Any payload to a FROM-able SQL fragment; no resolver = the
+    named rejection (and the Flight server's default)."""
+
+    URL = "type.example.com/RegionTable"
+
+    def test_rejected_without_handler(self):
+        r = extension_table_read(["r_regionkey"], self.URL, b"x")
+        with pytest.raises(SubstraitUnsupported, match="no registered resolver"):
+            substrait_to_sql(plan_bytes(r))
+        with pytest.raises(SubstraitUnsupported, match="no registered resolver"):
+            substrait_to_sql(
+                plan_bytes(r),
+                extension_table_handlers={"type.example.com/Other": lambda *a: "t"},
+            )
+
+    def test_resolver_translates_and_executes(self, spark):
+        seen = {}
+
+        def resolver(url, value, cols):
+            seen["args"] = (url, bytes(value), list(cols))
+            return f"parquet.`{REGION_PARQUET}`"
+
+        r = extension_table_read(
+            ["r_regionkey", "r_name"], self.URL, b"\x01\x02"
+        )
+        sql = substrait_to_sql(
+            plan_bytes(r), extension_table_handlers={self.URL: resolver}
+        )
+        assert f"FROM parquet.`{REGION_PARQUET}`" in sql
+        assert seen["args"] == (self.URL, b"\x01\x02", ["r_regionkey", "r_name"])
+        out = spark.sql(sql)
+        # declared schema binds BY NAME: two columns, five regions
+        assert out.columns == ["r_regionkey", "r_name"]
+        assert out.count() == 5
+
+    def test_declared_schema_narrows_wider_relation(self, spark):
+        # the resolved relation has 3 columns; the declared base schema
+        # picks two by NAME, so downstream field refs index correctly
+        r = extension_table_read(["r_name", "r_regionkey"], self.URL, b"")
+        sql = substrait_to_sql(
+            plan_bytes(rel(3, fetch_rel(r, 2))),
+            extension_table_handlers={
+                self.URL: lambda u, v, c: f"parquet.`{REGION_PARQUET}`"
+            },
+        )
+        out = spark.sql(sql)
+        assert out.columns == ["r_name", "r_regionkey"]
+        assert out.count() == 2
+
+    def test_bad_resolver_return_is_malformed(self):
+        r = extension_table_read(["a"], self.URL, b"")
+        with pytest.raises(SubstraitMalformed, match="FROM-able"):
+            substrait_to_sql(
+                plan_bytes(r),
+                extension_table_handlers={self.URL: lambda *a: None},
+            )
+
+    def test_missing_base_schema_rejected(self):
+        any_msg = _string_field(1, self.URL) + _len_field(2, b"")
+        body = _len_field(8, _len_field(1, any_msg))  # no base_schema
+        with pytest.raises(SubstraitUnsupported, match="base schema"):
+            substrait_to_sql(
+                plan_bytes(rel(1, body)),
+                extension_table_handlers={self.URL: lambda *a: "t"},
+            )
+
+    def test_over_wire_with_server_config(self, spark):
+        # a dedicated server whose config registers the resolver — the
+        # full GetFlightInfo(substrait) -> DoGet path resolves the
+        # extension table
+        srv = FlightSqlServer(
+            Engine(spark),
+            location="grpc://0.0.0.0:0",
+            config=FlightSqlServiceConfig(
+                substrait_extension_tables={
+                    self.URL: lambda u, v, c: f"parquet.`{REGION_PARQUET}`"
+                }
+            ),
+        )
+        threading.Thread(target=srv.serve, daemon=True).start()
+        ex = FlightSQLExecutor(f"grpc://localhost:{srv.port}")
+        try:
+            p = plan_bytes(
+                extension_table_read(["r_regionkey", "r_name"], self.URL, b"")
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert table.num_rows == 5
+            assert table.schema.names == ["r_regionkey", "r_name"]
+        finally:
+            ex.close()
+            srv.shutdown()
+
+    def test_default_server_still_rejects(self, substrait_server):
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            p = plan_bytes(extension_table_read(["a"], self.URL, b""))
+            with pytest.raises(NotImplementedError, match="resolver"):
+                ex.flight_info(_substrait_command(p))
+        finally:
+            ex.close()
