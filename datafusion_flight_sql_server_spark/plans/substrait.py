@@ -81,10 +81,13 @@ with everything else rejected by a descriptive ``SubstraitUnsupported``
   EVERY relation scope (join/cross/set/window inputs, join conditions
   and post-join filters, ReadRel filters, measure FILTER clauses), so a
   correlated subquery whose body is a join/set/window also consumes
-  (Spark 4 decorrelates all of these — verified empirically). The one
-  residual: a subquery nested inside a join condition cannot correlate
-  against the join's own concatenated schema (steps_out=1 there keeps
-  the named rejection — no stable alias exists for that scope).
+  (Spark 4 decorrelates all of these — verified empirically). Round 8:
+  a subquery nested INSIDE a join condition correlates against the
+  join's own LEFT schema through the ``t0`` side alias (steps_out=1
+  resolves to the pre-rendered qualified column); a post_join_filter —
+  a WHERE over the joined rows — correlates against BOTH sides;
+  right-side references in join predicates keep a named rejection
+  (Spark's analyzer rejects them, verified on 4.1).
 
 That covers the filtered-scan class ADBC/JDBC-over-Substrait front-ends
 emit for probes, previews and predicate-pushdown scans, plus the
@@ -564,6 +567,44 @@ class _CorrelationLevel:
     def ref(self, idx: int) -> str:
         self.used = True
         return f"{_quote(self.alias)}.{_quote(_col_at(self.cols, idx))}"
+
+
+class _JoinConditionLevel(_CorrelationLevel):
+    """Join-condition scope for correlated subqueries (round 8).
+
+    Columns arrive PRE-RENDERED with the join's side aliases
+    (``t0``/``t1``), so outer references substitute them verbatim — the
+    "no stable alias" blocker the earlier named rejection cited does not
+    actually hold (both sides render as aliased derived tables). Spark 4
+    executes correlated set predicates (EXISTS/IN) in join conditions
+    only against the LEFT input — a right-side reference raises
+    ``UNSUPPORTED_CORRELATED_EXPRESSION_IN_JOIN_CONDITION`` at analysis
+    (verified empirically on 4.1) — so right-side references keep a
+    named rejection here. A correlated SCALAR subquery in a join
+    condition is rejected by Spark's analyzer itself and surfaces as a
+    clean plan-time error through the A29 mapping. No alias pinning is
+    needed: the join SQL forces ``t0``/``t1`` unconditionally."""
+
+    def __init__(self, qualified: list[str], left_width: int):
+        self.qualified = qualified
+        self.left_width = left_width
+        self.used = False
+
+    def ref(self, idx: int) -> str:
+        if idx >= len(self.qualified):
+            raise SubstraitMalformed(
+                f"outer reference index {idx} out of range for a join "
+                f"condition with {len(self.qualified)} columns"
+            )
+        if idx >= self.left_width:
+            raise SubstraitUnsupported(
+                "Substrait consumer: a subquery in a join condition can "
+                "correlate only against the join's LEFT input (Spark "
+                "rejects right-side correlated references in join "
+                "predicates at analysis)"
+            )
+        self.used = True
+        return self.qualified[idx]
 
 
 def _pin_alias(state: "_State", alias: str) -> None:
@@ -2609,7 +2650,10 @@ def _join_rel(
             "Substrait consumer: JoinRel without a join expression is not "
             "supported"
         )
-    cond_sql = _expr_to_sql(cond, qualified, funcs, rendered=True, outer=outer)
+    cond_sql = _expr_to_sql(
+        cond, qualified, funcs, rendered=True, outer=outer,
+        level=_JoinConditionLevel(qualified, len(ls.cols)),
+    )
 
     out_exprs = qualified[: len(ls.cols)] if left_only else list(qualified)
     out_names = list(ls.cols) if left_only else list(ls.cols) + list(rs.cols)
@@ -2639,10 +2683,14 @@ def _join_rel(
                 "Substrait consumer: post_join_filter on a semi/anti join "
                 "is not supported (the right columns are not emitted)"
             )
-        sql += (
-            f" WHERE "
-            f"{_expr_to_sql(post, qualified, funcs, rendered=True, outer=outer)}"
+        # the post filter renders as a WHERE over the joined rows — a
+        # filter scope, where Spark allows correlated references to BOTH
+        # sides (the left-only restriction applies to join predicates)
+        post_sql = _expr_to_sql(
+            post, qualified, funcs, rendered=True, outer=outer,
+            level=_JoinConditionLevel(qualified, len(qualified)),
         )
+        sql += f" WHERE {post_sql}"
     return _subquery_state(sql, out_names, "j")
 
 

@@ -2387,23 +2387,76 @@ class TestCorrelationThroughRelScopes:
         got = sorted(r[0] for r in spark.sql(sql).collect())
         assert got == [1, 3]
 
-    def test_subquery_in_join_condition_cannot_correlate_to_join(self):
-        # residual by design: a subquery nested INSIDE a join condition has
-        # no alias for the join's own concatenated schema — steps_out=1
-        # there keeps the named rejection instead of mis-resolving to the
-        # next enclosing query
+    def test_subquery_in_join_condition_correlates_left_input(self, spark):
+        # Round 8: the join sides DO have stable aliases (t0/t1 derived
+        # tables), so an EXISTS inside the join condition can correlate
+        # against the join's own LEFT schema — steps_out=1 resolves to the
+        # pre-rendered qualified column. users ⋈ orders ON id = user_id
+        # AND EXISTS(payments WHERE uid = t0.id): users 1,2 have payments;
+        # only users 1,3 have orders → the correlated EXISTS keeps user 1.
+        users_left = rel(1, read_rel(["users"], ["id", "name"]))
+        payments = rel(1, read_rel(["payments"], ["uid", "paid"]))
         nested = rel(2, filter_rel(
-            USERS_READ,
+            payments,
             scalar_fn(1, [field_ref(0), outer_field_ref(0)]),
         ))
-        cond = exists_subquery(nested)
-        body = rel(6, join_rel(ORDERS_FOR_SUB, USERS_READ, cond, 1))
+        cond = scalar_fn(3, [
+            scalar_fn(1, [field_ref(0), field_ref(3)]),  # id = user_id
+            exists_subquery(nested),
+        ])
+        body = rel(6, join_rel(users_left, ORDERS_FOR_SUB, cond, 1))
         p = plan_bytes(
-            rel(2, filter_rel(USERS_READ, exists_subquery(body))),
-            extensions=extension_function(1, "equal:any_any"),
+            body,
+            extensions=extension_function(1, "equal:any_any")
+            + extension_function(3, "and:bool"),
         )
-        with pytest.raises(SubstraitUnsupported, match="no enclosing"):
+        sql = substrait_to_sql(p)
+        assert "`t0`.`id`" in sql  # left-side correlated reference
+        self._views(spark)
+        rows = spark.sql(sql).collect()
+        assert sorted(r["id"] for r in rows) == [1]
+
+    def test_subquery_in_join_condition_right_ref_rejected(self):
+        # Spark rejects correlated references to the join's RIGHT input
+        # in join predicates at analysis — named rejection at translate
+        # time instead (index 2 = first right column here)
+        nested = rel(2, filter_rel(
+            USERS_READ,
+            scalar_fn(1, [field_ref(0), outer_field_ref(2)]),
+        ))
+        cond = exists_subquery(nested)
+        body = rel(6, join_rel(USERS_READ, ORDERS_FOR_SUB, cond, 1))
+        p = plan_bytes(
+            body, extensions=extension_function(1, "equal:any_any")
+        )
+        with pytest.raises(SubstraitUnsupported, match="LEFT input"):
             substrait_to_sql(p)
+
+    def test_post_join_filter_correlates_both_sides(self, spark):
+        # the post filter is a WHERE over the joined rows — correlated
+        # references to BOTH sides execute there (right-side index 2 =
+        # orders.order_id)
+        payments = rel(1, read_rel(["payments"], ["uid", "paid"]))
+        users_left = rel(1, read_rel(["users"], ["id", "name"]))
+        nested = rel(2, filter_rel(
+            payments,
+            scalar_fn(1, [field_ref(0), outer_field_ref(3)]),
+        ))
+        cond = scalar_fn(1, [field_ref(0), field_ref(3)])  # id = user_id
+        body = rel(6, join_rel(
+            users_left, ORDERS_FOR_SUB, cond, 1,
+            post=exists_subquery(nested),
+        ))
+        p = plan_bytes(
+            body, extensions=extension_function(1, "equal:any_any")
+        )
+        sql = substrait_to_sql(p)
+        assert "`t1`.`user_id`" in sql  # right-side ref in the WHERE
+        self._views(spark)
+        rows = spark.sql(sql).collect()
+        # join: users 1,3 have orders; post EXISTS(payments.uid=user_id)
+        # keeps user 1 only (uid 3 has no payment)
+        assert sorted(r["id"] for r in rows) == [1]
 
 
 def virtual_table_read(col_names: list[str], rows: list[list[bytes]]) -> bytes:
