@@ -1649,17 +1649,19 @@ def _extension_table_state(ext: bytes, cols: list[str]) -> "_State":
     reordered view cannot shift field-reference indexes.
     """
     handlers = _EXTENSION_TABLE_HANDLERS.get() or {}
+    if not isinstance(ext, bytes):
+        raise SubstraitMalformed("extension_table with wrong wire type")
     ef = _fields(ext)
     detail = _one(ef, 1)
-    if detail is None:
+    if not isinstance(detail, bytes):
         raise SubstraitMalformed("extension_table without a detail Any")
     af = _fields(detail)
     raw_url = _one(af, 1)
-    if raw_url is None:
+    if not isinstance(raw_url, bytes):
         raise SubstraitMalformed("extension_table Any without a type_url")
     type_url = _utf8(raw_url, "extension_table type_url")
     value = _one(af, 2)
-    if value is None or isinstance(value, int):
+    if not isinstance(value, bytes):
         value = b""
     handler = handlers.get(type_url)
     if handler is None:

@@ -673,6 +673,49 @@ class TestMultiEndpoint:
         finally:
             raw.close()
 
+    def test_buckets_stream_concurrently(self, multi_server, multi_client):
+        """All buckets pulled SIMULTANEOUSLY from separate threads — the
+        real multi-endpoint consumption pattern (the reference client
+        select_alls its endpoint streams, table-provider/src/lib.rs:43-53).
+        Exercises the sizes pre-pass + grouped pulls under concurrency:
+        each stream plans groups against the same persisted relation, and
+        the union must still be exact."""
+        from datafusion_flight_sql_server_spark.protocol.flightsql import (
+            CommandStatementQuery,
+        )
+
+        info = multi_client.flight_info(
+            CommandStatementQuery(query="SELECT id FROM wide_result")
+        )
+        results: dict[int, list[int]] = {}
+        errors: list[Exception] = []
+        barrier = threading.Barrier(len(info.endpoints))
+
+        def pull(i, ticket):
+            raw = fl.FlightClient(f"grpc://localhost:{multi_server.port}")
+            try:
+                barrier.wait()
+                results[i] = (
+                    raw.do_get(ticket).read_all().column("id").to_pylist()
+                )
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+            finally:
+                raw.close()
+
+        threads = [
+            threading.Thread(target=pull, args=(i, ep.ticket))
+            for i, ep in enumerate(info.endpoints)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert not errors
+        assert len(results) == len(info.endpoints)
+        ids = [x for b in results.values() for x in b]
+        assert sorted(ids) == list(range(self.N))
+
     def test_lru_eviction_expires_tickets(self, spark):
         from datafusion_flight_sql_server_spark.protocol.flightsql import (
             CommandStatementQuery,

@@ -3430,6 +3430,36 @@ class TestConsumerFuzz:
                 ))),
                 extensions=extension_function(1, "equal:any_any"),
             ),
+            # round 8: struct-state phase-split pair — mutations reach
+            # _render_phase_split and the phase/invocation decode
+            plan_bytes(
+                rel(4, aggregate_rel(
+                    rel(4, aggregate_rel(
+                        ORDERS_READ, [0],
+                        [
+                            measure(agg_function(1, [1], phase=1)),
+                            measure(
+                                agg_function(2, [1], invocation=2, phase=1)
+                            ),
+                        ],
+                    )),
+                    [0],
+                    [
+                        measure(agg_function(1, [1], phase=4)),
+                        measure(agg_function(2, [2], invocation=2, phase=4)),
+                    ],
+                )),
+                extensions=extension_function(1, "avg:fp64")
+                + extension_function(2, "count:"),
+            ),
+            # round 8: extension_table read — mutations reach the Any
+            # type_url/value decode (no handler registered, so the valid
+            # plan itself raises Unsupported — exactly the contract)
+            plan_bytes(
+                extension_table_read(
+                    ["a", "b"], "type.example.com/T", b"\x08\x01"
+                )
+            ),
         ]
         # XOR 0xFF flips whole bytes; XOR 0x02 flips LEN<->VARINT wire
         # types on key bytes (0x08^0x02=0x0A), reaching the
