@@ -14,6 +14,7 @@ collisions) rather than volume.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -618,3 +619,110 @@ def test_asof_nearest_matches_python_reference(spark, left, right):
             want = fwd
         assert got[i] == tuple(want), (i, k, t, got[i], want)
     assert len(got) == len(left)
+
+
+# -- round 8: phase-split merge math vs single-phase --------------------------
+
+_agg_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_agg_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_phase_split_merge_matches_single_phase(spark, rows):
+    """The struct-state phase-split renderings (avg sum/count pair; Welford
+    n/mean/m2 merged by the parallel-variance identity; DISTINCT count set
+    states) must reproduce the one-phase aggregate on arbitrary data —
+    including all-null groups, single-row groups, negatives, and duplicate
+    values. This pins the SQL identities themselves; the substrait wire
+    tests pin the plumbing."""
+    from datafusion_flight_sql_server_spark.plans.substrait import (
+        _render_phase_split,
+    )
+
+    df = spark.createDataFrame(
+        [(g, i, v) for i, (g, v) in enumerate(rows)], "g int, i int, v int"
+    )
+    df.createOrReplaceTempView("ps_rows")
+
+    # stage 1: partial states per (g, i) — one state row per input row,
+    # so the merge stage genuinely combines states
+    avg1 = _render_phase_split("avg", 1, False, "`v`", None)
+    std1 = _render_phase_split("std_dev", 1, False, "`v`", None)
+    cnt1 = _render_phase_split("count", 1, True, "`v`", None)
+    spark.sql(
+        f"SELECT g, {avg1} AS a, {std1} AS s, {cnt1} AS c "
+        f"FROM ps_rows GROUP BY g, i"
+    ).createOrReplaceTempView("ps_partial")
+
+    avg4 = _render_phase_split("avg", 4, False, "`a`", None)
+    std4 = _render_phase_split("std_dev", 4, False, "`s`", None)
+    var4 = _render_phase_split("variance", 4, False, "`s`", None)
+    cnt4 = _render_phase_split("count", 4, True, "`c`", None)
+    merged = {
+        r["g"]: r
+        for r in spark.sql(
+            f"SELECT g, {avg4} AS a, {std4} AS s, {var4} AS vr, "
+            f"{cnt4} AS c FROM ps_partial GROUP BY g"
+        ).collect()
+    }
+    direct = {
+        r["g"]: r
+        for r in spark.sql(
+            "SELECT g, AVG(v) AS a, STDDEV_SAMP(v) AS s, VAR_SAMP(v) AS vr, "
+            "COUNT(DISTINCT v) AS c FROM ps_rows GROUP BY g"
+        ).collect()
+    }
+    assert set(merged) == set(direct)
+    for g in direct:
+        m, d = merged[g], direct[g]
+        assert m["c"] == d["c"], (g, m["c"], d["c"])
+        for col in ("a", "s", "vr"):
+            dv, mv = d[col], m[col]
+            if dv is None:
+                assert mv is None, (g, col, mv)
+            else:
+                assert mv == pytest.approx(dv, rel=1e-9, abs=1e-9), (
+                    g, col, mv, dv,
+                )
+
+
+# -- round 8: group planner invariants ----------------------------------------
+
+_part_sizes = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=0, max_size=200
+)
+
+
+@given(sizes=_part_sizes, budget=st.integers(min_value=1, max_value=600))
+@settings(max_examples=200, deadline=None)
+def test_plan_groups_by_bytes_invariants(sizes, budget):
+    """For ANY size distribution and budget: groups tile the input in
+    order (no loss, no dup), every multi-partition group fits the budget
+    (an oversized partition may stand alone), and no group exceeds the
+    64-task cap."""
+    from datafusion_flight_sql_server_spark.engine.core import (
+        _plan_groups_by_bytes,
+    )
+
+    parts = list(range(len(sizes)))
+    groups = _plan_groups_by_bytes(parts, sizes, budget)
+    assert [p for g in groups for p in g] == parts
+    for g in groups:
+        assert len(g) <= 64
+        total = sum(sizes[p] for p in g)
+        if len(g) > 1:
+            assert total <= budget
