@@ -1640,7 +1640,9 @@ def _extension_table_state(ext: bytes, cols: list[str]) -> "_State":
     (``FlightSqlServiceConfig.substrait_extension_tables`` /
     ``substrait_to_sql(extension_table_handlers=...)``) mapping the
     opaque detail bytes to a FROM-able SQL fragment — a registered temp
-    view, a ``format.`path``` direct read, a catalog table. With no
+    view, a ``format.`path``` direct read, a catalog table. Resolvers
+    must be PLAN-ONLY (no Spark jobs, no blocking I/O): they run inside
+    GetFlightInfo, which clients use as a cheap schema probe. With no
     handler for the type_url (and under the default empty registry) the
     named rejection stands: the payload is meaningless without one.
 
