@@ -39,13 +39,13 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: proved rotating it out masks exactly that (the r7 serving regression
 #: shipped under a 50/50-green CORRECTNESS file). It stays in the prefix
 #: every round. Tier 2 = round-8 registrations and rewrites, appended as
-#: they land; tier 3 = the oldest-first rotation — 47 of the 50 queries
+#: they land; tier 3 = the oldest-first rotation — 46 of the 50 queries
 #: whose latest driver row is round 3 (rounds 4–7 re-verified everything
-#: newer); ``tpch_q9_product_profit``, ``window_distribution`` and
-#: ``window_range_frame`` wait for round 9 to make room for the pin +
-#: tier 2. Green on this prefix → no registered query's latest driver
-#: row predates round 3 except the three deferred rows, and none
-#: predates its last source rewrite.
+#: newer); ``tpch_q8_market_share``, ``tpch_q9_product_profit``,
+#: ``window_distribution`` and ``window_range_frame`` wait for round 9
+#: to make room for the pin + tier 2. Green on this prefix → no
+#: registered query's latest driver row predates round 3 except the
+#: four deferred rows, and none predates its last source rewrite.
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
@@ -55,6 +55,8 @@ _PRIORITY = (
     # sim_topk_ivf the trained-quantizer cache
     "dedup_near_minhash",
     "sim_topk_ivf",
+    # tier 2: round-8 registration (Heaps-law vocabulary growth)
+    "text_vocab_growth",
     # tier 3: oldest-first rotation — latest driver row is round 3
     "agg_approx_distinct",
     "agg_bitwise",
@@ -102,7 +104,6 @@ _PRIORITY = (
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
 )
 
 
