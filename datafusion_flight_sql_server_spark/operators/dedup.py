@@ -180,13 +180,19 @@ _MINHASH_CACHE_LOCK = threading.Lock()
 
 
 def clear_minhash_frontend_cache() -> None:
-    """Unpersist and drop every cached MinHash front end."""
-    while _MINHASH_FRONTEND_CACHE:
-        _, (hashed, _signed, _bucketed) = _MINHASH_FRONTEND_CACHE.popitem()
-        try:
-            hashed.unpersist()
-        except Exception:  # session already stopped
-            pass
+    """Unpersist and drop every cached MinHash front end.
+
+    Drains under ``_MINHASH_CACHE_LOCK``: a clear racing a locked
+    build/insert must not miss an entry inserted after its last popitem
+    (which would strand a persisted front end nothing ever unpersists).
+    """
+    with _MINHASH_CACHE_LOCK:
+        while _MINHASH_FRONTEND_CACHE:
+            _, (hashed, _s, _b) = _MINHASH_FRONTEND_CACHE.popitem()
+            try:
+                hashed.unpersist()
+            except Exception:  # session already stopped
+                pass
 
 
 def _minhash_hashed_buckets(

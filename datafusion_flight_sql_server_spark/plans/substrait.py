@@ -1619,6 +1619,31 @@ def _path_within_roots(uri: str, roots: tuple[str, ...]) -> bool:
     return False
 
 
+def _canonical_local_uri(uri: str) -> str:
+    """Realpath-canonicalize a local/file: uri; non-local uris unchanged.
+
+    TOCTOU closure for the allowlist: ``_path_within_roots`` checks the
+    REALPATH at translate time (GetFlightInfo), but the stateless ticket
+    executes at DoGet — a symlink under an allowed root retargeted
+    between the two would otherwise escape the check. Rendering the
+    canonicalized path into the executed SQL makes the read target the
+    same inode path that was checked. Mirrors the scheme-stripping in
+    ``_path_within_roots`` (its authority rejection has already run).
+    """
+    import os
+
+    p = uri
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+        if p.startswith("//"):
+            p = p[2:]
+            if not p.startswith("/"):
+                p = "/" + p.partition("/")[2]
+    if not p.startswith("/"):
+        return uri
+    return os.path.realpath(p)
+
+
 #: per-translation registry of extension_table resolvers, set by
 #: ``substrait_to_sql``: maps an Any ``type_url`` to a callable
 #: ``(type_url, detail_bytes, declared_cols) -> FROM-able SQL fragment``.
@@ -1750,12 +1775,20 @@ def _local_files_state(lf: bytes, cols: list[str]) -> "_State":
         if "`" in uri:
             raise SubstraitMalformed("local_files path contains a backtick")
         roots = _LOCAL_FILES_ROOTS.get()
-        if roots is not None and not _path_within_roots(uri, roots):
-            raise SubstraitUnsupported(
-                f"Substrait consumer: local_files path {uri!r} is outside "
-                f"the configured allowlist roots (server opt-in: "
-                f"FlightSqlServiceConfig.substrait_local_files_roots)"
-            )
+        if roots is not None:
+            if not _path_within_roots(uri, roots):
+                raise SubstraitUnsupported(
+                    f"Substrait consumer: local_files path {uri!r} is "
+                    f"outside the configured allowlist roots (server "
+                    f"opt-in: "
+                    f"FlightSqlServiceConfig.substrait_local_files_roots)"
+                )
+            # execute the CHECKED target, not the original symlink
+            uri = _canonical_local_uri(uri)
+            if "`" in uri:
+                raise SubstraitMalformed(
+                    "local_files path resolves to a backtick"
+                )
         start = _varint_one(itf, 7, 0)
         length = _varint_one(itf, 8, 0)
         if start or length:
@@ -2252,7 +2285,13 @@ def _render_phase_split(
                 f"NAMED_STRUCT('sum', {agg(f'SUM({s})')}, "
                 f"'count', {agg(f'SUM({c})')})"
             )
-        return f"{agg(f'SUM({s})')} / {agg(f'SUM({c})')}"
+        # zero-count guard: an all-NULL group (every partial count 0)
+        # must yield NULL, not a division — under ANSI mode (Spark 4's
+        # default) an unguarded /0 raises DIVIDE_BY_ZERO.
+        return (
+            f"CASE WHEN {agg(f'SUM({c})')} > 0 "
+            f"THEN {agg(f'SUM({s})')} / {agg(f'SUM({c})')} END"
+        )
 
     if name in ("std_dev", "variance"):
         if arg_sql is None:
@@ -2272,11 +2311,15 @@ def _render_phase_split(
         sm = f"{arg_sql}.`mean`"
         n = agg(f"SUM({sn})")
         wsum = agg(f"SUM({sn} * {sm})")
+        # GREATEST clamp: the parallel-variance identity cancels two
+        # near-equal sums, so floating point can leave m2 a tiny negative
+        # on near-constant data — VAR would go negative and SQRT(var)
+        # NaN, where single-phase STDDEV_SAMP returns ~0.
         m2 = (
-            f"({agg(f'SUM({arg_sql}.`m2`)')} + "
+            f"GREATEST(({agg(f'SUM({arg_sql}.`m2`)')} + "
             f"{agg(f'SUM({sn} * {sm} * {sm})')} - "
             f"CASE WHEN {n} > 0 THEN ({wsum} * {wsum}) / {n} "
-            f"ELSE CAST(0 AS DOUBLE) END)"
+            f"ELSE CAST(0 AS DOUBLE) END), CAST(0 AS DOUBLE))"
         )
         if phase == 2:
             mean = (

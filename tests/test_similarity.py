@@ -396,6 +396,80 @@ class TestIvfTopK:
         finally:
             clear_centroid_cache()
 
+    def test_unrelated_keys_not_blocked_by_training(self, embeddings):
+        # ADVICE r8: the global lock guards the MAP, not the training —
+        # a cache HIT of key B must return while key A's (slow) training
+        # is still in flight; same-key callers wait on the placeholder.
+        import threading
+        import time
+
+        from datafusion_flight_sql_server_spark.operators import similarity
+        from datafusion_flight_sql_server_spark.operators.similarity import (
+            clear_centroid_cache,
+            train_cells,
+        )
+
+        clear_centroid_cache()
+        # warm key B so its lookup is a pure hit
+        kb = ("lockfree-b", "embeddings")
+        warm = train_cells(
+            embeddings, n_cells=16, train_iters=1, dim=64, cache_key=kb
+        )
+        in_training = threading.Event()
+        release = threading.Event()
+        real_build = similarity._train_cells_build
+
+        def slow_build(*a, **kw):
+            in_training.set()
+            assert release.wait(60), "test orchestration stalled"
+            return real_build(*a, **kw)
+
+        hit_done = threading.Event()
+        hit_result: list = []
+        errors: list = []
+
+        def train_a():
+            try:
+                train_cells(
+                    embeddings, n_cells=16, train_iters=1, dim=64,
+                    cache_key=("lockfree-a", "embeddings"),
+                )
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        def hit_b():
+            try:
+                in_training.wait(60)
+                hit_result.append(
+                    train_cells(
+                        embeddings, n_cells=16, train_iters=1, dim=64,
+                        cache_key=kb,
+                    )
+                )
+                hit_done.set()
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        similarity._train_cells_build = slow_build
+        ta = threading.Thread(target=train_a)
+        tb = threading.Thread(target=hit_b)
+        try:
+            ta.start()
+            tb.start()
+            # the key-B hit must complete WHILE key A is still training
+            assert hit_done.wait(30), (
+                "cache hit blocked behind an unrelated in-flight training"
+            )
+            assert hit_result[0] is warm
+            assert not release.is_set()  # A really was still in flight
+        finally:
+            release.set()
+            similarity._train_cells_build = real_build
+            ta.join(120)
+            tb.join(120)
+            clear_centroid_cache()
+        assert not errors
+
     def test_trained_deterministic_across_runs(self, embeddings):
         queries = embeddings.filter(F.col("vec_id") < 3)
         a = sorted(map(tuple,

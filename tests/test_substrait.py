@@ -13,6 +13,7 @@ service.rs:274-303 (DoGet re-plan); our consumer is plans/substrait.py.
 
 from __future__ import annotations
 
+import os
 import threading
 
 import pyarrow.flight as fl
@@ -838,6 +839,9 @@ class TestAggregateTranslate:
         )
         sql = substrait_to_sql(p)
         assert "SUM(`amount`.`sum`) / SUM(`amount`.`count`)" in sql
+        # zero-count guard (ADVICE r8): an all-NULL group must yield NULL,
+        # not an ANSI DIVIDE_BY_ZERO error
+        assert "CASE WHEN SUM(`amount`.`count`) > 0" in sql
 
     def test_partial_phase_stddev_renders_welford_state(self):
         p = plan_bytes(
@@ -864,6 +868,11 @@ class TestAggregateTranslate:
         assert "SUM(`amount`.`m2`)" in sql
         assert "SUM(`amount`.`n` * `amount`.`mean` * `amount`.`mean`)" in sql
         assert "- 1)" in sql  # sample form
+        # cancellation clamp (ADVICE r8): the identity subtracts two
+        # near-equal sums, so FP can leave m2 a tiny negative on
+        # near-constant data — SQRT would then return NaN where
+        # single-phase STDDEV_SAMP returns ~0
+        assert "GREATEST((SUM(`amount`.`m2`)" in sql
 
     def test_partial_phase_distinct_count_renders_set_state(self):
         p = plan_bytes(
@@ -3669,6 +3678,29 @@ class TestLocalFiles:
         assert "FROM parquet." in substrait_to_sql(
             fine, local_files_roots=(str(alias),)
         )
+
+    def test_allowlist_renders_canonical_path(self, tmp_path):
+        # TOCTOU closure (ADVICE r8 medium): the allowlist checks the
+        # realpath at translate time but the stateless ticket executes at
+        # DoGet — so the SQL must read the CANONICAL path, not the
+        # original symlink, or the link could be retargeted outside the
+        # root between check and execution.
+        import shutil
+
+        root = tmp_path / "allowed"
+        root.mkdir()
+        shutil.copy(REGION_PARQUET, root / "real.parquet")
+        (root / "inlink.parquet").symlink_to(root / "real.parquet")
+        via_link = plan_bytes(
+            local_files_read(["r_regionkey"], [f"{root}/inlink.parquet"])
+        )
+        sql = substrait_to_sql(via_link, local_files_roots=(str(root),))
+        real = os.path.realpath(f"{root}/real.parquet")
+        assert f"FROM parquet.`{real}`" in sql
+        assert "inlink" not in sql
+        # unrestricted library use (roots=None) keeps the caller's path
+        sql_lib = substrait_to_sql(via_link)
+        assert "inlink.parquet" in sql_lib
 
     def test_allowlist_remote_authority_rejected(self):
         # file://host/x names ANOTHER machine's filesystem — no local root
