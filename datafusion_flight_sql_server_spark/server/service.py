@@ -110,6 +110,7 @@ class FlightSqlServiceConfig:
         substrait_local_files_roots: tuple[str, ...] = (),
         strict_parameter_types: bool = False,
         substrait_extension_tables: dict | None = None,
+        sql_dialect: str = "auto",
     ):
         self.schema_with_metadata = schema_with_metadata
         self.batch_rows = batch_rows
@@ -132,6 +133,19 @@ class FlightSqlServiceConfig:
         # embedder registered; here the embedder maps the opaque Any
         # payload to a FROM-able SQL fragment). Default None = reject.
         self.substrait_extension_tables = substrait_extension_tables
+        # DataFusion-dialect SQL compatibility (reference clients speak
+        # DataFusion SQL — service.rs:171): "auto" (default) rewrites
+        # function names Spark's registry lacks into the Spark spelling
+        # (strict no-op for valid Spark SQL); "datafusion" additionally
+        # rewrites meaning-changing constructs (double-quoted
+        # identifiers, from_unixtime, chrono to_char); "spark" disables
+        # rewriting. See plans/dialect.py.
+        if sql_dialect not in ("spark", "auto", "datafusion"):
+            raise ValueError(
+                f"sql_dialect must be 'spark', 'auto' or 'datafusion', "
+                f"got {sql_dialect!r}"
+            )
+        self.sql_dialect = sql_dialect
 
 
 # Flight SQL metadata result schemas (Arrow Flight SQL specification; the
@@ -297,6 +311,20 @@ class FlightSqlServer(fl.FlightServerBase):
             pass
         return self._provider.engine_for_request(headers)
 
+    def _rewrite(self, sql: str) -> str:
+        """DataFusion-dialect → Spark SQL at the service boundary (see
+        ``FlightSqlServiceConfig.sql_dialect``). Applied wherever raw
+        client SQL enters (statement info, DoGet tickets, prepared
+        creation); idempotent, so a ticket minted from rewritten SQL
+        passes through unchanged."""
+        if self.config.sql_dialect == "spark":
+            return sql
+        from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_sql,
+        )
+
+        return rewrite_sql(sql, self.config.sql_dialect)
+
     # -- GetFlightInfo ------------------------------------------------------
 
     def get_flight_info(self, context, descriptor) -> fl.FlightInfo:
@@ -304,7 +332,14 @@ class FlightSqlServer(fl.FlightServerBase):
             command = ProtobufAny.decode(bytes(descriptor.command)).unpack_command()
             engine = self._ctx(context)
             if isinstance(command, CommandStatementQuery):
-                return self._info_statement(engine, command, descriptor)
+                return self._info_statement(
+                    engine,
+                    CommandStatementQuery(
+                        query=self._rewrite(command.query),
+                        transaction_id=command.transaction_id,
+                    ),
+                    descriptor,
+                )
             if isinstance(command, CommandPreparedStatementQuery):
                 return self._info_prepared(engine, command, descriptor)
             if isinstance(command, CommandGetCatalogs):
@@ -430,8 +465,9 @@ class FlightSqlServer(fl.FlightServerBase):
             command = self._decode_ticket(raw)
             engine = self._ctx(context)
             if isinstance(command, CommandStatementQuery):
-                # service.rs:220-236: re-plan and stream
-                df = engine.execute(command.query)
+                # service.rs:220-236: re-plan and stream (rewrite again:
+                # tickets are client-forgeable; no-op on our own tickets)
+                df = engine.execute(self._rewrite(command.query))
                 return self._stream_df(engine, df)
             if isinstance(command, CommandPreparedStatementQuery):
                 # service.rs:238-273: re-plan, bind params, stream
@@ -665,14 +701,18 @@ class FlightSqlServer(fl.FlightServerBase):
             pass
         request = ActionCreatePreparedStatementRequest.decode(payload)
         engine = self._ctx(context)
-        df = engine.plan_for_schema(request.query)
+        # dialect-rewrite once here; the handle round-trips the REWRITTEN
+        # SQL, so every later plan (schema probe, bind, DoGet) and the
+        # parameter-typing regexes see Spark SQL
+        query = self._rewrite(request.query)
+        df = engine.plan_for_schema(query)
         dataset_schema = arrow_schema_for_df(df, self.config.schema_with_metadata)
         parameter_schema = parameter_schema_for_sql(
             engine.spark,
-            request.query,
+            query,
             strict=self.config.strict_parameter_types,
         )
-        handle = QueryHandle(query=request.query, parameters=None)
+        handle = QueryHandle(query=query, parameters=None)
         result = ActionCreatePreparedStatementResult(
             prepared_statement_handle=handle.encode(),
             dataset_schema=encode_schema(dataset_schema),

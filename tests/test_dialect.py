@@ -1,0 +1,309 @@
+"""DataFusion-dialect SQL compatibility shim tests.
+
+The reference hands statements to DataFusion's parser verbatim
+(datafusion-flight-sql-server/src/service.rs:171), so reference clients
+speak DataFusion SQL. These tests pin the pre-gate rewrite layer
+(plans/dialect.py): a matrix of DataFusion constructs — harvested from
+DataFusion's documented SQL function surface — executing green over a real
+Flight TCP round-trip, plus the unit-level tokenizer/transform contracts
+and the mode boundaries ("spark" never rewrites; "auto" only touches names
+Spark lacks; "datafusion" opts into meaning-changing rewrites).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pyarrow.flight as fl
+import pytest
+
+from datafusion_flight_sql_server_spark.client import FlightSQLExecutor
+from datafusion_flight_sql_server_spark.engine.core import Engine
+from datafusion_flight_sql_server_spark.engine.registry import register_memtable
+from datafusion_flight_sql_server_spark.plans.dialect import (
+    DialectUnsupported,
+    rewrite_sql,
+)
+from datafusion_flight_sql_server_spark.server import (
+    FlightSqlServer,
+    FlightSqlServiceConfig,
+)
+
+
+def _register_fixtures(spark):
+    register_memtable(
+        spark,
+        "users",
+        [(1, "Alice"), (2, "Bob"), (3, "Charlie")],
+        "id INT NOT NULL, name STRING NOT NULL",
+    )
+    register_memtable(
+        spark,
+        "orders",
+        [(100, 1, 50), (101, 2, 75), (102, 1, 100), (103, 3, 25)],
+        "order_id INT NOT NULL, user_id INT NOT NULL, amount INT NOT NULL",
+    )
+
+
+def _serve(spark, **config_kwargs):
+    engine = Engine(spark)
+    srv = FlightSqlServer(
+        engine,
+        location="grpc://0.0.0.0:0",
+        config=FlightSqlServiceConfig(**config_kwargs),
+    )
+    threading.Thread(target=srv.serve, daemon=True).start()
+    return srv
+
+
+@pytest.fixture(scope="module")
+def auto_client(spark):
+    _register_fixtures(spark)
+    srv = _serve(spark)  # sql_dialect defaults to "auto"
+    ex = FlightSQLExecutor(f"grpc://localhost:{srv.port}")
+    yield ex
+    ex.close()
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def df_client(spark):
+    _register_fixtures(spark)
+    srv = _serve(spark, sql_dialect="datafusion")
+    ex = FlightSQLExecutor(f"grpc://localhost:{srv.port}")
+    yield ex
+    ex.close()
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def spark_client(spark):
+    _register_fixtures(spark)
+    srv = _serve(spark, sql_dialect="spark")
+    ex = FlightSQLExecutor(f"grpc://localhost:{srv.port}")
+    yield ex
+    ex.close()
+    srv.shutdown()
+
+
+def _one(client, sql):
+    t = client.execute(sql)
+    assert t.num_rows == 1
+    return t.column(0).to_pylist()[0]
+
+
+#: The DataFusion-dialect matrix: (construct SQL, expected value as
+#: returned by this engine). Every function name/shape here is DataFusion
+#: spelling that Spark's parser/registry rejects natively.
+_MATRIX = [
+    ("SELECT approx_distinct(user_id) AS v FROM orders", 3),
+    ("SELECT approx_median(amount) AS v FROM orders", 62.5),
+    ("SELECT approx_percentile_cont(amount, 0.5) AS v FROM orders", 50),
+    ("SELECT arrow_typeof(id) AS v FROM users WHERE id = 1", "int"),
+    (
+        "SELECT CAST(to_timestamp_seconds(86400) AS STRING) AS v",
+        "1970-01-02 00:00:00",
+    ),
+    (
+        "SELECT CAST(to_timestamp_millis(1500) AS STRING) AS v",
+        "1970-01-01 00:00:01.5",
+    ),
+    (
+        "SELECT CAST(to_timestamp_micros(1500000) AS STRING) AS v",
+        "1970-01-01 00:00:01.5",
+    ),
+    ("SELECT regexp_match(name, '[li]+') AS v FROM users WHERE id = 1",
+     ["li"]),
+    ("SELECT strpos(name, 'ob') AS v FROM users WHERE id = 2", 2),
+    ("SELECT starts_with(name, 'Ali') AS v FROM users WHERE id = 1", True),
+    ("SELECT ends_with(name, 'ie') AS v FROM users WHERE id = 3", True),
+    ("SELECT make_array(1, 2, 3) AS v", [1, 2, 3]),
+    ("SELECT array_length(make_array(1, 2, 3)) AS v", 3),
+    ("SELECT list_length(make_array(1, 2)) AS v", 2),
+    ("SELECT array_has(make_array(1, 2), 2) AS v", True),
+    ("SELECT array_has_any(make_array(1, 2), make_array(2, 9)) AS v", True),
+    ("SELECT array_to_string(make_array(1, 2), '-') AS v", "1-2"),
+    ("SELECT array_element(make_array(10, 20, 30), 2) AS v", 20),
+    ("SELECT array_concat(make_array(1), make_array(2)) AS v", [1, 2]),
+    ("SELECT array_slice(make_array(1, 2, 3, 4), 2, 3) AS v", [2, 3]),
+    ("SELECT array_pop_back(make_array(1, 2, 3)) AS v", [1, 2]),
+    ("SELECT array_push_back(make_array(1), 5) AS v", [1, 5]),
+    ("SELECT array_push_front(make_array(1), 5) AS v", [5, 1]),
+    ("SELECT list_sort(make_array(3, 1, 2)) AS v", [1, 2, 3]),
+    ("SELECT generate_series(1, 4) AS v", [1, 2, 3, 4]),
+    ("SELECT to_hex(255) AS v", "FF"),
+    ("SELECT substr_index('a.b.c', '.', 2) AS v", "a.b"),
+    (
+        "SELECT CAST(datetrunc('day', to_timestamp_seconds(90000)) "
+        "AS STRING) AS v",
+        "1970-01-02 00:00:00",
+    ),
+    (
+        "SELECT CAST(date_bin(INTERVAL '15 minutes', "
+        "to_timestamp_seconds(1000)) AS STRING) AS v",
+        "1970-01-01 00:15:00",
+    ),
+    (
+        "SELECT CAST(date_bin(INTERVAL '1' HOUR, to_timestamp_seconds(0), "
+        "TIMESTAMP '1969-12-31 23:30:00') AS STRING) AS v",
+        "1969-12-31 23:30:00",
+    ),
+    ("SELECT arrow_cast(id, 'Int64') AS v FROM users WHERE id = 2", 2),
+    ("SELECT arrow_cast(42, 'Utf8') AS v", "42"),
+    ("SELECT CAST(arrow_cast(1, 'Decimal128(10, 2)') AS STRING) AS v", "1.00"),
+    ("SELECT iszero(7 - 7) AS v", True),
+    ("SELECT string_to_array('a.b', '.') AS v", ["a", "b"]),
+    ("SELECT hex(sha256('abc')) AS v",
+     "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD"),
+]
+
+
+class TestDataFusionMatrixOverFlight:
+    """≥20 DataFusion constructs run green over real TCP at the default
+    ("auto") dialect setting."""
+
+    @pytest.mark.parametrize(
+        "sql,expected", _MATRIX, ids=[m[0][7:40].strip() for m in _MATRIX]
+    )
+    def test_construct_executes(self, auto_client, sql, expected):
+        assert _one(auto_client, sql) == expected
+
+    def test_matrix_is_twenty_plus(self):
+        assert len(_MATRIX) >= 20
+
+    def test_shared_constructs_still_execute(self, auto_client):
+        # the already-shared subset must keep working through the shim
+        t = auto_client.execute(
+            "SELECT id::STRING || '!' AS tag, position('a' IN name) AS p "
+            "FROM users WHERE name ILIKE 'A%'"
+        )
+        assert t.column("tag").to_pylist() == ["1!"]
+
+    def test_datafusion_name_inside_real_query_shape(self, auto_client):
+        # names rewrite inside joins/group-bys, not just scalar SELECTs
+        t = auto_client.execute(
+            "SELECT u.name, approx_distinct(o.order_id) AS n "
+            "FROM users u JOIN orders o ON u.id = o.user_id "
+            "WHERE starts_with(u.name, 'A') GROUP BY u.name"
+        )
+        assert t.num_rows == 1
+        assert t.column("n").to_pylist() == [2]
+
+    def test_unmapped_name_errors_clearly(self, auto_client):
+        # gcd is DataFusion-only and unmapped: the error must NAME it
+        with pytest.raises(fl.FlightError, match="(?i)gcd"):
+            auto_client.execute("SELECT gcd(4, 6) AS v")
+
+    def test_unsupported_shape_errors_clearly(self, auto_client):
+        # recognized construct, no Spark rendering: named rejection
+        with pytest.raises(fl.FlightError, match="month"):
+            auto_client.execute(
+                "SELECT date_bin(INTERVAL '1 month', to_timestamp_seconds(0))"
+            )
+
+    def test_prepared_statement_with_dialect_names(self, auto_client):
+        # the rewrite happens at creation; schema probing, parameter
+        # typing and execution all see Spark SQL
+        prepared = auto_client.prepare(
+            "SELECT strpos(name, 'o') AS p FROM users WHERE id = $1"
+        )
+        try:
+            assert prepared.dataset_schema is not None
+            assert prepared.dataset_schema.field(0).name == "p"
+        finally:
+            prepared.close()
+
+
+class TestDialectModes:
+    def test_spark_mode_never_rewrites(self, spark_client):
+        # double quotes stay string literals, DataFusion names stay unknown
+        t = spark_client.execute('SELECT "id" AS v FROM users WHERE id = 1')
+        assert t.column("v").to_pylist() == ["id"]
+        with pytest.raises(fl.FlightError, match="(?i)strpos"):
+            spark_client.execute("SELECT strpos(name, 'o') FROM users")
+
+    def test_datafusion_mode_double_quoted_identifiers(self, df_client):
+        t = df_client.execute(
+            'SELECT "name" AS who FROM users WHERE "id" = 2'
+        )
+        assert t.column("who").to_pylist() == ["Bob"]
+
+    def test_datafusion_mode_from_unixtime(self, df_client):
+        v = _one(
+            df_client, "SELECT CAST(from_unixtime(86400) AS STRING) AS v"
+        )
+        assert v == "1970-01-02 00:00:00"
+
+    def test_datafusion_mode_to_char_chrono(self, df_client):
+        v = _one(
+            df_client,
+            "SELECT to_char(to_timestamp_seconds(86400), '%Y-%m-%d') AS v",
+        )
+        assert v == "1970-01-02"
+
+    def test_auto_mode_leaves_meaning_changers_alone(self, auto_client):
+        # from_unixtime keeps Spark's string-returning semantics in auto
+        v = _one(auto_client, "SELECT from_unixtime(0) AS v")
+        assert isinstance(v, str) and v.startswith("1970-01-01")
+
+
+class TestRewriteUnit:
+    def test_strings_comments_and_qualified_names_untouched(self):
+        sql = (
+            "SELECT 'strpos(x)' AS a, s.strpos(b, c) AS q "
+            "-- strpos(comment)\nFROM t /* strpos(block) */"
+        )
+        assert rewrite_sql(sql) == sql
+
+    def test_backtick_identifiers_untouched(self):
+        sql = "SELECT `strpos`, `weird``name` FROM t"
+        assert rewrite_sql(sql) == sql
+
+    def test_no_op_fast_path_returns_same_object(self):
+        sql = "SELECT a, b FROM t WHERE c > 1"
+        assert rewrite_sql(sql) is sql
+
+    def test_idempotent_on_own_output(self):
+        sql = (
+            "SELECT approx_distinct(x), date_bin(INTERVAL '5 minutes', ts), "
+            "arrow_cast(y, 'Float64'), sha256(z), list_sort(a) FROM t"
+        )
+        once = rewrite_sql(sql)
+        assert rewrite_sql(once) == once
+
+    def test_nested_calls_rewrite_inside_out(self):
+        out = rewrite_sql("SELECT array_length(make_array(1, 2)) FROM t")
+        assert out == "SELECT ARRAY_SIZE(ARRAY(1, 2)) FROM t"
+
+    def test_date_bin_exact_integer_form(self):
+        out = rewrite_sql("SELECT date_bin(INTERVAL '1 hour', ts) FROM t")
+        # pmod floor, no fp division (exact at bucket boundaries)
+        assert "PMOD(" in out and "FLOOR(" not in out
+        assert "3600000000" in out
+
+    def test_double_quotes_only_in_datafusion_mode(self):
+        sql = 'SELECT "x" FROM t'
+        assert rewrite_sql(sql, "auto") == sql
+        assert rewrite_sql(sql, "datafusion") == "SELECT `x` FROM t"
+
+    def test_double_quote_escape_and_backtick_in_ident(self):
+        out = rewrite_sql('SELECT "a""b`c" FROM t', "datafusion")
+        assert out == "SELECT `a\"b``c` FROM t"
+
+    def test_arrow_cast_rejections_name_the_type(self):
+        with pytest.raises(DialectUnsupported, match="Nanosecond"):
+            rewrite_sql("SELECT arrow_cast(x, 'Timestamp(Nanosecond, None)')")
+        with pytest.raises(DialectUnsupported, match="Dictionary"):
+            rewrite_sql("SELECT arrow_cast(x, 'Dictionary(Int32, Utf8)')")
+
+    def test_bad_mode_rejected(self):
+        with pytest.raises(ValueError, match="sql_dialect"):
+            rewrite_sql("SELECT 1", "postgres")
+        with pytest.raises(ValueError, match="sql_dialect"):
+            FlightSqlServiceConfig(sql_dialect="postgres")
+
+    def test_timestamp_tz_arrow_cast(self):
+        out = rewrite_sql(
+            "SELECT arrow_cast(x, 'Timestamp(Microsecond, Some(\"UTC\"))')"
+        )
+        assert "AS TIMESTAMP)" in out and "NTZ" not in out
