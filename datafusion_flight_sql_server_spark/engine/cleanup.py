@@ -9,29 +9,83 @@ long-lived embedder — via :func:`run_query_cleanups` between queries.
 Lives in engine/ so BOTH the operator library and the query catalog can
 register cleanups without operators/ importing from queries/ (the round-5
 final review flagged that layering inversion).
+
+Round 9 (VERDICT r8 "what's wrong" #2): the registry is synchronized and
+SCOPED. Registrations attach to the calling context's cleanup scope (a
+:class:`contextvars.ContextVar`, so scopes follow threads and async tasks
+correctly), and :func:`run_query_cleanups` releases only the CURRENT
+scope's entries. A long-lived embedder serving concurrent Flight queries
+wraps each query in :func:`query_cleanup_scope`; one query's cleanup can
+then never unpersist an intermediate a still-streaming neighbor depends
+on (which would silently recompute — a perf cliff, not wrong results).
+Single-threaded harnesses are unchanged: with no scope entered, both
+registration and release use the shared root scope, exactly the old
+whole-registry behavior.
 """
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import threading
+
 from pyspark.sql import DataFrame
 
-_PENDING_UNPERSIST: list[DataFrame] = []
+#: (scope identity, df) pairs; scope None = the shared root scope
+_PENDING_UNPERSIST: list[tuple[object, DataFrame]] = []
+_CLEANUP_LOCK = threading.Lock()
+_CLEANUP_SCOPE: contextvars.ContextVar[object | None] = contextvars.ContextVar(
+    "_CLEANUP_SCOPE", default=None
+)
 
 
 def register_query_cleanup(df: DataFrame) -> DataFrame:
-    """Record a persisted DataFrame for deferred unpersist; returns ``df``."""
-    _PENDING_UNPERSIST.append(df)
+    """Record a persisted DataFrame for deferred unpersist; returns ``df``.
+
+    The registration attaches to the calling context's cleanup scope
+    (see :func:`query_cleanup_scope`); outside any scope it attaches to
+    the shared root scope."""
+    scope = _CLEANUP_SCOPE.get()
+    with _CLEANUP_LOCK:
+        _PENDING_UNPERSIST.append((scope, df))
     return df
 
 
 def run_query_cleanups() -> None:
-    """Unpersist every intermediate registered since the last call."""
-    while _PENDING_UNPERSIST:
-        df = _PENDING_UNPERSIST.pop()
+    """Unpersist every intermediate registered in the CURRENT scope since
+    the last call (all root-scope entries when no scope is entered)."""
+    _release_scope(_CLEANUP_SCOPE.get())
+
+
+def _release_scope(scope: object | None) -> None:
+    with _CLEANUP_LOCK:
+        mine = [df for s, df in _PENDING_UNPERSIST if s is scope]
+        _PENDING_UNPERSIST[:] = [
+            (s, df) for s, df in _PENDING_UNPERSIST if s is not scope
+        ]
+    for df in reversed(mine):
         try:
             df.unpersist()
         except Exception:  # session already stopped — nothing to release
             pass
+
+
+@contextlib.contextmanager
+def query_cleanup_scope():
+    """Scope registrations to one query; release them on exit.
+
+    For embedders running concurrent queries on one session (the Flight
+    server's threaded handler being the canonical case): intermediates
+    persisted inside the ``with`` body are released when the block exits
+    — and ONLY those, so concurrent queries cannot unpersist each
+    other's live intermediates."""
+    token_obj = object()
+    token = _CLEANUP_SCOPE.set(token_obj)
+    try:
+        yield
+    finally:
+        _CLEANUP_SCOPE.reset(token)
+        _release_scope(token_obj)
 
 
 def corpus_fingerprint(cache_key) -> tuple | None:
