@@ -100,6 +100,7 @@ Field numbers below come from the public ``substrait/plan.proto`` /
 
 from __future__ import annotations
 
+import re
 import struct
 from contextvars import ContextVar
 
@@ -263,6 +264,32 @@ def _function_names(plan_fields) -> dict[int, str]:
             )
         name = raw.decode("utf-8", "replace")
         out[anchor] = name.split(":", 1)[0]
+    return out
+
+
+#: per-translation {function_anchor: compound-name argument signature}
+#: ("sum:i64" declares "i64"), set by ``_substrait_to_sql_inner``; the
+#: DISTINCT sum/avg phase-split fold recovers its accumulator type here.
+_FUNC_SIGS: ContextVar[dict | None] = ContextVar("_FUNC_SIGS", default=None)
+
+
+def _function_signatures(plan_fields) -> dict[int, str]:
+    """Plan.extensions → {function_anchor: compound argument signature}
+    (the part after the first colon; anchors declared with a bare name
+    are absent)."""
+    out: dict[int, str] = {}
+    for _, decl in plan_fields.get(2, []):
+        df = _fields(decl)
+        ext_fn = _one(df, 3)
+        if ext_fn is None:
+            continue
+        ff = _fields(ext_fn)
+        raw = _one(ff, 3)
+        if not isinstance(raw, bytes):
+            continue
+        name = raw.decode("utf-8", "replace")
+        if ":" in name:
+            out[_varint_one(ff, 2, 0)] = name.split(":", 1)[1]
     return out
 
 
@@ -2217,9 +2244,31 @@ _INVOCATION_ALL, _INVOCATION_DISTINCT = 1, 2
 _PHASE_SPLIT_MERGE = {"sum": "SUM", "min": "MIN", "max": "MAX", "count": "SUM"}
 
 
+def _distinct_fold_type(sig: str | None, name: str) -> str | None:
+    """Spark accumulator type for folding a DISTINCT set back into a
+    sum/avg, recovered from the extension declaration's compound-name
+    argument signature (``sum:i64`` → BIGINT; the declared intermediate
+    is ``List<T>`` with the same ``T``). ``None`` = unrecoverable."""
+    if not sig:
+        return None
+    base = sig.strip().lower()
+    if base in ("i8", "i16", "i32", "i64"):
+        return "BIGINT"  # Spark's integral SUM/AVG accumulator width
+    if base in ("fp32", "fp64"):
+        return "DOUBLE"
+    m = re.match(r"^dec(?:<(\d+),(-?\d+)>)?$", base)
+    if m and name == "sum":
+        p = int(m.group(1)) if m.group(1) else 38
+        s = int(m.group(2)) if m.group(2) else 18
+        if 0 <= s <= p:
+            # Spark's SUM(DECIMAL(p,s)) result type: p+10 capped at 38
+            return f"DECIMAL({min(38, p + 10)},{s})"
+    return None
+
+
 def _render_phase_split(
     name: str, phase: int, distinct: bool, arg_sql: str | None,
-    flt_sql: str | None,
+    flt_sql: str | None, sig: str | None = None,
 ) -> str | None:
     """Render a struct-/set-state phase-split measure, or return ``None``
     when the plain name-swap path (`_PHASE_SPLIT_MERGE`, ALL invocation)
@@ -2251,16 +2300,23 @@ def _render_phase_split(
         return f"{call} FILTER (WHERE {flt_sql})" if flt_sql else call
 
     if distinct:
-        if name not in ("count", "min", "max"):
+        fold_t = (
+            _distinct_fold_type(sig, name) if name in ("sum", "avg") else None
+        )
+        if name not in ("count", "min", "max") and fold_t is None:
             raise SubstraitUnsupported(
                 f"Substrait consumer: DISTINCT {name!r} cannot phase-split "
-                f"(set-valued state folds back only for count/min/max)"
+                f"(set-valued state folds back for count/min/max always, "
+                f"and for sum/avg when the extension declaration's compound "
+                f"name carries the argument type — e.g. 'sum:i64'"
+                + (f"; got signature {sig!r}" if sig else "; got a bare name")
+                + ")"
             )
         if arg_sql is None:
             raise SubstraitMalformed(f"DISTINCT {name} without an argument")
         if phase == 1:
             # COLLECT_SET skips nulls — matching the null-skipping
-            # semantics of count/min/max DISTINCT.
+            # semantics of DISTINCT aggregates.
             return agg(f"COLLECT_SET({arg_sql})")
         merged = (
             f"ARRAY_DISTINCT(FLATTEN({agg(f'COLLECT_LIST({arg_sql})')}))"
@@ -2269,6 +2325,24 @@ def _render_phase_split(
             return merged
         if name == "count":
             return f"CAST(SIZE({merged}) AS BIGINT)"
+        if name in ("sum", "avg"):
+            # Fold the merged distinct set back through + with the
+            # accumulator type recovered from the declared List<T>
+            # element type: seed with the first element (empty set →
+            # NULL, matching SQL SUM/AVG over zero rows; TRY_ELEMENT_AT
+            # stays NULL-returning under ANSI) and fold the rest.
+            seed = f"CAST(TRY_ELEMENT_AT({merged}, 1) AS {fold_t})"
+            rest = f"SLICE({merged}, 2, GREATEST(SIZE({merged}) - 1, 0))"
+            total = (
+                f"AGGREGATE({rest}, {seed}, "
+                f"(acc, x) -> CAST(acc + CAST(x AS {fold_t}) AS {fold_t}))"
+            )
+            if name == "sum":
+                return total
+            return (
+                f"CASE WHEN SIZE({merged}) > 0 "
+                f"THEN CAST({total} AS DOUBLE) / SIZE({merged}) END"
+            )
         return f"ARRAY_{name.upper()}({merged})"
 
     if name == "avg":
@@ -2503,7 +2577,8 @@ def _aggregate_rel(
                 else None
             )
             custom_render = _render_phase_split(
-                name, phase, distinct, arg0_sql, flt_sql
+                name, phase, distinct, arg0_sql, flt_sql,
+                sig=(_FUNC_SIGS.get() or {}).get(anchor),
             )
             if custom_render is None and phase in (2, 4):
                 if name == "count" and not args and not af.get(2, []):
@@ -3330,6 +3405,14 @@ def substrait_to_sql(
 def _substrait_to_sql_inner(plan_bytes: bytes) -> str:
     plan = _fields(plan_bytes)
     funcs = _function_names(plan)
+    sig_token = _FUNC_SIGS.set(_function_signatures(plan))
+    try:
+        return _substrait_plan_to_sql(plan, funcs)
+    finally:
+        _FUNC_SIGS.reset(sig_token)
+
+
+def _substrait_plan_to_sql(plan, funcs) -> str:
     relations = plan.get(3, [])  # Plan.relations
     if len(relations) != 1:
         raise SubstraitUnsupported(

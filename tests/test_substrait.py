@@ -527,6 +527,55 @@ class TestOverWire:
         finally:
             ex.close()
 
+    def test_phase_split_distinct_sum_avg_round_trip(self, substrait_server):
+        """Round 9 (VERDICT r8 #5): two-stage DISTINCT sum/avg — the one
+        residual a distributed DataFusion producer actually emits — must
+        match the one-phase values. Partial per (user, order) so user 1's
+        merge genuinely unions two singleton sets; the duplicate amounts
+        across users (none here) and the fold types come from the
+        extension signatures (sum:i64 → BIGINT accumulator)."""
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            orders = rel(
+                1, read_rel(["orders"], ["order_id", "user_id", "amount"])
+            )
+            inner = rel(4, aggregate_rel(
+                orders, [1, 0],
+                [
+                    measure(agg_function(1, [2], invocation=2, phase=1)),
+                    measure(agg_function(2, [2], invocation=2, phase=1)),
+                ],
+            ))
+            # inner output: (user_id, order_id, sum_set, avg_set)
+            outer = rel(4, aggregate_rel(
+                inner, [0],
+                [
+                    measure(agg_function(1, [2], invocation=2, phase=4)),
+                    measure(agg_function(2, [3], invocation=2, phase=4)),
+                ],
+            ))
+            p = plan_bytes(
+                outer, ["user_id", "dsum", "davg"],
+                extensions=extension_function(1, "sum:i64")
+                + extension_function(2, "avg:i64"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            got = sorted(
+                zip(
+                    table.column("user_id").to_pylist(),
+                    table.column("dsum").to_pylist(),
+                    table.column("davg").to_pylist(),
+                )
+            )
+            # one-phase truth: user 1 → amounts {50, 100}, 2 → {75},
+            # 3 → {25}
+            assert got == [(1, 150, 75.0), (2, 75, 75.0), (3, 25, 25.0)]
+        finally:
+            ex.close()
+
     def test_unsupported_plan_rejected_over_wire(self, substrait_server):
         ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
         try:
@@ -896,9 +945,10 @@ class TestAggregateTranslate:
         assert "ARRAY_DISTINCT(FLATTEN(COLLECT_LIST(`amount`)))" in sql
         assert "CAST(SIZE(" in sql
 
-    def test_partial_phase_distinct_sum_still_rejected(self):
-        # folding a runtime-typed distinct set back into a sum does not
-        # unparse to SQL — DISTINCT phase splits stay count/min/max only
+    def test_partial_phase_distinct_sum_renders_set_state(self):
+        # round 9 (VERDICT r8 #5): DISTINCT sum/avg phase-split when the
+        # extension declaration's compound name carries the argument type
+        # — the declared intermediate List<T> element type
         p = plan_bytes(
             rel(4, aggregate_rel(
                 ORDERS_READ, [0],
@@ -906,8 +956,66 @@ class TestAggregateTranslate:
             )),
             extensions=extension_function(1, "sum:fp64"),
         )
-        with pytest.raises(SubstraitUnsupported, match="count/min/max"):
+        assert "COLLECT_SET(`amount`)" in substrait_to_sql(p)
+
+    def test_merge_phase_distinct_sum_folds_with_declared_type(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], invocation=2, phase=4))],
+            )),
+            extensions=extension_function(1, "sum:i64"),
+        )
+        sql = substrait_to_sql(p)
+        assert "ARRAY_DISTINCT(FLATTEN(COLLECT_LIST(`amount`)))" in sql
+        # integral accumulator recovered from the i64 signature; seeded
+        # by the first element so an empty set folds to NULL, not 0
+        assert "AS BIGINT" in sql and "TRY_ELEMENT_AT" in sql
+        assert "AGGREGATE(SLICE(" in sql
+
+    def test_merge_phase_distinct_avg_divides_fold_by_size(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], invocation=2, phase=4))],
+            )),
+            extensions=extension_function(1, "avg:fp64"),
+        )
+        sql = substrait_to_sql(p)
+        assert "AS DOUBLE" in sql and "CASE WHEN SIZE(" in sql
+
+    def test_distinct_sum_decimal_signature_widens_like_spark(self):
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], invocation=2, phase=4))],
+            )),
+            extensions=extension_function(1, "sum:dec<18,2>"),
+        )
+        assert "DECIMAL(28,2)" in substrait_to_sql(p)
+
+    def test_distinct_sum_without_signature_still_rejected(self):
+        # a bare-name declaration gives no element type to fold with —
+        # the rejection stays, naming the missing signature
+        p = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], invocation=2, phase=1))],
+            )),
+            extensions=extension_function(1, "sum"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="compound"):
             substrait_to_sql(p)
+        # DISTINCT avg of decimal: no double-exact fold — still named
+        pd = plan_bytes(
+            rel(4, aggregate_rel(
+                ORDERS_READ, [0],
+                [measure(agg_function(1, [1], invocation=2, phase=4))],
+            )),
+            extensions=extension_function(1, "avg:dec<18,2>"),
+        )
+        with pytest.raises(SubstraitUnsupported, match="sum/avg"):
+            substrait_to_sql(pd)
 
     def test_merge_phase_count_star_malformed(self):
         # INTERMEDIATE_TO_RESULT count without the partial-count column
