@@ -32,78 +32,91 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: to keep the prefix at exactly 50), tier 3 = a rotation of the oldest
 #: green rows as regression insurance. Green on the prefix → every
 #: registered query driver-verified at least once.
-#: Round-8 state: tier 0 = PERMANENTLY PINNED infrastructure-coupled
-#: queries — ``scan_flight`` transits the live Flight serving path
+#: Tier 0 = PERMANENTLY PINNED infrastructure-coupled queries —
+#: ``scan_flight`` transits the live Flight serving path
 #: (execute_stream / multi-endpoint buckets), so a serving-engine change
 #: can break it with no change to its own source; the round-7 rotation
 #: proved rotating it out masks exactly that (the r7 serving regression
 #: shipped under a 50/50-green CORRECTNESS file). It stays in the prefix
-#: every round. Tier 2 = round-8 registrations and rewrites, appended as
-#: they land; tier 3 = the oldest-first rotation — 46 of the 50 queries
-#: whose latest driver row is round 3 (rounds 4–7 re-verified everything
-#: newer); ``tpch_q8_market_share``, ``tpch_q9_product_profit``,
-#: ``window_distribution`` and ``window_range_frame`` wait for round 9
-#: to make room for the pin + tier 2. Green on this prefix → no
-#: registered query's latest driver row predates round 3 except the
-#: four deferred rows, and none predates its last source rewrite.
+#: every round.
+#:
+#: FRESHNESS POLICY (round 9, VERDICT r8 #8): with 235 registered
+#: queries, a 50-row prefix and ~3 rows/round spent on tier 0 + tier 2,
+#: the tier-3 revisit period is ~5 rounds. The driver's row count is
+#: fixed at 50, so the lever is the ROTATION DISCIPLINE, now explicit:
+#: tier 3 fills every prefix slot tier 0/2 leave with the queries whose
+#: latest driver row is OLDEST (oldest-first by CORRECTNESS_r* union,
+#: alphabetical within a round), and any query deferred at the cut line
+#: goes FIRST next round. Invariants kept per round: (a) no query's
+#: latest driver row is ever more than 5 rounds old, (b) a deferred
+#: query is never deferred twice, (c) tier 2 covers every query whose
+#: implementation (or an operator/cache it rides) materially changed in
+#: the round. SURVEY §5 documents the same policy.
+#:
+#: Round-9 state: tier 2 = cache-path representatives again —
+#: dedup_near_minhash rides the MinHash front-end cache
+#: (clear-under-lock changed this round), sim_topk_ivf the trained-
+#: quantizer cache (per-key placeholder training changed this round).
+#: Tier 3 = the four rows deferred at round 8 (latest row r3), then 43
+#: of the 46 queries whose latest row is round 4; ``basket_rules``,
+#: ``orders_gini`` and ``orders_rfm`` (stable pure-relational
+#: aggregates, untouched since r4) defer to round 10 and lead its
+#: tier 3.
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
-    # tier 2: round-8 rewrites — one representative per operator cache
-    # whose keying/locking changed this round (fingerprint + mutation
-    # lock): dedup_near_minhash rides the MinHash front-end cache,
-    # sim_topk_ivf the trained-quantizer cache
+    # tier 2: round-9 cache-internals changes
     "dedup_near_minhash",
     "sim_topk_ivf",
-    # tier 2: round-8 registration (Heaps-law vocabulary growth)
-    "text_vocab_growth",
-    # tier 3: oldest-first rotation — latest driver row is round 3
-    "agg_approx_distinct",
-    "agg_bitwise",
-    "agg_bool",
-    "agg_percentile",
-    "agg_pivot",
-    "embed_centroids",
-    "event_asof_join",
-    "event_band_join",
-    "event_session_window_native",
-    "event_sliding_window",
-    "event_time_rollup",
-    "fn_bitwise",
-    "fn_date_bin",
-    "fn_hash_encode",
-    "fn_map",
-    "fn_string_distance",
-    "fn_url",
-    "join_skew_salted",
-    "multimodal_frames",
-    "param_bind_named",
-    "param_bind_positional",
-    "scan_binary",
-    "scan_csv",
-    "scan_json",
-    "scan_memtable",
-    "scan_orc",
-    "sink_partitioned",
-    "text_histogram",
-    "text_rolling_hash",
-    "text_topk_tokens",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipping_priority_class",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_suppliers_waiting",
-    "tpch_q22_global_sales",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
+    # tier 3a: deferred at the round-8 cut (latest driver row r3)
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "window_distribution",
+    "window_range_frame",
+    # tier 3b: oldest-first rotation — latest driver row is round 4
+    "agg_bitmap_intersect",
+    "agg_count_min",
+    "agg_hll_rollup",
+    "agg_mode",
+    "agg_percentile_approx",
+    "agg_topk_sketch",
+    "corpus_drift",
+    "dedup_exact_keepbest",
+    "dedup_incremental",
+    "dedup_source_overlap",
+    "dedup_substring",
+    "doc_sample_temperature",
+    "doc_sample_weighted",
+    "embed_binary_hamming",
+    "embed_matryoshka",
+    "embed_outliers",
+    "event_anomaly",
+    "event_attribution",
+    "event_cusum",
+    "event_islands",
+    "event_ks_drift",
+    "event_scd2",
+    "event_scd2_lookup",
+    "event_sliding_distinct",
+    "event_time_weighted",
+    "fn_mask",
+    "graph_triangles",
+    "join_bloom_prune",
+    "join_fuzzy",
+    "multimodal_dedup",
+    "multimodal_phash",
+    "pipeline_curate_v2",
+    "pipeline_curate_v3",
+    "sim_topk_pq",
+    "sink_zorder",
+    "text_bigram_lm",
+    "text_inverted_index",
+    "text_novelty",
+    "text_pmi",
+    "text_repetition",
+    "text_tfidf",
+    "window_ewma",
+    "window_moving_median",
 )
 
 
