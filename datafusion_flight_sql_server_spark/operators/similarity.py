@@ -30,7 +30,11 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from datafusion_flight_sql_server_spark.functions.vector import cosine, dot
+from datafusion_flight_sql_server_spark.functions.vector import (
+    cosine,
+    dot,
+    norm,
+)
 
 
 def _as_double(col):
@@ -693,15 +697,51 @@ def assign_cells(
     ``cs`` (the winning centroid cosine) rides along for consumers that
     rank within a cell (semantic_dedup's keep rule).
     """
-    corpus = emb.select(
-        F.col(id_col).alias(out_id), F.col(vec_col).alias("c_vec")
+    # Hoisted-cast/norm form (round 9, sf1 audit): the naive
+    # round_cosine(c_vec, cent_vec) per pair re-CASTS both arrays and
+    # re-computes BOTH norms |cents| times per vector — higher-order
+    # array expressions are interpreted (no codegen), so those passes
+    # dominated the whole coreset query (~5.2 s of 6.5 s at sf1).
+    # Casting once per row and per centroid and hoisting each side's
+    # norm leaves ONE zip_with+aggregate dot per pair. Values are
+    # BIT-IDENTICAL to round_cosine: float→double casts are exact, the
+    # hoisted norm is the same expression over the same doubles, and
+    # the division/guard/round structure is unchanged — so every
+    # oracle-parity hash over cs (and everything downstream) is
+    # untouched. ``v`` is now the double-cast vector; every consumer
+    # re-casts through _as_double, a no-op on doubles.
+    # The per-pair dots are CPU-bound interpreted work; a single-row-group
+    # parquet corpus would run them on one core (same rationale as the
+    # dedup shingling rebalance — no-op when the scan is already split,
+    # i.e. always at real scale).
+    from datafusion_flight_sql_server_spark.operators.dedup import (
+        rebalance_for_compute,
+    )
+
+    corpus = rebalance_for_compute(
+        emb.select(
+            F.col(id_col).alias(out_id),
+            _as_double(F.col(vec_col)).alias("c_vec"),
+        ),
+        out_id,
+    ).withColumn("a_norm", norm(F.col("c_vec")))
+    cent_side = cents.select(
+        "cent_id", _as_double(F.col("cent_vec")).alias("cent_d")
+    ).withColumn("b_norm", norm(F.col("cent_d")))
+    pair_cs = F.round(
+        F.when(
+            (F.col("a_norm") > 0) & (F.col("b_norm") > 0),
+            dot(F.col("c_vec"), F.col("cent_d"))
+            / (F.col("a_norm") * F.col("b_norm")),
+        ).otherwise(F.lit(0.0)),
+        6,
     )
     return (
-        corpus.join(F.broadcast(cents))
+        corpus.join(F.broadcast(cent_side))
         .select(
             out_id,
             F.struct(
-                round_cosine(F.col("c_vec"), F.col("cent_vec")).alias("cs"),
+                pair_cs.alias("cs"),
                 (-F.col("cent_id")).alias("neg_cent"),
                 F.col("c_vec").alias("v"),
             ).alias("s"),
