@@ -463,11 +463,15 @@ def _t_to_char(args: list[str]) -> str | None:
 
 
 def _find_call(toks: list, i: int):
-    """If toks[i] is a word directly heading a call, return the index of
-    its '(' token, else None. A preceding '.' disqualifies (qualified
-    name) — walk back over whitespace/comments to check."""
+    """If toks[i] is a word heading a call (whitespace/comments allowed
+    before the '(' — ``strpos (a, b)`` is legal SQL), return the index
+    of its '(' token, else None. A preceding '.' disqualifies
+    (qualified name) — walk back over whitespace/comments to check."""
     j = i + 1
-    while j < len(toks) and toks[j][0] == "comment":
+    while j < len(toks) and (
+        toks[j][0] == "comment"
+        or (toks[j][0] == "other" and toks[j][3].isspace())
+    ):
         j += 1
     if j >= len(toks) or toks[j][0] != "other" or toks[j][3] != "(":
         return None

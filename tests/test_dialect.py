@@ -271,6 +271,12 @@ class TestRewriteUnit:
         once = rewrite_sql(sql)
         assert rewrite_sql(once) == once
 
+    def test_whitespace_before_paren_still_rewrites(self):
+        # `strpos (a, b)` is legal SQL — the gap must not defeat the map
+        out = rewrite_sql("SELECT strpos (a, 'x'), approx_distinct\n(b) FROM t")
+        assert "INSTR(a, 'x')" in out
+        assert "APPROX_COUNT_DISTINCT(b)" in out
+
     def test_nested_calls_rewrite_inside_out(self):
         out = rewrite_sql("SELECT array_length(make_array(1, 2)) FROM t")
         assert out == "SELECT ARRAY_SIZE(ARRAY(1, 2)) FROM t"
