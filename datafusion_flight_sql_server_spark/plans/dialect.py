@@ -34,9 +34,15 @@ and comments pass through untouched), not a parser: it only rewrites a
 mapped word immediately followed by ``(`` and not preceded by ``.``.
 Names it cannot map keep erroring through Spark's UNRESOLVED_ROUTINE
 (clearly, with the name); argument shapes it recognizes but cannot
-express raise :class:`DialectUnsupported` naming the construct. Every
-output spelling is outside the rewrite maps, so the rewrite is
-idempotent — a ticket minted from rewritten SQL re-rewrites to itself.
+express raise :class:`DialectUnsupported` naming the construct.
+
+Application contract: rewrite ONCE, where client SQL first enters (the
+Flight service's statement GetFlightInfo and prepared-statement
+creation). ``auto``-mode rewrites are idempotent (every output spelling
+is outside the auto maps), but the ``datafusion``-mode argument-order
+swaps (``array_prepend``) are their own inverse — a second pass would
+swap back — so tickets/handles round-trip the REWRITTEN SQL and the
+execution paths never rewrite again.
 """
 
 from __future__ import annotations
@@ -143,12 +149,22 @@ _AUTO_RENAMES = {
     "array_element": "ELEMENT_AT",
     "list_element": "ELEMENT_AT",
     "array_push_back": "ARRAY_APPEND",
-    "array_push_front": "ARRAY_PREPEND",
     "array_concat": "CONCAT",
     "to_hex": "HEX",
     "datetrunc": "DATE_TRUNC",
     "substr_index": "SUBSTRING_INDEX",
     "generate_series": "SEQUENCE",
+    # batch 2 (round 9, same verified-absent-from-Spark rule)
+    "array_reverse": "REVERSE",
+    "list_reverse": "REVERSE",
+    "list_distinct": "ARRAY_DISTINCT",
+    "list_cat": "CONCAT",
+    "list_concat": "CONCAT",
+    "list_append": "ARRAY_APPEND",
+    "list_max": "ARRAY_MAX",
+    "list_min": "ARRAY_MIN",
+    "covar": "COVAR_SAMP",  # DataFusion's covar IS the sample covariance
+    "today": "CURRENT_DATE",
 }
 
 #: Applied only in full "datafusion" mode: the name EXISTS in Spark with
@@ -390,11 +406,40 @@ def _t_string_to_array(args: list[str]) -> str:
     return f"SPLIT(({args[0].strip()}), '{escaped}', -1)"
 
 
+def _t_prepend(args: list[str]) -> str:
+    # DataFusion's array_prepend/list_prepend/array_push_front all take
+    # (element, array); Spark's ARRAY_PREPEND takes (array, element)
+    if len(args) != 2:
+        raise DialectUnsupported("array_prepend takes (element, array)")
+    el, arr = (a.strip() for a in args)
+    return f"ARRAY_PREPEND(({arr}), ({el}))"
+
+
+def _t_empty(args: list[str]) -> str:
+    if len(args) != 1:
+        raise DialectUnsupported("empty takes (array)")
+    return f"(SIZE(({args[0].strip()})) = 0)"
+
+
+def _t_to_unixtime(args: list[str]) -> str:
+    if len(args) != 1:
+        raise DialectUnsupported(
+            "to_unixtime supports a single castable argument"
+        )
+    return f"UNIX_SECONDS(CAST(({args[0].strip()}) AS TIMESTAMP))"
+
+
 _AUTO_TRANSFORMS = {
     "arrow_cast": _t_arrow_cast,
     "date_bin": _t_date_bin,
     "array_length": _t_array_length,
     "array_slice": _t_array_slice,
+    "list_slice": _t_array_slice,
+    "empty": _t_empty,
+    "array_empty": _t_empty,
+    "to_unixtime": _t_to_unixtime,
+    "list_prepend": _t_prepend,
+    "array_push_front": _t_prepend,
     "array_pop_back": _t_array_pop_back,
     "list_sort": _t_list_sort,
     "sha224": _sha(224),
@@ -405,6 +450,13 @@ _AUTO_TRANSFORMS = {
     "string_to_array": _t_string_to_array,
     "regexp_match": _t_regexp_match,
 }
+
+
+#: datafusion-mode-only transforms: the NAME exists in Spark with
+#: different semantics or argument order, so touching it would change
+#: valid Spark SQL. A transform returning None keeps the original call.
+#: (populated after the function definitions below)
+_DF_TRANSFORMS: dict = {}
 
 
 def _chrono_to_java(fmt: str) -> str:
@@ -457,6 +509,16 @@ def _t_to_char(args: list[str]) -> str | None:
     fmt = _chrono_to_java(_strip_str_literal(args[1], "to_char pattern"))
     esc = fmt.replace("'", "''")
     return f"DATE_FORMAT(({args[0].strip()}), '{esc}')"
+
+
+_DF_TRANSFORMS.update(
+    {
+        "to_char": _t_to_char,  # chrono %-patterns only; numeric kept
+        # Spark's ARRAY_PREPEND is (array, element); DataFusion's is
+        # (element, array) — swap only when the client speaks DataFusion
+        "array_prepend": _t_prepend,
+    }
+)
 
 
 # -- rewriter ----------------------------------------------------------------
@@ -517,23 +579,22 @@ def _render(toks: list, lo: int, hi: int, mode: str, sql: str) -> str:
         if kind == "word":
             name = text.lower()
             transform = _AUTO_TRANSFORMS.get(name)
-            to_char = mode == "datafusion" and name == "to_char"
+            if transform is None and mode == "datafusion":
+                transform = _DF_TRANSFORMS.get(name)
             renamed = renames.get(name)
-            if transform or to_char or renamed:
+            if transform or renamed:
                 open_i = _find_call(toks, i)
                 if open_i is not None:
                     close_i = _match_paren(toks, open_i)
                     args = _split_args(toks, open_i, close_i, mode, sql)
-                    if to_char:
-                        replaced = _t_to_char(args)
-                        if replaced is None:  # numeric to_char: keep
+                    if transform:
+                        replaced = transform(args)
+                        if replaced is None:  # transform declined: keep
                             out.append(
                                 f"{text}({', '.join(a.strip() for a in args)})"
                             )
                         else:
                             out.append(replaced)
-                    elif transform:
-                        out.append(transform(args))
                     else:
                         inner = ", ".join(a.strip() for a in args)
                         out.append(f"{renamed}({inner})")
@@ -588,7 +649,7 @@ def rewrite_sql(sql: str, mode: str = "auto") -> str:
         or (
             mode == "datafusion"
             and (
-                lowered & (set(_DATAFUSION_RENAMES) | {"to_char"})
+                lowered & (set(_DATAFUSION_RENAMES) | set(_DF_TRANSFORMS))
                 or any(t[0] == "dq" for t in toks)
             )
         )

@@ -313,10 +313,11 @@ class FlightSqlServer(fl.FlightServerBase):
 
     def _rewrite(self, sql: str) -> str:
         """DataFusion-dialect → Spark SQL at the service boundary (see
-        ``FlightSqlServiceConfig.sql_dialect``). Applied wherever raw
-        client SQL enters (statement info, DoGet tickets, prepared
-        creation); idempotent, so a ticket minted from rewritten SQL
-        passes through unchanged."""
+        ``FlightSqlServiceConfig.sql_dialect``). Applied where raw
+        client SQL FIRST enters (statement GetFlightInfo, prepared
+        creation); tickets and prepared handles then round-trip the
+        rewritten SQL, so execution paths never rewrite twice (the
+        datafusion-mode argument-order swaps are not idempotent)."""
         if self.config.sql_dialect == "spark":
             return sql
         from datafusion_flight_sql_server_spark.plans.dialect import (
@@ -465,9 +466,15 @@ class FlightSqlServer(fl.FlightServerBase):
             command = self._decode_ticket(raw)
             engine = self._ctx(context)
             if isinstance(command, CommandStatementQuery):
-                # service.rs:220-236: re-plan and stream (rewrite again:
-                # tickets are client-forgeable; no-op on our own tickets)
-                df = engine.execute(self._rewrite(command.query))
+                # service.rs:220-236: re-plan and stream. NO dialect
+                # rewrite here: tickets minted by this server already
+                # carry the REWRITTEN (Spark) SQL from GetFlightInfo,
+                # and re-rewriting is not idempotent for the
+                # datafusion-mode arg-order swaps (array_prepend) — a
+                # second pass would swap them back. A hand-forged ticket
+                # with raw DataFusion SQL errors like any invalid ticket
+                # (the reference likewise re-plans ticket SQL verbatim).
+                df = engine.execute(command.query)
                 return self._stream_df(engine, df)
             if isinstance(command, CommandPreparedStatementQuery):
                 # service.rs:238-273: re-plan, bind params, stream

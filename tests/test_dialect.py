@@ -128,7 +128,8 @@ _MATRIX = [
     ("SELECT array_slice(make_array(1, 2, 3, 4), 2, 3) AS v", [2, 3]),
     ("SELECT array_pop_back(make_array(1, 2, 3)) AS v", [1, 2]),
     ("SELECT array_push_back(make_array(1), 5) AS v", [1, 5]),
-    ("SELECT array_push_front(make_array(1), 5) AS v", [5, 1]),
+    # DataFusion's prepend family takes (element, array)
+    ("SELECT array_push_front(5, make_array(1)) AS v", [5, 1]),
     ("SELECT list_sort(make_array(3, 1, 2)) AS v", [1, 2, 3]),
     ("SELECT generate_series(1, 4) AS v", [1, 2, 3, 4]),
     ("SELECT to_hex(255) AS v", "FF"),
@@ -155,6 +156,19 @@ _MATRIX = [
     ("SELECT string_to_array('a.b', '.') AS v", ["a", "b"]),
     ("SELECT hex(sha256('abc')) AS v",
      "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD"),
+    # batch 2
+    ("SELECT array_reverse(make_array(1, 2, 3)) AS v", [3, 2, 1]),
+    ("SELECT list_distinct(make_array(1, 1, 2)) AS v", [1, 2]),
+    ("SELECT list_cat(make_array(1), make_array(2)) AS v", [1, 2]),
+    ("SELECT list_append(make_array(1), 9) AS v", [1, 9]),
+    ("SELECT list_prepend(9, make_array(1)) AS v", [9, 1]),
+    ("SELECT list_max(make_array(3, 7, 2)) AS v", 7),
+    ("SELECT list_min(make_array(3, 7, 2)) AS v", 2),
+    ("SELECT empty(make_array()) AS v", True),
+    ("SELECT array_empty(make_array(1)) AS v", False),
+    ("SELECT list_slice(make_array(1, 2, 3, 4), 1, 2) AS v", [1, 2]),
+    ("SELECT to_unixtime(to_timestamp_seconds(86400)) AS v", 86400),
+    ("SELECT covar(amount, user_id) IS NOT NULL AS v FROM orders", True),
 ]
 
 
@@ -245,6 +259,15 @@ class TestDialectModes:
         # from_unixtime keeps Spark's string-returning semantics in auto
         v = _one(auto_client, "SELECT from_unixtime(0) AS v")
         assert isinstance(v, str) and v.startswith("1970-01-01")
+        # array_prepend keeps Spark's (array, element) order in auto —
+        # it's a Spark builtin; only DataFusion mode swaps the args
+        v2 = _one(auto_client, "SELECT array_prepend(array(1), 5) AS v")
+        assert v2 == [5, 1]
+
+    def test_datafusion_mode_array_prepend_swaps_args(self, df_client):
+        # DataFusion's array_prepend is (element, array)
+        v = _one(df_client, "SELECT array_prepend(5, make_array(1)) AS v")
+        assert v == [5, 1]
 
 
 class TestRewriteUnit:
