@@ -1246,3 +1246,75 @@ def q_text_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     return cum.crossJoin(F.broadcast(fit)).select(
         "bucket", "cum_tokens", "cum_vocab", "heaps_beta"
     )
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness (Church-Gale variance-to-mean ratio)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_burstiness",
+    oracle="""
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_filter(string_split(lower(text), ' '),
+                                               x -> x <> '')) AS w
+                     FROM documents),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM tok GROUP BY doc_id, w),
+        st AS (SELECT w,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(c) AS BIGINT) AS total_count,
+                      CAST(SUM(c * c) AS BIGINT) AS s2
+               FROM tf GROUP BY w)
+        SELECT w AS token, n_docs, total_count,
+               CAST((1000000 * (n_docs * s2 - total_count * total_count))
+                    // (n_docs * total_count) AS BIGINT) AS burst_ppm
+        FROM st ORDER BY n_docs DESC, token LIMIT 20
+    """,
+    doc="Token burstiness (Church-Gale): for the 20 highest-document-"
+    "frequency tokens, the variance-to-mean ratio of per-containing-doc "
+    "counts — VMR = (n*Sc2 - Sc^2)/(n*Sc) in exact integer ppm (floor "
+    "division truncates identically in both engines on positive values; "
+    "the 1e6 factor multiplies the SUBTRACTED numerator, keeping the "
+    "widest intermediate ~5e18 inside bigint at sf1). Function words sit "
+    "near Poisson (VMR ~ 1, burst_ppm ~ its fractional part); topical "
+    "content words clump (VMR >> 1) — the classic content-word detector "
+    "and a mixture-weight diagnostic for corpus curation. Scale: one "
+    "explode, two hash aggregates (both map-side partial), and a "
+    "distributed TakeOrdered head of 20 — no window over the vocabulary, "
+    "no join.",
+    tags=("text", "quality", "statistics"),
+)
+def q_text_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    d = tables(spark, sf)["documents"]
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x != '')")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    st = tf.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("c").cast("bigint").alias("total_count"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    return (
+        st.orderBy(F.desc("n_docs"), "w")
+        .limit(20)
+        .select(
+            F.col("w").alias("token"),
+            "n_docs",
+            "total_count",
+            F.expr(
+                "(1000000 * (n_docs * s2 - total_count * total_count)) "
+                "DIV (n_docs * total_count)"
+            )
+            .cast("bigint")
+            .alias("burst_ppm"),
+        )
+    )
