@@ -527,6 +527,70 @@ class TestOverWire:
         finally:
             ex.close()
 
+    def test_phase_split_avg_all_null_group_yields_null(
+        self, substrait_server, spark
+    ):
+        """ADVICE r8: the avg merge phase guards SUM(count) > 0 — an
+        all-NULL group must come back NULL, not raise DIVIDE_BY_ZERO
+        under ANSI or return a bogus value. Executed through the SQL the
+        consumer renders (translate + run on the live session)."""
+        register_memtable(
+            spark,
+            "null_amounts",
+            [(1, None), (1, None), (2, 5)],
+            "grp INT NOT NULL, amt INT",
+        )
+        inner = rel(4, aggregate_rel(
+            rel(1, read_rel(["null_amounts"], ["grp", "amt"])),
+            [0],
+            [measure(agg_function(1, [1], phase=1))],
+        ))
+        outer = rel(4, aggregate_rel(
+            inner, [0],
+            [measure(agg_function(1, [1], phase=4))],
+        ))
+        p = plan_bytes(
+            outer, ["grp", "mean"],
+            extensions=extension_function(1, "avg:i32"),
+        )
+        sql = substrait_to_sql(p)
+        rows = {r["grp"]: r["mean"] for r in spark.sql(sql).collect()}
+        assert rows[1] is None  # all-NULL group: NULL, no /0
+        assert rows[2] == 5.0
+
+    def test_phase_split_stddev_cancellation_clamped(
+        self, substrait_server, spark
+    ):
+        """ADVICE r8: near-constant data around 1e8 makes the parallel-
+        variance identity cancel to m2 = -4.0 in fp64 (verified
+        numerically); unclamped, VAR goes negative and SQRT returns NaN
+        where one-phase STDDEV_SAMP gives ~0. The GREATEST clamp must
+        floor it at 0."""
+        register_memtable(
+            spark,
+            "wcancel",
+            [(1, 1, 1e8 + 0.1), (1, 2, 1e8 + 0.4), (1, 3, 1e8 + 0.1)],
+            "grp INT NOT NULL, sub INT NOT NULL, x DOUBLE NOT NULL",
+        )
+        inner = rel(4, aggregate_rel(
+            rel(1, read_rel(["wcancel"], ["grp", "sub", "x"])),
+            [0, 1],
+            [measure(agg_function(1, [2], phase=1))],
+        ))
+        outer = rel(4, aggregate_rel(
+            inner, [0],
+            [measure(agg_function(1, [2], phase=4))],
+        ))
+        p = plan_bytes(
+            outer, ["grp", "sd"],
+            extensions=extension_function(1, "std_dev:fp64"),
+        )
+        sql = substrait_to_sql(p)
+        [row] = spark.sql(sql).collect()
+        assert row["sd"] is not None
+        assert row["sd"] == row["sd"], "NaN leaked through the clamp"
+        assert 0.0 <= row["sd"] < 1.0  # true stddev ~0.17; clamp floors at 0
+
     def test_phase_split_distinct_sum_avg_round_trip(self, substrait_server):
         """Round 9 (VERDICT r8 #5): two-stage DISTINCT sum/avg — the one
         residual a distributed DataFusion producer actually emits — must
