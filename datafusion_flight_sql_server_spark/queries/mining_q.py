@@ -1582,3 +1582,133 @@ def q_doc_dup_report(spark: SparkSession, sf: str) -> DataFrame:
             "redundant_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV/theta sketch set-INTERSECTION cardinality (with exact audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_kmv_intersect",
+    oracle="""
+        WITH uh AS (SELECT DISTINCT event_type, user_id FROM events),
+        hh AS (SELECT event_type, user_id,
+                      ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                          ::BIGINT AS h
+               FROM uh),
+        sk AS (SELECT event_type, user_id, h,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY h, user_id) AS r
+               FROM hh),
+        kmv AS (SELECT * FROM sk WHERE r <= 64),
+        th AS (SELECT event_type,
+                      CASE WHEN COUNT(*) < 64 THEN 281474976710656
+                           ELSE CAST(MAX(h) AS BIGINT) END AS theta
+               FROM kmv GROUP BY event_type),
+        spine AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         CASE WHEN a.theta < b.theta THEN a.theta
+                              ELSE b.theta END AS theta
+                  FROM th a JOIN th b ON a.event_type < b.event_type),
+        rho AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       a.h
+                FROM kmv a JOIN kmv b ON a.user_id = b.user_id
+                                     AND a.event_type < b.event_type),
+        est AS (SELECT s.type_a, s.type_b, s.theta,
+                       CAST(COUNT(r.h) FILTER (r.h < s.theta) AS BIGINT)
+                           AS rho_n
+                FROM spine s LEFT JOIN rho r
+                  ON r.type_a = s.type_a AND r.type_b = s.type_b
+                GROUP BY s.type_a, s.type_b, s.theta),
+        exact AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         CAST(COUNT(*) AS BIGINT) AS exact_common
+                  FROM uh a JOIN uh b ON a.user_id = b.user_id
+                                     AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+        SELECT e.type_a, e.type_b,
+               CAST((e.rho_n * 281474976710656) // e.theta AS BIGINT)
+                   AS kmv_common_est,
+               x.exact_common
+        FROM est e JOIN exact x
+          ON x.type_a = e.type_a AND x.type_b = e.type_b
+    """,
+    doc="KMV/theta-sketch set-INTERSECTION cardinality per event-type pair "
+    "with an exact audit — the sketch capability HLL lacks (HLL unions "
+    "merge, intersections don't). Per type, the sketch is the k=64 "
+    "smallest 48-bit md5 user hashes (deterministic, engine-portable); "
+    "theta = the k-th minimum (k=64 so the ESTIMATOR path is live at the driver's sf0.01 check scale, not just the degenerate small-set branch; with the full 2^48 space when |set| < k, "
+    "where the estimate degenerates to the EXACT count). Pair estimate = "
+    "rho * 2^48 / theta_pair with rho = common sketch members below "
+    "theta_pair = min(theta_a, theta_b) — the standard theta-sketch "
+    "intersection, computed entirely in bigint (rho <= k keeps "
+    "rho * 2^48 well under bigint; floor division truncates identically on "
+    "positives). The exact_common column is the same audit discipline as "
+    "agg_count_min's over_ppm. Scale: sketches are per-group top-k "
+    "windows over DISTINCT (type, user) — WindowGroupLimit pushes the "
+    "rank filter into the sort, k rows per group survive — and every "
+    "pair operation joins 256-row sketches; only the AUDIT leg touches "
+    "the full distinct relation, and a production run would drop it "
+    "(documented), leaving KB-sized mergeable state per type.",
+    tags=("aggregate", "sketch", "events"),
+)
+def q_agg_kmv_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    h_space = 281474976710656  # 2^48
+    uh = e.select("event_type", "user_id").distinct()
+    hh = uh.withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("bigint"),
+    )
+    w = W.partitionBy("event_type").orderBy("h", "user_id")
+    kmv = (
+        hh.select("event_type", "user_id", "h", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= 64)
+    )
+    th = kmv.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < 64, F.lit(h_space))
+        .otherwise(F.max("h"))
+        .cast("bigint")
+        .alias("theta")
+    )
+    ta = th.select(F.col("event_type").alias("type_a"), F.col("theta").alias("tha"))
+    tb = th.select(F.col("event_type").alias("type_b"), F.col("theta").alias("thb"))
+    spine = ta.join(tb, F.col("type_a") < F.col("type_b")).select(
+        "type_a", "type_b", F.least("tha", "thb").alias("theta")
+    )
+    a = kmv.select(
+        F.col("event_type").alias("type_a"),
+        F.col("user_id").alias("ua"),
+        F.col("h").alias("ha"),
+    )
+    b = kmv.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("ub")
+    )
+    rho = a.join(
+        b, (F.col("ua") == F.col("ub")) & (F.col("type_a") < F.col("type_b"))
+    ).select("type_a", "type_b", F.col("ha").alias("h"))
+    est = (
+        spine.join(rho, ["type_a", "type_b"], "left")
+        .groupBy("type_a", "type_b", "theta")
+        .agg(
+            F.count(F.when(F.col("h") < F.col("theta"), F.lit(1)))
+            .cast("bigint")
+            .alias("rho_n")
+        )
+    )
+    xa = uh.select(F.col("event_type").alias("type_a"), F.col("user_id").alias("ua"))
+    xb = uh.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("ub"))
+    exact = (
+        xa.join(xb, (F.col("ua") == F.col("ub")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_common"))
+    )
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        F.expr(f"(rho_n * {h_space}) DIV theta").cast("bigint").alias(
+            "kmv_common_est"
+        ),
+        "exact_common",
+    )
