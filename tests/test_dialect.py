@@ -336,3 +336,95 @@ class TestRewriteUnit:
             "SELECT arrow_cast(x, 'Timestamp(Microsecond, Some(\"UTC\"))')"
         )
         assert "AS TIMESTAMP)" in out and "NTZ" not in out
+
+
+class TestRewriteFuzz:
+    """The rewriter processes UNTRUSTED client SQL (every Flight
+    statement transits it), so like the Substrait decoder it must be a
+    TOTAL function: arbitrary input either rewrites or raises the two
+    declared error types — never an internal IndexError/KeyError/
+    RecursionError — and a successful auto-mode rewrite is a fixed
+    point (auto outputs contain no auto-map names)."""
+
+    def test_arbitrary_text_total_and_fixed_point(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @given(st.text(max_size=200))
+        @settings(
+            max_examples=400,
+            suppress_health_check=[HealthCheck.too_slow],
+            deadline=None,
+        )
+        def fuzz(sql):
+            for mode in ("auto", "datafusion"):
+                try:
+                    out = rewrite_sql(sql, mode)
+                except (DialectUnsupported, ValueError):
+                    continue
+                assert isinstance(out, str)
+                if mode == "auto":
+                    assert rewrite_sql(out, "auto") == out
+
+        fuzz()
+
+    def test_mapped_name_fragments_total(self):
+        # bias the fuzz toward the rewriter's actual trigger tokens:
+        # mapped names, parens, commas, quotes, INTERVAL literals
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        frags = st.sampled_from([
+            "strpos", "date_bin", "arrow_cast", "sha256", "list_sort",
+            "array_prepend", "to_char", "regexp_match", "empty",
+            "(", ")", ",", "'", '"', "`", " ", "--x\n", "/*", "*/",
+            "INTERVAL '5 minutes'", "'Int64'", "'%Y'", ".", "$1", "x",
+        ])
+
+        @given(st.lists(frags, max_size=24))
+        @settings(
+            max_examples=400,
+            suppress_health_check=[HealthCheck.too_slow],
+            deadline=None,
+        )
+        def fuzz(parts):
+            sql = "".join(parts)
+            for mode in ("auto", "datafusion"):
+                try:
+                    rewrite_sql(sql, mode)
+                except (DialectUnsupported, ValueError):
+                    pass
+
+        fuzz()
+
+    def test_no_op_inputs_unchanged(self):
+        # statements with none of the mapped spellings pass through
+        # byte-identical (the shim is invisible to Spark-dialect SQL)
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        ident = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)
+
+        @given(st.lists(ident, min_size=1, max_size=8))
+        @settings(
+            max_examples=200,
+            suppress_health_check=[HealthCheck.too_slow],
+            deadline=None,
+        )
+        def fuzz(names):
+            from datafusion_flight_sql_server_spark.plans.dialect import (
+                _AUTO_RENAMES,
+                _AUTO_TRANSFORMS,
+            )
+
+            clean = [
+                n
+                for n in names
+                if n not in _AUTO_RENAMES and n not in _AUTO_TRANSFORMS
+            ]
+            if not clean:
+                return
+            sql = "SELECT " + ", ".join(f"{n}(x)" for n in clean) + " FROM t"
+            assert rewrite_sql(sql, "auto") == sql
+
+        fuzz()
