@@ -173,7 +173,11 @@ class Engine:
         # Probe to the first non-empty pull inside the try: empty partitions
         # convert nothing, so only a pull that returns rows proves the
         # Arrow path works. Probe groups stay small (<=8) — they are sized
-        # blind, before any byte observation exists.
+        # blind, before any byte observation exists. The probe does NOT
+        # draw from _PULL_POOL: with no observation there is nothing to
+        # account, and an 8-partition probe is the same exposure class as
+        # toLocalIterator's single-partition pull; every sized pull after
+        # it reserves from the shared pool.
         probe: list = []
         probed = 0
         try:

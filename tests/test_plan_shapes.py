@@ -247,6 +247,24 @@ class TestRound4PlanShapes:
         plan = _executed_plan(_run(spark, "doc_sample_weighted"))
         assert "TakeOrderedAndProject" in plan
 
+    def test_text_burstiness_take_ordered_no_vocab_window(self, spark):
+        # round 9: the top-20-by-df head must be a distributed
+        # TakeOrdered, never a window/global sort over the vocabulary;
+        # both hash aggregates partial map-side
+        plan = _executed_plan(_run(spark, "text_burstiness"))
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "partial_count" in plan or "HashAggregate" in plan
+
+    def test_agg_kmv_intersect_rank_pushdown_no_cartesian(self, spark):
+        # round 9: the per-type k-minimum sketch must engage
+        # WindowGroupLimit (rank <= k pushed into the sort); pair ops
+        # join 64-row sketches — nothing may go pairwise over users
+        plan = _executed_plan(_run(spark, "agg_kmv_intersect"))
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+
     def test_event_time_weighted_one_exchange(self, spark):
         # the lead() window and the groupBy share the (user_id, day)
         # partitioning: one shuffle total, no joins
