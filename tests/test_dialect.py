@@ -203,6 +203,17 @@ class TestDataFusionMatrixOverFlight:
         assert t.num_rows == 1
         assert t.column("n").to_pylist() == [2]
 
+    def test_introspection_statements_pass_the_gate(self, auto_client):
+        # DataFusion clients lean on SHOW TABLES / DESCRIBE for
+        # exploration (DataFusion's SQL surface includes both); they are
+        # read-only introspection and pass the deny-all statement gate
+        # like EXPLAIN does
+        assert auto_client.execute("SHOW TABLES").num_rows >= 2
+        d = auto_client.execute("DESCRIBE users")
+        assert "id" in d.column("col_name").to_pylist()
+        q = auto_client.execute("DESCRIBE SELECT id FROM users")
+        assert q.num_rows == 1
+
     def test_unmapped_name_errors_clearly(self, auto_client):
         # gcd is DataFusion-only and unmapped: the error must NAME it
         with pytest.raises(fl.FlightError, match="(?i)gcd"):
