@@ -511,9 +511,24 @@ def _t_to_char(args: list[str]) -> str | None:
     return f"DATE_FORMAT(({args[0].strip()}), '{esc}')"
 
 
+def _t_to_date(args: list[str]) -> str | None:
+    """Full mode only: DataFusion's to_date formats are chrono
+    %-patterns; convert a literal one to Spark's pattern dialect.
+    1-arg and non-%-literal forms keep Spark's own TO_DATE."""
+    if len(args) != 2:
+        return None
+    a = args[1].strip()
+    if not (a.startswith("'") and a.endswith("'") and "%" in a):
+        return None
+    fmt = _chrono_to_java(_strip_str_literal(args[1], "to_date pattern"))
+    esc = fmt.replace("'", "''")
+    return f"TO_DATE(({args[0].strip()}), '{esc}')"
+
+
 _DF_TRANSFORMS.update(
     {
         "to_char": _t_to_char,  # chrono %-patterns only; numeric kept
+        "to_date": _t_to_date,  # chrono %-patterns only; others kept
         # Spark's ARRAY_PREPEND is (array, element); DataFusion's is
         # (element, array) — swap only when the client speaks DataFusion
         "array_prepend": _t_prepend,

@@ -259,6 +259,19 @@ class TestDialectModes:
         )
         assert v == "1970-01-02 00:00:00"
 
+    def test_datafusion_mode_to_date_chrono(self, df_client):
+        v = _one(
+            df_client,
+            "SELECT CAST(to_date('02/01/1970', '%d/%m/%Y') AS STRING) AS v",
+        )
+        assert v == "1970-01-02"
+        # non-%-literal second arg keeps Spark's own TO_DATE semantics
+        v2 = _one(
+            df_client,
+            "SELECT CAST(to_date('1970-01-02') AS STRING) AS v",
+        )
+        assert v2 == "1970-01-02"
+
     def test_datafusion_mode_to_char_chrono(self, df_client):
         v = _one(
             df_client,

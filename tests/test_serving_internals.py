@@ -337,3 +337,25 @@ class TestPullBudgetPool:
             assert 0 < pool.peak <= pool.total
         finally:
             core._PULL_POOL = saved
+
+    def test_execute_stream_draws_from_shared_pool(self, spark):
+        """The adaptive (uncached) serving path accounts its sized pulls
+        against the same aggregate pool as the bucket streams — only the
+        blind <=8-partition probe is exempt (documented)."""
+        from datafusion_flight_sql_server_spark.engine import core
+
+        eng = Engine(spark)
+        # >8 partitions so pulls continue past the probe window
+        df = spark.range(0, 200_000, 1, 24).selectExpr(
+            "id", "CAST(id % 7 AS STRING) AS s"
+        )
+        saved = core._PULL_POOL
+        pool = core._PullBudgetPool(core._PULL_POOL_TOTAL)
+        core._PULL_POOL = pool
+        try:
+            total = sum(b.num_rows for b in eng.execute_stream(df))
+        finally:
+            core._PULL_POOL = saved
+        assert total == 200_000
+        assert pool.peak > 0, "no post-probe pull reserved from the pool"
+        assert pool.peak <= pool.total
