@@ -57,18 +57,19 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: dedup_near_minhash rides the MinHash front-end cache
 #: (clear-under-lock changed this round), sim_topk_ivf the trained-
 #: quantizer cache (per-key placeholder training changed this round).
-#: Tier 3 = the four rows deferred at round 8 (latest row r3), then 41
+#: Tier 3 = the four rows deferred at round 8 (latest row r3), then 40
 #: of the 46 queries whose latest row is round 4; ``basket_rules``,
-#: ``orders_gini``, ``orders_rfm``, ``window_moving_median`` and
-#: ``window_ewma`` (stable queries untouched since r4) defer to
-#: round 10 and lead its tier 3.
+#: ``orders_gini``, ``orders_rfm``, ``window_moving_median``,
+#: ``window_ewma`` and ``text_tfidf`` (stable queries untouched since
+#: r4) defer to round 10 and lead its tier 3.
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
     # tier 2: round-9 registrations (Church-Gale token burstiness;
-    # KMV/theta set-intersection sketch)
+    # KMV/theta set-intersection sketch; KMV lossless-merge rollup)
     "text_burstiness",
     "agg_kmv_intersect",
+    "agg_kmv_rollup",
     # tier 2: round-9 cache-internals changes
     "dedup_near_minhash",
     "sim_topk_ivf",
@@ -118,7 +119,6 @@ _PRIORITY = (
     "text_novelty",
     "text_pmi",
     "text_repetition",
-    "text_tfidf",
 )
 
 

@@ -1712,3 +1712,128 @@ def q_agg_kmv_intersect(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "exact_common",
     )
+
+
+@query(
+    "agg_kmv_rollup",
+    oracle="""
+        WITH uhd AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d,
+                                     user_id
+                     FROM events),
+        hd AS (SELECT event_type, d, user_id,
+                      ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                          ::BIGINT AS h
+               FROM uhd),
+        daily AS (SELECT * FROM (
+                      SELECT event_type, d, user_id, h,
+                             ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                                ORDER BY h, user_id) AS r
+                      FROM hd) WHERE r <= 64),
+        pooled AS (SELECT DISTINCT event_type, user_id, h FROM daily),
+        merged AS (SELECT * FROM (
+                       SELECT event_type, user_id, h,
+                              ROW_NUMBER() OVER (PARTITION BY event_type
+                                                 ORDER BY h, user_id) AS r
+                       FROM pooled) WHERE r <= 64),
+        uh AS (SELECT DISTINCT event_type, user_id,
+                      ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                          ::BIGINT AS h
+               FROM events),
+        direct AS (SELECT * FROM (
+                       SELECT event_type, user_id, h,
+                              ROW_NUMBER() OVER (PARTITION BY event_type
+                                                 ORDER BY h, user_id) AS r
+                       FROM uh) WHERE r <= 64),
+        me AS (SELECT event_type,
+                      CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
+                           ELSE CAST((63 * 281474976710656)
+                                     // MAX(h) AS BIGINT) END AS est_merged
+               FROM merged GROUP BY event_type),
+        de AS (SELECT event_type,
+                      CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
+                           ELSE CAST((63 * 281474976710656)
+                                     // MAX(h) AS BIGINT) END AS est_direct
+               FROM direct GROUP BY event_type),
+        xx AS (SELECT event_type,
+                      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+               FROM events GROUP BY event_type)
+        SELECT m.event_type, m.est_merged, d.est_direct,
+               m.est_merged = d.est_direct AS merge_lossless,
+               x.exact_distinct
+        FROM me m JOIN de d ON d.event_type = m.event_type
+                  JOIN xx x ON x.event_type = m.event_type
+    """,
+    doc="KMV sketch DISTINCT rollup with a losslessness certificate: "
+    "per-(type, day) k=64-minimum-hash sketches merge up to per-type by "
+    "pooling and re-truncating to the k smallest — and the k smallest of "
+    "a union of per-day k-minimum sets IS the global k-minimum set (a "
+    "day contributes at most k members to the global top-k, all inside "
+    "its own sketch), so merge-then-estimate EQUALS direct-estimate "
+    "exactly; the merge_lossless column certifies it per row at runtime "
+    "(the same runtime-certificate discipline as agg_topk_sketch). "
+    "Estimator: exact count below k, else (k-1)*2^48/theta in bigint. "
+    "This is the continuous-aggregate pattern for DISTINCT under "
+    "INTERSECTION-capable sketches (agg_kmv_intersect shares the sketch "
+    "form; agg_hll_rollup covers the union-only HLL leg): a quarter's "
+    "distincts re-aggregate from KB-per-day sketches, never a raw "
+    "re-scan. Scale: per-group top-k windows (WindowGroupLimit) over "
+    "DISTINCT day slices; the pooled re-rank sees at most k x days rows "
+    "per type; only the audit leg touches the full distinct relation.",
+    tags=("aggregate", "sketch", "events", "rollup"),
+)
+def q_agg_kmv_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    e = tables(spark, sf)["events"]
+    h_space = 281474976710656  # 2^48
+    k = 64
+
+    def _h(col):
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
+        ).cast("bigint")
+
+    def _sketch(df, parts: list):
+        w = W.partitionBy(*parts).orderBy("h", "user_id")
+        return df.select(
+            *parts, "user_id", "h", F.row_number().over(w).alias("r")
+        ).filter(F.col("r") <= k)
+
+    def _estimate(sk, alias: str):
+        return sk.groupBy("event_type").agg(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)))
+            .otherwise(F.expr(f"({k - 1} * {h_space}) DIV MAX(h)"))
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    uhd = (
+        e.select("event_type", F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .withColumn("h", _h(F.col("user_id")))
+    )
+    daily = _sketch(uhd, ["event_type", "d"])
+    pooled = daily.select("event_type", "user_id", "h").distinct()
+    merged = _sketch(pooled, ["event_type"])
+    uh = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", _h(F.col("user_id")))
+    )
+    direct = _sketch(uh, ["event_type"])
+    me = _estimate(merged, "est_merged")
+    de = _estimate(direct, "est_direct")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        me.join(de, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "est_merged",
+            "est_direct",
+            (F.col("est_merged") == F.col("est_direct")).alias(
+                "merge_lossless"
+            ),
+            "exact_distinct",
+        )
+    )
