@@ -257,6 +257,13 @@ class TestRound4PlanShapes:
         assert "CartesianProduct" not in plan
         assert "partial_count" in plan or "HashAggregate" in plan
 
+    def test_agg_kmv_rollup_rank_pushdown_no_cartesian(self, spark):
+        # round 9: daily sketches and the pooled re-rank are both
+        # per-group top-k windows (WindowGroupLimit); nothing pairwise
+        plan = _executed_plan(_run(spark, "agg_kmv_rollup"))
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+
     def test_agg_kmv_intersect_rank_pushdown_no_cartesian(self, spark):
         # round 9: the per-type k-minimum sketch must engage
         # WindowGroupLimit (rank <= k pushed into the sort); pair ops
