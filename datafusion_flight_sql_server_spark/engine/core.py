@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import re
 import threading
-from collections import OrderedDict
+from collections import OrderedDict, deque
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import types as T
@@ -543,6 +543,16 @@ class _PullBudgetPool:
     single-partition group (which must land on the driver whole
     regardless) waits for an otherwise-empty pool and then proceeds
     alone, and some release always unblocks a waiter (no deadlock).
+
+    Reservations are granted FIFO: each waiter enqueues a ticket and
+    only the queue head may take bytes. Without the queue, a large
+    reservation (e.g. a clamped full-pool group) could be starved
+    indefinitely by a steady stream of small acquires winning the
+    ``notify_all`` wakeup race — the floor argument above rules out
+    deadlock but not unfairness. FIFO costs nothing when uncontended
+    (empty queue → the new ticket is the head and proceeds inline) and
+    makes every waiter's delay bounded by the finite queue ahead of it.
+
     ``peak`` is the reserved-bytes high-water mark (observability; the
     concurrency soak test asserts against it).
     """
@@ -551,17 +561,23 @@ class _PullBudgetPool:
         self.total = total
         self._avail = total
         self._cv = threading.Condition()
+        self._waiters: deque = deque()  # FIFO tickets (identity objects)
         self.peak = 0
 
     def acquire(self, nbytes: int) -> int:
         take = min(max(int(nbytes), 1), self.total)
+        ticket = object()
         with self._cv:
-            while self._avail < take:
+            self._waiters.append(ticket)
+            while self._waiters[0] is not ticket or self._avail < take:
                 self._cv.wait()
+            self._waiters.popleft()
             self._avail -= take
             used = self.total - self._avail
             if used > self.peak:
                 self.peak = used
+            # the new head may already fit in what remains
+            self._cv.notify_all()
         return take
 
     def release(self, taken: int) -> None:

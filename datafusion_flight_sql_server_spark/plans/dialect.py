@@ -43,6 +43,24 @@ is outside the auto maps), but the ``datafusion``-mode argument-order
 swaps (``array_prepend``) are their own inverse — a second pass would
 swap back — so tickets/handles round-trip the REWRITTEN SQL and the
 execution paths never rewrite again.
+
+String-literal escaping gap: DataFusion parses ``'\\d'`` as the two
+characters backslash-d (standard SQL — backslash is not an escape),
+while Spark's default literal parser consumes backslash escapes
+(``'\\d'`` → ``d``). This shim does NOT rewrite string literals in
+general — a DataFusion client's ``'\\n'`` literal still reaches Spark's
+parser — but every transform that RE-EMITS a literal it interpreted
+(``regexp_match`` patterns, ``string_to_array`` delimiters, ``to_char``
+patterns) doubles backslashes via :func:`_emit_str_literal` so the
+re-emitted text round-trips byte-exact through Spark's parser.
+
+``auto`` mode's no-op guarantee is verified against Spark 4.1's builtin
+registry; a SESSION-registered function (UDF/temp view function) whose
+name collides with a mapped DataFusion spelling would be rewritten out
+from under it unless the caller passes ``session_functions`` — a
+predicate over the live registry (the Flight service passes a cached
+``spark.catalog.functionExists`` probe) that suppresses auto-mode
+rewrites of names the session resolves itself.
 """
 
 from __future__ import annotations
@@ -140,7 +158,6 @@ _AUTO_RENAMES = {
     "starts_with": "STARTSWITH",
     "ends_with": "ENDSWITH",
     "make_array": "ARRAY",
-    "list_length": "ARRAY_SIZE",
     "array_has": "ARRAY_CONTAINS",
     "list_contains": "ARRAY_CONTAINS",
     "array_has_any": "ARRAYS_OVERLAP",
@@ -225,6 +242,14 @@ def _strip_str_literal(arg: str, what: str) -> str:
             f"{what} requires a string literal, got: {arg.strip()!r}"
         )
     return a[1:-1].replace("''", "'")
+
+
+def _emit_str_literal(text: str) -> str:
+    """Render ``text`` as a Spark SQL string literal. Backslashes are
+    doubled because Spark's default literal parser consumes escapes
+    (DataFusion's does not — see the module-docstring escaping note);
+    without this a re-emitted regex ``\\d+`` would execute as ``d+``."""
+    return "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _interval_micros(arg: str) -> int:
@@ -318,15 +343,24 @@ def _t_date_bin(args: list[str]) -> str:
     return f"TIMESTAMP_MICROS(({d} - PMOD({d}, {stride})) + {o})"
 
 
-def _t_array_length(args: list[str]) -> str:
-    if len(args) == 2 and args[1].strip() != "1":
-        raise DialectUnsupported(
-            "array_length with a dimension other than 1 (Spark arrays "
-            "are single-dimension)"
-        )
-    if len(args) not in (1, 2):
-        raise DialectUnsupported("array_length takes (array[, dimension])")
-    return f"ARRAY_SIZE({args[0].strip()})"
+def _array_length(name: str):
+    # DataFusion's list_length is an alias of array_length (same optional
+    # dimension argument), so both route here — a plain rename would turn
+    # list_length(arr, 1) into a confusing Spark arity error.
+    def t(args: list[str]) -> str:
+        if len(args) == 2 and args[1].strip() != "1":
+            raise DialectUnsupported(
+                f"{name} with a dimension other than 1 (Spark arrays "
+                f"are single-dimension)"
+            )
+        if len(args) not in (1, 2):
+            raise DialectUnsupported(f"{name} takes (array[, dimension])")
+        return f"ARRAY_SIZE({args[0].strip()})"
+
+    return t
+
+
+_t_array_length = _array_length("array_length")
 
 
 def _t_array_slice(args: list[str]) -> str:
@@ -365,27 +399,75 @@ def _sha(bits: int):
     return t
 
 
+def _has_capture_group(pat: str) -> bool:
+    """True if the regex contains a capturing group: an unescaped ``(``
+    not opening a ``(?...)`` construct, or a named group ``(?<name>`` /
+    ``(?P<name>`` (lookbehinds ``(?<=`` ``(?<!`` are not captures).
+    Character classes are skipped so ``[(]`` stays literal."""
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            i += 2
+        elif c == "[":
+            i += 1
+            if i < n and pat[i] == "^":
+                i += 1
+            if i < n and pat[i] == "]":  # leading ] is literal
+                i += 1
+            while i < n and pat[i] != "]":
+                i += 2 if pat[i] == "\\" else 1
+            i += 1
+        elif c == "(":
+            if pat[i + 1 : i + 2] != "?":
+                return True
+            tail = pat[i + 2 : i + 6]
+            if tail.startswith("P<"):
+                return True
+            if tail.startswith("<") and tail[1:2] not in ("=", "!"):
+                return True
+            i += 1
+        else:
+            i += 1
+    return False
+
+
 def _t_regexp_match(args: list[str]) -> str:
-    # group index pinned to 0 (whole match): Spark's REGEXP_EXTRACT_ALL
-    # defaults to group 1 and errors on group-less patterns. DataFusion
-    # returns the first match's capture groups (pg semantics); for the
-    # common group-less pattern both give the matched text.
+    # DataFusion regexp_match has pg semantics: NULL when no match, else
+    # the FIRST match's captures (whole match when group-less). Spark's
+    # REGEXP_EXTRACT_ALL(.., 0) returns EVERY match's whole text, so the
+    # rewrite takes SLICE(.., 1, 1) for first-match and a RLIKE CASE for
+    # the NULL-on-no-match contract. The pattern must be a literal so
+    # capture groups can be rejected (Spark has no "return the groups of
+    # the first match as an array" form) and re-emitted with backslashes
+    # doubled (Spark's literal parser consumes escapes; DataFusion's does
+    # not — a passed-through '\d+' would execute as 'd+').
+    flags = ""
     if len(args) == 3:
         flags = _strip_str_literal(args[2], "regexp_match flags")
-        if flags and set(flags) <= {"i", "s", "m", "x", "u"}:
-            pat = args[1].strip()
-            if pat.startswith("'"):
-                inner = _strip_str_literal(args[1], "regexp_match pattern")
-                esc = f"(?{flags}){inner}".replace("'", "''")
-                return f"REGEXP_EXTRACT_ALL(({args[0].strip()}), '{esc}', 0)"
+        if flags and not set(flags) <= {"i", "s", "m", "x", "u"}:
+            raise DialectUnsupported(
+                "regexp_match flags must be inline-able (i/s/m/x/u), "
+                f"got {flags!r}"
+            )
+    elif len(args) != 2:
         raise DialectUnsupported(
-            "regexp_match flags require a literal pattern and inline-able "
-            "flags (i/s/m/x/u)"
+            "regexp_match takes (string, pattern[, flags])"
         )
-    if len(args) != 2:
-        raise DialectUnsupported("regexp_match takes (string, pattern[, flags])")
+    pat = _strip_str_literal(args[1], "regexp_match pattern")
+    if flags:
+        pat = f"(?{flags}){pat}"
+    if _has_capture_group(pat):
+        raise DialectUnsupported(
+            "regexp_match with capture groups (pg returns the first "
+            "match's groups; Spark has no array-of-groups form — use "
+            "regexp_extract with an explicit group index)"
+        )
+    lit = _emit_str_literal(pat)
+    src = args[0].strip()
     return (
-        f"REGEXP_EXTRACT_ALL(({args[0].strip()}), ({args[1].strip()}), 0)"
+        f"(CASE WHEN ({src}) RLIKE {lit} THEN "
+        f"SLICE(REGEXP_EXTRACT_ALL(({src}), {lit}, 0), 1, 1) END)"
     )
 
 
@@ -402,8 +484,7 @@ def _t_string_to_array(args: list[str]) -> str:
             "delimiter (Spark SPLIT's delimiter is a regex)"
     )
     delim = _strip_str_literal(args[1], "string_to_array delimiter")
-    escaped = re.escape(delim).replace("\\", "\\\\").replace("'", "''")
-    return f"SPLIT(({args[0].strip()}), '{escaped}', -1)"
+    return f"SPLIT(({args[0].strip()}), {_emit_str_literal(re.escape(delim))}, -1)"
 
 
 def _t_prepend(args: list[str]) -> str:
@@ -433,6 +514,7 @@ _AUTO_TRANSFORMS = {
     "arrow_cast": _t_arrow_cast,
     "date_bin": _t_date_bin,
     "array_length": _t_array_length,
+    "list_length": _array_length("list_length"),
     "array_slice": _t_array_slice,
     "list_slice": _t_array_slice,
     "empty": _t_empty,
@@ -576,7 +658,9 @@ def _match_paren(toks: list, open_i: int) -> int:
     raise DialectUnsupported("unbalanced parentheses")
 
 
-def _render(toks: list, lo: int, hi: int, mode: str, sql: str) -> str:
+def _render(
+    toks: list, lo: int, hi: int, mode: str, sql: str, probe=None
+) -> str:
     out: list[str] = []
     i = lo
     renames = dict(_AUTO_RENAMES)
@@ -597,11 +681,18 @@ def _render(toks: list, lo: int, hi: int, mode: str, sql: str) -> str:
             if transform is None and mode == "datafusion":
                 transform = _DF_TRANSFORMS.get(name)
             renamed = renames.get(name)
+            if (transform or renamed) and (
+                mode == "auto" and probe is not None and probe(name)
+            ):
+                # auto-mode no-op contract: the name resolves in the LIVE
+                # session registry (a user-registered UDF colliding with a
+                # DataFusion spelling) — the session's own function wins.
+                transform = renamed = None
             if transform or renamed:
                 open_i = _find_call(toks, i)
                 if open_i is not None:
                     close_i = _match_paren(toks, open_i)
-                    args = _split_args(toks, open_i, close_i, mode, sql)
+                    args = _split_args(toks, open_i, close_i, mode, sql, probe)
                     if transform:
                         replaced = transform(args)
                         if replaced is None:  # transform declined: keep
@@ -621,7 +712,7 @@ def _render(toks: list, lo: int, hi: int, mode: str, sql: str) -> str:
 
 
 def _split_args(
-    toks: list, open_i: int, close_i: int, mode: str, sql: str
+    toks: list, open_i: int, close_i: int, mode: str, sql: str, probe=None
 ) -> list[str]:
     """Render the top-level comma-separated args inside a call
     (recursively rewritten). ``f()`` → []."""
@@ -638,17 +729,24 @@ def _split_args(
             depth -= 1
             if depth == 0:
                 if j > seg_start or args:
-                    args.append(_render(toks, seg_start, j, mode, sql))
+                    args.append(_render(toks, seg_start, j, mode, sql, probe))
         elif text == "," and depth == 1:
-            args.append(_render(toks, seg_start, j, mode, sql))
+            args.append(_render(toks, seg_start, j, mode, sql, probe))
             seg_start = j + 1
     if args and all(not a.strip() for a in args):
         args = []
     return args
 
 
-def rewrite_sql(sql: str, mode: str = "auto") -> str:
-    """Rewrite DataFusion-dialect SQL into Spark SQL (see module doc)."""
+def rewrite_sql(sql: str, mode: str = "auto", session_functions=None) -> str:
+    """Rewrite DataFusion-dialect SQL into Spark SQL (see module doc).
+
+    ``session_functions``: optional ``name -> bool`` predicate over the
+    LIVE session registry (e.g. a cached ``spark.catalog.functionExists``).
+    In ``auto`` mode a mapped name the predicate resolves is left
+    untouched — a user-registered UDF named ``strpos`` keeps meaning the
+    UDF. Ignored in ``datafusion`` mode (the client declared DataFusion
+    dialect; the rewrite is the point)."""
     if mode == "spark":
         return sql
     if mode not in ("auto", "datafusion"):
@@ -671,4 +769,4 @@ def rewrite_sql(sql: str, mode: str = "auto") -> str:
     )
     if not interesting:
         return sql
-    return _render(toks, 0, len(toks), mode, sql)
+    return _render(toks, 0, len(toks), mode, sql, session_functions)

@@ -298,6 +298,9 @@ class FlightSqlServer(fl.FlightServerBase):
 
         self._staged: "OrderedDict[str, _StagedResult]" = OrderedDict()
         self._staged_lock = threading.Lock()
+        # auto-dialect live-registry probe cache: (session id, name) →
+        # True for names the session resolves itself (see _rewrite)
+        self._fn_probe_cache: dict = {}
 
     # -- context mint (service.rs:133-151) ----------------------------------
 
@@ -311,20 +314,48 @@ class FlightSqlServer(fl.FlightServerBase):
             pass
         return self._provider.engine_for_request(headers)
 
-    def _rewrite(self, sql: str) -> str:
+    def _rewrite(self, sql: str, engine=None) -> str:
         """DataFusion-dialect → Spark SQL at the service boundary (see
         ``FlightSqlServiceConfig.sql_dialect``). Applied where raw
         client SQL FIRST enters (statement GetFlightInfo, prepared
         creation); tickets and prepared handles then round-trip the
         rewritten SQL, so execution paths never rewrite twice (the
-        datafusion-mode argument-order swaps are not idempotent)."""
+        datafusion-mode argument-order swaps are not idempotent).
+
+        When ``engine`` is given, auto mode consults the LIVE session
+        registry (cached ``spark.catalog.functionExists``) so an
+        embedder-registered UDF whose name collides with a mapped
+        DataFusion spelling is never rewritten out from under it — the
+        static absent-from-Spark-4.1 guarantee only covers builtins."""
         if self.config.sql_dialect == "spark":
             return sql
         from datafusion_flight_sql_server_spark.plans.dialect import (
             rewrite_sql,
         )
 
-        return rewrite_sql(sql, self.config.sql_dialect)
+        probe = None
+        if engine is not None and self.config.sql_dialect == "auto":
+            spark = engine.spark
+            cache = self._fn_probe_cache
+
+            def probe(name: str, _sid=id(spark)) -> bool:
+                # positive hits are cached; misses re-probe each statement
+                # so a UDF registered later in the session is still seen
+                # (a stale False here would silently rewrite it — the bug
+                # this guard exists to prevent). One catalog call per
+                # mapped name per statement is noise next to execution.
+                key = (_sid, name)
+                if key in cache:
+                    return True
+                try:
+                    hit = bool(spark.catalog.functionExists(name))
+                except Exception:
+                    hit = False
+                if hit:
+                    cache[key] = True
+                return hit
+
+        return rewrite_sql(sql, self.config.sql_dialect, probe)
 
     # -- GetFlightInfo ------------------------------------------------------
 
@@ -336,7 +367,7 @@ class FlightSqlServer(fl.FlightServerBase):
                 return self._info_statement(
                     engine,
                     CommandStatementQuery(
-                        query=self._rewrite(command.query),
+                        query=self._rewrite(command.query, engine),
                         transaction_id=command.transaction_id,
                     ),
                     descriptor,
@@ -711,7 +742,7 @@ class FlightSqlServer(fl.FlightServerBase):
         # dialect-rewrite once here; the handle round-trips the REWRITTEN
         # SQL, so every later plan (schema probe, bind, DoGet) and the
         # parameter-typing regexes see Spark SQL
-        query = self._rewrite(request.query)
+        query = self._rewrite(request.query, engine)
         df = engine.plan_for_schema(query)
         dataset_schema = arrow_schema_for_df(df, self.config.schema_with_metadata)
         parameter_schema = parameter_schema_for_sql(

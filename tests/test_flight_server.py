@@ -770,6 +770,43 @@ class TestMultiEndpoint:
         # the streams really contended AND the bound held
         assert 0 < pool.peak <= pool.total
 
+    def test_pull_pool_fifo_large_reservation_not_starved(self):
+        """ADVICE r9: reservations are granted FIFO — a blocked
+        full-pool reservation cannot be overtaken by later small
+        acquires that would otherwise fit in the remaining bytes (the
+        unordered notify_all race let smalls starve it indefinitely)."""
+        import time
+
+        from datafusion_flight_sql_server_spark.engine import core
+
+        pool = core._PullBudgetPool(100)
+        held = pool.acquire(60)
+        order: list[str] = []
+
+        def runner(tag, nbytes):
+            got = pool.acquire(nbytes)
+            order.append(tag)
+            pool.release(got)
+
+        big = threading.Thread(target=runner, args=("big", 100))
+        big.start()
+        deadline = time.monotonic() + 10
+        while len(pool._waiters) < 1 and time.monotonic() < deadline:
+            time.sleep(0.005)  # big is enqueued (blocked: 60 held)
+        small = threading.Thread(target=runner, args=("small", 10))
+        small.start()
+        while len(pool._waiters) < 2 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        # 40 bytes are free — the pre-fix pool would grant the small
+        # here, jumping the queue; FIFO keeps it behind the big
+        time.sleep(0.1)
+        assert order == []
+        pool.release(held)  # pool back to 100 → big first, then small
+        big.join(10)
+        small.join(10)
+        assert order == ["big", "small"]
+        assert pool._avail == pool.total and not pool._waiters
+
     def test_lru_eviction_expires_tickets(self, spark):
         from datafusion_flight_sql_server_spark.protocol.flightsql import (
             CommandStatementQuery,
