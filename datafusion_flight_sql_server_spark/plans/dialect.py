@@ -182,6 +182,13 @@ _AUTO_RENAMES = {
     "list_min": "ARRAY_MIN",
     "covar": "COVAR_SAMP",  # DataFusion's covar IS the sample covariance
     "today": "CURRENT_DATE",
+    # batch 3 (round 10, harvested from DataFusion's sqllogictest
+    # spellings; same verified-absent-from-Spark rule)
+    "array_remove_all": "ARRAY_REMOVE",  # Spark's removes ALL = DF _all
+    "list_remove_all": "ARRAY_REMOVE",
+    # DF unnest expands arrays to rows in both SELECT and FROM position;
+    # Spark's EXPLODE does the same (struct-typed args error cleanly)
+    "unnest": "EXPLODE",
 }
 
 #: Applied only in full "datafusion" mode: the name EXISTS in Spark with
@@ -502,6 +509,62 @@ def _t_empty(args: list[str]) -> str:
     return f"(SIZE(({args[0].strip()})) = 0)"
 
 
+def _t_array_pop_front(args: list[str]) -> str:
+    if len(args) != 1:
+        raise DialectUnsupported("array_pop_front takes (array)")
+    a = args[0].strip()
+    return f"SLICE(({a}), 2, GREATEST(SIZE(({a})) - 1, 0))"
+
+
+def _t_array_has_all(args: list[str]) -> str:
+    # array_has_all(a, b): every element of b present in a. Spark's
+    # nearest is the FORALL higher-order form; empty b → TRUE (= DF).
+    if len(args) != 2:
+        raise DialectUnsupported("array_has_all takes (array, subarray)")
+    a, b = (x.strip() for x in args)
+    return f"FORALL(({b}), x -> ARRAY_CONTAINS(({a}), x))"
+
+
+def _t_array_remove_first(args: list[str]) -> str:
+    # DataFusion's array_remove drops only the FIRST occurrence; Spark's
+    # ARRAY_REMOVE drops ALL (that one maps array_remove_all). Emulated
+    # via position + two slices; the array expression is re-evaluated —
+    # fine for columns/literals, deterministic by gate policy anyway.
+    if len(args) != 2:
+        raise DialectUnsupported("array_remove takes (array, element)")
+    a, e = (x.strip() for x in args)
+    pos = f"ARRAY_POSITION(({a}), ({e}))"
+    return (
+        f"(CASE WHEN {pos} > 0 THEN CONCAT(SLICE(({a}), 1, {pos} - 1), "
+        f"SLICE(({a}), {pos} + 1, SIZE(({a})) - {pos})) ELSE ({a}) END)"
+    )
+
+
+def _t_array_replace_first(args: list[str]) -> str:
+    # DF array_replace swaps only the FIRST from→to (replace-all is the
+    # TRANSFORM form below); same position+slices shape as remove-first.
+    if len(args) != 3:
+        raise DialectUnsupported("array_replace takes (array, from, to)")
+    a, frm, to = (x.strip() for x in args)
+    pos = f"ARRAY_POSITION(({a}), ({frm}))"
+    return (
+        f"(CASE WHEN {pos} > 0 THEN CONCAT(SLICE(({a}), 1, {pos} - 1), "
+        f"ARRAY(({to})), SLICE(({a}), {pos} + 1, SIZE(({a})) - {pos})) "
+        f"ELSE ({a}) END)"
+    )
+
+
+def _t_array_replace_all(args: list[str]) -> str:
+    if len(args) != 3:
+        raise DialectUnsupported("array_replace_all takes (array, from, to)")
+    a, frm, to = (x.strip() for x in args)
+    # plain = equality: a NULL element never matches `from` (pg/DF rule)
+    return (
+        f"TRANSFORM(({a}), x -> CASE WHEN x = ({frm}) THEN ({to}) "
+        f"ELSE x END)"
+    )
+
+
 def _t_to_unixtime(args: list[str]) -> str:
     if len(args) != 1:
         raise DialectUnsupported(
@@ -523,6 +586,14 @@ _AUTO_TRANSFORMS = {
     "list_prepend": _t_prepend,
     "array_push_front": _t_prepend,
     "array_pop_back": _t_array_pop_back,
+    "array_pop_front": _t_array_pop_front,
+    "array_has_all": _t_array_has_all,
+    "list_has_all": _t_array_has_all,
+    "list_remove": _t_array_remove_first,  # DF alias keeps DF semantics
+    "array_replace": _t_array_replace_first,
+    "list_replace": _t_array_replace_first,
+    "array_replace_all": _t_array_replace_all,
+    "list_replace_all": _t_array_replace_all,
     "list_sort": _t_list_sort,
     "sha224": _sha(224),
     "sha256": _sha(256),
@@ -607,6 +678,47 @@ def _t_to_date(args: list[str]) -> str | None:
     return f"TO_DATE(({args[0].strip()}), '{esc}')"
 
 
+def _t_log(args: list[str]) -> str | None:
+    # DataFusion's 1-arg log is BASE-10; Spark's is natural log — a
+    # silent wrong answer without the rewrite. 2-arg log(base, x)
+    # agrees between the two, so it stays.
+    if len(args) == 1:
+        return f"LOG10({args[0].strip()})"
+    return None
+
+
+def _t_trunc_numeric(args: list[str]) -> str | None:
+    # DataFusion's trunc is NUMERIC truncation toward zero (dates use
+    # date_trunc); Spark's trunc is (date, fmt). A string-literal second
+    # argument keeps Spark's date form; otherwise truncate-toward-zero
+    # via scale-aware FLOOR/CEIL (sign-split), cast back to DOUBLE
+    # (DataFusion's return type for float inputs).
+    if len(args) == 2 and args[1].strip().startswith("'"):
+        return None
+    if len(args) not in (1, 2):
+        return None
+    x = args[0].strip()
+    n = args[1].strip() if len(args) == 2 else "0"
+    return (
+        f"CAST((CASE WHEN ({x}) >= 0 THEN FLOOR(({x}), ({n})) "
+        f"ELSE CEIL(({x}), ({n})) END) AS DOUBLE)"
+    )
+
+
+def _lr_trim_swap(spark_name: str):
+    # DataFusion: ltrim(str, trimChars); Spark: LTRIM(trimStr, srcStr) —
+    # the 2-arg forms have SWAPPED argument order (verified empirically:
+    # Spark ltrim('xxabxx', 'x') = '' — it trimmed the second argument).
+    # 1-arg agrees and stays.
+    def t(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        s, chars = (a.strip() for a in args)
+        return f"{spark_name}(({chars}), ({s}))"
+
+    return t
+
+
 _DF_TRANSFORMS.update(
     {
         "to_char": _t_to_char,  # chrono %-patterns only; numeric kept
@@ -614,6 +726,12 @@ _DF_TRANSFORMS.update(
         # Spark's ARRAY_PREPEND is (array, element); DataFusion's is
         # (element, array) — swap only when the client speaks DataFusion
         "array_prepend": _t_prepend,
+        "log": _t_log,  # DF 1-arg log = log10; Spark's = ln
+        "trunc": _t_trunc_numeric,
+        "ltrim": _lr_trim_swap("LTRIM"),
+        "rtrim": _lr_trim_swap("RTRIM"),
+        # Spark's ARRAY_REMOVE drops ALL occurrences; DF's drops FIRST
+        "array_remove": _t_array_remove_first,
     }
 )
 
