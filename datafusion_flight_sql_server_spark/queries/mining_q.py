@@ -1651,7 +1651,12 @@ def q_doc_dup_report(spark: SparkSession, sf: str) -> DataFrame:
     "(documented), leaving KB-sized mergeable state per type.",
     tags=("aggregate", "sketch", "events"),
 )
-def q_agg_kmv_intersect(spark: SparkSession, sf: str) -> DataFrame:
+def q_agg_kmv_intersect(
+    spark: SparkSession, sf: str, audit: bool = True
+) -> DataFrame:
+    # audit=False is the PRODUCTION form (VERDICT r9 "what's wrong" #2):
+    # sketch-only — no corpus-sized exact-common join; the driver keeps
+    # the default audited shape. Plan-pinned in test_plan_shapes.py.
     e = tables(spark, sf)["events"]
     h_space = 281474976710656  # 2^48
     uh = e.select("event_type", "user_id").distinct()
@@ -1697,6 +1702,15 @@ def q_agg_kmv_intersect(spark: SparkSession, sf: str) -> DataFrame:
             .alias("rho_n")
         )
     )
+    est_cols = [
+        F.col("type_a"),
+        F.col("type_b"),
+        F.expr(f"(rho_n * {h_space}) DIV theta").cast("bigint").alias(
+            "kmv_common_est"
+        ),
+    ]
+    if not audit:
+        return est.select(*est_cols)
     xa = uh.select(F.col("event_type").alias("type_a"), F.col("user_id").alias("ua"))
     xb = uh.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("ub"))
     exact = (
@@ -1705,12 +1719,7 @@ def q_agg_kmv_intersect(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_common"))
     )
     return est.join(exact, ["type_a", "type_b"]).select(
-        "type_a",
-        "type_b",
-        F.expr(f"(rho_n * {h_space}) DIV theta").cast("bigint").alias(
-            "kmv_common_est"
-        ),
-        "exact_common",
+        *est_cols, "exact_common"
     )
 
 
@@ -1781,7 +1790,12 @@ def q_agg_kmv_intersect(spark: SparkSession, sf: str) -> DataFrame:
     "per type; only the audit leg touches the full distinct relation.",
     tags=("aggregate", "sketch", "events", "rollup"),
 )
-def q_agg_kmv_rollup(spark: SparkSession, sf: str) -> DataFrame:
+def q_agg_kmv_rollup(
+    spark: SparkSession, sf: str, audit: bool = True
+) -> DataFrame:
+    # audit=False is the PRODUCTION form (VERDICT r9 "what's wrong" #2):
+    # no corpus-sized COUNT DISTINCT — estimates + the merge_lossless
+    # certificate only (the certificate is sketch-vs-sketch, O(k) state).
     e = tables(spark, sf)["events"]
     h_space = 281474976710656  # 2^48
     k = 64
@@ -1821,19 +1835,19 @@ def q_agg_kmv_rollup(spark: SparkSession, sf: str) -> DataFrame:
     direct = _sketch(uh, ["event_type"])
     me = _estimate(merged, "est_merged")
     de = _estimate(direct, "est_direct")
+    base_cols = [
+        F.col("event_type"),
+        F.col("est_merged"),
+        F.col("est_direct"),
+        (F.col("est_merged") == F.col("est_direct")).alias("merge_lossless"),
+    ]
+    if not audit:
+        return me.join(de, "event_type").select(*base_cols)
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
     )
     return (
         me.join(de, "event_type")
         .join(exact, "event_type")
-        .select(
-            "event_type",
-            "est_merged",
-            "est_direct",
-            (F.col("est_merged") == F.col("est_direct")).alias(
-                "merge_lossless"
-            ),
-            "exact_distinct",
-        )
+        .select(*base_cols, "exact_distinct")
     )
