@@ -1559,6 +1559,7 @@ class _State:
         "having",
         "select_exprs",
         "col_trees",
+        "col_nodes",
     )
 
     def __init__(self, table: str, cols: list[str]):
@@ -1569,6 +1570,10 @@ class _State:
         # interpret RelRoot's flattened name list (spec: names flatten
         # depth-first over nested structs, like NamedStruct.names).
         self.col_trees: list[list[str]] | None = None
+        # parallel to col_trees: the _SchemaNode per column (structure for
+        # the root's NAMED_STRUCT rebuild of nested renames); None where a
+        # column's structure is unknown/synthetic
+        self.col_nodes: "list[_SchemaNode | None] | None" = None
         self.where: list[str] = []
         self.order: list[str] = []
         self.limit: int | None = None
@@ -2109,16 +2114,17 @@ def _mask_parts(
     nodes: list["_SchemaNode"],
     items: list[tuple[int, object]],
     maintain: bool,
-) -> list[tuple[str, str, list[str]]]:
+) -> list[tuple[str, str, list[str], "_SchemaNode"]]:
     """Mask items over schema nodes → [(output name, SQL expression,
-    flattened nested names of the output column)].
+    flattened nested names of the output column, the output's schema
+    node — structure retained for the root's nested-rename rebuild)].
 
     A nested struct selection renders ``NAMED_STRUCT('f', col.f, …)`` over
     the selected subfields in mask order; with
     ``maintain_singular_struct=false`` (the spec default) a
     single-subfield selection collapses to the subfield value itself.
     """
-    parts: list[tuple[str, str, list[str]]] = []
+    parts: list[tuple[str, str, list[str], _SchemaNode]] = []
     for idx, child in items:
         if idx < 0 or idx >= len(nodes):
             raise SubstraitMalformed(
@@ -2131,7 +2137,7 @@ def _mask_parts(
             else f"{parent_sql}.{_quote(node.name)}"
         )
         if child is None:
-            parts.append((node.name, base, list(node.nested_names)))
+            parts.append((node.name, base, list(node.nested_names), node))
             continue
         cf = _fields(child)
         ss = _one(cf, 1)  # Select.struct
@@ -2149,11 +2155,22 @@ def _mask_parts(
             base, node.children, _struct_select_items(ss), maintain
         )
         if len(sub) == 1 and not maintain:
-            parts.append((node.name, sub[0][1], sub[0][2]))
+            parts.append((node.name, sub[0][1], sub[0][2], sub[0][3]))
         else:
-            inner = ", ".join(f"{_sql_str(n)}, {e}" for n, e, _ in sub)
-            nested = [x for n, _, sn in sub for x in (n, *sn)]
-            parts.append((node.name, f"NAMED_STRUCT({inner})", nested))
+            inner = ", ".join(f"{_sql_str(n)}, {e}" for n, e, _, _ in sub)
+            nested = [x for n, _, sn, _ in sub for x in (n, *sn)]
+            children = [
+                _SchemaNode(n, p.children, list(p.nested_names))
+                for n, _, _, p in sub
+            ]
+            parts.append(
+                (
+                    node.name,
+                    f"NAMED_STRUCT({inner})",
+                    nested,
+                    _SchemaNode(node.name, children, nested),
+                )
+            )
     return parts
 
 
@@ -2168,6 +2185,7 @@ def _apply_read_mask(
     sub-projection derived table against the typed schema tree."""
     if tree is not None and len(tree) == len(state.cols):
         state.col_trees = [list(n.nested_names) for n in tree]
+        state.col_nodes = list(tree)
     if mask is None:
         return state
     items, maintain = mask
@@ -2181,6 +2199,8 @@ def _apply_read_mask(
             state.cols = [state.cols[i] for i, _ in items]
             if state.col_trees is not None:
                 state.col_trees = [state.col_trees[i] for i, _ in items]
+            if state.col_nodes is not None:
+                state.col_nodes = [state.col_nodes[i] for i, _ in items]
         except IndexError as exc:
             raise SubstraitMalformed(
                 f"ReadRel mask index out of range for "
@@ -2193,11 +2213,15 @@ def _apply_read_mask(
             "base-schema struct types (NamedStruct.struct)"
         )
     parts = _mask_parts(None, tree, items, maintain)
-    names = _dedup_aliases([n for n, _, _ in parts])
-    state.select_exprs = [e for _, e, _ in parts]
+    names = _dedup_aliases([n for n, _, _, _ in parts])
+    state.select_exprs = [e for _, e, _, _ in parts]
     state.cols = names
     return _subquery_state(
-        _render_sql(state, []), names, "m", [sn for _, _, sn in parts]
+        _render_sql(state, []),
+        names,
+        "m",
+        [sn for _, _, sn, _ in parts],
+        [p[3] for p in parts],
     )
 
 
@@ -2668,6 +2692,7 @@ def _aggregate_rel(
     state.select_exprs = exprs_out
     state.cols = aliases
     state.col_trees = None  # grouped output: nesting info not tracked
+    state.col_nodes = None
     return state
 
 
@@ -2695,6 +2720,7 @@ def _subquery_state(
     cols: list[str],
     alias: str,
     col_trees: "list[list[str]] | None" = None,
+    col_nodes: "list[_SchemaNode | None] | None" = None,
 ) -> _State:
     """Wrap a rendered SELECT as a derived table so any relation can
     compose above it (the single-SELECT clause accumulator restarts).
@@ -2702,6 +2728,7 @@ def _subquery_state(
     SQL scoping shadows them, so no global counter is needed."""
     out = _State(f"({sql}) AS {_quote(alias)}", cols)
     out.col_trees = col_trees
+    out.col_nodes = col_nodes
     return out
 
 
@@ -2715,7 +2742,11 @@ def _finished(state: _State, alias: str) -> _State:
     the plan (DataFusion's producer emits Project-above-Aggregate and
     Sort-above-Fetch routinely)."""
     return _subquery_state(
-        _render_sql(state, []), state.cols, alias, state.col_trees
+        _render_sql(state, []),
+        state.cols,
+        alias,
+        state.col_trees,
+        state.col_nodes,
     )
 
 
@@ -3133,9 +3164,16 @@ def _interpret_rel(
                 if trees is None or len(trees) != len(state.cols)
                 else list(trees) + [trees[i] for i in ref_indexes]
             )
+            nodes = state.col_nodes
+            combined_nodes = (
+                None
+                if nodes is None or len(nodes) != len(state.cols)
+                else list(nodes) + [nodes[i] for i in ref_indexes]
+            )
             if emit is None:
                 state.cols = combined
                 state.col_trees = combined_trees
+                state.col_nodes = combined_nodes
             else:
                 try:
                     state.cols = [combined[i] for i in emit]
@@ -3143,6 +3181,11 @@ def _interpret_rel(
                         None
                         if combined_trees is None
                         else [combined_trees[i] for i in emit]
+                    )
+                    state.col_nodes = (
+                        None
+                        if combined_nodes is None
+                        else [combined_nodes[i] for i in emit]
                     )
                 except IndexError as exc:
                     raise SubstraitMalformed(
@@ -3188,6 +3231,7 @@ def _interpret_rel(
         state.select_exprs = combined_exprs
         state.cols = names
         state.col_trees = None  # computed outputs: nesting not tracked
+        state.col_nodes = None
         return _subquery_state(_render_sql(state, []), names, "p")
 
     if kind == "filter":
@@ -3311,8 +3355,14 @@ def _interpret_rel(
     )
 
 
-def _render_sql(state: _State, out_names: list[str]) -> str:
-    """Accumulated clause state → one SELECT statement."""
+def _render_sql(
+    state: _State,
+    out_names: list[str],
+    rebuilds: "dict[int, str] | None" = None,
+) -> str:
+    """Accumulated clause state → one SELECT statement. ``rebuilds``
+    (root-only) replaces column i's select expression with a
+    NAMED_STRUCT rebuild carrying renamed nested fields."""
     if state.select_exprs is not None:
         # aggregate output: rendered expressions with stable aliases
         # (RelRoot names override the generated aliases)
@@ -3343,9 +3393,10 @@ def _render_sql(state: _State, out_names: list[str]) -> str:
                     f"RelRoot has {len(out_names)} names for {len(cols)} "
                     f"output columns"
                 )
+            rb = rebuilds or {}
             select = ", ".join(
-                f"{_quote(c)} AS {_quote(alias)}"
-                for c, alias in zip(cols, out_names)
+                f"{rb.get(i, _quote(c))} AS {_quote(alias)}"
+                for i, (c, alias) in enumerate(zip(cols, out_names))
             )
         else:
             select = ", ".join(_quote(c) for c in cols)
@@ -3434,24 +3485,68 @@ def _substrait_plan_to_sql(plan, funcs) -> str:
         out_names = []
 
     state = _interpret_rel(rel, funcs)
-    return _render_sql(state, _root_names_to_aliases(state, out_names))
+    aliases, rebuilds = _root_names_to_aliases(state, out_names)
+    return _render_sql(state, aliases, rebuilds)
 
 
-def _root_names_to_aliases(state: _State, out_names: list[str]) -> list[str]:
-    """RelRoot.names → per-column output aliases.
+def _rebuild_struct_expr(
+    base_sql: str, node: "_SchemaNode", new_names: list[str], col: str
+) -> str:
+    """``NAMED_STRUCT`` rebuild of a struct column whose RelRoot names
+    rename nested fields (round 10 — previously a named rejection).
+
+    Walks the column's schema node depth-first consuming ``new_names``
+    (the RelRoot slice, positionally parallel to ``node.nested_names``):
+    unchanged subtrees stay plain field references; renamed struct
+    subtrees rebuild recursively. A NULL struct stays NULL via the IF
+    guard (NAMED_STRUCT over a NULL base would fabricate a struct of
+    NULLs). Structs nested under list/map ELEMENTS occupy name slots but
+    are not field-addressable — renaming those keeps a named rejection
+    (a rebuild would need a TRANSFORM lambda per nesting level).
+    """
+    parts: list[str] = []
+    pos = 0
+    for child in node.children or ():
+        new_name = new_names[pos]
+        pos += 1
+        n_sub = len(child.nested_names)
+        sub_new = new_names[pos : pos + n_sub]
+        pos += n_sub
+        child_sql = f"{base_sql}.{_quote(child.name)}"
+        if sub_new != child.nested_names:
+            if child.children is None:
+                raise SubstraitUnsupported(
+                    f"Substrait consumer: RelRoot renames struct fields "
+                    f"nested under a list/map element of {col!r} "
+                    f"({child.nested_names} -> {sub_new}) — element structs "
+                    f"have no field-addressable rebuild form"
+                )
+            child_sql = _rebuild_struct_expr(child_sql, child, sub_new, col)
+        parts.append(f"{_sql_str(new_name)}, {child_sql}")
+    return (
+        f"IF({base_sql} IS NULL, NULL, NAMED_STRUCT({', '.join(parts)}))"
+    )
+
+
+def _root_names_to_aliases(
+    state: _State, out_names: list[str]
+) -> "tuple[list[str], dict[int, str]]":
+    """RelRoot.names → (per-column output aliases, struct rebuilds).
 
     The spec flattens RelRoot.names depth-first over nested structs (the
     same contract as NamedStruct.names), so a plan whose output retains a
     struct column carries MORE names than columns. When the output's
     nested layout is known (``col_trees``, tracked from the typed read
     through masks/filters/sorts/fetches/ref-projections), each column
-    consumes 1 + len(nested) names; the top-level name becomes the alias
-    and the nested names must MATCH the column's current subfield names —
-    renaming a nested field would require rebuilding the struct value,
-    which keeps a named rejection. Flat outputs pass through unchanged.
+    consumes 1 + len(nested) names; the top-level name becomes the alias.
+    Nested names that MATCH the column's current subfield names cost
+    nothing; nested RENAMES rebuild the struct value via ``NAMED_STRUCT``
+    when the column's schema structure is tracked (``col_nodes``) —
+    returned as {column index: replacement SQL} — and keep a named
+    rejection otherwise. Flat outputs pass through unchanged.
     """
     if not out_names or len(out_names) == len(state.cols):
-        return out_names
+        return out_names, {}
     trees = state.col_trees
     if trees is None or len(trees) != len(state.cols):
         raise SubstraitUnsupported(
@@ -3461,7 +3556,11 @@ def _root_names_to_aliases(state: _State, out_names: list[str]) -> list[str]:
             f"nested root names are supported over read/mask/filter/sort/"
             f"fetch/projection plans only"
         )
+    nodes = state.col_nodes
+    if nodes is not None and len(nodes) != len(state.cols):
+        nodes = None
     aliases: list[str] = []
+    rebuilds: dict[int, str] = {}
     pos = 0
     for i in range(len(state.cols)):
         if pos >= len(out_names):
@@ -3479,11 +3578,27 @@ def _root_names_to_aliases(state: _State, out_names: list[str]) -> list[str]:
                 f"{state.cols[i]!r} flattens {len(sub)} nested names)"
             )
         if got != sub:
-            raise SubstraitUnsupported(
-                f"Substrait consumer: RelRoot renames nested struct fields "
-                f"of {state.cols[i]!r} ({sub} -> {got}) — only top-level "
-                f"renames are supported (a nested rename would rebuild the "
-                f"struct value)"
+            node = nodes[i] if nodes is not None else None
+            if node is not None and node.children is None:
+                # names nested under a non-struct column (list/map
+                # element structs): slots, but not field-addressable
+                raise SubstraitUnsupported(
+                    f"Substrait consumer: RelRoot renames struct fields "
+                    f"nested under a list/map element of "
+                    f"{state.cols[i]!r} ({sub} -> {got}) — element "
+                    f"structs have no field-addressable rebuild form"
+                )
+            if node is None:
+                raise SubstraitUnsupported(
+                    f"Substrait consumer: RelRoot renames nested struct "
+                    f"fields of {state.cols[i]!r} ({sub} -> {got}) and the "
+                    f"column's struct layout is not tracked through this "
+                    f"plan shape — nested renames rebuild via NAMED_STRUCT "
+                    f"over read/mask/filter/sort/fetch/ref-projection "
+                    f"plans only"
+                )
+            rebuilds[i] = _rebuild_struct_expr(
+                _quote(state.cols[i]), node, got, state.cols[i]
             )
         pos += len(sub)
     if pos != len(out_names):
@@ -3491,4 +3606,4 @@ def _root_names_to_aliases(state: _State, out_names: list[str]) -> list[str]:
             f"RelRoot has {len(out_names)} names for an output that "
             f"flattens to {pos}"
         )
-    return aliases
+    return aliases, rebuilds

@@ -2906,12 +2906,94 @@ class TestNestedSchemaAndMask:
         rows = spark.sql(sql).collect()
         assert rows[0].who.name == "ann" and rows[0].pts == 10
 
-    def test_relroot_nested_rename_rejected_by_name(self):
+    def test_relroot_nested_rename_rebuilds_named_struct(self, spark):
+        # round 10 (VERDICT r9 #4): a nested-field rename in RelRoot.names
+        # rebuilds the struct via NAMED_STRUCT instead of rejecting —
+        # person.name surfaces as who.nom with values intact
         r = rel(1, typed_read_rel("people", PEOPLE_NAMES, PEOPLE_TYPES))
-        with pytest.raises(SubstraitUnsupported, match="top-level renames"):
+        sql = substrait_to_sql(plan_bytes(
+            r, root_names=["pk", "who", "nom", "age", "pts"]
+        ))
+        assert "NAMED_STRUCT('nom', `person`.`name`, 'age'," in sql
+        self._people(spark)
+        rows = spark.sql(sql).collect()
+        assert [(row.pk, row.who.nom, row.who.age, row.pts) for row in rows] \
+            == [(1, "ann", 30, 10), (2, "bob", 40, 3)]
+        # field order and nullability of the untouched sibling kept
+        assert rows[0].who.asDict() == {"nom": "ann", "age": 30}
+
+    def test_relroot_nested_rename_null_struct_stays_null(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES "
+            "(1, named_struct('name','ann','age',30), 10), "
+            "(2, CAST(NULL AS STRUCT<name: STRING, age: INT>), 3) "
+            "AS t(id, person, score)"
+        ).createOrReplaceTempView("people_null")
+        r = rel(1, typed_read_rel("people_null", PEOPLE_NAMES, PEOPLE_TYPES))
+        sql = substrait_to_sql(plan_bytes(
+            r, root_names=["pk", "who", "nom", "age", "pts"]
+        ))
+        rows = {row.pk: row.who for row in spark.sql(sql).collect()}
+        assert rows[2] is None  # NOT a fabricated struct of NULLs
+        assert rows[1].nom == "ann"
+
+    def test_relroot_nested_rename_through_mask_and_filter(self, spark):
+        # rename survives the tracked pipeline: nested mask (keep the
+        # struct via maintain) + filter, then rename age -> years
+        child = _len_field(1, select_struct([(1, None)]))
+        r = rel(1, typed_read_rel(
+            "people", PEOPLE_NAMES, PEOPLE_TYPES,
+            extra=nested_mask([(0, None), (1, child)], maintain=True),
+        ))
+        sql = substrait_to_sql(plan_bytes(
+            r, root_names=["pk", "who", "years"]
+        ))
+        assert "NAMED_STRUCT('years'" in sql
+        self._people(spark)
+        assert [
+            (row.pk, row.who.years) for row in spark.sql(sql).collect()
+        ] == [(1, 30), (2, 40)]
+
+    def test_relroot_rename_under_list_element_still_rejected(self):
+        # k/v live under tags: list<struct<k,v>> — not field-addressable;
+        # renaming them keeps a named rejection
+        names = ["id", "tags", "k", "v", "score"]
+        types = [
+            t_type(7),
+            t_list(t_struct([t_type(12), t_type(12)])),
+            t_type(7),
+        ]
+        r = rel(1, typed_read_rel("tagged", names, types))
+        with pytest.raises(SubstraitUnsupported, match="element struct"):
             substrait_to_sql(plan_bytes(
-                r, root_names=["pk", "who", "nom", "age", "pts"]
+                r, root_names=["id", "tags", "k2", "v", "score"]
             ))
+
+    def test_relroot_nested_rename_over_wire(self, spark, substrait_server):
+        self._people(spark)
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            p = plan_bytes(
+                rel(1, typed_read_rel("people", PEOPLE_NAMES, PEOPLE_TYPES)),
+                root_names=["pk", "who", "nom", "age", "pts"],
+            )
+            info = ex.flight_info(_substrait_command(p))
+            assert [f.name for f in info.schema] == ["pk", "who", "pts"]
+            who = info.schema.field("who").type
+            assert [who.field(i).name for i in range(who.num_fields)] == [
+                "nom",
+                "age",
+            ]
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            got = sorted(
+                (r["pk"], r["who"]["nom"], r["who"]["age"], r["pts"])
+                for r in table.to_pylist()
+            )
+            assert got == [(1, "ann", 30, 10), (2, "bob", 40, 3)]
+        finally:
+            ex.close()
 
     def test_relroot_names_after_nested_mask(self, spark):
         # after masking person down to {age}, the flattened root names are
