@@ -53,72 +53,71 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: implementation (or an operator/cache it rides) materially changed in
 #: the round. SURVEY §5 documents the same policy.
 #:
-#: Round-9 state: tier 2 = cache-path representatives again —
-#: dedup_near_minhash rides the MinHash front-end cache
-#: (clear-under-lock changed this round), sim_topk_ivf the trained-
-#: quantizer cache (per-key placeholder training changed this round).
-#: Tier 3 = the four rows deferred at round 8 (latest row r3), then 40
-#: of the 46 queries whose latest row is round 4; ``basket_rules``,
-#: ``orders_gini``, ``orders_rfm``, ``window_moving_median``,
-#: ``window_ewma`` and ``text_tfidf`` (stable queries untouched since
-#: r4) defer to round 10 and lead its tier 3.
+#: Round-10 state: tier 2 = the two KMV queries (gained the audit=
+#: production flag this round — the default audited path is what the
+#: driver rows pin). No new registrations at priority-freeze time; the
+#: round-10 serving-path change (FIFO pull pool) is covered by the
+#: pinned scan_flight. Tier 3 LEADS with the six queries deferred at
+#: the round-9 cut (never-deferred-twice invariant), then the complete
+#: round-5 cohort (40 queries — all of them fit, so nothing defers
+#: out of round 10) and the alphabetical head of the round-6 cohort;
+#: round 11's tier 3 starts at ``agg_cube`` (r6, next oldest-first).
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
-    # tier 2: round-9 registrations (Church-Gale token burstiness;
-    # KMV/theta set-intersection sketch; KMV lossless-merge rollup)
-    "text_burstiness",
+    # tier 2: round-10 implementation changes (audit= flag)
     "agg_kmv_intersect",
     "agg_kmv_rollup",
-    # tier 2: round-9 cache-internals changes
-    "dedup_near_minhash",
-    "sim_topk_ivf",
-    # tier 3a: deferred at the round-8 cut (latest driver row r3)
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "window_distribution",
-    "window_range_frame",
-    # tier 3b: oldest-first rotation — latest driver row is round 4
-    "agg_bitmap_intersect",
-    "agg_count_min",
-    "agg_hll_rollup",
-    "agg_mode",
-    "agg_percentile_approx",
-    "agg_topk_sketch",
-    "corpus_drift",
-    "dedup_exact_keepbest",
-    "dedup_incremental",
-    "dedup_source_overlap",
-    "dedup_substring",
-    "doc_sample_temperature",
-    "doc_sample_weighted",
-    "embed_binary_hamming",
-    "embed_matryoshka",
-    "embed_outliers",
-    "event_anomaly",
-    "event_attribution",
-    "event_cusum",
-    "event_islands",
-    "event_ks_drift",
-    "event_scd2",
-    "event_scd2_lookup",
-    "event_sliding_distinct",
-    "event_time_weighted",
-    "fn_mask",
-    "graph_triangles",
-    "join_bloom_prune",
-    "join_fuzzy",
-    "multimodal_dedup",
-    "multimodal_phash",
-    "pipeline_curate_v2",
-    "pipeline_curate_v3",
-    "sim_topk_pq",
-    "sink_zorder",
-    "text_bigram_lm",
-    "text_inverted_index",
-    "text_novelty",
-    "text_pmi",
-    "text_repetition",
+    # tier 3 LEAD: deferred at the round-9 cut (latest driver row r4)
+    "basket_rules",
+    "orders_gini",
+    "orders_rfm",
+    "window_moving_median",
+    "window_ewma",
+    "text_tfidf",
+    # tier 3: oldest-first rotation — the full round-5 cohort
+    "agg_distinct",
+    "agg_group_multi",
+    "agg_having",
+    "agg_stats",
+    "dedup_exact",
+    "doc_balanced_sample",
+    "doc_budget_select",
+    "embed_ivf_recall",
+    "embed_pca_power",
+    "event_asof_nearest",
+    "event_peak_detect",
+    "event_running_distinct",
+    "fn_posexplode",
+    "join_anti",
+    "join_derived",
+    "join_full",
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_semi",
+    "join_theta",
+    "orders_cohort_ltv",
+    "part_price_elasticity",
+    "sim_range_search",
+    "stream_dedup_batch",
+    "stream_interval_join_batch",
+    "stream_scd2_batch",
+    "text_bm25",
+    "text_compression_ratio",
+    "text_keyword_extract",
+    "text_prefix_dup",
+    "text_zipf_fit",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "window_analytic",
+    "window_percent_change",
+    "window_rank",
+    "window_running",
+    "window_topk_per_group",
+    # tier 3: round-6 cohort head (alphabetical within the round)
+    "agg_count_star",
 )
 
 
