@@ -880,6 +880,154 @@ class TestMultiEndpoint:
             srv.shutdown()
 
 
+class TestMixedTrafficSoak:
+    """Round 10 (VERDICT r9 #6): every traffic KIND the server handles,
+    simultaneously, against ONE server — dialect-rewritten statements,
+    prepared statements with per-thread parameter bindings, a Substrait
+    plan, multi-endpoint bucket streams under a contended shared pull
+    pool, and catalog metadata calls — asserting isolation (every thread
+    sees exactly its own values: a cross-bound parameter or swapped
+    ticket would show), pool bounds (peak <= total), and zero errors.
+    Each piece is soak-tested individually elsewhere; this is the mix.
+    Runs against real executor processes when SPARK_GRAFT_MASTER is a
+    local-cluster master (the round-closing risky-slice run)."""
+
+    N = 200_000
+
+    @pytest.fixture(scope="class")
+    def soak_server(self, spark):
+        _register_fixtures(spark)
+        spark.range(0, self.N).selectExpr(
+            "id", "CAST(id % 97 AS INT) AS grp"
+        ).repartition(8, "grp").createOrReplaceTempView("soak_wide")
+        srv = FlightSqlServer(
+            Engine(spark),
+            location="grpc://0.0.0.0:0",
+            config=FlightSqlServiceConfig(result_endpoints=4),
+        )
+        threading.Thread(target=srv.serve, daemon=True).start()
+        yield srv
+        srv.shutdown()
+
+    def test_mixed_traffic_isolation_and_pool_bounds(self, soak_server):
+        import test_substrait as TS
+
+        from datafusion_flight_sql_server_spark.engine import core
+        from datafusion_flight_sql_server_spark.protocol.flightsql import (
+            CommandStatementQuery,
+        )
+
+        uri = f"grpc://localhost:{soak_server.port}"
+        threads_n, iters = 10, 3
+        errors: list[str] = []
+        barrier = threading.Barrier(threads_n)
+        sum_ids = self.N * (self.N - 1) // 2
+
+        def role_dialect(ex, i, t):
+            v = ex.execute(
+                "SELECT approx_distinct(user_id) AS v FROM orders"
+            ).column("v").to_pylist()
+            assert v == [3], v
+            w = ex.execute(
+                f"SELECT strpos(name, 'o') AS v FROM users WHERE id = {2}"
+            ).column("v").to_pylist()
+            assert w == [2], w
+
+        def role_prepared(ex, i, t):
+            want = (t + i) % 3 + 1
+            prepared = ex.prepare("SELECT id, name FROM users WHERE id = $1")
+            try:
+                prepared.bind(
+                    pa.RecordBatch.from_pydict(
+                        {"$1": pa.array([want], pa.int32())}
+                    )
+                )
+                got = prepared.execute()
+                assert got.column("id").to_pylist() == [want], (
+                    f"cross-talk: bound {want}, got "
+                    f"{got.column('id').to_pylist()}"
+                )
+            finally:
+                prepared.close()
+
+        def role_substrait(ex, i, t):
+            p = TS.plan_bytes(
+                TS.rel(
+                    3,
+                    TS.fetch_rel(
+                        TS.rel(7, TS.project_rel(TS.USERS_READ, [1], [2])), 3
+                    ),
+                ),
+                ["who"],
+            )
+            info = ex.flight_info(TS._substrait_command(p))
+            tbl = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            assert set(tbl.column("who").to_pylist()) <= {
+                "Alice", "Bob", "Charlie",
+            }
+
+        def role_stream(ex, i, t):
+            info = ex.flight_info(
+                CommandStatementQuery(query="SELECT id FROM soak_wide")
+            )
+            assert len(info.endpoints) == 4
+            total, count = 0, 0
+            raw = fl.FlightClient(uri)
+            try:
+                for ep in info.endpoints:
+                    for chunk in raw.do_get(ep.ticket):
+                        col = chunk.data.column(0)
+                        count += len(col)
+                        total += sum(col.to_pylist())
+            finally:
+                raw.close()
+            assert count == self.N and total == sum_ids
+
+        def role_metadata(ex, i, t):
+            names = ex.table_names()
+            assert "users" in names and "soak_wide" in names
+
+        roles = [
+            role_dialect, role_prepared, role_substrait,
+            role_stream, role_metadata,
+        ]
+
+        def worker(t):
+            ex = FlightSQLExecutor(uri)
+            try:
+                barrier.wait(timeout=60)
+                for i in range(iters):
+                    roles[(t + i) % len(roles)](ex, i, t)
+                    roles[(t + i + 2) % len(roles)](ex, i, t)
+            except Exception as exc:
+                errors.append(f"thread {t}: {exc!r}")
+            finally:
+                ex.close()
+
+        saved = core._PULL_POOL
+        pool = core._PullBudgetPool(512 << 10)  # << the staged streams
+        core._PULL_POOL = pool
+        try:
+            ts = [
+                threading.Thread(target=worker, args=(t,))
+                for t in range(threads_n)
+            ]
+            for th in ts:
+                th.start()
+            for th in ts:
+                th.join(300)
+            assert not any(th.is_alive() for th in ts), "soak hung"
+        finally:
+            core._PULL_POOL = saved
+        assert not errors, errors
+        # streams really contended for the shrunken shared pool, and the
+        # aggregate reservation bound held throughout
+        assert 0 < pool.peak <= pool.total
+        assert pool._avail == pool.total and not pool._waiters
+
+
 class TestStrictParameterTypes:
     """H3 strict mode (round 8, VERDICT r7 #8): with
     ``strict_parameter_types=True`` the server errors at
