@@ -167,7 +167,6 @@ _AUTO_RENAMES = {
     "list_element": "ELEMENT_AT",
     "array_push_back": "ARRAY_APPEND",
     "array_concat": "CONCAT",
-    "to_hex": "HEX",
     "datetrunc": "DATE_TRUNC",
     "substr_index": "SUBSTRING_INDEX",
     "generate_series": "SEQUENCE",
@@ -478,6 +477,14 @@ def _t_regexp_match(args: list[str]) -> str:
     )
 
 
+def _t_to_hex(args: list[str]) -> str:
+    # DataFusion's to_hex renders lowercase (Rust {:x}); Spark's HEX is
+    # uppercase — LOWER it so a migrating client's string compares hold
+    if len(args) != 1:
+        raise DialectUnsupported("to_hex takes one argument")
+    return f"LOWER(HEX({args[0].strip()}))"
+
+
 def _t_iszero(args: list[str]) -> str:
     if len(args) != 1:
         raise DialectUnsupported("iszero takes one argument")
@@ -600,6 +607,7 @@ _AUTO_TRANSFORMS = {
     "sha384": _sha(384),
     "sha512": _sha(512),
     "iszero": _t_iszero,
+    "to_hex": _t_to_hex,
     "string_to_array": _t_string_to_array,
     "regexp_match": _t_regexp_match,
 }

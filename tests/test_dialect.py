@@ -141,7 +141,8 @@ _MATRIX = [
     ("SELECT array_push_front(5, make_array(1)) AS v", [5, 1]),
     ("SELECT list_sort(make_array(3, 1, 2)) AS v", [1, 2, 3]),
     ("SELECT generate_series(1, 4) AS v", [1, 2, 3, 4]),
-    ("SELECT to_hex(255) AS v", "FF"),
+    # DataFusion renders lowercase hex (Rust {:x}) — LOWER(HEX(..))
+    ("SELECT to_hex(255) AS v", "ff"),
     ("SELECT substr_index('a.b.c', '.', 2) AS v", "a.b"),
     (
         "SELECT CAST(datetrunc('day', to_timestamp_seconds(90000)) "

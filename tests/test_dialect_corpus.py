@@ -19,7 +19,7 @@ and classified as one of:
   a crash, or a silent wrong answer.
 
 Known, deliberate value divergences from DataFusion (documented in
-README §dialect): ``to_hex`` returns uppercase (Spark HEX), trailing
+README §dialect): trailing
 type widths (``ceil`` BIGINT vs f64, ``trunc`` always DOUBLE), and
 ``arrow_typeof`` returns Spark type names.
 """
@@ -155,8 +155,7 @@ _SLT_AUTO = [
     ("SELECT uuid() AS v", ANY),
     ("SELECT find_in_set('b', 'a,b,c') AS v", 2),
     ("SELECT 'a' || 'b' AS v", "ab"),
-    # documented divergence: Spark HEX is uppercase (DF to_hex: lower)
-    ("SELECT to_hex(255) AS v", "FF"),
+    ("SELECT to_hex(255) AS v", "ff"),  # DF lowercase hex, preserved
     # -- regex --------------------------------------------------------------
     ("SELECT regexp_like('abc', '^a') AS v", True),
     (r"SELECT regexp_match('ab12cd34', '\d+') AS v", ["12"]),
@@ -282,7 +281,7 @@ _SLT_AUTO = [
     ("SELECT md5('abc') AS v", "900150983cd24fb0d6963f7d28e17f72"),
     (
         "SELECT to_hex(sha256('abc')) AS v",
-        "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD",
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad",
     ),
     ("SELECT digest('abc', 'sha256') AS v", ERR),
     ("SELECT coalesce(NULL, 5) AS v", 5),
