@@ -188,6 +188,11 @@ _AUTO_RENAMES = {
     # DF unnest expands arrays to rows in both SELECT and FROM position;
     # Spark's EXPLODE does the same (struct-typed args error cleanly)
     "unnest": "EXPLODE",
+    # DF wildcard option `SELECT * EXCLUDE (cols)` = Spark's `* EXCEPT
+    # (cols)`. Only the call-shaped `EXCLUDE(` form triggers (the
+    # tokenizer's word+paren rule), so Spark's window-frame EXCLUDE
+    # CURRENT ROW/GROUP/TIES clauses are never touched.
+    "exclude": "EXCEPT",
 }
 
 #: Applied only in full "datafusion" mode: the name EXISTS in Spark with
@@ -744,6 +749,84 @@ _DF_TRANSFORMS.update(
 )
 
 
+# -- pg/DataFusion regex-match operators (datafusion mode only) --------------
+
+#: words that can precede a UNARY ``~`` (bitwise not): after these, a
+#: tilde starts an operand rather than continuing one
+_PRE_OPERAND_KEYWORDS = {
+    "select", "where", "and", "or", "not", "when", "then", "else", "case",
+    "end", "on", "by", "having", "in", "like", "ilike", "rlike", "regexp",
+    "between", "is", "all", "any", "some", "distinct", "as", "from", "join",
+    "inner", "left", "right", "full", "cross", "union", "intersect",
+    "except", "limit", "offset", "order", "group", "filter", "over",
+    "partition", "escape", "if", "interval", "values", "set", "returning",
+}
+
+
+def _skip_ws(toks: list, j: int, step: int) -> int:
+    while 0 <= j < len(toks) and (
+        toks[j][0] == "comment"
+        or (toks[j][0] == "other" and toks[j][3].isspace())
+    ):
+        j += step
+    return j
+
+
+def _binary_lhs(toks: list, i: int) -> bool:
+    """True if the token before index ``i`` ends an operand — i.e. a
+    ``~`` here is pg's BINARY regex-match, not Spark's unary bitwise
+    not (``SELECT ~5`` / ``a & ~b`` keep the tilde)."""
+    k = _skip_ws(toks, i - 1, -1)
+    if k < 0:
+        return False
+    kind, _s, _e, text = toks[k]
+    if kind in ("str", "dq", "bq"):
+        return True
+    if kind == "word":
+        return text.lower() not in _PRE_OPERAND_KEYWORDS
+    return kind == "other" and (text in (")", "]") or text.isdigit())
+
+
+def _try_regex_op(toks: list, i: int):
+    """Datafusion-mode rewrite of pg regex operators at token ``i``
+    (``~`` or the ``!`` of ``!~``): returns (emitted SQL, next index)
+    or None to keep the token. ``~``→RLIKE, ``!~``→NOT RLIKE; the ``*``
+    variants inline ``(?i)`` into a literal pattern. Literal patterns
+    re-emit backslash-doubled (the module-docstring escaping gap)."""
+    neg = toks[i][3] == "!"
+    j = i
+    if neg:
+        if (
+            i + 1 >= len(toks)
+            or toks[i + 1][0] != "other"
+            or toks[i + 1][3] != "~"
+        ):
+            return None
+        j = i + 1
+    if not _binary_lhs(toks, i):
+        return None
+    star = (
+        j + 1 < len(toks)
+        and toks[j + 1][0] == "other"
+        and toks[j + 1][3] == "*"
+    )
+    if star:
+        j += 1
+    op = " NOT RLIKE " if neg else " RLIKE "
+    r = _skip_ws(toks, j + 1, 1)
+    if r < len(toks) and toks[r][0] == "str":
+        inner = toks[r][3][1:-1].replace("''", "'")
+        if star:
+            inner = "(?i)" + inner
+        return op + _emit_str_literal(inner), r + 1
+    if star:
+        raise DialectUnsupported(
+            "~* / !~* need a literal pattern (the (?i) flag has nowhere "
+            "to go on a non-literal right-hand side)"
+        )
+    return op, j + 1
+
+
 # -- rewriter ----------------------------------------------------------------
 
 
@@ -794,6 +877,17 @@ def _render(
         renames.update(_DATAFUSION_RENAMES)
     while i < hi:
         kind, _s, _e, text = toks[i]
+        if (
+            kind == "other"
+            and mode == "datafusion"
+            and text in ("~", "!")
+        ):
+            hit = _try_regex_op(toks, i)
+            if hit is not None:
+                emitted, nxt = hit
+                out.append(emitted)
+                i = nxt
+                continue
         if kind == "dq" and mode == "datafusion":
             # pg-style quoted identifier → backticks (Spark reads "x"
             # as a string literal unless ansi double-quote idents are on)
@@ -889,7 +983,10 @@ def rewrite_sql(sql: str, mode: str = "auto", session_functions=None) -> str:
             mode == "datafusion"
             and (
                 lowered & (set(_DATAFUSION_RENAMES) | set(_DF_TRANSFORMS))
-                or any(t[0] == "dq" for t in toks)
+                or any(
+                    t[0] == "dq" or (t[0] == "other" and t[3] == "~")
+                    for t in toks
+                )
             )
         )
     )

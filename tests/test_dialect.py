@@ -425,6 +425,46 @@ class TestRewriteUnit:
         )
         assert "INSTR(a, b)" in out
 
+    def test_pg_regex_operators_datafusion_mode(self):
+        out = rewrite_sql(r"SELECT name ~ '\d+' FROM t", "datafusion")
+        assert r"RLIKE '\\d+'" in out and "~" not in out
+        out = rewrite_sql("SELECT name !~ 'x' FROM t", "datafusion")
+        assert "NOT RLIKE 'x'" in out
+        out = rewrite_sql("SELECT name ~* 'ABC' FROM t", "datafusion")
+        assert "RLIKE '(?i)ABC'" in out
+        out = rewrite_sql("SELECT name !~* 'a.c' FROM t", "datafusion")
+        assert "NOT RLIKE '(?i)a.c'" in out
+        # non-literal RHS: plain forms rewrite, (?i) forms reject cleanly
+        assert "RLIKE  pat" in rewrite_sql("SELECT (a) ~ pat FROM t",
+                                           "datafusion")
+        with pytest.raises(DialectUnsupported, match="literal pattern"):
+            rewrite_sql("SELECT a ~* pat FROM t", "datafusion")
+
+    def test_unary_tilde_kept_in_datafusion_mode(self):
+        # bitwise not (valid Spark, valid DataFusion) stays: after a
+        # keyword, an operator, a comma or an opening paren the tilde
+        # starts an operand
+        for sql in (
+            "SELECT ~5 AS v",
+            "SELECT a & ~b FROM t",
+            "SELECT x, ~y FROM t",
+            "SELECT f(~x) FROM t",
+            "SELECT CASE WHEN c THEN ~y ELSE ~z END FROM t",
+        ):
+            assert rewrite_sql(sql, "datafusion") == sql
+
+    def test_tilde_untouched_in_auto_mode(self):
+        sql = "SELECT name ~ 'x' FROM t"
+        assert rewrite_sql(sql, "auto") == sql
+
+    def test_exclude_wildcard_maps_to_except(self):
+        out = rewrite_sql("SELECT * EXCLUDE (name, age) FROM t")
+        assert "EXCEPT(name, age)" in out
+        # Spark's window-frame EXCLUDE clauses are not call-shaped: kept
+        sql = ("SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING "
+               "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t")
+        assert rewrite_sql(sql) == sql
+
     def test_date_bin_exact_integer_form(self):
         out = rewrite_sql("SELECT date_bin(INTERVAL '1 hour', ts) FROM t")
         # pmod floor, no fp division (exact at bucket boundaries)

@@ -379,6 +379,33 @@ _SLT_AUTO = [
     ),
     # DataFusion-only syntax with no Spark rendering: clean parse error
     ("SELECT DISTINCT ON (id) id AS v FROM users", ERR),
+    # -- syntax forms, round-10 batch ------------------------------------------
+    ("SELECT 1 IS DISTINCT FROM NULL AS v", True),
+    ("SELECT NULL IS NOT DISTINCT FROM NULL AS v", True),
+    ("SELECT make_array(1) || make_array(2) AS v", [1, 2]),
+    (
+        "SELECT CAST(DATE '2020-01-01' + INTERVAL '1' MONTH AS STRING) AS v",
+        "2020-02-01",
+    ),
+    ("SELECT overlay('abcdef' PLACING 'xx' FROM 2 FOR 3) AS v", "axxef"),
+    ("SELECT id AS v FROM (SELECT * EXCEPT (name) FROM users) WHERE id = 1", 1),
+    # DF wildcard EXCLUDE — rewritten to Spark's * EXCEPT
+    (
+        "SELECT id AS v FROM (SELECT * EXCLUDE (name) FROM users)"
+        " WHERE id = 2",
+        2,
+    ),
+    (
+        "SELECT count(*) OVER w AS v FROM users WHERE id = 1"
+        " WINDOW w AS (PARTITION BY id)",
+        1,
+    ),
+    ("SELECT count(*) AS v FROM users GROUP BY ALL", 3),
+    ("SELECT id AS v FROM users ORDER BY ALL LIMIT 1", 1),
+    ("SELECT CAST(last_day(DATE '2020-02-10') AS STRING) AS v", "2020-02-29"),
+    ("SELECT char(65) AS v", "A"),
+    # AT TIME ZONE: DataFusion syntax Spark's parser rejects — clean error
+    ("SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC' AS v", ERR),
 ]
 
 #: datafusion-mode-only rows: the spelling EXISTS in Spark with different
@@ -403,6 +430,13 @@ _SLT_DF = [
     ),
     ('SELECT "id" AS v FROM users WHERE "id" = 1', 1),  # pg quoted idents
     ("SELECT lag(x) OVER (ORDER BY x) AS v FROM VALUES (5) t(x)", None),
+    # pg regex-match operators (round 10): RLIKE rewrites with the
+    # backslash-escaping fix; unary bitwise ~ is left alone
+    (r"SELECT name ~ '^A' AS v FROM users WHERE id = 1", True),
+    (r"SELECT name !~ '\d' AS v FROM users WHERE id = 1", True),
+    ("SELECT name ~* 'alice' AS v FROM users WHERE id = 1", True),
+    ("SELECT name !~* 'bob' AS v FROM users WHERE id = 1", True),
+    ("SELECT ~5 AS v", -6),
 ]
 
 
