@@ -501,16 +501,34 @@ def ngram_jaccard_near_dups(
     len_bucket: int = 64,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate pairs by character-n-gram Jaccard with attribute
-    blocking: candidates share (lang, length//bucket) — an equi-join on the
-    block key, no cartesian product. Exact Jaccard on distinct 5-gram sets,
-    >= threshold, rounded to 6 decimals. Returns (doc_a, doc_b, jaccard).
+    """Near-duplicate pairs by character-n-gram Jaccard: exact Jaccard on
+    distinct 5-gram sets within (lang, length//bucket) blocks, >= threshold,
+    rounded to 6 decimals. Returns (doc_a, doc_b, jaccard).
 
-    The blocking tradeoff is explicit: a true pair straddling a length-bucket
-    boundary is missed — acceptable for the char-gram family, whose role is
-    cheap high-precision sweeps; MinHash banding (minhash_near_dups) is the
-    recall-oriented path.
+    Round 10 replaced the within-block ALL-PAIRS join with LOSSLESS prefix
+    filtering (All-Pairs/PPJoin; Bayardo et al., Chaudhuri et al.): the
+    round-10 sf1 audit measured the all-pairs shape at a 1.76 scaling
+    exponent (10x data -> ~58x wall) because blocks grow with the corpus
+    and pairs grow with the block squared. Prefix filter: order grams
+    globally by ascending document frequency (rarest first, ties by gram),
+    keep each doc's first ``|s| - ceil(t*|s|) + 1`` grams; if
+    ``J(A,B) >= t`` then ``|A∩B| >= ceil(t*max(|A|,|B|))``, and two sets
+    with overlap ``o`` whose (|X|-o+1)-prefixes were disjoint could overlap
+    only in their (o-1)-suffixes — contradiction — so every qualifying
+    pair shares a PREFIX gram and candidate generation (equi-join on the
+    prefix gram + block key, plus the ``t*|A| <= |B| <= |A|/t`` size
+    filter, both eps-relaxed so fp rounding can only widen) finds a
+    superset of the answer; the exact Jaccard verify then runs on
+    candidates only. Same result set, candidate space scales with
+    shared-gram density instead of block size squared.
+
+    The blocking tradeoff is unchanged and explicit: a true pair straddling
+    a length-bucket boundary is missed — acceptable for the char-gram
+    family, whose role is cheap high-precision sweeps; MinHash banding
+    (minhash_near_dups) is the recall-oriented path.
     """
+    from pyspark.sql import Window
+
     tx = F.lower(F.col(text_col))
     grams = F.array_distinct(
         F.transform(
@@ -524,25 +542,65 @@ def ngram_jaccard_near_dups(
         (F.col(len_col) / len_bucket).cast("bigint").alias("blk_len"),
         F.when(F.length(tx) >= ngram, grams).otherwise(F.array(tx)).alias("s"),
     )
-    a = g.select(
+    # prefix candidate generation: explode distinct grams, rank by global
+    # df-ascending order, keep |s| - ceil(t*|s|) + 1 per doc (eps keeps a
+    # borderline ceil from rounding UP, which would shorten the prefix —
+    # rounding DOWN only lengthens it: still lossless, a few more pairs)
+    e = g.select(
+        "doc_id",
+        "blk_lang",
+        "blk_len",
+        F.size("s").alias("n"),
+        F.explode("s").alias("gram"),
+    )
+    dfreq = e.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix = (
+        e.join(dfreq, "gram")
+        .select(
+            "doc_id",
+            "blk_lang",
+            "blk_len",
+            "n",
+            "gram",
+            F.row_number().over(w).alias("r"),
+        )
+        .filter(
+            F.col("r")
+            <= F.col("n")
+            - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-6)).cast("bigint")
+            + 1
+        )
+    )
+    pa_ = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "blk_lang",
         "blk_len",
-        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+        "gram",
     )
-    b = g.select(
+    pb = prefix.select(
         F.col("doc_id").alias("doc_b"),
         "blk_lang",
         "blk_len",
-        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+        "gram",
     )
-    return (
-        a.join(
-            b,
-            (a.blk_lang == b.blk_lang)
-            & (a.blk_len == b.blk_len)
-            & (F.col("doc_a") < F.col("doc_b")),
+    cand = (
+        pa_.join(pb, ["gram", "blk_lang", "blk_len"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") * threshold - 1e-6 <= F.col("nb"))
+            & (F.col("nb") * threshold - 1e-6 <= F.col("na"))
         )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = g.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = g.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
