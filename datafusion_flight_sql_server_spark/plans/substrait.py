@@ -48,8 +48,14 @@ with everything else rejected by a descriptive ``SubstraitUnsupported``
   SUM over partial counts); round 8: avg/std_dev/variance phase-split
   through NAMED_STRUCT states (avg: sum/count pair; Welford n/mean/m2
   merged by the parallel-variance identity) and DISTINCT count/min/max
-  through COLLECT_SET set states — DISTINCT sum/avg still reject
-  (runtime-typed array fold does not unparse to SQL);
+  through COLLECT_SET set states; round 9: DISTINCT sum/avg phase-split
+  too, folding the merged set with the accumulator type recovered from
+  the extension declaration's compound-name signature (``sum:i64`` →
+  BIGINT — a bare name still rejects, naming the missing signature);
+  round 10: DISTINCT avg of decimals folds exactly in the widened
+  DECIMAL(p+10,s) accumulator and divides in Spark's own AVG typing
+  (count cast to DECIMAL(20,0), result cast to bounded (p+4, s+4)), so
+  the two-phase value is bit-identical to one-phase ``AVG(DISTINCT)``;
 - ``RelRoot.names`` become output aliases.
 
 - ``JoinRel`` (round 4, late) for inner / full / left / right / left-semi
@@ -2281,13 +2287,26 @@ def _distinct_fold_type(sig: str | None, name: str) -> str | None:
     if base in ("fp32", "fp64"):
         return "DOUBLE"
     m = re.match(r"^dec(?:<(\d+),(-?\d+)>)?$", base)
-    if m and name == "sum":
+    if m and name in ("sum", "avg"):
         p = int(m.group(1)) if m.group(1) else 38
         s = int(m.group(2)) if m.group(2) else 18
         if 0 <= s <= p:
-            # Spark's SUM(DECIMAL(p,s)) result type: p+10 capped at 38
+            # Spark's SUM/AVG(DECIMAL(p,s)) accumulator: p+10 capped at 38
             return f"DECIMAL({min(38, p + 10)},{s})"
     return None
+
+
+def _distinct_avg_result_type(sig: str | None) -> str | None:
+    """Spark's AVG result type for a decimal argument signature
+    (``DecimalType.bounded(p + 4, s + 4)``), or ``None`` for the
+    non-decimal signatures whose AVG is DOUBLE."""
+    m = re.match(r"^dec(?:<(\d+),(-?\d+)>)?$", (sig or "").strip().lower())
+    if not m:
+        return None
+    p = int(m.group(1)) if m.group(1) else 38
+    s = int(m.group(2)) if m.group(2) else 18
+    rp = min(38, p + 4)
+    return f"DECIMAL({rp},{min(rp, s + 4)})"
 
 
 def _render_phase_split(
@@ -2311,9 +2330,11 @@ def _render_phase_split(
       m2 DOUBLE>`` (Welford state); merge uses the parallel-variance
       identity m2 = Σm2ᵢ + Σnᵢ·meanᵢ² − (Σnᵢ·meanᵢ)²/Σnᵢ.
     - DISTINCT ``count``/``min``/``max`` → ``ARRAY<T>`` (the distinct
-      set); merge distinct-unions the arrays. DISTINCT sum/avg stay
-      unsupported: folding a runtime-typed array back into a sum does
-      not unparse to SQL without the element type.
+      set); merge distinct-unions the arrays. DISTINCT ``sum``/``avg``
+      fold the merged set with the accumulator type recovered from the
+      compound-name signature (``_distinct_fold_type``) — integral,
+      floating, and (round 10) decimal signatures all fold; only a
+      bare name (no declared argument type) still rejects.
 
     ``flt_sql`` (Measure.filter, over the phase's input rows) is folded
     into every internal aggregate call — a trailing generic FILTER clause
@@ -2363,6 +2384,18 @@ def _render_phase_split(
             )
             if name == "sum":
                 return total
+            dec_avg = _distinct_avg_result_type(sig)
+            if dec_avg is not None:
+                # Mirror Spark's own Average typing for decimals exactly:
+                # divide the exact DECIMAL(p+10,s) fold by the count cast
+                # to DECIMAL(20,0) (Average divides by count.cast(
+                # LongDecimal)), then cast to bounded (p+4, s+4) — so the
+                # two-phase value matches one-phase AVG(DISTINCT) bitwise.
+                return (
+                    f"CASE WHEN SIZE({merged}) > 0 "
+                    f"THEN CAST({total} / CAST(SIZE({merged}) AS "
+                    f"DECIMAL(20,0)) AS {dec_avg}) END"
+                )
             return (
                 f"CASE WHEN SIZE({merged}) > 0 "
                 f"THEN CAST({total} AS DOUBLE) / SIZE({merged}) END"

@@ -640,6 +640,77 @@ class TestOverWire:
         finally:
             ex.close()
 
+    def test_phase_split_distinct_avg_decimal_round_trip(
+        self, spark, substrait_server
+    ):
+        """Round 10: two-stage DISTINCT sum/avg over a DECIMAL column
+        matches Spark's one-phase SUM/AVG(DISTINCT) bit-for-bit — the
+        fold runs in the exact DECIMAL(28,2) accumulator and the final
+        division mirrors Average's typing. Duplicate amounts appear in
+        BOTH partial groups of grp 1 so the merge genuinely dedups
+        across sets."""
+        from decimal import Decimal as D
+
+        register_memtable(
+            spark,
+            "prices",
+            [
+                (1, 1, D("10.50")), (1, 1, D("20.25")),
+                (1, 2, D("10.50")), (1, 2, D("5.00")),
+                (2, 1, D("7.77")),
+            ],
+            "grp INT NOT NULL, sub INT NOT NULL, "
+            "amount DECIMAL(18,2) NOT NULL",
+        )
+        ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
+        try:
+            prices = rel(1, read_rel(["prices"], ["grp", "sub", "amount"]))
+            inner = rel(4, aggregate_rel(
+                prices, [0, 1],
+                [
+                    measure(agg_function(1, [2], invocation=2, phase=1)),
+                    measure(agg_function(2, [2], invocation=2, phase=1)),
+                ],
+            ))
+            # inner output: (grp, sub, sum_set, avg_set)
+            outer = rel(4, aggregate_rel(
+                inner, [0],
+                [
+                    measure(agg_function(1, [2], invocation=2, phase=4)),
+                    measure(agg_function(2, [3], invocation=2, phase=4)),
+                ],
+            ))
+            p = plan_bytes(
+                outer, ["grp", "dsum", "davg"],
+                extensions=extension_function(1, "sum:dec<18,2>")
+                + extension_function(2, "avg:dec<18,2>"),
+            )
+            info = ex.flight_info(_substrait_command(p))
+            table = ex._client.do_get(
+                info.endpoints[0].ticket, ex._options
+            ).read_all()
+            got = sorted(
+                zip(
+                    table.column("grp").to_pylist(),
+                    table.column("dsum").to_pylist(),
+                    table.column("davg").to_pylist(),
+                )
+            )
+            truth = sorted(
+                tuple(r)
+                for r in spark.sql(
+                    "SELECT grp, SUM(DISTINCT amount) AS dsum, "
+                    "AVG(DISTINCT amount) AS davg "
+                    "FROM prices GROUP BY grp"
+                ).collect()
+            )
+            assert got == truth
+            # grp 1 distinct set {10.50, 20.25, 5.00}: exact values
+            assert got[0] == (1, D("35.75"), D("11.916667"))
+            assert got[1] == (2, D("7.77"), D("7.770000"))
+        finally:
+            ex.close()
+
     def test_unsupported_plan_rejected_over_wire(self, substrait_server):
         ex = FlightSQLExecutor(f"grpc://localhost:{substrait_server.port}")
         try:
@@ -1070,7 +1141,12 @@ class TestAggregateTranslate:
         )
         with pytest.raises(SubstraitUnsupported, match="compound"):
             substrait_to_sql(p)
-        # DISTINCT avg of decimal: no double-exact fold — still named
+
+    def test_merge_phase_distinct_avg_decimal_folds_exactly(self):
+        # round 10: DISTINCT avg of decimal folds in the exact
+        # DECIMAL(p+10,s) accumulator and divides in Spark's own AVG
+        # typing — count cast to DECIMAL(20,0), result cast to the
+        # bounded (p+4, s+4) type — instead of rejecting
         pd = plan_bytes(
             rel(4, aggregate_rel(
                 ORDERS_READ, [0],
@@ -1078,8 +1154,24 @@ class TestAggregateTranslate:
             )),
             extensions=extension_function(1, "avg:dec<18,2>"),
         )
-        with pytest.raises(SubstraitUnsupported, match="sum/avg"):
-            substrait_to_sql(pd)
+        sql = substrait_to_sql(pd)
+        assert "DECIMAL(28,2)" in sql  # the exact fold accumulator
+        assert "AS DECIMAL(20,0)" in sql  # Average's count cast
+        assert "AS DECIMAL(22,6)" in sql  # bounded (p+4, s+4) result
+        assert "AS DOUBLE" not in sql  # never a lossy double fold
+
+    def test_distinct_avg_decimal_result_type_bounds(self):
+        from datafusion_flight_sql_server_spark.plans.substrait import (
+            _distinct_avg_result_type,
+        )
+        assert _distinct_avg_result_type("dec<18,2>") == "DECIMAL(22,6)"
+        # precision saturates at 38, scale stays <= precision
+        assert _distinct_avg_result_type("dec<38,10>") == "DECIMAL(38,14)"
+        assert _distinct_avg_result_type("dec<38,38>") == "DECIMAL(38,38)"
+        # bare dec defaults to Substrait's (38,18) reading
+        assert _distinct_avg_result_type("dec") == "DECIMAL(38,22)"
+        assert _distinct_avg_result_type("i64") is None
+        assert _distinct_avg_result_type(None) is None
 
     def test_merge_phase_count_star_malformed(self):
         # INTERMEDIATE_TO_RESULT count without the partial-count column
