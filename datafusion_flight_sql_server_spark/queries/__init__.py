@@ -53,19 +53,22 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: implementation (or an operator/cache it rides) materially changed in
 #: the round. SURVEY §5 documents the same policy.
 #:
-#: Round-10 state: tier 2 = the two KMV queries (gained the audit=
-#: production flag this round — the default audited path is what the
-#: driver rows pin). No new registrations at priority-freeze time; the
-#: round-10 serving-path change (FIFO pull pool) is covered by the
-#: pinned scan_flight. Tier 3 LEADS with the six queries deferred at
-#: the round-9 cut (never-deferred-twice invariant), then the complete
-#: round-5 cohort (40 queries — all of them fit, so nothing defers
-#: out of round 10) and the alphabetical head of the round-6 cohort;
-#: round 11's tier 3 starts at ``agg_cube`` (r6, next oldest-first).
+#: Round-10 state: tier 2 = agg_kmv_difference (NEW this round — the
+#: theta A-not-B completing the sketch algebra, three-scale
+#: driver-simulated on landing) plus the two earlier KMV queries
+#: (gained the audit= production flag this round — the default audited
+#: path is what the driver rows pin). The round-10 serving-path change
+#: (FIFO pull pool) is covered by the pinned scan_flight. Tier 3 LEADS
+#: with the six queries deferred at the round-9 cut
+#: (never-deferred-twice invariant), then the complete round-5 cohort
+#: (40 queries — all fit); the late registration displaced the round-6
+#: cohort head, so round 11's tier 3 starts at ``agg_count_star``
+#: (r6, next oldest-first).
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
-    # tier 2: round-10 implementation changes (audit= flag)
+    # tier 2: round-10 registrations + implementation changes (audit= flag)
+    "agg_kmv_difference",  # NEW round 10 (late): theta A-not-B
     "agg_kmv_intersect",
     "agg_kmv_rollup",
     # tier 3 LEAD: deferred at the round-9 cut (latest driver row r4)
@@ -116,9 +119,12 @@ _PRIORITY = (
     "window_rank",
     "window_running",
     "window_topk_per_group",
-    # tier 3: round-6 cohort head (alphabetical within the round)
-    "agg_count_star",
 )
+# round-10 late registration displaced the round-6 cohort head
+# ("agg_count_star") from the 50-row prefix; round 11's tier 3 starts
+# there (r6, next oldest-first) — it was NOT deferred at a cut (it was
+# the optimistic overflow slot), so the never-deferred-twice invariant
+# is untouched.
 
 
 def _reorder() -> None:

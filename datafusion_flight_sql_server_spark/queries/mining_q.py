@@ -1851,3 +1851,149 @@ def q_agg_kmv_rollup(
         .join(exact, "event_type")
         .select(*base_cols, "exact_distinct")
     )
+
+
+@query(
+    "agg_kmv_difference",
+    oracle="""
+        WITH uh AS (SELECT DISTINCT event_type, user_id FROM events),
+        hh AS (SELECT event_type, user_id,
+                      ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                          ::BIGINT AS h
+               FROM uh),
+        sk AS (SELECT event_type, user_id, h,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY h, user_id) AS r
+               FROM hh),
+        kmv AS (SELECT * FROM sk WHERE r <= 64),
+        th AS (SELECT event_type,
+                      CASE WHEN COUNT(*) < 64 THEN 281474976710656
+                           ELSE CAST(MAX(h) AS BIGINT) END AS theta
+               FROM kmv GROUP BY event_type),
+        spine AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         CASE WHEN a.theta < b.theta THEN a.theta
+                              ELSE b.theta END AS theta
+                  FROM th a JOIN th b ON a.event_type <> b.event_type),
+        surv AS (SELECT s.type_a, s.type_b, k.h
+                 FROM spine s
+                 JOIN kmv k ON k.event_type = s.type_a AND k.h < s.theta
+                 WHERE NOT EXISTS (
+                     SELECT 1 FROM kmv kb
+                     WHERE kb.event_type = s.type_b
+                       AND kb.user_id = k.user_id)),
+        est AS (SELECT s.type_a, s.type_b, s.theta,
+                       CAST(COUNT(v.h) AS BIGINT) AS rho_n
+                FROM spine s LEFT JOIN surv v
+                  ON v.type_a = s.type_a AND v.type_b = s.type_b
+                GROUP BY 1, 2, 3),
+        exact AS (SELECT s.type_a, s.type_b,
+                         CAST(COUNT(*) AS BIGINT) AS exact_diff
+                  FROM spine s JOIN uh a ON a.event_type = s.type_a
+                  WHERE NOT EXISTS (
+                      SELECT 1 FROM uh b
+                      WHERE b.event_type = s.type_b
+                        AND b.user_id = a.user_id)
+                  GROUP BY 1, 2)
+        SELECT e.type_a, e.type_b,
+               CAST((e.rho_n * 281474976710656) // e.theta AS BIGINT)
+                   AS kmv_diff_est,
+               COALESCE(x.exact_diff, 0) AS exact_diff
+        FROM est e LEFT JOIN exact x
+          ON x.type_a = e.type_a AND x.type_b = e.type_b
+    """,
+    doc="KMV/theta-sketch set-DIFFERENCE cardinality |A minus B| per ordered "
+    "event-type pair with an exact audit — the A-not-B operation that "
+    "completes the sketch algebra (agg_kmv_rollup = union, "
+    "agg_kmv_intersect = intersection; same k=64 deterministic 48-bit "
+    "md5 sketches, so all three compose over ONE stored sketch form). "
+    "Below theta_pair = min(theta_a, theta_b), sketch membership is "
+    "EXACT (a theta sketch contains every set member hashing under its "
+    "theta), so B-membership of A's retained members is decidable, not "
+    "estimated: retained = A-sketch members with h < theta_pair that are "
+    "absent from B's sketch, est = retained * 2^48 DIV theta_pair — the "
+    "standard unbiased theta A-not-B, entirely in bigint (retained <= 64 "
+    "keeps the product under 2^54). When both sets are smaller than k "
+    "the estimate degenerates to the exact difference. Scale: every "
+    "pair operation touches only 64-row sketches (the retained-member "
+    "probe is a left-anti join of one sketch against another); only the "
+    "AUDIT leg walks the full distinct relation, and a production run "
+    "drops it via audit=False (documented, plan-pinned).",
+    tags=("aggregate", "sketch", "events"),
+)
+def q_agg_kmv_difference(
+    spark: SparkSession, sf: str, audit: bool = True
+) -> DataFrame:
+    # audit=False is the PRODUCTION form — sketch-only, no corpus-sized
+    # anti-join; the driver keeps the default audited shape.
+    e = tables(spark, sf)["events"]
+    h_space = 281474976710656  # 2^48
+    k = 64
+    uh = e.select("event_type", "user_id").distinct()
+    hh = uh.withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("bigint"),
+    )
+    w = W.partitionBy("event_type").orderBy("h", "user_id")
+    kmv = (
+        hh.select("event_type", "user_id", "h", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= k)
+    )
+    th = kmv.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(h_space))
+        .otherwise(F.max("h"))
+        .cast("bigint")
+        .alias("theta")
+    )
+    ta = th.select(F.col("event_type").alias("type_a"), F.col("theta").alias("tha"))
+    tb = th.select(F.col("event_type").alias("type_b"), F.col("theta").alias("thb"))
+    spine = ta.join(tb, F.col("type_a") != F.col("type_b")).select(
+        "type_a", "type_b", F.least("tha", "thb").alias("theta")
+    )
+    a = kmv.select(
+        F.col("event_type").alias("type_a"),
+        F.col("user_id").alias("ua"),
+        F.col("h").alias("ha"),
+    )
+    b = kmv.select(
+        F.col("event_type").alias("tb2"), F.col("user_id").alias("ub")
+    )
+    # A-sketch members below the pair theta…
+    cand = spine.join(a, "type_a").filter(F.col("ha") < F.col("theta"))
+    # …that are absent from B's sketch (exact membership below theta_b):
+    surv = cand.join(
+        b,
+        (F.col("type_b") == F.col("tb2")) & (F.col("ua") == F.col("ub")),
+        "left_anti",
+    ).select("type_a", "type_b", F.col("ha").alias("h"))
+    est = (
+        spine.join(surv, ["type_a", "type_b"], "left")
+        .groupBy("type_a", "type_b", "theta")
+        .agg(F.count("h").cast("bigint").alias("rho_n"))
+    )
+    est_cols = [
+        F.col("type_a"),
+        F.col("type_b"),
+        F.expr(f"(rho_n * {h_space}) DIV theta").cast("bigint").alias(
+            "kmv_diff_est"
+        ),
+    ]
+    if not audit:
+        return est.select(*est_cols)
+    xa = uh.select(F.col("event_type").alias("type_a"), F.col("user_id").alias("xua"))
+    xb = uh.select(F.col("event_type").alias("xtb"), F.col("user_id").alias("xub"))
+    exact = (
+        spine.select("type_a", "type_b")
+        .join(xa, "type_a")
+        .join(
+            xb,
+            (F.col("type_b") == F.col("xtb")) & (F.col("xua") == F.col("xub")),
+            "left_anti",
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_diff"))
+    )
+    return est.join(exact, ["type_a", "type_b"], "left").select(
+        *est_cols, F.coalesce("exact_diff", F.lit(0)).cast("bigint").alias("exact_diff")
+    )

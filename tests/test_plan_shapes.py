@@ -307,6 +307,33 @@ class TestRound4PlanShapes:
         }
         assert lean == audited and lean
 
+    def test_agg_kmv_difference_anti_join_sketch_only(self, spark):
+        # round 10 (late): the A-not-B retained-member probe is a
+        # left-anti join of 64-row sketches under the WindowGroupLimit
+        # sketch discipline — nothing pairwise over users; the no-audit
+        # production form drops the corpus-sized anti-join tier and
+        # keeps the estimate values bit-identical.
+        from datafusion_flight_sql_server_spark.queries import REGISTRY
+
+        full = REGISTRY["agg_kmv_difference"].fn(spark, SF_SMALL)
+        assert "exact_diff" in full.columns
+        fplan = _executed_plan(full)
+        assert "WindowGroupLimit" in fplan
+        assert "CartesianProduct" not in fplan
+        assert "LeftAnti" in fplan
+
+        lean_df = REGISTRY["agg_kmv_difference"].fn(spark, SF_SMALL, audit=False)
+        assert "exact_diff" not in lean_df.columns
+        lplan = _executed_plan(lean_df)
+        assert "WindowGroupLimit" in lplan
+        assert lplan.count("Join") < fplan.count("Join")
+        lean = {tuple(r[:2]): r[2] for r in lean_df.collect()}
+        audited = {
+            tuple(r[:2]): r[2]
+            for r in full.select("type_a", "type_b", "kmv_diff_est").collect()
+        }
+        assert lean == audited and lean
+
     def test_event_time_weighted_one_exchange(self, spark):
         # the lead() window and the groupBy share the (user_id, day)
         # partitioning: one shuffle total, no joins
