@@ -453,6 +453,87 @@ class Engine:
             self._TABLE_TYPES_SCHEMA,
         )
 
+    def info_schema_rows(self, rel: str) -> list[tuple]:
+        """Rows for one virtualized ``information_schema`` relation
+        (``plans/dialect.py`` ``rewrite_information_schema``) — built
+        from the SAME live catalog the GetTables/GetDbSchemas RPCs
+        serve, so both discovery surfaces always agree. DataFusion
+        serves these views when the embedder enables them
+        (SessionConfig::with_information_schema; the reference executes
+        whatever that context parses, service.rs:171). Spellings that
+        differ by engine and are documented as ours: ``table_type``
+        uses the GetTables mapping (temp views → TEMPORARY),
+        ``data_type`` uses Spark's ``simpleString`` names, and
+        ``df_settings`` lists the session's explicitly-set SQL confs.
+        Temp views (no namespace) surface under the session's current
+        database: ANSI information_schema consumers filter with
+        ``table_schema = '…'`` and a NULL schema would silently drop
+        every row (the Flight GetTables RPC keeps NULL per its own
+        reference contract — the two surfaces share the catalog, not
+        the NULL spelling)."""
+        current = self.spark.catalog.currentCatalog()
+        db = self.spark.catalog.currentDatabase()
+        if rel == "tables":
+            rows = [
+                (
+                    t.catalog or current,
+                    t.namespace[0] if t.namespace else db,
+                    t.name,
+                    _table_type(t),
+                )
+                for t in self.spark.catalog.listTables()
+            ]
+            rows += [
+                (current, "information_schema", r, "VIEW")
+                for r in ("tables", "views", "columns", "schemata", "df_settings")
+            ]
+            return sorted(rows, key=lambda r: (r[0] or "", r[1] or "", r[2]))
+        if rel == "views":
+            return sorted(
+                (
+                    (
+                        t.catalog or current,
+                        t.namespace[0] if t.namespace else db,
+                        t.name,
+                        None,  # temp-view definitions are not recorded
+                    )
+                    for t in self.spark.catalog.listTables()
+                    if _table_type(t) in ("VIEW", "TEMPORARY")
+                ),
+                key=lambda r: (r[0] or "", r[1] or "", r[2]),
+            )
+        if rel == "columns":
+            rows = []
+            for t in self.spark.catalog.listTables():
+                cat = t.catalog or current
+                schema_name = t.namespace[0] if t.namespace else db
+                for i, f in enumerate(self.spark.table(t.name).schema.fields, 1):
+                    rows.append(
+                        (
+                            cat,
+                            schema_name,
+                            t.name,
+                            f.name,
+                            i,
+                            None,
+                            "YES" if f.nullable else "NO",
+                            f.dataType.simpleString(),
+                        )
+                    )
+            return sorted(rows, key=lambda r: (r[0] or "", r[1] or "", r[2], r[4]))
+        if rel == "schemata":
+            rows = [
+                (current, d.name, None, None, None, None)
+                for d in self.spark.catalog.listDatabases()
+            ]
+            rows.append((current, "information_schema", None, None, None, None))
+            return sorted(rows, key=lambda r: (r[0] or "", r[1] or ""))
+        if rel == "df_settings":
+            return sorted(
+                (r["key"], r["value"]) for r in self.spark.sql("SET").collect()
+            )
+        raise KeyError(rel)
+
     def table_schema(self, table: str):
         """Schema probe used by the federation client (parity:
         table-provider/src/lib.rs:91-101 — ``select * from {t} limit 1``)."""

@@ -61,13 +61,26 @@ from under it unless the caller passes ``session_functions`` — a
 predicate over the live registry (the Flight service passes a cached
 ``spark.catalog.functionExists`` probe) that suppresses auto-mode
 rewrites of names the session resolves itself.
+
+Separately from ``rewrite_sql``, :func:`rewrite_information_schema`
+virtualizes DataFusion's ``information_schema`` views (tables / views /
+columns / schemata / df_settings) as inline derived tables built from
+the live session catalog — the Flight service applies it after the
+dialect rewrite in auto AND datafusion modes (Spark has no
+information_schema, so rewriting cannot change valid Spark SQL; an
+embedder-created real ``information_schema`` database wins via the
+service's skip probe).
 """
 
 from __future__ import annotations
 
 import re
 
-__all__ = ["DialectUnsupported", "rewrite_sql"]
+__all__ = [
+    "DialectUnsupported",
+    "rewrite_sql",
+    "rewrite_information_schema",
+]
 
 
 class DialectUnsupported(ValueError):
@@ -993,3 +1006,174 @@ def rewrite_sql(sql: str, mode: str = "auto", session_functions=None) -> str:
     if not interesting:
         return sql
     return _render(toks, 0, len(toks), mode, sql, session_functions)
+
+
+# -- information_schema virtualization (datafusion + auto modes) -------------
+
+#: DataFusion serves ANSI ``information_schema`` views when the embedder
+#: enables them (SessionConfig::with_information_schema — the reference
+#: executes whatever SQL the embedder's context accepts, service.rs:171).
+#: Spark has no information_schema, so a reference client's
+#: ``SELECT … FROM information_schema.tables`` would fail here. These
+#: relations virtualize as inline derived tables built from the LIVE
+#: session catalog at rewrite time (the same catalog the Flight
+#: GetTables/GetDbSchemas RPCs serve, so both discovery surfaces agree).
+#: Column lists follow DataFusion's information_schema; ``data_type``
+#: uses Spark's type spellings (documented engine difference).
+_INFO_SCHEMA_RELS = {
+    "tables": (
+        ("table_catalog", "STRING"),
+        ("table_schema", "STRING"),
+        ("table_name", "STRING"),
+        ("table_type", "STRING"),
+    ),
+    "views": (
+        ("table_catalog", "STRING"),
+        ("table_schema", "STRING"),
+        ("table_name", "STRING"),
+        ("definition", "STRING"),
+    ),
+    "columns": (
+        ("table_catalog", "STRING"),
+        ("table_schema", "STRING"),
+        ("table_name", "STRING"),
+        ("column_name", "STRING"),
+        ("ordinal_position", "BIGINT"),
+        ("column_default", "STRING"),
+        ("is_nullable", "STRING"),
+        ("data_type", "STRING"),
+    ),
+    "schemata": (
+        ("catalog_name", "STRING"),
+        ("schema_name", "STRING"),
+        ("default_character_set_catalog", "STRING"),
+        ("default_character_set_schema", "STRING"),
+        ("default_character_set_name", "STRING"),
+        ("sql_path", "STRING"),
+    ),
+    "df_settings": (
+        ("name", "STRING"),
+        ("value", "STRING"),
+    ),
+}
+
+#: Keywords that can follow a FROM-position relation without being its
+#: alias — anything else word-shaped right after the relation IS the alias.
+_ALIAS_STOP = frozenset(
+    """where group order limit having union intersect except minus join
+    inner left right full cross natural on using window qualify lateral
+    tablesample offset fetch for semi anti and or when then else end
+    select from""".split()
+)
+
+
+def _info_value(v, sql_type: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {sql_type})"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    return _emit_str_literal(str(v))
+
+
+def _info_relation_sql(rel: str, rows, alias: str) -> str:
+    """Inline derived table for one information_schema relation."""
+    cols = _INFO_SCHEMA_RELS[rel]
+    names = ", ".join(c for c, _ in cols)
+    if not rows:
+        empties = ", ".join(
+            f"CAST(NULL AS {t}) AS {c}" for c, t in cols
+        )
+        return f"(SELECT {empties} WHERE 1 = 0) AS {alias}"
+    body = ", ".join(
+        "(" + ", ".join(
+            _info_value(v, cols[k][1]) for k, v in enumerate(row)
+        ) + ")"
+        for row in rows
+    )
+    return f"(VALUES {body}) AS {alias}({names})"
+
+
+def rewrite_information_schema(sql: str, provider, skip_rel=None) -> str:
+    """Replace relation references ``information_schema.<rel>`` with
+    inline derived tables. ``provider(rel)`` returns the rows (tuples in
+    ``_INFO_SCHEMA_RELS`` column order) from the live catalog;
+    ``skip_rel(rel) -> bool`` (optional) leaves an occurrence untouched —
+    the service passes a real-table probe so an embedder that actually
+    created an ``information_schema`` database always wins.
+
+    A following ``[AS] alias`` is honored (the alias moves onto the
+    derived table); an unaliased reference gets the relation name as its
+    alias, and three-part column qualifiers
+    (``information_schema.tables.table_name``) drop their first part so
+    they resolve against that alias. Only word/backtick aliases are
+    recognized. The rewrite is resolved-content-dependent but
+    shape-idempotent: its output contains no ``information_schema``
+    token, so the service's rewrite-ONCE contract holds unchanged."""
+    low = sql.lower()
+    if "information_schema" not in low:
+        return sql
+    toks = [(k, s, e, sql[s:e]) for k, s, e in _tokens(sql)]
+    # indexes of meaningful tokens (skip whitespace-ish "other" + comments)
+    mean = [
+        i
+        for i, t in enumerate(toks)
+        if t[0] != "comment" and not (t[0] == "other" and t[3].isspace())
+    ]
+    out = []
+    consumed_until = 0  # token index
+    pos = 0  # char position copied so far
+    for mi, ti in enumerate(mean):
+        if ti < consumed_until:
+            continue
+        kind, s, e, text = toks[ti]
+        if kind != "word" or text.lower() != "information_schema":
+            continue
+        # require: . <rel>
+        if mi + 2 >= len(mean):
+            continue
+        dot_i, rel_i = mean[mi + 1], mean[mi + 2]
+        if toks[dot_i][3] != "." or toks[rel_i][0] != "word":
+            continue
+        rel = toks[rel_i][3].lower()
+        if rel not in _INFO_SCHEMA_RELS:
+            continue
+        # a PRECEDING "." means this is a qualified sub-reference of
+        # something else — leave it alone
+        if mi > 0 and toks[mean[mi - 1]][3] == ".":
+            continue
+        if skip_rel is not None and skip_rel(rel):
+            continue
+        # three-part column qualifier: information_schema.tables.col →
+        # tables.col (resolves against the default alias)
+        if mi + 3 < len(mean) and toks[mean[mi + 3]][3] == ".":
+            out.append(sql[pos:s])
+            pos = toks[rel_i][1]  # drop "information_schema."
+            consumed_until = rel_i
+            continue
+        # relation reference: detect a trailing [AS] alias
+        alias = rel
+        end_i = rel_i
+        nxt = mean[mi + 3] if mi + 3 < len(mean) else None
+        if nxt is not None and toks[nxt][0] == "word" and (
+            toks[nxt][3].lower() == "as"
+        ):
+            nxt2 = mean[mi + 4] if mi + 4 < len(mean) else None
+            if nxt2 is not None and toks[nxt2][0] in ("word", "bq"):
+                alias = toks[nxt2][3]
+                end_i = nxt2
+        elif nxt is not None and (
+            (toks[nxt][0] == "word" and toks[nxt][3].lower() not in _ALIAS_STOP)
+            or toks[nxt][0] == "bq"
+        ):
+            alias = toks[nxt][3]
+            end_i = nxt
+        out.append(sql[pos:s])
+        out.append(_info_relation_sql(rel, provider(rel), alias))
+        pos = toks[end_i][2]
+        consumed_until = end_i + 1
+    if not out:
+        return sql
+    out.append(sql[pos:])
+    return "".join(out)

@@ -330,6 +330,7 @@ class FlightSqlServer(fl.FlightServerBase):
         if self.config.sql_dialect == "spark":
             return sql
         from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_information_schema,
             rewrite_sql,
         )
 
@@ -355,7 +356,28 @@ class FlightSqlServer(fl.FlightServerBase):
                     cache[key] = True
                 return hit
 
-        return rewrite_sql(sql, self.config.sql_dialect, probe)
+        out = rewrite_sql(sql, self.config.sql_dialect, probe)
+        if engine is not None and "information_schema" in out.lower():
+            # Virtualize DataFusion's information_schema views from the
+            # live catalog (the one the GetTables RPC serves). Safe in
+            # auto mode too: Spark has no information_schema, so the
+            # reference would otherwise be a guaranteed parse-time
+            # failure — UNLESS the embedder really created a database
+            # of that name, which the skip probe lets win.
+            spark = engine.spark
+
+            def _real_table(rel: str) -> bool:
+                try:
+                    return bool(
+                        spark.catalog.tableExists(f"information_schema.{rel}")
+                    )
+                except Exception:
+                    return False
+
+            out = rewrite_information_schema(
+                out, engine.info_schema_rows, skip_rel=_real_table
+            )
+        return out
 
     # -- GetFlightInfo ------------------------------------------------------
 

@@ -335,6 +335,164 @@ class TestAutoModeLiveRegistryGuard:
             srv.shutdown()
 
 
+class TestInformationSchemaOverFlight:
+    """DataFusion serves information_schema views when the embedder
+    enables them (SessionConfig::with_information_schema; the reference
+    executes whatever that context parses, service.rs:171). Spark has
+    none, so the service virtualizes them from the live catalog — the
+    same catalog GetTables serves, so both discovery surfaces agree."""
+
+    def test_tables_lists_registered_tables(self, auto_client):
+        t = auto_client.execute(
+            "SELECT table_name, table_type FROM information_schema.tables "
+            "WHERE table_schema <> 'information_schema' ORDER BY table_name"
+        )
+        names = t.column("table_name").to_pylist()
+        assert "users" in names and "orders" in names
+        assert set(t.column("table_type").to_pylist()) <= {
+            "BASE TABLE", "VIEW", "TEMPORARY"
+        }
+
+    def test_tables_lists_the_info_schema_views_themselves(self, df_client):
+        t = df_client.execute(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = 'information_schema' ORDER BY 1"
+        )
+        assert t.column("table_name").to_pylist() == [
+            "columns", "df_settings", "schemata", "tables", "views"
+        ]
+
+    def test_alias_and_qualified_filter(self, auto_client):
+        t = auto_client.execute(
+            "SELECT t.table_name FROM information_schema.tables AS t "
+            "WHERE t.table_name = 'users'"
+        )
+        assert t.column("table_name").to_pylist() == ["users"]
+
+    def test_bare_alias_without_as(self, auto_client):
+        t = auto_client.execute(
+            "SELECT x.table_name FROM information_schema.tables x "
+            "WHERE x.table_name = 'orders'"
+        )
+        assert t.num_rows == 1
+
+    def test_three_part_column_qualifier(self, auto_client):
+        t = auto_client.execute(
+            "SELECT information_schema.tables.table_name "
+            "FROM information_schema.tables "
+            "WHERE information_schema.tables.table_name = 'users'"
+        )
+        assert t.num_rows == 1
+
+    def test_columns_ordinals_and_types(self, auto_client):
+        t = auto_client.execute(
+            "SELECT column_name, ordinal_position, data_type "
+            "FROM information_schema.columns "
+            "WHERE table_name = 'users' ORDER BY ordinal_position"
+        )
+        rows = list(
+            zip(
+                t.column("column_name").to_pylist(),
+                t.column("ordinal_position").to_pylist(),
+                t.column("data_type").to_pylist(),
+            )
+        )
+        assert rows == [("id", 1, "int"), ("name", 2, "string")]
+
+    def test_schemata_includes_default_and_info_schema(self, auto_client):
+        t = auto_client.execute(
+            "SELECT schema_name FROM information_schema.schemata ORDER BY 1"
+        )
+        names = t.column("schema_name").to_pylist()
+        assert "default" in names and "information_schema" in names
+
+    def test_df_settings_serves_session_confs(self, df_client):
+        t = df_client.execute(
+            "SELECT name, value FROM information_schema.df_settings"
+        )
+        assert t.num_rows >= 1
+
+    def test_join_against_user_table(self, auto_client):
+        # the derived table composes like any relation
+        t = auto_client.execute(
+            "SELECT COUNT(*) AS n FROM information_schema.tables i "
+            "JOIN users u ON u.name IS NOT NULL "
+            "WHERE i.table_name = 'users'"
+        )
+        assert t.column("n").to_pylist() == [3]
+
+    def test_spark_mode_leaves_reference_to_fail(self, spark_client):
+        import pyarrow.flight as fl
+
+        with pytest.raises(fl.FlightError):
+            spark_client.execute(
+                "SELECT * FROM information_schema.tables"
+            )
+
+
+class TestInformationSchemaRewriteUnit:
+    def test_skip_rel_leaves_occurrence(self):
+        from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_information_schema,
+        )
+
+        sql = "SELECT * FROM information_schema.tables"
+        out = rewrite_information_schema(
+            sql, lambda rel: [], skip_rel=lambda rel: True
+        )
+        assert out == sql
+
+    def test_zero_rows_renders_typed_empty_relation(self):
+        from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_information_schema,
+        )
+
+        out = rewrite_information_schema(
+            "SELECT * FROM information_schema.views", lambda rel: []
+        )
+        assert "WHERE 1 = 0" in out and "AS views" in out
+        assert "information_schema" not in out.lower()
+
+    def test_strings_comments_and_other_names_untouched(self):
+        from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_information_schema,
+        )
+
+        for sql in (
+            "SELECT 'information_schema.tables'",
+            "SELECT 1 -- information_schema.tables",
+            "SELECT * FROM information_schema_tables",
+            "SELECT * FROM foo.information_schema.tables",
+            "SELECT * FROM information_schema.unknown_rel",
+        ):
+            assert rewrite_information_schema(sql, lambda rel: []) == sql
+
+    def test_alias_stop_keyword_not_eaten(self):
+        from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_information_schema,
+        )
+
+        out = rewrite_information_schema(
+            "SELECT * FROM information_schema.tables WHERE table_name = 'x'",
+            lambda rel: [("c", "s", "x", "VIEW")],
+        )
+        assert "WHERE table_name = 'x'" in out
+        assert "AS tables(table_catalog" in out
+
+    def test_output_contains_no_rewritable_token(self):
+        # shape idempotency: a second pass is a no-op
+        from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_information_schema,
+        )
+
+        out = rewrite_information_schema(
+            "SELECT table_name FROM information_schema.tables t, "
+            "information_schema.schemata s",
+            lambda rel: [],
+        )
+        assert rewrite_information_schema(out, lambda rel: []) == out
+
+
 class TestRewriteUnit:
     def test_strings_comments_and_qualified_names_untouched(self):
         sql = (
