@@ -657,6 +657,69 @@ class TestRewriteUnit:
         assert "AS TIMESTAMP)" in out and "NTZ" not in out
 
 
+class TestInformationSchemaRewriteFuzz:
+    """rewrite_information_schema also transits every Flight statement
+    (after rewrite_sql), so it must be total over arbitrary text and
+    shape-idempotent on success."""
+
+    def test_arbitrary_text_total_and_idempotent(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_information_schema,
+        )
+
+        rows = {
+            "tables": [("c", "s", "t", "VIEW")],
+            "views": [],
+            "columns": [("c", "s", "t", "x", 1, None, "YES", "int")],
+            "schemata": [("c", "s", None, None, None, None)],
+            "df_settings": [("k", "v")],
+        }
+
+        @given(st.text(max_size=160))
+        @settings(
+            max_examples=300,
+            suppress_health_check=[HealthCheck.too_slow],
+            deadline=None,
+        )
+        def fuzz(sql):
+            out = rewrite_information_schema(sql, rows.__getitem__)
+            assert isinstance(out, str)
+            assert rewrite_information_schema(out, rows.__getitem__) == out
+
+        fuzz()
+
+    def test_trigger_fragments_total(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_information_schema,
+        )
+
+        frags = st.sampled_from([
+            "information_schema", ".", "tables", "columns", "schemata",
+            "views", "df_settings", "AS", "t", "`x`", '"q"', "'s'",
+            " ", ",", "(", ")", "--c\n", "/*", "SELECT", "FROM", "WHERE",
+        ])
+
+        @given(st.lists(frags, max_size=20))
+        @settings(
+            max_examples=300,
+            suppress_health_check=[HealthCheck.too_slow],
+            deadline=None,
+        )
+        def fuzz(parts):
+            sql = " ".join(parts)
+            out = rewrite_information_schema(sql, lambda rel: [])
+            assert isinstance(out, str)
+            assert rewrite_information_schema(out, lambda rel: []) == out
+
+        fuzz()
+
+
 class TestRewriteFuzz:
     """The rewriter processes UNTRUSTED client SQL (every Flight
     statement transits it), so like the Substrait decoder it must be a
