@@ -988,6 +988,14 @@ class TestMixedTrafficSoak:
         def role_metadata(ex, i, t):
             names = ex.table_names()
             assert "users" in names and "soak_wide" in names
+            # information_schema virtualization under concurrency: the
+            # rewrite probes the live catalog per statement, so ten
+            # threads exercise catalog calls against one session
+            tbl = ex.execute(
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_name = 'soak_wide'"
+            )
+            assert tbl.column("table_name").to_pylist() == ["soak_wide"]
 
         roles = [
             role_dialect, role_prepared, role_substrait,
