@@ -507,7 +507,13 @@ class Engine:
             for t in self.spark.catalog.listTables():
                 cat = t.catalog or current
                 schema_name = t.namespace[0] if t.namespace else db
-                for i, f in enumerate(self.spark.table(t.name).schema.fields, 1):
+                try:
+                    # backticks: names with dots/specials must not parse
+                    # as multi-part references
+                    fields = self.spark.table(f"`{t.name}`").schema.fields
+                except Exception:
+                    continue  # dropped between list and describe
+                for i, f in enumerate(fields, 1):
                     rows.append(
                         (
                             cat,
