@@ -489,13 +489,33 @@ class Engine:
             ]
             return sorted(rows, key=lambda r: (r[0] or "", r[1] or "", r[2]))
         if rel == "views":
+
+            def _definition(t) -> str | None:
+                # permanent views record their SQL; temp views do not
+                if _table_type(t) != "VIEW":
+                    return None
+                ref = (
+                    f"`{t.namespace[0]}`.`{t.name}`"
+                    if t.namespace
+                    else f"`{t.name}`"
+                )
+                try:
+                    for r in self.spark.sql(
+                        f"DESCRIBE TABLE EXTENDED {ref}"
+                    ).collect():
+                        if r[0] == "View Text":
+                            return r[1]
+                except Exception:
+                    pass
+                return None
+
             return sorted(
                 (
                     (
                         t.catalog or current,
                         t.namespace[0] if t.namespace else db,
                         t.name,
-                        None,  # temp-view definitions are not recorded
+                        _definition(t),
                     )
                     for t in self.spark.catalog.listTables()
                     if _table_type(t) in ("VIEW", "TEMPORARY")
@@ -508,9 +528,15 @@ class Engine:
                 cat = t.catalog or current
                 schema_name = t.namespace[0] if t.namespace else db
                 try:
-                    # backticks: names with dots/specials must not parse
-                    # as multi-part references
-                    fields = self.spark.table(f"`{t.name}`").schema.fields
+                    # qualify catalog tables by namespace so a temp view
+                    # sharing the name does not shadow their schema;
+                    # backticks keep dotted/special names single-part
+                    ref = (
+                        f"`{t.namespace[0]}`.`{t.name}`"
+                        if t.namespace
+                        else f"`{t.name}`"
+                    )
+                    fields = self.spark.table(ref).schema.fields
                 except Exception:
                     continue  # dropped between list and describe
                 for i, f in enumerate(fields, 1):
@@ -532,7 +558,10 @@ class Engine:
                 (current, d.name, None, None, None, None)
                 for d in self.spark.catalog.listDatabases()
             ]
-            rows.append((current, "information_schema", None, None, None, None))
+            if not any(r[1] == "information_schema" for r in rows):
+                rows.append(
+                    (current, "information_schema", None, None, None, None)
+                )
             return sorted(rows, key=lambda r: (r[0] or "", r[1] or ""))
         if rel == "df_settings":
             return sorted(

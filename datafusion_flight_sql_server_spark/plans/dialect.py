@@ -1103,14 +1103,22 @@ def rewrite_information_schema(sql: str, provider, skip_rel=None) -> str:
     the service passes a real-table probe so an embedder that actually
     created an ``information_schema`` database always wins.
 
-    A following ``[AS] alias`` is honored (the alias moves onto the
+    Only RELATION-position references rewrite — the token before
+    ``information_schema`` must be ``FROM``, ``JOIN`` or ``,`` — so a
+    struct column that happens to be named ``information_schema`` in
+    valid Spark SQL is never touched (the auto-mode no-op contract).
+    Backtick-quoted spellings match too (datafusion mode's
+    ``"quoted"``-identifier pass runs first and emits backticks). A
+    following ``[AS] alias`` is honored (the alias moves onto the
     derived table); an unaliased reference gets the relation name as its
     alias, and three-part column qualifiers
     (``information_schema.tables.table_name``) drop their first part so
-    they resolve against that alias. Only word/backtick aliases are
-    recognized. The rewrite is resolved-content-dependent but
-    shape-idempotent: its output contains no ``information_schema``
-    token, so the service's rewrite-ONCE contract holds unchanged."""
+    they resolve against that alias — but only when the SAME relation
+    was virtualized unaliased in this statement (after ``AS t`` the
+    original name is unreachable in DataFusion too). Only word/backtick
+    aliases are recognized. The rewrite is resolved-content-dependent
+    but shape-idempotent: every virtualized occurrence is consumed and
+    the skipped ones are skipped identically on a second pass."""
     low = sql.lower()
     if "information_schema" not in low:
         return sql
@@ -1121,38 +1129,55 @@ def rewrite_information_schema(sql: str, provider, skip_rel=None) -> str:
         for i, t in enumerate(toks)
         if t[0] != "comment" and not (t[0] == "other" and t[3].isspace())
     ]
-    out = []
-    consumed_until = 0  # token index
-    pos = 0  # char position copied so far
-    for mi, ti in enumerate(mean):
-        if ti < consumed_until:
-            continue
-        kind, s, e, text = toks[ti]
-        if kind != "word" or text.lower() != "information_schema":
-            continue
-        # require: . <rel>
+
+    def _name_of(tok) -> str | None:
+        kind, _s, _e, text = tok
+        if kind == "word":
+            return text.lower()
+        if kind == "bq" and len(text) >= 2 and text.endswith("`"):
+            return text[1:-1].replace("``", "`").lower()
+        return None
+
+    def _is_info_ref(mi: int):
+        """(rel, rel_token_index) when mean[mi] starts
+        ``information_schema . <rel>`` and is not itself qualified."""
+        ti = mean[mi]
+        if _name_of(toks[ti]) != "information_schema":
+            return None
         if mi + 2 >= len(mean):
-            continue
+            return None
         dot_i, rel_i = mean[mi + 1], mean[mi + 2]
-        if toks[dot_i][3] != "." or toks[rel_i][0] != "word":
-            continue
-        rel = toks[rel_i][3].lower()
+        if toks[dot_i][3] != ".":
+            return None
+        rel = _name_of(toks[rel_i])
         if rel not in _INFO_SCHEMA_RELS:
-            continue
-        # a PRECEDING "." means this is a qualified sub-reference of
-        # something else — leave it alone
+            return None
         if mi > 0 and toks[mean[mi - 1]][3] == ".":
+            return None  # qualified sub-reference of something else
+        return rel, rel_i
+
+    # pass 1: relation references (FROM/JOIN/comma position only)
+    repls: list[tuple[int, int, str]] = []  # (char_start, char_end, text)
+    default_alias_rels: set[str] = set()
+    consumed_until = -1  # raw token index
+    for mi, ti in enumerate(mean):
+        if ti <= consumed_until:
+            continue
+        hit = _is_info_ref(mi)
+        if hit is None:
+            continue
+        rel, rel_i = hit
+        prev = toks[mean[mi - 1]] if mi > 0 else None
+        if prev is None or not (
+            _name_of(prev) in ("from", "join") or prev[3] == ","
+        ):
+            continue
+        # a trailing "." means column context, not a relation
+        if mi + 3 < len(mean) and toks[mean[mi + 3]][3] == ".":
             continue
         if skip_rel is not None and skip_rel(rel):
             continue
-        # three-part column qualifier: information_schema.tables.col →
-        # tables.col (resolves against the default alias)
-        if mi + 3 < len(mean) and toks[mean[mi + 3]][3] == ".":
-            out.append(sql[pos:s])
-            pos = toks[rel_i][1]  # drop "information_schema."
-            consumed_until = rel_i
-            continue
-        # relation reference: detect a trailing [AS] alias
+        # detect a trailing [AS] alias
         alias = rel
         end_i = rel_i
         nxt = mean[mi + 3] if mi + 3 < len(mean) else None
@@ -1169,11 +1194,38 @@ def rewrite_information_schema(sql: str, provider, skip_rel=None) -> str:
         ):
             alias = toks[nxt][3]
             end_i = nxt
-        out.append(sql[pos:s])
-        out.append(_info_relation_sql(rel, provider(rel), alias))
-        pos = toks[end_i][2]
-        consumed_until = end_i + 1
-    if not out:
+        if alias == rel:
+            default_alias_rels.add(rel)
+        repls.append(
+            (toks[ti][1], toks[end_i][2], _info_relation_sql(rel, provider(rel), alias))
+        )
+        consumed_until = end_i
+    if not repls:
         return sql
+    # pass 2: strip "information_schema." off three-part column
+    # qualifiers of the rels virtualized under their default alias
+    consumed_until = -1
+    for mi, ti in enumerate(mean):
+        if ti <= consumed_until:
+            continue
+        hit = _is_info_ref(mi)
+        if hit is None:
+            continue
+        rel, rel_i = hit
+        if rel not in default_alias_rels:
+            continue
+        if not (mi + 3 < len(mean) and toks[mean[mi + 3]][3] == "."):
+            continue
+        start = toks[ti][1]
+        if any(r[0] <= start < r[1] for r in repls):
+            continue  # inside a pass-1 replacement span
+        repls.append((start, toks[rel_i][1], ""))
+        consumed_until = rel_i
+    repls.sort()
+    out, pos = [], 0
+    for s, e, text in repls:
+        out.append(sql[pos:s])
+        out.append(text)
+        pos = e
     out.append(sql[pos:])
     return "".join(out)

@@ -365,17 +365,17 @@ class FlightSqlServer(fl.FlightServerBase):
             # failure — UNLESS the embedder really created a database
             # of that name, which the skip probe lets win.
             spark = engine.spark
-
-            def _real_table(rel: str) -> bool:
-                try:
-                    return bool(
-                        spark.catalog.tableExists(f"information_schema.{rel}")
-                    )
-                except Exception:
-                    return False
-
+            try:
+                # database-level, not per-relation: a real DB must win
+                # WHOLE (mixing one real table with virtualized siblings
+                # would join two different catalogs in one result)
+                real_db = bool(
+                    spark.catalog.databaseExists("information_schema")
+                )
+            except Exception:
+                real_db = False
             out = rewrite_information_schema(
-                out, engine.info_schema_rows, skip_rel=_real_table
+                out, engine.info_schema_rows, skip_rel=lambda rel: real_db
             )
         return out
 

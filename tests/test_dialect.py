@@ -479,6 +479,54 @@ class TestInformationSchemaRewriteUnit:
         assert "WHERE table_name = 'x'" in out
         assert "AS tables(table_catalog" in out
 
+    def test_relation_position_only_struct_column_untouched(self):
+        # code-review round 10: a struct COLUMN named information_schema
+        # is valid Spark SQL — the rewrite must only fire in relation
+        # position (FROM/JOIN/comma), preserving auto's no-op contract
+        from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_information_schema,
+        )
+
+        for sql in (
+            "SELECT information_schema.tables FROM t",
+            "SELECT a + information_schema.columns FROM t",
+            "SELECT * FROM t WHERE information_schema.tables = 1",
+        ):
+            assert rewrite_information_schema(sql, lambda rel: []) == sql
+
+    def test_quoted_spellings_match(self):
+        # datafusion mode's dq->backtick pass runs first, so the info
+        # rewriter must accept backtick-quoted schema/relation tokens
+        from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_information_schema,
+        )
+
+        out = rewrite_information_schema(
+            "SELECT * FROM `information_schema`.`tables`",
+            lambda rel: [("c", "s", "t", "VIEW")],
+        )
+        assert "VALUES" in out and "information_schema" not in out.lower()
+        out2 = rewrite_information_schema(
+            "SELECT * FROM information_schema.`tables`", lambda rel: []
+        )
+        assert "WHERE 1 = 0" in out2
+
+    def test_three_part_strip_requires_default_alias(self):
+        # after AS t the original qualified name is unreachable in
+        # DataFusion too — the strip must NOT fire for aliased refs
+        from datafusion_flight_sql_server_spark.plans.dialect import (
+            rewrite_information_schema,
+        )
+
+        out = rewrite_information_schema(
+            "SELECT information_schema.tables.table_name "
+            "FROM information_schema.tables AS t",
+            lambda rel: [],
+        )
+        assert out.rstrip().endswith("AS t")
+        # the qualifier stays (and will error downstream, like DataFusion)
+        assert "information_schema.tables.table_name" in out
+
     def test_output_contains_no_rewritable_token(self):
         # shape idempotency: a second pass is a no-op
         from datafusion_flight_sql_server_spark.plans.dialect import (
@@ -655,6 +703,57 @@ class TestRewriteUnit:
             "SELECT arrow_cast(x, 'Timestamp(Microsecond, Some(\"UTC\"))')"
         )
         assert "AS TIMESTAMP)" in out and "NTZ" not in out
+
+
+class TestInfoSchemaProviderEdgeCases:
+    def test_temp_view_does_not_shadow_catalog_table_columns(self, spark):
+        """code-review round 10 (verified repro): columns must qualify
+        catalog tables by namespace, else a same-named temp view's
+        schema replaces the table's real columns."""
+        from datafusion_flight_sql_server_spark.engine.core import Engine
+
+        spark.sql(
+            "CREATE TABLE is_shadow_probe (id INT, name STRING, extra DOUBLE)"
+            " USING parquet"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW is_shadow_probe "
+            "AS SELECT 1 AS only_col"
+        )
+        try:
+            rows = Engine(spark).info_schema_rows("columns")
+            mine = {
+                (r[1], r[3]) for r in rows if r[2] == "is_shadow_probe"
+            }
+            # the catalog table keeps its real columns…
+            assert ("default", "id") in mine and ("default", "extra") in mine
+            # …and the temp view (surfaced under the current db) keeps its
+            assert ("default", "only_col") in mine
+        finally:
+            spark.catalog.dropTempView("is_shadow_probe")
+            spark.sql("DROP TABLE IF EXISTS is_shadow_probe")
+
+    def test_schemata_no_duplicate_when_real_info_schema_db(self, spark):
+        from datafusion_flight_sql_server_spark.engine.core import Engine
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+        try:
+            rows = Engine(spark).info_schema_rows("schemata")
+            names = [r[1] for r in rows]
+            assert names.count("information_schema") == 1
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS information_schema")
+
+    def test_permanent_view_definition_recorded(self, spark):
+        from datafusion_flight_sql_server_spark.engine.core import Engine
+
+        spark.sql("CREATE OR REPLACE VIEW is_def_probe AS SELECT 42 AS x")
+        try:
+            rows = Engine(spark).info_schema_rows("views")
+            defs = {r[2]: r[3] for r in rows}
+            assert "42" in (defs.get("is_def_probe") or "")
+        finally:
+            spark.sql("DROP VIEW IF EXISTS is_def_probe")
 
 
 class TestInformationSchemaRewriteFuzz:
