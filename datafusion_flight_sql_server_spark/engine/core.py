@@ -685,8 +685,18 @@ class _PullBudgetPool:
         ticket = object()
         with self._cv:
             self._waiters.append(ticket)
-            while self._waiters[0] is not ticket or self._avail < take:
-                self._cv.wait()
+            try:
+                while self._waiters[0] is not ticket or self._avail < take:
+                    self._cv.wait()
+            except BaseException:
+                # an interrupted waiter must not orphan its ticket: every
+                # later acquire spins on `_waiters[0] is not ticket`, so a
+                # leaked head entry would deadlock the whole pull path
+                # (KeyboardInterrupt in an embedder's main thread is the
+                # realistic case). Remove and wake the next-in-line.
+                self._waiters.remove(ticket)
+                self._cv.notify_all()
+                raise
             self._waiters.popleft()
             self._avail -= take
             used = self.total - self._avail

@@ -302,6 +302,33 @@ class TestPullBudgetPool:
         assert got == [80]
         pool.release(80)
 
+    def test_interrupted_waiter_leaves_no_orphan_ticket(self):
+        """Code-review round 10: an exception raised while a FIFO waiter
+        sleeps (KeyboardInterrupt in an embedder's main thread is the
+        realistic case) must remove its ticket — a leaked queue HEAD
+        would deadlock every later acquire on the shared pool."""
+        pool = self._pool(100)
+        held = pool.acquire(100)  # drain so the next acquire must wait
+
+        calls = {"n": 0}
+        orig_wait = pool._cv.wait
+
+        def raising_wait(*a, **k):
+            calls["n"] += 1
+            raise RuntimeError("interrupted in wait")
+
+        pool._cv.wait = raising_wait
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            pool.acquire(10)
+        pool._cv.wait = orig_wait
+        assert calls["n"] == 1
+        assert not pool._waiters  # ticket removed on the way out
+        pool.release(held)
+        assert pool.acquire(100) == 100  # pool still fully grantable
+        pool.release(100)
+
     def test_grouped_pull_draws_from_shared_pool(self):
         """Two interleaved _grouped_pull streams never exceed the pool
         total even though each alone is entitled to a full group budget."""
