@@ -801,11 +801,17 @@ def _binary_lhs(toks: list, i: int) -> bool:
 
 
 def _try_regex_op(toks: list, i: int):
-    """Datafusion-mode rewrite of pg regex operators at token ``i``
+    """Datafusion-mode rewrite of pg match operators at token ``i``
     (``~`` or the ``!`` of ``!~``): returns (emitted SQL, next index)
     or None to keep the token. ``~``→RLIKE, ``!~``→NOT RLIKE; the ``*``
-    variants inline ``(?i)`` into a literal pattern. Literal patterns
-    re-emit backslash-doubled (the module-docstring escaping gap)."""
+    variants inline ``(?i)`` into a literal pattern. The LIKE family
+    (``~~``→LIKE, ``!~~``→NOT LIKE, ``~~*``→ILIKE, ``!~~*``→NOT ILIKE)
+    maps operator-for-operator — Spark has LIKE/ILIKE natively, so the
+    right-hand side passes through untouched (a lone first ``~`` of
+    ``~~`` previously consumed as regex-match emitted broken
+    ``RLIKE ~ …`` SQL that silently NULLed the predicate). Literal
+    regex patterns re-emit backslash-doubled (the module-docstring
+    escaping gap)."""
     neg = toks[i][3] == "!"
     j = i
     if neg:
@@ -818,6 +824,13 @@ def _try_regex_op(toks: list, i: int):
         j = i + 1
     if not _binary_lhs(toks, i):
         return None
+    like = (
+        j + 1 < len(toks)
+        and toks[j + 1][0] == "other"
+        and toks[j + 1][3] == "~"
+    )
+    if like:
+        j += 1
     star = (
         j + 1 < len(toks)
         and toks[j + 1][0] == "other"
@@ -825,6 +838,9 @@ def _try_regex_op(toks: list, i: int):
     )
     if star:
         j += 1
+    if like:
+        base = "ILIKE " if star else "LIKE "
+        return (" NOT " if neg else " ") + base, j + 1
     op = " NOT RLIKE " if neg else " RLIKE "
     r = _skip_ws(toks, j + 1, 1)
     if r < len(toks) and toks[r][0] == "str":

@@ -646,6 +646,28 @@ class TestRewriteUnit:
         with pytest.raises(DialectUnsupported, match="literal pattern"):
             rewrite_sql("SELECT a ~* pat FROM t", "datafusion")
 
+    def test_pg_like_operators_datafusion_mode(self):
+        # code-review round 10 (verified repro): the first tilde of ~~
+        # was consumed as regex-match, emitting `RLIKE ~ 'x%'` — unary
+        # bitwise NOT of a string, NULL under non-ANSI, so the predicate
+        # silently dropped every row. The LIKE family now maps
+        # operator-for-operator with the RHS untouched.
+        out = rewrite_sql("SELECT a ~~ 'x%' FROM t", "datafusion")
+        assert "LIKE  'x%'" in out and "~" not in out and "RLIKE" not in out
+        out = rewrite_sql("SELECT a !~~ 'x%' FROM t", "datafusion")
+        assert "NOT LIKE  'x%'" in out and "~" not in out
+        out = rewrite_sql("SELECT a ~~* 'x%' FROM t", "datafusion")
+        assert "ILIKE  'x%'" in out and "~" not in out
+        out = rewrite_sql("SELECT a !~~* 'x%' FROM t", "datafusion")
+        assert "NOT ILIKE  'x%'" in out and "~" not in out
+        # non-literal RHS is fine for LIKE (nothing to inline)
+        assert "LIKE  pat" in rewrite_sql("SELECT a ~~ pat FROM t",
+                                          "datafusion")
+        # backslashes in the pattern literal pass through verbatim
+        # (never re-emitted, unlike regex literals)
+        out = rewrite_sql(r"SELECT a ~~ 'x\%' FROM t", "datafusion")
+        assert r"'x\%'" in out
+
     def test_unary_tilde_kept_in_datafusion_mode(self):
         # bitwise not (valid Spark, valid DataFusion) stays: after a
         # keyword, an operator, a comma or an opening paren the tilde

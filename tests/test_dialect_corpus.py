@@ -437,6 +437,13 @@ _SLT_DF = [
     ("SELECT name ~* 'alice' AS v FROM users WHERE id = 1", True),
     ("SELECT name !~* 'bob' AS v FROM users WHERE id = 1", True),
     ("SELECT ~5 AS v", -6),
+    # pg LIKE-family operators (round 10 late, code-review fix: the
+    # first tilde of ~~ was consumed as regex-match, silently NULLing
+    # the predicate)
+    ("SELECT name ~~ 'Al%' AS v FROM users WHERE id = 1", True),
+    ("SELECT name !~~ 'Bob%' AS v FROM users WHERE id = 1", True),
+    ("SELECT name ~~* 'al%' AS v FROM users WHERE id = 1", True),
+    ("SELECT name !~~* 'bo%' AS v FROM users WHERE id = 1", True),
 ]
 
 
