@@ -930,15 +930,21 @@ def _render(
             if transform is None and mode == "datafusion":
                 transform = _DF_TRANSFORMS.get(name)
             renamed = renames.get(name)
-            if (transform or renamed) and (
-                mode == "auto" and probe is not None and probe(name)
-            ):
-                # auto-mode no-op contract: the name resolves in the LIVE
-                # session registry (a user-registered UDF colliding with a
-                # DataFusion spelling) — the session's own function wins.
-                transform = renamed = None
             if transform or renamed:
                 open_i = _find_call(toks, i)
+                # the probe fires ONLY for call shapes (after _find_call):
+                # a bare column named `empty`/`today`/... must not cost a
+                # catalog RPC per occurrence (code-review round 10 — the
+                # probe ran before the call-shape check, so any statement
+                # mentioning such a column paid py4j round-trips)
+                if open_i is not None and (
+                    mode == "auto" and probe is not None and probe(name)
+                ):
+                    # auto-mode no-op contract: the name resolves in the
+                    # LIVE session registry (a user-registered UDF
+                    # colliding with a DataFusion spelling) — the
+                    # session's own function wins.
+                    open_i = None
                 if open_i is not None:
                     close_i = _match_paren(toks, open_i)
                     args = _split_args(toks, open_i, close_i, mode, sql, probe)
@@ -991,11 +997,15 @@ def rewrite_sql(sql: str, mode: str = "auto", session_functions=None) -> str:
     """Rewrite DataFusion-dialect SQL into Spark SQL (see module doc).
 
     ``session_functions``: optional ``name -> bool`` predicate over the
-    LIVE session registry (e.g. a cached ``spark.catalog.functionExists``).
-    In ``auto`` mode a mapped name the predicate resolves is left
-    untouched — a user-registered UDF named ``strpos`` keeps meaning the
-    UDF. Ignored in ``datafusion`` mode (the client declared DataFusion
-    dialect; the rewrite is the point)."""
+    LIVE session registry (e.g. ``spark.catalog.functionExists``).
+    In ``auto`` mode a mapped CALL-shaped name the predicate resolves is
+    left untouched — a user-registered UDF named ``strpos`` keeps
+    meaning the UDF. The predicate is memoized PER STATEMENT (both
+    outcomes): at most one lookup per distinct mapped name per
+    statement, a consistent view within the statement, and no staleness
+    across statements — a UDF registered or dropped between statements
+    is seen on the next one. Ignored in ``datafusion`` mode (the client
+    declared DataFusion dialect; the rewrite is the point)."""
     if mode == "spark":
         return sql
     if mode not in ("auto", "datafusion"):
@@ -1003,6 +1013,14 @@ def rewrite_sql(sql: str, mode: str = "auto", session_functions=None) -> str:
             f"sql_dialect must be 'spark', 'auto' or 'datafusion', "
             f"got {mode!r}"
         )
+    if session_functions is not None and mode == "auto":
+        _memo: dict[str, bool] = {}
+        _orig = session_functions
+
+        def session_functions(name: str) -> bool:
+            if name not in _memo:
+                _memo[name] = bool(_orig(name))
+            return _memo[name]
     toks = [(k, s, e, sql[s:e]) for k, s, e in _tokens(sql)]
     # fast path: nothing rewriteable present
     lowered = {t[3].lower() for t in toks if t[0] == "word"}

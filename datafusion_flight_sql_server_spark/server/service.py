@@ -298,9 +298,6 @@ class FlightSqlServer(fl.FlightServerBase):
 
         self._staged: "OrderedDict[str, _StagedResult]" = OrderedDict()
         self._staged_lock = threading.Lock()
-        # auto-dialect live-registry probe cache: (session id, name) →
-        # True for names the session resolves itself (see _rewrite)
-        self._fn_probe_cache: dict = {}
 
     # -- context mint (service.rs:133-151) ----------------------------------
 
@@ -337,24 +334,19 @@ class FlightSqlServer(fl.FlightServerBase):
         probe = None
         if engine is not None and self.config.sql_dialect == "auto":
             spark = engine.spark
-            cache = self._fn_probe_cache
 
-            def probe(name: str, _sid=id(spark)) -> bool:
-                # positive hits are cached; misses re-probe each statement
-                # so a UDF registered later in the session is still seen
-                # (a stale False here would silently rewrite it — the bug
-                # this guard exists to prevent). One catalog call per
-                # mapped name per statement is noise next to execution.
-                key = (_sid, name)
-                if key in cache:
-                    return True
+            def probe(name: str) -> bool:
+                # No cross-statement cache (code-review round 10): a
+                # positive entry outliving a dropped UDF would suppress
+                # rewrites forever, and an id()-keyed entry could leak
+                # across recycled sessions. rewrite_sql memoizes per
+                # statement — at most one catalog call per distinct
+                # mapped CALL-shaped name per statement, and every
+                # statement sees the registry as it is NOW.
                 try:
-                    hit = bool(spark.catalog.functionExists(name))
+                    return bool(spark.catalog.functionExists(name))
                 except Exception:
-                    hit = False
-                if hit:
-                    cache[key] = True
-                return hit
+                    return False
 
         out = rewrite_sql(sql, self.config.sql_dialect, probe)
         if engine is not None and "information_schema" in out.lower():

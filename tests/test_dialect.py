@@ -328,6 +328,11 @@ class TestAutoModeLiveRegistryGuard:
             # probes are not cached)
             spark.udf.register("today", lambda: 123, IntegerType())
             assert _one(ex, "SELECT today() AS v") == 123
+            # DROPPED-later is seen too (code-review round 10: positive
+            # hits were cached forever, suppressing the rewrite after a
+            # drop) — strpos reverts to the INSTR rewrite
+            spark.sql("DROP TEMPORARY FUNCTION strpos")
+            assert _one(ex, "SELECT strpos('haystack', 'ys') AS v") == 3
         finally:
             spark.sql("DROP TEMPORARY FUNCTION IF EXISTS strpos")
             spark.sql("DROP TEMPORARY FUNCTION IF EXISTS today")
@@ -623,6 +628,30 @@ class TestRewriteUnit:
         assert "strpos(a, b)" in out
         assert "regexp_match(c, 'x')" in out
         assert "APPROX_COUNT_DISTINCT(d)" in out
+
+    def test_probe_only_fires_for_call_shapes_and_memoizes(self):
+        # code-review round 10 (verified repro): the probe ran before the
+        # call-shape check, so a statement mentioning a COLUMN named
+        # `empty` or `today` paid one catalog RPC per occurrence
+        calls = []
+
+        def probe(name):
+            calls.append(name)
+            return False
+
+        out = rewrite_sql(
+            "SELECT empty, today FROM t WHERE empty = 1 AND today > 2",
+            "auto",
+            probe,
+        )
+        assert calls == []  # bare identifiers never probe
+        assert "empty, today" in out  # and are never rewritten (no call)
+        # call shapes probe once per distinct name per statement
+        calls.clear()
+        rewrite_sql(
+            "SELECT empty(a), empty(b), today() FROM t", "auto", probe
+        )
+        assert sorted(calls) == ["empty", "today"]
 
     def test_session_functions_probe_ignored_in_datafusion_mode(self):
         # declared DataFusion dialect wins: the rewrite is the point
