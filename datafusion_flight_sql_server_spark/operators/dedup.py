@@ -546,12 +546,30 @@ def ngram_jaccard_near_dups(
     # df-ascending order, keep |s| - ceil(t*|s|) + 1 per doc (eps keeps a
     # borderline ceil from rounding UP, which would shorten the prefix —
     # rounding DOWN only lengthens it: still lossless, a few more pairs)
+    # NULL-gram sentinel (code-review round 10): a NULL-text doc's gram
+    # set is [NULL] (the otherwise-branch), and the pre-rewrite all-pairs
+    # join paired two such docs at jaccard 1.0 (array_intersect treats
+    # NULL elements as equal) — but plain equi-joins on "gram" never
+    # match NULL keys, so the prefix filter silently dropped them,
+    # breaking its LOSSLESS contract. Coalescing the exploded gram to a
+    # sentinel affects CANDIDATE GENERATION ONLY (the verify recomputes
+    # exact Jaccard on the original sets, so a real doc whose text
+    # happened to equal the sentinel could at worst add one
+    # verified-away candidate), and keeps the same-name equi-joins —
+    # an eqNullSafe variant was measured 4.5x slower (renamed keys break
+    # exchange reuse between the two prefix sides).
     e = g.select(
         "doc_id",
         "blk_lang",
         "blk_len",
         F.size("s").alias("n"),
-        F.explode("s").alias("gram"),
+        F.explode("s").alias("gram0"),
+    ).select(
+        "doc_id",
+        "blk_lang",
+        "blk_len",
+        "n",
+        F.coalesce(F.col("gram0"), F.lit("\x00<null-gram>\x00")).alias("gram"),
     )
     dfreq = e.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gram")

@@ -268,6 +268,38 @@ class TestMinhashNearDup:
         assert "CartesianProduct" not in plan
 
 
+class TestNgramJaccardNullText:
+    def test_null_text_docs_still_pair_after_prefix_filter(self, spark):
+        """Code-review round 10: the prefix-filter rewrite's plain
+        equi-joins on "gram" dropped NULL-text docs (gram = NULL never
+        equi-matches), losing the jaccard-1.0 pairs the pre-rewrite
+        all-pairs join reported — a silent break of the LOSSLESS
+        contract. The gram joins are now null-safe."""
+        from datafusion_flight_sql_server_spark.operators.dedup import (
+            ngram_jaccard_near_dups,
+        )
+
+        base = "abcdefghijklmnopqrstuvwxyz abcdefghijklmnopqrstuvwxyz"
+        docs = [
+            (1, base, "en", len(base)),
+            (2, base, "en", len(base)),
+            (3, None, "en", 0),
+            (4, None, "en", 0),
+            (5, base, None, len(base)),  # NULL lang never pairs (both impls)
+            (6, base, None, len(base)),
+        ]
+        df = spark.createDataFrame(
+            docs, "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT"
+        )
+        pairs = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_near_dups(df).collect()
+        }
+        assert pairs.get((1, 2)) == 1.0
+        assert pairs.get((3, 4)) == 1.0  # the pre-rewrite behavior
+        assert not any(5 in p or 6 in p for p in pairs)
+
+
 class TestEmbedCosineNearDup:
     def test_blocked_pairs_only(self, embeddings):
         out = embed_cosine_near_dups(embeddings, threshold=0.25).collect()
