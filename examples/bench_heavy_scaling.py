@@ -27,7 +27,8 @@ median of 2 timed at sf1 (each sf1 run is minutes; the slope does not
 need a third sample). Fresh DataFrame per run (AQE reuse trap),
 clearCache + query cleanups between runs. Idle host required.
 
-Usage: python examples/bench_heavy_scaling.py [SF1_DIR]  (default /tmp/sf1)
+Usage: python examples/bench_heavy_scaling.py [SF1_DIR] [SF01_DIR]
+       (defaults: /tmp/sf1 /root/testdata/sf0.1)
 """
 
 from __future__ import annotations
@@ -56,6 +57,8 @@ QUERIES = (
     "graph_triangles",
 )
 
+#: overridable so the recorded protocol reproduces off this host
+#: (argv[2]; $SPARK_GRAFT_SF_DIR-style fixtures elsewhere)
 SF01 = "/root/testdata/sf0.1"
 
 
@@ -72,6 +75,7 @@ def _timed(spark, name: str, sf_dir: str, runs: int) -> float:
 
 def main() -> None:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    sf01 = sys.argv[2] if len(sys.argv) > 2 else SF01
     spark = build_session(
         master="local[32]",
         shuffle_partitions=32,
@@ -79,7 +83,7 @@ def main() -> None:
     )
     rows = {}
     for name in QUERIES:
-        t01 = _timed(spark, name, SF01, runs=3)
+        t01 = _timed(spark, name, sf01, runs=3)
         t1 = _timed(spark, name, sf1, runs=2)
         slope = math.log10(t1 / t01)
         rows[name] = {
