@@ -426,6 +426,24 @@ class TestInformationSchemaOverFlight:
         )
         assert t.column("n").to_pylist() == [3]
 
+    def test_prepared_statement_with_param_over_info_schema(self, auto_client):
+        # the rewrite applies at PREPARE time (rewrite-once contract);
+        # $-parameter binding must compose with the derived table
+        import pyarrow as pa
+
+        prepared = auto_client.prepare(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_name = $1"
+        )
+        try:
+            prepared.bind(
+                pa.RecordBatch.from_pydict({"$1": pa.array(["users"])})
+            )
+            got = prepared.execute()
+            assert got.column("table_name").to_pylist() == ["users"]
+        finally:
+            prepared.close()
+
     def test_spark_mode_leaves_reference_to_fail(self, spark_client):
         import pyarrow.flight as fl
 
