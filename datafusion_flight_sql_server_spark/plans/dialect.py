@@ -206,6 +206,11 @@ _AUTO_RENAMES = {
     # tokenizer's word+paren rule), so Spark's window-frame EXCLUDE
     # CURRENT ROW/GROUP/TIES clauses are never touched.
     "exclude": "EXCEPT",
+    # batch 4 (round 10 late, from a live gap scan of DataFusion
+    # aliases against the session registry)
+    "list_push_back": "ARRAY_APPEND",  # alias of array_append
+    "var_population": "VAR_POP",  # DF long-form aliases
+    "stddev_population": "STDDEV_POP",
 }
 
 #: Applied only in full "datafusion" mode: the name EXISTS in Spark with
@@ -541,6 +546,55 @@ def _t_array_pop_front(args: list[str]) -> str:
     return f"SLICE(({a}), 2, GREATEST(SIZE(({a})) - 1, 0))"
 
 
+def _t_array_any_value(args: list[str]) -> str:
+    # DF array_any_value: first NON-NULL element, NULL when none
+    if len(args) != 1:
+        raise DialectUnsupported("array_any_value takes (array)")
+    return f"TRY_ELEMENT_AT(ARRAY_COMPACT(({args[0].strip()})), 1)"
+
+
+def _t_list_position(args: list[str]) -> str:
+    # DF array_position/list_indexof return NULL when the element is
+    # absent; Spark's ARRAY_POSITION returns 0 — NULLIF aligns them.
+    # (Spark owns the name array_position with the 0 semantics, so only
+    # the DF-only aliases route here.) The 3-arg from-index form has no
+    # Spark equivalent.
+    if len(args) != 2:
+        raise DialectUnsupported(
+            "list_indexof/list_position take (array, element); the "
+            "3-arg from-index form has no Spark rendering"
+        )
+    a, e = (x.strip() for x in args)
+    return f"NULLIF(ARRAY_POSITION(({a}), ({e})), 0)"
+
+
+def _t_array_resize(args: list[str]) -> str:
+    # DF array_resize(array, size, value): truncate to size, or extend
+    # by repeating value. The 2-arg form pads with an engine-chosen
+    # default (0) that has no type-safe Spark rendering — named reject.
+    if len(args) != 3:
+        raise DialectUnsupported(
+            "array_resize needs (array, size, pad_value) here — the "
+            "2-arg form's implicit pad default is engine-specific"
+        )
+    a, n, v = (x.strip() for x in args)
+    return (
+        f"CASE WHEN ({n}) <= SIZE(({a})) "
+        f"THEN SLICE(({a}), 1, GREATEST(({n}), 0)) "
+        f"ELSE CONCAT(({a}), ARRAY_REPEAT(({v}), ({n}) - SIZE(({a})))) END"
+    )
+
+
+def _t_to_local_time(args: list[str]) -> str:
+    # DF to_local_time strips the timezone, keeping wall-clock fields;
+    # Spark's TIMESTAMP→TIMESTAMP_NTZ cast does the same under the
+    # session zone (single-zone engine — documented difference for
+    # per-value zones, which Spark timestamps cannot carry anyway).
+    if len(args) != 1:
+        raise DialectUnsupported("to_local_time takes (timestamp)")
+    return f"CAST(({args[0].strip()}) AS TIMESTAMP_NTZ)"
+
+
 def _t_array_has_all(args: list[str]) -> str:
     # array_has_all(a, b): every element of b present in a. Spark's
     # nearest is the FORALL higher-order form; empty b → TRUE (= DF).
@@ -628,6 +682,15 @@ _AUTO_TRANSFORMS = {
     "to_hex": _t_to_hex,
     "string_to_array": _t_string_to_array,
     "regexp_match": _t_regexp_match,
+    # batch 4 (round 10 late)
+    "list_push_front": _t_prepend,  # alias of array_prepend (elem, arr)
+    "array_any_value": _t_array_any_value,
+    "list_any_value": _t_array_any_value,
+    "list_indexof": _t_list_position,
+    "list_position": _t_list_position,
+    "array_resize": _t_array_resize,
+    "list_resize": _t_array_resize,
+    "to_local_time": _t_to_local_time,
 }
 
 

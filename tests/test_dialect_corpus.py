@@ -266,6 +266,21 @@ _SLT_AUTO = [
     ("SELECT list_prepend(0, make_array(1)) AS v", [0, 1]),
     ("SELECT list_reverse(make_array(1, 2)) AS v", [2, 1]),
     ("SELECT cardinality(make_array(1, 2)) AS v", 2),
+    # batch 4 (round 10 late, live gap scan of DF aliases)
+    ("SELECT list_push_back(make_array(1), 2) AS v", [1, 2]),
+    ("SELECT list_push_front(0, make_array(1)) AS v", [0, 1]),
+    ("SELECT array_any_value(make_array(NULL, 2, 1)) AS v", 2),
+    ("SELECT list_any_value(make_array(NULL, NULL)) AS v", None),
+    ("SELECT list_indexof(make_array(7, 8), 8) AS v", 2),
+    ("SELECT list_position(make_array(7, 8), 9) AS v", None),  # DF: NULL
+    ("SELECT array_resize(make_array(1, 2, 3), 2, 0) AS v", [1, 2]),
+    ("SELECT array_resize(make_array(1), 3, 9) AS v", [1, 9, 9]),
+    ("SELECT array_resize(make_array(1), 2) AS v", ERR),  # implicit pad
+    (
+        "SELECT CAST(to_local_time(TIMESTAMP '2020-01-01 02:03:04') "
+        "AS STRING) AS v",
+        "2020-01-01 02:03:04",
+    ),
     ("SELECT flatten(make_array(make_array(1), make_array(2))) AS v", [1, 2]),
     ("SELECT generate_series(1, 3) AS v", [1, 2, 3]),
     ("SELECT string_to_array('a,b', ',') AS v", ["a", "b"]),
@@ -313,6 +328,9 @@ _SLT_AUTO = [
     ),
     ("SELECT stddev_pop(x) AS v FROM VALUES (1.0), (3.0) t(x)", 1.0),
     ("SELECT stddev_samp(x) AS v FROM VALUES (1.0), (3.0) t(x)", math.sqrt(2)),
+    # DF long-form aliases (round 10 late)
+    ("SELECT var_population(x) AS v FROM VALUES (1.0), (3.0) t(x)", 1.0),
+    ("SELECT stddev_population(x) AS v FROM VALUES (1.0), (3.0) t(x)", 1.0),
     ("SELECT var_pop(x) AS v FROM VALUES (1.0), (3.0) t(x)", 1.0),
     ("SELECT var_samp(x) AS v FROM VALUES (1.0), (3.0) t(x)", 2.0),
     (
