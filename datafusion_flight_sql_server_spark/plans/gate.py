@@ -105,8 +105,11 @@ class SQLOptions:
     allow_dml: bool = False
     allow_statements: bool = False
 
-    def verify(self, spark: SparkSession, sql: str) -> None:
-        """Raise :class:`PlanVerificationError` if ``sql`` is disallowed."""
+    def verify(self, spark: SparkSession, sql: str) -> str:
+        """Raise :class:`PlanVerificationError` if ``sql`` is disallowed;
+        return the classification (``query``/``ddl``/``dml``/
+        ``statement``) so callers can react to an ALLOWED catalog
+        mutation (the engine invalidates its information_schema memo)."""
         category = _classify(spark, sql)
         if category == "ddl" and not self.allow_ddl:
             raise PlanVerificationError(f"DDL not supported: {sql!r}")
@@ -114,6 +117,7 @@ class SQLOptions:
             raise PlanVerificationError(f"DML not supported: {sql!r}")
         if category == "statement" and not self.allow_statements:
             raise PlanVerificationError(f"Statements not supported: {sql!r}")
+        return category
 
 
 #: Gate used by the Flight server, matching the reference's server default

@@ -603,7 +603,17 @@ class TestRewriteUnit:
         # re-emitted pattern must double the backslash (ADVICE r9)
         out = rewrite_sql(r"SELECT regexp_match(x, '\d+') FROM t")
         assert r"'\\d+'" in out
-        assert "RLIKE" in out and "SLICE(REGEXP_EXTRACT_ALL(" in out
+        assert "NULLIF(SLICE(REGEXP_EXTRACT_ALL(" in out
+
+    def test_regexp_match_subject_evaluates_once(self):
+        # VERDICT r10 "what's wrong" #1: the old CASE-WHEN guard
+        # evaluated the subject twice, so a nondeterministic subject
+        # could match in the guard and extract from a different value.
+        # The NULLIF form references the subject exactly once.
+        subject = "SUBSTR(CAST(random() AS STRING), 1, 4)"
+        out = rewrite_sql(f"SELECT regexp_match({subject}, '\\d+') FROM t")
+        assert out.count("random()") == 1
+        assert "CASE WHEN" not in out
 
     def test_regexp_match_flags_backslash_doubled(self):
         out = rewrite_sql(r"SELECT regexp_match(x, '\w+', 'i') FROM t")
@@ -700,20 +710,22 @@ class TestRewriteUnit:
         # silently dropped every row. The LIKE family now maps
         # operator-for-operator with the RHS untouched.
         out = rewrite_sql("SELECT a ~~ 'x%' FROM t", "datafusion")
-        assert "LIKE  'x%'" in out and "~" not in out and "RLIKE" not in out
+        assert "LIKE 'x%'" in out and "~" not in out and "RLIKE" not in out
         out = rewrite_sql("SELECT a !~~ 'x%' FROM t", "datafusion")
-        assert "NOT LIKE  'x%'" in out and "~" not in out
+        assert "NOT LIKE 'x%'" in out and "~" not in out
         out = rewrite_sql("SELECT a ~~* 'x%' FROM t", "datafusion")
-        assert "ILIKE  'x%'" in out and "~" not in out
+        assert "ILIKE 'x%'" in out and "~" not in out
         out = rewrite_sql("SELECT a !~~* 'x%' FROM t", "datafusion")
-        assert "NOT ILIKE  'x%'" in out and "~" not in out
+        assert "NOT ILIKE 'x%'" in out and "~" not in out
         # non-literal RHS is fine for LIKE (nothing to inline)
         assert "LIKE  pat" in rewrite_sql("SELECT a ~~ pat FROM t",
                                           "datafusion")
-        # backslashes in the pattern literal pass through verbatim
-        # (never re-emitted, unlike regex literals)
+        # a literal RHS re-emits backslash-doubled (ADVICE round 10):
+        # DataFusion's literal parser keeps 'x\%' as escaped-percent,
+        # Spark's would consume the backslash and match '%' as a
+        # wildcard
         out = rewrite_sql(r"SELECT a ~~ 'x\%' FROM t", "datafusion")
-        assert r"'x\%'" in out
+        assert r"'x\\%'" in out
 
     def test_unary_tilde_kept_in_datafusion_mode(self):
         # bitwise not (valid Spark, valid DataFusion) stays: after a
@@ -774,6 +786,120 @@ class TestRewriteUnit:
         assert "AS TIMESTAMP)" in out and "NTZ" not in out
 
 
+class TestRound11Rewrites:
+    """Batch 5 (round 11): the implementable corpus rejections —
+    DISTINCT ON, AT TIME ZONE, list_sort direction args, digest, 2-arg
+    array_resize (VERDICT r10 next-round #1)."""
+
+    def test_distinct_on_row_number_rewrite(self):
+        out = rewrite_sql(
+            "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, o DESC"
+        )
+        assert "ROW_NUMBER() OVER (PARTITION BY k ORDER BY k, o DESC)" in out
+        assert "__don_rn = 1" in out
+        assert "* EXCEPT(__don_rn, __don_ob0, __don_ob1)" in out
+        # the outer sort rides hidden columns so pg's order-by-hidden-
+        # column form works even when o is not selected
+        assert "ORDER BY __don_ob0, __don_ob1 DESC" in out
+
+    def test_distinct_on_without_order_by(self):
+        out = rewrite_sql("SELECT DISTINCT ON (k, j) * FROM t")
+        assert "PARTITION BY k, j ORDER BY k, j" in out
+        assert "* EXCEPT(__don_rn)" in out and "__don_ob" not in out
+
+    def test_distinct_on_preserves_tail_and_nesting(self):
+        out = rewrite_sql(
+            "SELECT c FROM (SELECT DISTINCT ON (k) v AS c FROM t "
+            "ORDER BY k LIMIT 3) s"
+        )
+        assert out.startswith("SELECT c FROM (SELECT * EXCEPT(")
+        assert "LIMIT 3) s" in out
+
+    def test_distinct_on_group_by_body_stays_inside(self):
+        out = rewrite_sql(
+            "SELECT DISTINCT ON (k) k, sum(v) AS s FROM t "
+            "GROUP BY k, o ORDER BY k, sum(v) DESC"
+        )
+        # the window is computed in the SAME select as the aggregate
+        assert "GROUP BY k, o) WHERE __don_rn = 1" in out
+
+    def test_distinct_on_probe_suppresses_when_udf_named_on(self):
+        # Spark parses `DISTINCT on(x)` as a call to a function named
+        # `on` — a live-registry hit means the session resolves it
+        sql = "SELECT DISTINCT ON (k) k FROM t"
+        assert rewrite_sql(sql, "auto", lambda n: n == "on") == sql
+        assert "__don_rn" in rewrite_sql(sql, "auto", lambda n: False)
+
+    def test_distinct_on_positional_order_by_rejected(self):
+        with pytest.raises(DialectUnsupported, match="positional"):
+            rewrite_sql("SELECT DISTINCT ON (k) k, v FROM t ORDER BY 1, 2")
+
+    def test_at_time_zone_literal_becomes_ntz(self):
+        out = rewrite_sql(
+            "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'"
+        )
+        # DataFusion TIMESTAMP literals are zoneless → TIMESTAMP_NTZ,
+        # then wall-clock-in-zone → instant, session-tz-independent
+        assert "TIMESTAMP_NTZ '2020-01-01 00:00:00'" in out
+        assert "CONVERT_TIMEZONE('UTC', CURRENT_TIMEZONE()" in out
+        assert "AT TIME ZONE" not in out.upper()
+
+    def test_at_time_zone_operand_shapes(self):
+        for lhs in ("ts", "t.ts", "CAST(x AS TIMESTAMP)", "(a)"):
+            out = rewrite_sql(f"SELECT {lhs} AT TIME ZONE 'UTC' FROM t")
+            assert f"CAST(({lhs}) AS TIMESTAMP_NTZ)" in out
+
+    def test_at_time_zone_non_literal_zone_rejected(self):
+        with pytest.raises(DialectUnsupported, match="string-literal"):
+            rewrite_sql("SELECT ts AT TIME ZONE tz_col FROM t")
+
+    def test_at_time_zone_chained(self):
+        out = rewrite_sql(
+            "SELECT ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' "
+            "FROM t"
+        )
+        assert out.count("CONVERT_TIMEZONE") == 2
+        assert "AT TIME ZONE" not in out.upper()
+
+    def test_list_sort_direction_and_placement(self):
+        out = rewrite_sql("SELECT list_sort(a, 'DESC') FROM t")
+        # DF 2-arg default: NULLS FIRST (arrow SortOptions)
+        assert "WHEN l IS NULL THEN -1" in out
+        assert "WHEN l < r THEN 1" in out
+        out = rewrite_sql("SELECT list_sort(a, 'DESC', 'NULLS LAST') FROM t")
+        assert "WHEN l IS NULL THEN 1" in out
+        out = rewrite_sql("SELECT list_sort(a) FROM t")
+        assert out == "SELECT ARRAY_SORT(a) FROM t"
+        with pytest.raises(DialectUnsupported, match="ASC"):
+            rewrite_sql("SELECT list_sort(a, 'SIDEWAYS') FROM t")
+
+    def test_array_sort_df_mode_only_for_literal_direction(self):
+        # Spark owns the name array_sort (1-arg / lambda) — auto keeps it
+        sql = "SELECT array_sort(a, (l, r) -> 1) FROM t"
+        assert rewrite_sql(sql, "datafusion") == sql
+        assert "ARRAY_SORT((a), (l, r) -> CASE" in rewrite_sql(
+            "SELECT array_sort(a, 'DESC') FROM t", "datafusion"
+        )
+        auto_sql = "SELECT array_sort(a, 'DESC') FROM t"
+        assert rewrite_sql(auto_sql, "auto") == auto_sql
+
+    def test_digest_methods(self):
+        assert "UNHEX(SHA2((x), 256))" in rewrite_sql(
+            "SELECT digest(x, 'sha256') FROM t"
+        )
+        assert "UNHEX(MD5((x)))" in rewrite_sql(
+            "SELECT digest(x, 'md5') FROM t"
+        )
+        with pytest.raises(DialectUnsupported, match="blake"):
+            rewrite_sql("SELECT digest(x, 'blake3') FROM t")
+
+    def test_array_resize_two_arg_null_pad(self):
+        out = rewrite_sql("SELECT array_resize(a, 5) FROM t")
+        assert "ARRAY_REPEAT((NULL)" in out
+        out = rewrite_sql("SELECT array_resize(a, 5, 0) FROM t")
+        assert "ARRAY_REPEAT((0)" in out
+
+
 class TestInfoSchemaProviderEdgeCases:
     def test_temp_view_does_not_shadow_catalog_table_columns(self, spark):
         """code-review round 10 (verified repro): columns must qualify
@@ -823,6 +949,134 @@ class TestInfoSchemaProviderEdgeCases:
             assert "42" in (defs.get("is_def_probe") or "")
         finally:
             spark.sql("DROP VIEW IF EXISTS is_def_probe")
+
+    def test_tables_and_columns_span_all_databases(self, spark):
+        """ADVICE round 10 (medium): schemata advertises every database,
+        so tables/columns filtered with table_schema='other_db' must
+        not silently return zero rows."""
+        from datafusion_flight_sql_server_spark.engine.core import Engine
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS is_other_db")
+        spark.sql(
+            "CREATE TABLE IF NOT EXISTS is_other_db.cross_probe "
+            "(a INT, b STRING) USING parquet"
+        )
+        try:
+            eng = Engine(spark)
+            tabs = {
+                (r[1], r[2]) for r in eng.info_schema_rows("tables")
+            }
+            assert ("is_other_db", "cross_probe") in tabs
+            cols = {
+                (r[1], r[2], r[3])
+                for r in eng.info_schema_rows("columns")
+            }
+            assert ("is_other_db", "cross_probe", "a") in cols
+            assert ("is_other_db", "cross_probe", "b") in cols
+        finally:
+            spark.sql("DROP TABLE IF EXISTS is_other_db.cross_probe")
+            spark.sql("DROP DATABASE IF EXISTS is_other_db")
+
+    def test_backtick_in_name_escaped_not_dropped(self, spark, monkeypatch):
+        """ADVICE round 10 (low): identifiers were wrapped in backticks
+        without doubling embedded ones — a name containing ` produced
+        malformed SQL and its columns silently vanished. Spark's own
+        catalog rejects such names (INVALID_ATTRIBUTE_NAME_SYNTAX), so
+        this guards third-party catalog plugins: fake the listing and
+        assert the reference handed to spark.table is escaped."""
+        from types import SimpleNamespace
+
+        from datafusion_flight_sql_server_spark.engine.core import Engine
+
+        assert Engine._bq("we`ird") == "`we``ird`"
+        eng = Engine(spark)
+        fake = SimpleNamespace(
+            catalog="spark_catalog",
+            namespace=["od`d"],
+            name="we`ird",
+            tableType="MANAGED",
+            isTemporary=False,
+        )
+        monkeypatch.setattr(eng, "_catalog_tables", lambda: [fake])
+        refs = []
+
+        def _table(ref):
+            refs.append(ref)
+            return spark.createDataFrame([(1,)], "x INT")
+
+        monkeypatch.setattr(spark, "table", _table)
+        rows = eng.info_schema_rows("columns")
+        assert refs == ["`od``d`.`we``ird`"]
+        assert [(r[2], r[3]) for r in rows] == [("we`ird", "x")]
+
+    def test_columns_memo_is_o1_per_session(self, spark, monkeypatch):
+        """VERDICT r10 "what's wrong" #2: repeated statements must not
+        re-DESCRIBE the whole catalog — one schema probe per table per
+        session, pruned when the table goes away."""
+        from datafusion_flight_sql_server_spark.engine.core import Engine
+
+        spark.createDataFrame([(1,)], "x INT").createOrReplaceTempView(
+            "memo_probe"
+        )
+        eng = Engine(spark)
+        calls = []
+        real_table = spark.table
+        monkeypatch.setattr(
+            spark, "table", lambda ref: calls.append(ref) or real_table(ref)
+        )
+        try:
+            eng.info_schema_rows("columns")
+            assert any("memo_probe" in c for c in calls)
+            first = len(calls)
+            assert first >= 1
+            rows = eng.info_schema_rows("columns")  # second statement
+            assert len(calls) == first  # zero new describes
+            assert ("memo_probe", "x") in {(r[2], r[3]) for r in rows}
+            # a dropped view is pruned from both the rows and the memo
+            spark.catalog.dropTempView("memo_probe")
+            rows = eng.info_schema_rows("columns")
+            assert "memo_probe" not in {r[2] for r in rows}
+            assert not any("memo_probe" in str(k) for k in eng._info_cols_memo)
+            # explicit invalidation forces a fresh describe pass
+            spark.createDataFrame([(1,)], "x INT").createOrReplaceTempView(
+                "memo_probe"
+            )
+            eng.info_schema_rows("columns")
+            probe_describes = len([c for c in calls if "memo_probe" in c])
+            eng.invalidate_info_schema_cache()
+            eng.info_schema_rows("columns")
+            assert (
+                len([c for c in calls if "memo_probe" in c])
+                == probe_describes + 1
+            )
+        finally:
+            spark.catalog.dropTempView("memo_probe")
+
+    def test_gated_ddl_invalidates_memo(self, spark):
+        """An ALLOWED DDL statement transiting the gate is about to
+        change the catalog — the memo must not outlive it."""
+        from datafusion_flight_sql_server_spark.engine.core import Engine
+        from datafusion_flight_sql_server_spark.plans.gate import SQLOptions
+
+        spark.createDataFrame([(1,)], "x INT").createOrReplaceTempView(
+            "gate_probe"
+        )
+        eng = Engine(spark, options=SQLOptions(allow_ddl=True))
+        try:
+            eng.info_schema_rows("columns")
+            assert eng._info_cols_memo
+            eng.sql_to_plan(
+                "CREATE OR REPLACE TEMPORARY VIEW gate_probe "
+                "AS SELECT 1 AS y, 2 AS z"
+            )
+            assert not eng._info_cols_memo
+            cols = {
+                (r[2], r[3]) for r in eng.info_schema_rows("columns")
+            }
+            assert ("gate_probe", "y") in cols
+            assert ("gate_probe", "x") not in cols
+        finally:
+            spark.catalog.dropTempView("gate_probe")
 
 
 class TestInformationSchemaRewriteFuzz:

@@ -254,8 +254,23 @@ _SLT_AUTO = [
     ("SELECT array_slice(make_array(1, 2, 3, 4), 2, 3) AS v", [2, 3]),
     ("SELECT array_slice(make_array(1, 2, 3, 4), 1, 4, 2) AS v", ERR),
     ("SELECT array_sort(make_array(3, 1)) AS v", [1, 3]),
+    ("SELECT array_sort(make_array('b', 'a')) AS v", ["a", "b"]),
     ("SELECT list_sort(make_array(3, 1, 2)) AS v", [1, 2, 3]),
-    ("SELECT list_sort(make_array(3, 1), 'DESC') AS v", ERR),
+    # round 11: direction/placement forms render as an ARRAY_SORT
+    # comparator (DF 2-arg default: NULLS FIRST, arrow SortOptions)
+    ("SELECT list_sort(make_array(3, 1, 2), 'DESC') AS v", [3, 2, 1]),
+    ("SELECT list_sort(make_array(2, 1), 'ASC') AS v", [1, 2]),
+    (
+        "SELECT list_sort(make_array(3, 1, NULL, 2), 'DESC', 'NULLS LAST')"
+        " AS v",
+        [3, 2, 1, None],
+    ),
+    (
+        "SELECT list_sort(make_array(3, 1, NULL, 2), 'ASC', 'NULLS FIRST')"
+        " AS v",
+        [None, 1, 2, 3],
+    ),
+    ("SELECT list_sort(make_array(1), 'SIDEWAYS') AS v", ERR),
     ("SELECT array_to_string(make_array(1, 2), '-') AS v", "1-2"),
     ("SELECT list_to_string(make_array(1, 2), ',') AS v", "1,2"),
     ("SELECT array_union(make_array(1, 2), make_array(2, 3)) AS v", [1, 2, 3]),
@@ -275,7 +290,9 @@ _SLT_AUTO = [
     ("SELECT list_position(make_array(7, 8), 9) AS v", None),  # DF: NULL
     ("SELECT array_resize(make_array(1, 2, 3), 2, 0) AS v", [1, 2]),
     ("SELECT array_resize(make_array(1), 3, 9) AS v", [1, 9, 9]),
-    ("SELECT array_resize(make_array(1), 2) AS v", ERR),  # implicit pad
+    # round 11: the 2-arg form pads with NULL (DF general_resize)
+    ("SELECT array_resize(make_array(1), 3) AS v", [1, None, None]),
+    ("SELECT array_resize(make_array('a'), 3) AS v", ["a", None, None]),
     (
         "SELECT CAST(to_local_time(TIMESTAMP '2020-01-01 02:03:04') "
         "AS STRING) AS v",
@@ -298,7 +315,25 @@ _SLT_AUTO = [
         "SELECT to_hex(sha256('abc')) AS v",
         "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad",
     ),
-    ("SELECT digest('abc', 'sha256') AS v", ERR),
+    # round 11: digest renders UNHEX(SHA2/MD5) — Binary, like DF's
+    (
+        "SELECT digest('abc', 'sha256') AS v",
+        bytes.fromhex(
+            "ba7816bf8f01cfea414140de5dae2223"
+            "b00361a396177a9cb410ff61f20015ad"
+        ),
+    ),
+    (
+        "SELECT digest('abc', 'sha224') AS v",
+        bytes.fromhex(
+            "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7"
+        ),
+    ),
+    (
+        "SELECT digest('abc', 'md5') AS v",
+        bytes.fromhex("900150983cd24fb0d6963f7d28e17f72"),
+    ),
+    ("SELECT digest('abc', 'blake3') AS v", ERR),  # no Spark builtin
     ("SELECT coalesce(NULL, 5) AS v", 5),
     ("SELECT nullif(1, 1) AS v", None),
     ("SELECT ifnull(NULL, 5) AS v", 5),
@@ -395,8 +430,20 @@ _SLT_AUTO = [
         " (SELECT 1 FROM users i WHERE i.id = u.id AND i.id = 1)",
         1,
     ),
-    # DataFusion-only syntax with no Spark rendering: clean parse error
-    ("SELECT DISTINCT ON (id) id AS v FROM users", ERR),
+    # round 11: DISTINCT ON → deterministic ROW_NUMBER rewrite
+    ("SELECT DISTINCT ON (id) id AS v FROM users ORDER BY id LIMIT 1", 1),
+    (
+        "SELECT DISTINCT ON (id % 2) id AS v FROM users"
+        " ORDER BY id % 2, id DESC LIMIT 1",
+        2,
+    ),
+    (
+        "SELECT count(*) AS v FROM"
+        " (SELECT DISTINCT ON (id % 2) name FROM users ORDER BY id % 2)",
+        2,
+    ),
+    # positional ORDER BY has no stable meaning through the rewrite
+    ("SELECT DISTINCT ON (id) id AS v FROM users ORDER BY 1", ERR),
     # -- syntax forms, round-10 batch ------------------------------------------
     ("SELECT 1 IS DISTINCT FROM NULL AS v", True),
     ("SELECT NULL IS NOT DISTINCT FROM NULL AS v", True),
@@ -422,8 +469,28 @@ _SLT_AUTO = [
     ("SELECT id AS v FROM users ORDER BY ALL LIMIT 1", 1),
     ("SELECT CAST(last_day(DATE '2020-02-10') AS STRING) AS v", "2020-02-29"),
     ("SELECT char(65) AS v", "A"),
-    # AT TIME ZONE: DataFusion syntax Spark's parser rejects — clean error
-    ("SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC' AS v", ERR),
+    # round 11: AT TIME ZONE — zoneless wall clock in zone → instant
+    # (DF TIMESTAMP literals are zoneless; session-tz-independent form)
+    (
+        "SELECT CAST(TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'"
+        " AS STRING) AS v",
+        "2020-01-01 00:00:00",
+    ),
+    (
+        "SELECT CAST(TIMESTAMP '2020-06-01 12:00:00' AT TIME ZONE"
+        " 'America/New_York' AS STRING) AS v",
+        "2020-06-01 16:00:00",  # noon EDT = 16:00 UTC
+    ),
+    ("SELECT now() AT TIME ZONE name AS v FROM users", ERR),  # non-literal
+    # regexp_match with a column-derived subject (single evaluation)
+    (
+        "SELECT regexp_match(name, '[A-Z]') AS v FROM users WHERE id = 1",
+        ["A"],
+    ),
+    # arrow_cast width coverage (round 11 fillers)
+    ("SELECT arrow_cast(2.5, 'Float32') AS v", 2.5),
+    ("SELECT arrow_cast(300, 'UInt16') AS v", 300),
+    ("SELECT iszero(1.5) AS v", False),
 ]
 
 #: datafusion-mode-only rows: the spelling EXISTS in Spark with different
@@ -462,6 +529,18 @@ _SLT_DF = [
     ("SELECT name !~~ 'Bob%' AS v FROM users WHERE id = 1", True),
     ("SELECT name ~~* 'al%' AS v FROM users WHERE id = 1", True),
     ("SELECT name !~~* 'bo%' AS v FROM users WHERE id = 1", True),
+    # round 11 (ADVICE r10): a literal LIKE pattern re-emits
+    # backslash-doubled, so DF's escaped '\%' stays a literal percent
+    # instead of Spark's parser eating the backslash into a wildcard
+    (r"SELECT '100%' ~~ '100\%' AS v", True),
+    (r"SELECT '100x' ~~ '100\%' AS v", False),
+    # DF array_sort direction args (the name exists in Spark → df mode)
+    ("SELECT array_sort(make_array(3, 1, 2), 'DESC') AS v", [3, 2, 1]),
+    # chrono %-pattern to_char over a timestamp (time-of-day fields)
+    (
+        "SELECT to_char(TIMESTAMP '2020-05-01 10:20:30', '%H:%M') AS v",
+        "10:20",
+    ),
 ]
 
 
