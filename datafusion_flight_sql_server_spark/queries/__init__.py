@@ -53,78 +53,70 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: implementation (or an operator/cache it rides) materially changed in
 #: the round. SURVEY §5 documents the same policy.
 #:
-#: Round-10 state: tier 2 = agg_kmv_difference (NEW this round — the
-#: theta A-not-B completing the sketch algebra, three-scale
-#: driver-simulated on landing) plus the two earlier KMV queries
-#: (gained the audit= production flag this round — the default audited
-#: path is what the driver rows pin). The round-10 serving-path change
-#: (FIFO pull pool) is covered by the pinned scan_flight. Tier 3 LEADS
-#: with the six queries deferred at the round-9 cut
-#: (never-deferred-twice invariant), then the complete round-5 cohort
-#: (40 queries — all fit); the late registration displaced the round-6
-#: cohort head, so round 11's tier 3 starts at ``agg_count_star``
-#: (r6, next oldest-first).
+#: Round-11 state: tier 2 is EMPTY — the round's changes (dialect batch
+#: 5, information_schema multi-database coverage + describe memo) live
+#: in the serving layer, which the permanently-pinned ``scan_flight``
+#: transits; no registered query's implementation changed. Tier 3 is
+#: the COMPLETE round-6 cohort (45 queries — their rows age to the
+#: 5-round freshness limit this round), led by ``agg_count_star`` (the
+#: r10 overflow displacement), then alphabetical; the 4 remaining slots
+#: take the oldest-first head of the round-7 cohort (the r12 rotation
+#: continues at ``agg_listagg``).
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
-    # tier 2: round-10 registrations + implementation changes (audit= flag)
-    "agg_kmv_difference",  # NEW round 10 (late): theta A-not-B
-    "agg_kmv_intersect",
-    "agg_kmv_rollup",
-    # tier 3 LEAD: deferred at the round-9 cut (latest driver row r4)
-    "basket_rules",
-    "orders_gini",
-    "orders_rfm",
-    "window_moving_median",
-    "window_ewma",
-    "text_tfidf",
-    # tier 3: oldest-first rotation — the full round-5 cohort
-    "agg_distinct",
-    "agg_group_multi",
-    "agg_having",
-    "agg_stats",
-    "dedup_exact",
-    "doc_balanced_sample",
-    "doc_budget_select",
-    "embed_ivf_recall",
-    "embed_pca_power",
-    "event_asof_nearest",
-    "event_peak_detect",
-    "event_running_distinct",
-    "fn_posexplode",
-    "join_anti",
-    "join_derived",
-    "join_full",
-    "join_inner",
-    "join_left",
-    "join_right",
-    "join_semi",
-    "join_theta",
-    "orders_cohort_ltv",
-    "part_price_elasticity",
-    "sim_range_search",
-    "stream_dedup_batch",
-    "stream_interval_join_batch",
-    "stream_scd2_batch",
-    "text_bm25",
-    "text_compression_ratio",
-    "text_keyword_extract",
-    "text_prefix_dup",
-    "text_zipf_fit",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "window_analytic",
-    "window_percent_change",
-    "window_rank",
-    "window_running",
-    "window_topk_per_group",
+    # tier 3: the full round-6 cohort (rows at the 5-round limit)
+    "agg_count_star",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "dedup_containment",
+    "dedup_incremental_minhash",
+    "dedup_minhash_eval",
+    "dedup_near_clusters",
+    "dedup_semantic",
+    "dedup_threshold_curve",
+    "doc_dsir_select",
+    "doc_dup_report",
+    "embed_cluster_quality",
+    "embed_coreset_sample",
+    "embed_knn_graph",
+    "embed_norm_audit",
+    "event_dow_profile",
+    "event_quantile_rollup",
+    "filter_predicates",
+    "fn_array",
+    "fn_cast",
+    "fn_conditional",
+    "fn_datetime",
+    "fn_explode",
+    "fn_json",
+    "fn_math",
+    "fn_regex",
+    "fn_string",
+    "fn_struct",
+    "graph_components_star",
+    "join_cross",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sim_topk",
+    "stream_sessionize_batch",
+    "stream_tumbling_batch",
+    "subquery_correlated_scalar",
+    "subquery_exists",
+    "subquery_in",
+    "subquery_scalar",
+    "text_length_quantiles",
+    "topk",
+    "tpch_q10_returned_items",
+    # tier 3 overflow: oldest-first head of the round-7 cohort
+    "agg_array",
+    "agg_bitmap_distinct",
+    "agg_corr_regr",
+    "agg_filter_clause",
 )
-# round-10 late registration displaced the round-6 cohort head
-# ("agg_count_star") from the 50-row prefix; round 11's tier 3 starts
-# there (r6, next oldest-first) — it was NOT deferred at a cut (it was
-# the optimistic overflow slot), so the never-deferred-twice invariant
-# is untouched.
 
 
 def _reorder() -> None:
