@@ -452,6 +452,36 @@ class TestInformationSchemaOverFlight:
                 "SELECT * FROM information_schema.tables"
             )
 
+    def test_exclude_wildcard_composes_with_info_schema(self, auto_client):
+        """Round 11 (VERDICT r10 #6): DF's `* EXCLUDE (cols)` — rewritten
+        to Spark's `* EXCEPT` — must compose with the virtualized
+        information_schema relations (the name map runs first, the
+        relation rewrite second)."""
+        t = auto_client.execute(
+            "SELECT * EXCLUDE (table_catalog, table_type) "
+            "FROM information_schema.tables WHERE table_name = 'users'"
+        )
+        assert t.column_names == ["table_schema", "table_name"]
+        assert t.column("table_name").to_pylist() == ["users"]
+        # Spark's own EXCEPT spelling too
+        t = auto_client.execute(
+            "SELECT * EXCEPT (column_default, is_nullable) "
+            "FROM information_schema.columns WHERE table_name = 'users' "
+            "ORDER BY ordinal_position"
+        )
+        assert "column_default" not in t.column_names
+        assert t.column("column_name").to_pylist() == ["id", "name"]
+
+    def test_distinct_on_composes_with_info_schema(self, auto_client):
+        """DISTINCT ON's pre-pass output (derived table + window) must
+        itself pass through the information_schema relation rewrite."""
+        t = auto_client.execute(
+            "SELECT DISTINCT ON (table_schema) table_schema AS v "
+            "FROM information_schema.columns "
+            "WHERE table_name = 'users' ORDER BY table_schema"
+        )
+        assert t.column("v").to_pylist() == ["default"]
+
 
 class TestInformationSchemaRewriteUnit:
     def test_skip_rel_leaves_occurrence(self):
