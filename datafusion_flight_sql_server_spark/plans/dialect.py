@@ -1331,6 +1331,70 @@ def _rewrite_distinct_on(sql: str, probe=None) -> str:
     raise DialectUnsupported("too many nested DISTINCT ON selects")
 
 
+def _rewrite_show(sql: str) -> str:
+    """DataFusion-mode SHOW introspection → information_schema selects
+    (round 11). DataFusion answers ``SHOW TABLES`` / ``SHOW COLUMNS
+    FROM t`` / ``SHOW ALL`` from its information_schema with those
+    views' column names (datafusion/sql/src/statement.rs routes SHOW
+    through information_schema when enabled) — a migrating client's
+    scripts select ``table_name`` / ``data_type`` / ``name, value``
+    from the results. Spark's own SHOW output has different columns
+    (``namespace, tableName, isTemporary``), so this rewrite is a
+    meaning-changer: datafusion mode only. Only a statement-HEAD SHOW
+    rewrites; unrecognized SHOW forms pass through to Spark's own SHOW
+    handling."""
+    toks = [(k, s, e, sql[s:e]) for k, s, e in _tokens(sql)]
+    mean = [
+        i
+        for i, t in enumerate(toks)
+        if t[0] != "comment" and not (t[0] == "other" and t[3].isspace())
+    ]
+
+    def _w(mi: int) -> str | None:
+        if 0 <= mi < len(mean) and toks[mean[mi]][0] == "word":
+            return toks[mean[mi]][3].lower()
+        return None
+
+    if _w(0) != "show":
+        return sql
+    if _w(1) == "tables" and len(mean) == 2:
+        return "SELECT * FROM information_schema.tables"
+    if _w(1) == "all" and len(mean) == 2:
+        return "SELECT name, value FROM information_schema.df_settings"
+    if _w(1) == "columns" and _w(2) in ("from", "in"):
+        # [catalog.][db.]table — words/backticks joined by dots
+        parts: list[str] = []
+        mi = 3
+        while mi < len(mean):
+            tok = toks[mean[mi]]
+            if tok[0] == "word":
+                parts.append(tok[3])
+            elif tok[0] == "bq":
+                parts.append(tok[3][1:-1].replace("``", "`"))
+            else:
+                return sql  # unrecognized shape: Spark's own SHOW
+            if mi + 1 < len(mean) and toks[mean[mi + 1]][3] == ".":
+                mi += 2
+                continue
+            mi += 1
+            break
+        if not parts or mi != len(mean):
+            return sql
+        conds = [f"table_name = {_emit_str_literal(parts[-1])}"]
+        if len(parts) >= 2:
+            conds.append(f"table_schema = {_emit_str_literal(parts[-2])}")
+        if len(parts) == 3:
+            conds.append(f"table_catalog = {_emit_str_literal(parts[-3])}")
+        if len(parts) > 3:
+            return sql
+        return (
+            "SELECT table_catalog, table_schema, table_name, column_name, "
+            "data_type, is_nullable FROM information_schema.columns "
+            "WHERE " + " AND ".join(conds)
+        )
+    return sql
+
+
 # -- rewriter ----------------------------------------------------------------
 
 
@@ -1506,6 +1570,8 @@ def rewrite_sql(sql: str, mode: str = "auto", session_functions=None) -> str:
         )
     if re.search(r"\bat\s+time\s+zone\b", sql, re.IGNORECASE):
         sql = _rewrite_at_time_zone(sql)
+    if mode == "datafusion" and re.match(r"\s*(--[^\n]*\n|\s)*show\b", sql, re.IGNORECASE):
+        sql = _rewrite_show(sql)
     toks = [(k, s, e, sql[s:e]) for k, s, e in _tokens(sql)]
     # fast path: nothing rewriteable present
     lowered = {t[3].lower() for t in toks if t[0] == "word"}

@@ -472,6 +472,30 @@ class TestInformationSchemaOverFlight:
         assert "column_default" not in t.column_names
         assert t.column("column_name").to_pylist() == ["id", "name"]
 
+    def test_show_tables_serves_info_schema_shape(self, df_client):
+        """Round 11: DataFusion answers SHOW TABLES from its
+        information_schema (column names table_catalog/table_schema/
+        table_name/table_type) — migrating clients script against that
+        shape, not Spark's (namespace, tableName, isTemporary)."""
+        t = df_client.execute("SHOW TABLES")
+        assert t.column_names == [
+            "table_catalog", "table_schema", "table_name", "table_type"
+        ]
+        assert "users" in t.column("table_name").to_pylist()
+
+    def test_show_columns_serves_info_schema_shape(self, df_client):
+        t = df_client.execute("SHOW COLUMNS FROM users")
+        assert t.column_names == [
+            "table_catalog", "table_schema", "table_name", "column_name",
+            "data_type", "is_nullable",
+        ]
+        assert t.column("column_name").to_pylist() == ["id", "name"]
+
+    def test_show_all_serves_df_settings(self, df_client):
+        t = df_client.execute("SHOW ALL")
+        assert t.column_names == ["name", "value"]
+        assert t.num_rows >= 1
+
     def test_distinct_on_composes_with_info_schema(self, auto_client):
         """DISTINCT ON's pre-pass output (derived table + window) must
         itself pass through the information_schema relation rewrite."""
@@ -928,6 +952,32 @@ class TestRound11Rewrites:
         assert "ARRAY_REPEAT((NULL)" in out
         out = rewrite_sql("SELECT array_resize(a, 5, 0) FROM t")
         assert "ARRAY_REPEAT((0)" in out
+
+    def test_show_rewrites_datafusion_mode_only(self):
+        # DF answers SHOW from information_schema with those column
+        # names; Spark's SHOW TABLES has (namespace, tableName,
+        # isTemporary) — meaning-changer, so auto mode keeps Spark's
+        assert rewrite_sql("SHOW TABLES", "auto") == "SHOW TABLES"
+        assert (
+            rewrite_sql("SHOW TABLES", "datafusion")
+            == "SELECT * FROM information_schema.tables"
+        )
+        assert (
+            rewrite_sql("show all", "datafusion")
+            == "SELECT name, value FROM information_schema.df_settings"
+        )
+        out = rewrite_sql("SHOW COLUMNS FROM users", "datafusion")
+        assert "FROM information_schema.columns" in out
+        assert "table_name = 'users'" in out and "table_schema" in out
+        out = rewrite_sql("SHOW COLUMNS IN db1.users", "datafusion")
+        assert "table_schema = 'db1'" in out
+        # unrecognized SHOW forms keep Spark's own SHOW handling
+        for sql in ("SHOW DATABASES", "SHOW TABLES IN db1",
+                    "SHOW FUNCTIONS", "SHOW COLUMNS"):
+            assert rewrite_sql(sql, "datafusion") == sql
+        # SHOW must head the statement — a column named show is safe
+        sql = "SELECT show, tables FROM t"
+        assert rewrite_sql(sql, "datafusion") == sql
 
 
 class TestInfoSchemaProviderEdgeCases:
