@@ -721,6 +721,84 @@ def _t_to_unixtime(args: list[str]) -> str:
     return f"UNIX_SECONDS(CAST(({args[0].strip()}) AS TIMESTAMP))"
 
 
+def _epoch_seconds(src: str) -> str:
+    # pg/DF extract(epoch ...) returns Float64 seconds incl. fractional
+    # micros; exact in integer micros before the single double division
+    return (
+        f"(CAST(UNIX_MICROS(CAST(({src.strip()}) AS TIMESTAMP)) AS DOUBLE)"
+        f" / 1000000.0)"
+    )
+
+
+def _t_extract_epoch(args: list[str]) -> str | None:
+    # EXTRACT(field FROM src) arrives as ONE comma-less argument. Spark
+    # has no EPOCH field (INVALID_EXTRACT_FIELD), so consuming exactly
+    # that spelling keeps the auto-mode no-op contract; every other
+    # field keeps Spark's own EXTRACT.
+    if len(args) != 1:
+        return None
+    m = re.match(
+        r"^\s*epoch\s+from\s+(.+)$", args[0], re.IGNORECASE | re.DOTALL
+    )
+    if not m:
+        return None
+    return _epoch_seconds(m.group(1))
+
+
+def _t_date_part_epoch(args: list[str]) -> str | None:
+    # date_part('epoch', src): same engine gap as EXTRACT epoch
+    if len(args) != 2 or not args[0].strip().startswith("'"):
+        return None
+    if _strip_str_literal(args[0], "date_part field").strip().lower() != (
+        "epoch"
+    ):
+        return None
+    return _epoch_seconds(args[1])
+
+
+def _t_encode_df(args: list[str]) -> str | None:
+    # DataFusion encode(expr, 'hex'|'base64') → string; Spark's encode
+    # is charset transcoding, so only the two DF format literals
+    # rewrite (base64 uses DF's unpadded STANDARD_NO_PAD alphabet —
+    # TRIM TRAILING '=' matches it for any input length).
+    if len(args) != 2 or not args[1].strip().startswith("'"):
+        return None
+    fmt = _strip_str_literal(args[1], "encode format").strip().lower()
+    x = args[0].strip()
+    if fmt == "hex":
+        return f"LOWER(HEX(({x})))"
+    if fmt == "base64":
+        return f"TRIM(TRAILING '=' FROM BASE64(CAST(({x}) AS BINARY)))"
+    return None  # charset form: Spark's own encode
+
+
+def _t_decode_df(args: list[str]) -> str | None:
+    # DataFusion decode(expr, 'hex'|'base64') → binary; Spark's
+    # UNBASE64 accepts both padded and unpadded input.
+    if len(args) != 2 or not args[1].strip().startswith("'"):
+        return None
+    fmt = _strip_str_literal(args[1], "decode format").strip().lower()
+    x = args[0].strip()
+    if fmt == "hex":
+        return f"UNHEX(({x}))"
+    if fmt == "base64":
+        return f"UNBASE64(({x}))"
+    return None  # charset form: Spark's own decode
+
+
+def _t_to_timestamp_df(args: list[str]) -> str | None:
+    """Full mode only: 2-arg to_timestamp with a chrono %-pattern →
+    Spark TO_TIMESTAMP with the converted pattern (mirror of to_date)."""
+    if len(args) != 2:
+        return None
+    a = args[1].strip()
+    if not (a.startswith("'") and a.endswith("'") and "%" in a):
+        return None
+    fmt = _chrono_to_java(_strip_str_literal(args[1], "to_timestamp pattern"))
+    esc = fmt.replace("'", "''")
+    return f"TO_TIMESTAMP(({args[0].strip()}), '{esc}')"
+
+
 _AUTO_TRANSFORMS = {
     "arrow_cast": _t_arrow_cast,
     "date_bin": _t_date_bin,
@@ -762,8 +840,20 @@ _AUTO_TRANSFORMS = {
     "to_local_time": _t_to_local_time,
     # batch 5 (round 11, closing the implementable corpus rejections)
     "digest": _t_digest,
+    # batch 6 (round 11): EXTRACT(epoch …)/date_part('epoch', …) — Spark
+    # has no EPOCH field, so only that spelling rewrites (auto-safe)
+    "extract": _t_extract_epoch,
+    "date_part": _t_date_part_epoch,
+    "datepart": _t_date_part_epoch,
 }
 
+
+#: Shape-gated auto transforms whose NAME is itself a Spark builtin:
+#: the live-registry probe would always resolve them and suppress the
+#: rewrite, but their decline-to-None paths keep every form Spark can
+#: resolve — only Spark-INVALID argument shapes (EXTRACT's EPOCH field)
+#: rewrite, so the probe guard is unnecessary and must not apply.
+_PROBE_EXEMPT = frozenset({"extract", "date_part", "datepart"})
 
 #: datafusion-mode-only transforms: the NAME exists in Spark with
 #: different semantics or argument order, so touching it would change
@@ -895,6 +985,12 @@ _DF_TRANSFORMS.update(
         # Spark's array_sort is 1-arg / comparator-lambda; DF's
         # string-literal direction forms rewrite, others keep Spark's
         "array_sort": _t_array_sort_df,
+        # batch 6: DF encode/decode are hex/base64 codecs; Spark's are
+        # charset transcoding — only the DF format literals rewrite
+        "encode": _t_encode_df,
+        "decode": _t_decode_df,
+        # 2-arg to_timestamp with chrono %-patterns (mirror of to_date)
+        "to_timestamp": _t_to_timestamp_df,
     }
 )
 
@@ -1151,6 +1247,86 @@ def _rewrite_at_time_zone(sql: str) -> str:
         )
         sql = sql[: toks[start][1]] + repl + sql[toks[z][2] :]
     raise DialectUnsupported("too many chained AT TIME ZONE operators")
+
+
+def _operand_end(toks: list, i: int):
+    """(start, end) token indexes (inclusive) of the operand beginning
+    at or after ``toks[i]`` — a (typed) literal, a parenthesized
+    expression, a call, or a qualified-name chain. None when nothing
+    capturable follows."""
+    k = _skip_ws(toks, i, 1)
+    if k >= len(toks):
+        return None
+    kind, _s, _e, text = toks[k]
+    if kind == "str":
+        return (k, k)
+    if kind == "other" and text == "(":
+        return (k, _match_paren(toks, k))
+    if kind in ("word", "bq", "dq"):
+        if kind == "word" and text.lower() in _PRE_OPERAND_KEYWORDS:
+            return None
+        if kind == "word" and text.lower() in _TYPED_LITERAL_WORDS:
+            n = _skip_ws(toks, k + 1, 1)
+            if n < len(toks) and toks[n][0] == "str":
+                return (k, n)
+        j = k
+        while True:
+            n = _skip_ws(toks, j + 1, 1)
+            if n < len(toks) and toks[n][0] == "other" and toks[n][3] == ".":
+                n2 = _skip_ws(toks, n + 1, 1)
+                if n2 < len(toks) and toks[n2][0] in ("word", "bq", "dq"):
+                    j = n2
+                    continue
+                return None
+            if n < len(toks) and toks[n][0] == "other" and toks[n][3] == "(":
+                return (k, _match_paren(toks, n))
+            return (k, j)
+    return None
+
+
+def _rewrite_array_contains_ops(sql: str) -> str:
+    """pg/DataFusion array-containment operators (datafusion mode,
+    round 11): ``a @> b`` (a contains every element of b) and
+    ``a <@ b`` (a contained by b) → Spark FORALL/ARRAY_CONTAINS, the
+    same rendering as the ``array_has_all`` map. ``@`` has no meaning
+    in Spark SQL, so consuming the pair cannot change valid Spark SQL;
+    the lambda variable is namespaced so a column named ``x`` in either
+    operand cannot be shadowed."""
+    for _ in range(64):  # one occurrence consumed per scan
+        toks = [(k, s, e, sql[s:e]) for k, s, e in _tokens(sql)]
+        hit = None
+        for i, t in enumerate(toks):
+            if t[0] != "other":
+                continue
+            nxt = toks[i + 1] if i + 1 < len(toks) else None
+            if t[3] == "@" and nxt is not None and nxt[3] == ">":
+                contains_left = True  # a @> b : forall over RHS
+            elif t[3] == "<" and nxt is not None and nxt[3] == "@":
+                contains_left = False  # a <@ b : forall over LHS
+            else:
+                continue
+            lhs = _atz_operand_start(toks, i)
+            rhs = _operand_end(toks, i + 2)
+            if lhs is None or rhs is None:
+                raise DialectUnsupported(
+                    "@>/<@ need capturable array operands on both sides "
+                    "(parenthesize the expressions)"
+                )
+            hit = (lhs, i, rhs, contains_left)
+            break
+        if hit is None:
+            return sql
+        lhs_start, op_i, (rhs_s, rhs_e), contains_left = hit
+        lhs_end = _skip_ws(toks, op_i - 1, -1)
+        a = sql[toks[lhs_start][1] : toks[lhs_end][2]]
+        b = sql[toks[rhs_s][1] : toks[rhs_e][2]]
+        hay, needles = (a, b) if contains_left else (b, a)
+        repl = (
+            f"FORALL(({needles}), __df_elem -> "
+            f"ARRAY_CONTAINS(({hay}), __df_elem))"
+        )
+        sql = sql[: toks[lhs_start][1]] + repl + sql[toks[rhs_e][2] :]
+    raise DialectUnsupported("too many chained @>/<@ operators")
 
 
 #: depth-0 words that end a DISTINCT ON select's FROM body
@@ -1477,7 +1653,10 @@ def _render(
                 # probe ran before the call-shape check, so any statement
                 # mentioning such a column paid py4j round-trips)
                 if open_i is not None and (
-                    mode == "auto" and probe is not None and probe(name)
+                    mode == "auto"
+                    and probe is not None
+                    and name not in _PROBE_EXEMPT
+                    and probe(name)
                 ):
                     # auto-mode no-op contract: the name resolves in the
                     # LIVE session registry (a user-registered UDF
@@ -1572,6 +1751,8 @@ def rewrite_sql(sql: str, mode: str = "auto", session_functions=None) -> str:
         sql = _rewrite_at_time_zone(sql)
     if mode == "datafusion" and re.match(r"\s*(--[^\n]*\n|\s)*show\b", sql, re.IGNORECASE):
         sql = _rewrite_show(sql)
+    if mode == "datafusion" and "@" in sql:
+        sql = _rewrite_array_contains_ops(sql)
     toks = [(k, s, e, sql[s:e]) for k, s, e in _tokens(sql)]
     # fast path: nothing rewriteable present
     lowered = {t[3].lower() for t in toks if t[0] == "word"}

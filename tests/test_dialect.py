@@ -953,6 +953,69 @@ class TestRound11Rewrites:
         out = rewrite_sql("SELECT array_resize(a, 5, 0) FROM t")
         assert "ARRAY_REPEAT((0)" in out
 
+    def test_extract_epoch_rewrites_other_fields_kept(self):
+        # Spark has no EPOCH extract field (INVALID_EXTRACT_FIELD), so
+        # only that spelling rewrites — auto-safe
+        out = rewrite_sql("SELECT extract(epoch FROM ts) FROM t")
+        assert "UNIX_MICROS" in out and "/ 1000000.0" in out
+        sql = "SELECT extract(year FROM ts) FROM t"
+        assert rewrite_sql(sql) == sql
+        out = rewrite_sql("SELECT date_part('epoch', ts) FROM t")
+        assert "UNIX_MICROS" in out
+        sql = "SELECT date_part('year', ts) FROM t"
+        assert rewrite_sql(sql) == sql
+
+    def test_encode_decode_df_formats_only(self):
+        # DF encode/decode are hex/base64 codecs; Spark's same-named
+        # functions transcode charsets — only DF's format literals move
+        out = rewrite_sql("SELECT encode(x, 'hex') FROM t", "datafusion")
+        assert "LOWER(HEX((x)))" in out
+        out = rewrite_sql("SELECT encode(x, 'base64') FROM t", "datafusion")
+        assert "TRIM(TRAILING '=' FROM BASE64(" in out
+        out = rewrite_sql("SELECT decode(x, 'hex') FROM t", "datafusion")
+        assert "UNHEX((x))" in out
+        out = rewrite_sql("SELECT decode(x, 'base64') FROM t", "datafusion")
+        assert "UNBASE64((x))" in out
+        for sql in (
+            "SELECT encode(x, 'utf-8') FROM t",
+            "SELECT decode(x, 'US-ASCII') FROM t",
+        ):
+            assert rewrite_sql(sql, "datafusion") == sql
+            assert rewrite_sql(sql, "auto") == sql
+
+    def test_to_timestamp_chrono_pattern_df_mode(self):
+        out = rewrite_sql(
+            "SELECT to_timestamp(s, '%d.%m.%Y %H:%M') FROM t", "datafusion"
+        )
+        assert "TO_TIMESTAMP((s), 'dd.MM.yyyy HH:mm')" in out
+        # 1-arg and non-% forms keep Spark's own to_timestamp
+        sql = "SELECT to_timestamp(s) FROM t"
+        assert rewrite_sql(sql, "datafusion") == sql
+        sql = "SELECT to_timestamp(s, 'yyyy-MM-dd') FROM t"
+        assert rewrite_sql(sql, "datafusion") == sql
+
+    def test_array_containment_operators_df_mode(self):
+        out = rewrite_sql("SELECT a @> b AS v FROM t", "datafusion")
+        assert (
+            "FORALL((b), __df_elem -> ARRAY_CONTAINS((a), __df_elem))" in out
+        )
+        out = rewrite_sql("SELECT a <@ b AS v FROM t", "datafusion")
+        assert (
+            "FORALL((a), __df_elem -> ARRAY_CONTAINS((b), __df_elem))" in out
+        )
+        # calls and qualified names capture as operands
+        out = rewrite_sql(
+            "SELECT t.tags @> make_array('x') FROM t", "datafusion"
+        )
+        assert "ARRAY_CONTAINS((t.tags)" in out and "ARRAY('x')" in out
+        # auto mode never touches @ (nothing valid to protect, but the
+        # operator family is a df-mode meaning-set like ~~)
+        sql = "SELECT a @> b FROM t"
+        assert rewrite_sql(sql, "auto") == sql
+        # strings containing @> pass through untouched
+        sql = "SELECT '@>' AS v"
+        assert rewrite_sql(sql, "datafusion") == sql
+
     def test_show_rewrites_datafusion_mode_only(self):
         # DF answers SHOW from information_schema with those column
         # names; Spark's SHOW TABLES has (namespace, tableName,

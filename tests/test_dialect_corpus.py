@@ -491,6 +491,18 @@ _SLT_AUTO = [
     ("SELECT arrow_cast(2.5, 'Float32') AS v", 2.5),
     ("SELECT arrow_cast(300, 'UInt16') AS v", 300),
     ("SELECT iszero(1.5) AS v", False),
+    # round-11 batch 6: shift operators are shared syntax; EXTRACT
+    # epoch / date_part('epoch') rewrite (Spark has no EPOCH field)
+    ("SELECT 1 << 3 AS v", 8),
+    ("SELECT 16 >> 2 AS v", 4),
+    (
+        "SELECT extract(epoch FROM TIMESTAMP '1970-01-02 00:00:30') AS v",
+        86430.0,
+    ),
+    (
+        "SELECT date_part('epoch', TIMESTAMP '1970-01-02 00:00:30') AS v",
+        86430.0,
+    ),
 ]
 
 #: datafusion-mode-only rows: the spelling EXISTS in Spark with different
@@ -540,6 +552,21 @@ _SLT_DF = [
     (
         "SELECT to_char(TIMESTAMP '2020-05-01 10:20:30', '%H:%M') AS v",
         "10:20",
+    ),
+    # round-11 batch 6: pg/DF array-containment operators; DF
+    # hex/base64 encode/decode (Spark's same names transcode charsets);
+    # 2-arg chrono to_timestamp
+    ("SELECT make_array(1, 2, 3) @> make_array(2) AS v", True),
+    ("SELECT make_array(1, 9) @> make_array(2) AS v", False),
+    ("SELECT make_array(2) <@ make_array(1, 2, 3) AS v", True),
+    ("SELECT encode('abc', 'hex') AS v", "616263"),
+    ("SELECT encode('abc', 'base64') AS v", "YWJj"),
+    ("SELECT decode('616263', 'hex') AS v", b"abc"),
+    ("SELECT decode('YWJj', 'base64') AS v", b"abc"),
+    (
+        "SELECT CAST(to_timestamp('15.01.2024 10:20', '%d.%m.%Y %H:%M')"
+        " AS STRING) AS v",
+        "2024-01-15 10:20:00",
     ),
 ]
 
