@@ -393,13 +393,49 @@ _t_array_length = _array_length("array_length")
 
 
 def _t_array_slice(args: list[str]) -> str:
+    if len(args) == 4:
+        # stride form (round 11): elements begin..end step stride via
+        # SEQUENCE + TRY_ELEMENT_AT (end clamps to the array length,
+        # like DataFusion). Literal positive indexes/stride only —
+        # DF's negative-index-from-end arithmetic is a named reject.
+        a, b, e, s = (x.strip() for x in args)
+        if not (
+            b.isdigit() and e.isdigit() and s.isdigit() and int(s) > 0
+            and int(b) > 0
+        ):
+            raise DialectUnsupported(
+                "array_slice with stride needs positive literal "
+                "begin/end/stride (negative from-end indexes have no "
+                "Spark rendering)"
+            )
+        # the CASE keeps SEQUENCE's start<=stop contract (empty slice
+        # when begin is past the clamped end) and in-range ELEMENT_AT
+        # preserves genuine NULL elements
+        return (
+            f"(CASE WHEN ({b}) > LEAST(({e}), SIZE(({a}))) "
+            f"THEN SLICE(({a}), 1, 0) "
+            f"ELSE TRANSFORM(SEQUENCE(({b}), LEAST(({e}), SIZE(({a}))), "
+            f"({s})), __df_i -> ELEMENT_AT(({a}), __df_i)) END)"
+        )
     if len(args) != 3:
         raise DialectUnsupported(
-            "array_slice supports (array, begin, end); stride does not "
-            "map to Spark's SLICE"
+            "array_slice supports (array, begin, end[, stride])"
         )
     a, b, e = (x.strip() for x in args)
     return f"SLICE(({a}), ({b}), (({e}) - ({b}) + 1))"
+
+
+def _t_array_positions(args: list[str]) -> str:
+    # DF array_positions(array, element): ALL 1-based indexes of the
+    # element (arrow eq semantics: a NULL element never matches).
+    if len(args) != 2:
+        raise DialectUnsupported("array_positions takes (array, element)")
+    a, e = (x.strip() for x in args)
+    return (
+        f"FILTER(TRANSFORM(({a}), (__df_v, __df_i) -> "
+        f"CASE WHEN __df_v = ({e}) THEN __df_i + 1 END), "
+        f"__df_p -> __df_p IS NOT NULL)"
+    )
 
 
 def _t_array_pop_back(args: list[str]) -> str:
@@ -845,6 +881,9 @@ _AUTO_TRANSFORMS = {
     "extract": _t_extract_epoch,
     "date_part": _t_date_part_epoch,
     "datepart": _t_date_part_epoch,
+    # batch 7 (round 11): all-indexes-of-element
+    "array_positions": _t_array_positions,
+    "list_positions": _t_array_positions,
 }
 
 

@@ -1016,6 +1016,18 @@ class TestRound11Rewrites:
         sql = "SELECT '@>' AS v"
         assert rewrite_sql(sql, "datafusion") == sql
 
+    def test_array_positions_and_strided_slice(self):
+        out = rewrite_sql("SELECT array_positions(a, e) FROM t")
+        assert "TRANSFORM((a), (__df_v, __df_i) ->" in out
+        assert "__df_i + 1" in out
+        out = rewrite_sql("SELECT array_slice(a, 1, 9, 2) FROM t")
+        assert "SEQUENCE((1), LEAST((9), SIZE((a))), (2))" in out
+        assert "ELEMENT_AT((a), __df_i)" in out
+        with pytest.raises(DialectUnsupported, match="stride"):
+            rewrite_sql("SELECT array_slice(a, 1, 9, -1) FROM t")
+        with pytest.raises(DialectUnsupported, match="stride"):
+            rewrite_sql("SELECT array_slice(a, -3, 9, 2) FROM t")
+
     def test_show_rewrites_datafusion_mode_only(self):
         # DF answers SHOW from information_schema with those column
         # names; Spark's SHOW TABLES has (namespace, tableName,

@@ -242,7 +242,9 @@ _SLT_AUTO = [
     ("SELECT array_pop_back(make_array(1, 2, 3)) AS v", [1, 2]),
     ("SELECT array_pop_front(make_array(1, 2, 3)) AS v", [2, 3]),
     ("SELECT array_position(make_array(9, 8), 8) AS v", 2),
-    ("SELECT array_positions(make_array(1, 2, 1), 1) AS v", ERR),
+    # round 11 batch 7: all-indexes (TRANSFORM index lambda + FILTER)
+    ("SELECT array_positions(make_array(1, 2, 1), 1) AS v", [1, 3]),
+    ("SELECT array_positions(make_array(1, 2), 9) AS v", []),
     ("SELECT array_push_back(make_array(1), 5) AS v", [1, 5]),
     ("SELECT array_push_front(5, make_array(1)) AS v", [5, 1]),
     ("SELECT array_remove_all(make_array(1, 2, 1), 1) AS v", [2]),
@@ -252,7 +254,10 @@ _SLT_AUTO = [
     ("SELECT array_replace_all(make_array(1, 2, 1), 1, 9) AS v", [9, 2, 9]),
     ("SELECT array_reverse(make_array(1, 2)) AS v", [2, 1]),
     ("SELECT array_slice(make_array(1, 2, 3, 4), 2, 3) AS v", [2, 3]),
-    ("SELECT array_slice(make_array(1, 2, 3, 4), 1, 4, 2) AS v", ERR),
+    # round 11 batch 7: literal-positive stride via SEQUENCE+ELEMENT_AT
+    ("SELECT array_slice(make_array(1, 2, 3, 4), 1, 4, 2) AS v", [1, 3]),
+    ("SELECT array_slice(make_array(1, 2, 3, 4, 5), 2, 99, 2) AS v", [2, 4]),
+    ("SELECT array_slice(make_array(1, 2), 1, 2, -1) AS v", ERR),
     ("SELECT array_sort(make_array(3, 1)) AS v", [1, 3]),
     ("SELECT array_sort(make_array('b', 'a')) AS v", ["a", "b"]),
     ("SELECT list_sort(make_array(3, 1, 2)) AS v", [1, 2, 3]),
