@@ -1,8 +1,18 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "headline_median_total", "value": <sum of per-query medians>,
-   "unit": "sec", "queries": {name: median_sec, ...}, "sf": <sf>, ...}
+Prints ONE JSON line (round 12, VERDICT r11 #4: the headline metric is the
+SELF-CONTROLLED per-session Spark/oracle ratio — absolute cross-round totals
+are not a trend line on this bursty shared host, the same-process ratio is):
+
+  {"metric": "spark_oracle_ratio", "value": <presplit_total/oracle_total>,
+   "unit": "ratio", "queries": {name: presplit_median_sec, ...},
+   "ratios": {name: presplit/oracle, ...}, "sf": <sf>, ...}
+
+The stdout line is kept under ~1.9 KB so the driver's 2,000-char tail
+captures the WHOLE JSON (BENCH_r01-r11 all stored `parsed: null` because
+the full per-query detail overflowed the tail); the complete result —
+as-given timings, floor-adjusted view, rows, per-query oracle seconds —
+is written to examples/bench_last_full.json instead of stdout.
 
 Protocol (BASELINE.md): wall-clock sec/query, median of 5 timed runs after one
 warm-up, warm SparkSession, results fully materialized on the driver via the
@@ -231,7 +241,23 @@ def main() -> int:
     except Exception:  # pragma: no cover - pre-split is best-effort
         presplit = {}
 
-    result = {
+    # the ratio reads presplit (the layout any real deployment has; falls
+    # back to as-given when the presplit rewrite failed) over the
+    # same-session oracle, summed across the oracle-covered queries
+    spark_sec = presplit or timings
+    covered = [n for n in names if n in oracle_sec and n in spark_sec]
+    oracle_total = round(sum(oracle_sec[n] for n in covered), 4)
+    spark_covered_total = round(sum(spark_sec[n] for n in covered), 4)
+    ratio_total = (
+        round(spark_covered_total / oracle_total, 4) if oracle_total else None
+    )
+    ratios = {
+        n: round(spark_sec[n] / oracle_sec[n], 2)
+        for n in covered
+        if oracle_sec[n] > 0
+    }
+
+    full = {
         "metric": "headline_median_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
@@ -252,8 +278,38 @@ def main() -> int:
         # same-process DuckDB oracle medians at sf_dir (empty when duckdb
         # is unavailable or disabled) — read ratio = presplit/oracle
         "oracle_sec": oracle_sec,
+        "spark_oracle_ratio": ratio_total,
+        "ratios": ratios,
     }
-    print(json.dumps(result))
+    full_path = Path(_REPO) / "examples" / "bench_last_full.json"
+    try:
+        full_path.parent.mkdir(parents=True, exist_ok=True)
+        full_path.write_text(json.dumps(full, indent=1))
+    except OSError:  # pragma: no cover - read-only checkout
+        pass
+
+    compact = {
+        "metric": "spark_oracle_ratio",
+        "value": ratio_total,
+        "unit": "ratio",
+        "sf": sf,
+        "cpus": cpus,
+        "runs": TIMED_RUNS,
+        "spark_presplit_total_sec": (
+            round(sum(presplit.values()), 4) if presplit else None
+        ),
+        "spark_asgiven_total_sec": round(sum(timings.values()), 4),
+        "oracle_total_sec": oracle_total,
+        "overhead_floor_sec": floor,
+        "queries": {n: round(t, 3) for n, t in spark_sec.items()},
+        "ratios": ratios,
+        "full": str(full_path),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # pragma: no cover - keep inside the driver tail
+        compact.pop("ratios", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     return 0
 
 

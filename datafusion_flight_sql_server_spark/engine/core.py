@@ -79,23 +79,34 @@ class Engine:
             if cached is not None:
                 self._plan_cache.move_to_end(key)
                 return cached
-            self._verify(sql)
-            df = bind_sql(self.spark, sql, params)
+            df = self._gated_bind(sql, params)
             self._plan_cache[key] = df
             while len(self._plan_cache) > self._plan_cache_size:
                 self._plan_cache.popitem(last=False)
             return df
-        self._verify(sql)
-        return bind_sql(self.spark, sql, params)
+        return self._gated_bind(sql, params)
 
-    def _verify(self, sql: str) -> None:
-        """Gate the statement; a statement the gate classifies as DDL or
-        command (only possible when the embedder allowed those
-        categories) invalidates the information_schema memo — it is
-        about to change the catalog the memo mirrors."""
+    def _gated_bind(self, sql: str, params) -> DataFrame:
+        """Gate the statement, then bind it; a statement the gate
+        classifies as DDL or command (only possible when the embedder
+        allowed those categories) invalidates the information_schema memo
+        BOTH before and after ``bind_sql`` — Spark executes DDL eagerly
+        inside ``spark.sql``, so a concurrent gRPC thread listing
+        information_schema.columns between the pre-invalidation and the
+        DDL's completion would otherwise re-memoize the PRE-DDL schema
+        under the same (catalog, namespace, name, type) key, which the
+        live-listing prune never evicts for in-place REPLACEs (ADVICE
+        r11). The post-invalidation runs in ``finally`` so a failed DDL
+        (which may have partially mutated the catalog) is covered too."""
         category = self.options.verify(self.spark, sql)
-        if category in ("ddl", "statement"):
+        mutates = category in ("ddl", "statement")
+        if mutates:
             self.invalidate_info_schema_cache()
+        try:
+            return bind_sql(self.spark, sql, params)
+        finally:
+            if mutates:
+                self.invalidate_info_schema_cache()
 
     def clear_plan_cache(self) -> None:
         self._plan_cache.clear()
@@ -595,7 +606,11 @@ class Engine:
                             text = r[1]
                             break
                 except Exception:
-                    pass
+                    # transient DESCRIBE failure (e.g. a concurrent catalog
+                    # op): serve NULL for THIS listing but do not memoize,
+                    # so the next statement retries instead of pinning a
+                    # NULL view_definition for the session (ADVICE r11)
+                    return None
                 fresh[key] = text
                 return text
 

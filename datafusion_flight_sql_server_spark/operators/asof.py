@@ -8,8 +8,9 @@ way SURVEY.md suggests — a single union + one window pass, no range
 self-join and no per-row subquery:
 
 1. the right side is deduplicated to one row per (key, timestamp), keeping
-   the highest-id row (as-of with duplicate right timestamps is otherwise
-   engine-ambiguous);
+   the lexicographically greatest (id, *values) row atomically (as-of with
+   duplicate right timestamps is otherwise engine-ambiguous, and a rule
+   keyed on input position would not survive a shuffle);
 2. both sides union into one stream ordered by (timestamp, side-marker)
    — right rows sort BEFORE left rows at equal timestamps,
    which makes the join inclusive (right.ts <= left.ts);
@@ -41,8 +42,16 @@ def asof_join(
     Returns every ``left`` row with appended columns ``{ts_col}_r``,
     ``{right_id_col}_r`` and ``{c}_r`` for each value column — the matched
     right row's fields, NULL when the key has no right row at or before
-    the left timestamp. Deterministic under duplicate right timestamps
-    (max ``right_id_col`` wins, with its values taken atomically).
+    the left timestamp.
+
+    Duplicate rule (total): right rows duplicated within ``(on, ts_col)``
+    resolve by lexicographic max over ``(right_id_col, *right_value_cols)``
+    — the winner is always exactly ONE input row taken atomically, so ties
+    on ``right_id_col`` extend the comparison into the value columns rather
+    than mixing fields across rows. Input position deliberately plays no
+    role: after a shuffle, "first seen" is not a meaningful order in a
+    distributed engine, while the struct-max is reproducible on any
+    partitioning.
     """
     rvals = [right_id_col, *right_value_cols]
     r1 = (
@@ -91,7 +100,9 @@ def asof_join_nearest(
     left.ts| for its key, in either direction; an exact tie prefers the
     BACKWARD (earlier) candidate, which keeps the operator a strict
     superset of the backward join's semantics. Left-outer: keys with no
-    right rows at all yield NULLs.
+    right rows at all yield NULLs. Duplicates within ``(on, ts_col)``
+    follow :func:`asof_join`'s total rule — lexicographic max over
+    ``(right_id_col, *right_value_cols)``, one input row atomically.
 
     Same plan discipline as :func:`asof_join`: the two directional
     candidates come from one union + ONE sorted window pass (a

@@ -759,10 +759,18 @@ def _t_to_unixtime(args: list[str]) -> str:
 
 def _epoch_seconds(src: str) -> str:
     # pg/DF extract(epoch ...) returns Float64 seconds incl. fractional
-    # micros; exact in integer micros before the single double division
+    # micros; exact in integer micros before the single double division.
+    # DataFusion timestamps are zoneless, so the operand's wall clock is
+    # read as UTC regardless of the Spark session zone — the same
+    # session-independent CONVERT_TIMEZONE form as the AT TIME ZONE
+    # rewrite (ADVICE r11: the bare CAST interpreted TIMESTAMP literals
+    # and NTZ values in the session zone). A zoned TIMESTAMP operand
+    # contributes its session-zone wall clock — documented engine limit
+    # (same class as to_local_time), identity under pinned-UTC sessions.
     return (
-        f"(CAST(UNIX_MICROS(CAST(({src.strip()}) AS TIMESTAMP)) AS DOUBLE)"
-        f" / 1000000.0)"
+        f"(CAST(UNIX_MICROS(CAST(CONVERT_TIMEZONE('UTC', "
+        f"CURRENT_TIMEZONE(), CAST(({src.strip()}) AS TIMESTAMP_NTZ)) "
+        f"AS TIMESTAMP)) AS DOUBLE) / 1000000.0)"
     )
 
 
@@ -1147,8 +1155,37 @@ _TYPED_LITERAL_WORDS = ("timestamp", "timestamp_ntz", "date")
 def _atz_operand_start(toks: list, i: int):
     """Token index where the operand preceding ``toks[i]`` starts —
     walking back over a (typed) literal, a parenthesized/call tail
-    (including a qualified callee), or a qualified-name chain. Returns
-    None when nothing capturable precedes (e.g. a keyword)."""
+    (including a qualified callee), a qualified-name chain, and any
+    pg ``x::type`` cast chain (``::`` binds tighter than AT TIME ZONE
+    and ``@>``/``<@``; Spark 4 parses the spelling natively, so the
+    chain re-emits verbatim — ADVICE r11). Returns None when nothing
+    capturable precedes (e.g. a keyword)."""
+    start = _operand_start_once(toks, i)
+    if start is None:
+        return None
+    while True:
+        p = _skip_ws(toks, start - 1, -1)
+        if (
+            p >= 1
+            and toks[p][0] == "other"
+            and toks[p][3] == ":"
+            and toks[p - 1][0] == "other"
+            and toks[p - 1][3] == ":"
+            and toks[p - 1][2] == toks[p][1]  # adjacent → one '::' operator
+        ):
+            prev = _operand_start_once(toks, p - 1)
+            if prev is None:
+                raise DialectUnsupported(
+                    "cannot capture the expression before '::' "
+                    "(parenthesize the expression)"
+                )
+            start = prev
+            continue
+        return start
+
+
+def _operand_start_once(toks: list, i: int):
+    """One backward operand-capture step (no ``::`` chaining)."""
     k = _skip_ws(toks, i - 1, -1)
     if k < 0:
         return None
@@ -1291,8 +1328,37 @@ def _rewrite_at_time_zone(sql: str) -> str:
 def _operand_end(toks: list, i: int):
     """(start, end) token indexes (inclusive) of the operand beginning
     at or after ``toks[i]`` — a (typed) literal, a parenthesized
-    expression, a call, or a qualified-name chain. None when nothing
-    capturable follows."""
+    expression, a call, or a qualified-name chain, extended forward
+    over pg ``x::type`` cast chains (same binding rule as
+    :func:`_atz_operand_start`). None when nothing capturable
+    follows."""
+    got = _operand_end_once(toks, i)
+    if got is None:
+        return None
+    k, end = got
+    while True:
+        p = _skip_ws(toks, end + 1, 1)
+        if (
+            p + 1 < len(toks)
+            and toks[p][0] == "other"
+            and toks[p][3] == ":"
+            and toks[p + 1][0] == "other"
+            and toks[p + 1][3] == ":"
+            and toks[p][2] == toks[p + 1][1]  # adjacent → one '::'
+        ):
+            nxt = _operand_end_once(toks, p + 2)
+            if nxt is None:
+                raise DialectUnsupported(
+                    "cannot capture the type after '::' "
+                    "(parenthesize the expression)"
+                )
+            end = nxt[1]
+            continue
+        return (k, end)
+
+
+def _operand_end_once(toks: list, i: int):
+    """One forward operand-capture step (no ``::`` chaining)."""
     k = _skip_ws(toks, i, 1)
     if k >= len(toks):
         return None
@@ -1557,13 +1623,20 @@ def _rewrite_show(sql: str) -> str:
     (``namespace, tableName, isTemporary``), so this rewrite is a
     meaning-changer: datafusion mode only. Only a statement-HEAD SHOW
     rewrites; unrecognized SHOW forms pass through to Spark's own SHOW
-    handling."""
+    handling. Round 12: ``SHOW <name.name...>`` (DataFusion's
+    single-setting form, answered from ``df_settings`` — VERDICT r11
+    missing #2) and one trailing ``;`` tolerated on every recognized
+    form (ADVICE r11: ``SHOW TABLES;`` silently skipped the rewrite
+    and hit the gate)."""
     toks = [(k, s, e, sql[s:e]) for k, s, e in _tokens(sql)]
     mean = [
         i
         for i, t in enumerate(toks)
         if t[0] != "comment" and not (t[0] == "other" and t[3].isspace())
     ]
+    # one trailing ';' is part of the statement, not a shape mismatch
+    if mean and toks[mean[-1]][0] == "other" and toks[mean[-1]][3] == ";":
+        mean = mean[:-1]
 
     def _w(mi: int) -> str | None:
         if 0 <= mi < len(mean) and toks[mean[mi]][0] == "word":
@@ -1607,6 +1680,32 @@ def _rewrite_show(sql: str) -> str:
             "data_type, is_nullable FROM information_schema.columns "
             "WHERE " + " AND ".join(conds)
         )
+    # SHOW <name.name...> — DataFusion's single-setting lookup
+    # (datafusion/sql answers it from information_schema.df_settings).
+    # At least one dot is required so Spark's own single-word SHOW
+    # forms (DATABASES, VIEWS, FUNCTIONS, PARTITIONS …) pass through;
+    # DF setting names are always dotted (datafusion.*, and this
+    # server's df_settings lists spark.* confs). An unknown name
+    # yields zero rows, like filtering df_settings by hand.
+    if len(mean) >= 4 and _w(1) is not None:
+        parts = []
+        mi = 1
+        while mi < len(mean):
+            if toks[mean[mi]][0] != "word":
+                return sql
+            parts.append(toks[mean[mi]][3])
+            if mi + 1 < len(mean):
+                if toks[mean[mi + 1]][3] != ".":
+                    return sql
+                mi += 2
+            else:
+                mi += 1
+        if len(parts) >= 2:
+            name = ".".join(parts)
+            return (
+                "SELECT name, value FROM information_schema.df_settings "
+                f"WHERE name = {_emit_str_literal(name.lower())}"
+            )
     return sql
 
 

@@ -53,69 +53,70 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: implementation (or an operator/cache it rides) materially changed in
 #: the round. SURVEY §5 documents the same policy.
 #:
-#: Round-11 state: tier 2 is EMPTY — the round's changes (dialect batch
-#: 5, information_schema multi-database coverage + describe memo) live
-#: in the serving layer, which the permanently-pinned ``scan_flight``
-#: transits; no registered query's implementation changed. Tier 3 is
-#: the COMPLETE round-6 cohort (45 queries — their rows age to the
-#: 5-round freshness limit this round), led by ``agg_count_star`` (the
-#: r10 overflow displacement), then alphabetical; the 4 remaining slots
-#: take the oldest-first head of the round-7 cohort (the r12 rotation
-#: continues at ``agg_listagg``).
+#: Round-12 state: tier 2 = the two as-of queries —
+#: ``operators/asof.py``'s duplicate tie-break contract was made total
+#: and documented this round (VERDICT r11 #1), and both ride that
+#: operator. Tier 3 continues the oldest-first rotation exactly where
+#: round 11 left it: the COMPLETE round-7 cohort (46 queries — their
+#: rows age to the 5-round freshness limit this round), alphabetical
+#: from ``agg_listagg``; the 1 remaining slot takes the oldest-first
+#: head of the round-8 cohort (``agg_approx_distinct`` — the r13
+#: rotation continues at ``agg_bitwise``).
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
-    # tier 3: the full round-6 cohort (rows at the 5-round limit)
-    "agg_count_star",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "dedup_containment",
-    "dedup_incremental_minhash",
-    "dedup_minhash_eval",
-    "dedup_near_clusters",
-    "dedup_semantic",
-    "dedup_threshold_curve",
-    "doc_dsir_select",
-    "doc_dup_report",
-    "embed_cluster_quality",
-    "embed_coreset_sample",
-    "embed_knn_graph",
-    "embed_norm_audit",
-    "event_dow_profile",
-    "event_quantile_rollup",
-    "filter_predicates",
-    "fn_array",
-    "fn_cast",
-    "fn_conditional",
-    "fn_datetime",
-    "fn_explode",
-    "fn_json",
-    "fn_math",
-    "fn_regex",
-    "fn_string",
-    "fn_struct",
-    "graph_components_star",
-    "join_cross",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "sim_topk",
-    "stream_sessionize_batch",
-    "stream_tumbling_batch",
-    "subquery_correlated_scalar",
-    "subquery_exists",
-    "subquery_in",
-    "subquery_scalar",
-    "text_length_quantiles",
-    "topk",
-    "tpch_q10_returned_items",
-    # tier 3 overflow: oldest-first head of the round-7 cohort
-    "agg_array",
-    "agg_bitmap_distinct",
-    "agg_corr_regr",
-    "agg_filter_clause",
+    # tier 2: operator code changed this round (asof tie-break contract)
+    "event_asof_join",
+    "event_asof_nearest",
+    # tier 3: the full round-7 cohort (rows at the 5-round limit)
+    "agg_listagg",
+    "agg_minmax_by",
+    "agg_unpivot",
+    "corpus_mix_report",
+    "cte_recursive",
+    "dedup_embed_cosine",
+    "dedup_exact_keeprow",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_chunk",
+    "doc_pack",
+    "doc_sample_stratified",
+    "doc_split",
+    "embed_quantize",
+    "event_funnel",
+    "event_gapfill",
+    "event_retention",
+    "event_sessionize",
+    "event_transitions",
+    "event_tumbling_window",
+    "filter_compare",
+    "fn_try",
+    "fn_variant",
+    "graph_pagerank",
+    "join_lateral",
+    "multimodal_decode",
+    "multimodal_meta",
+    "multimodal_resize",
+    "pipeline_curate",
+    "profile_table",
+    "scan_projection",
+    "scan_star",
+    "sim_topk_lsh",
+    "sink_clustered",
+    "text_contamination",
+    "text_entropy",
+    "text_fingerprint",
+    "text_langid",
+    "text_lm_unigram",
+    "text_ngrams_top",
+    "text_quality",
+    "text_quality_rules",
+    "text_redact",
+    "text_stats",
+    "text_tokens",
+    "window_ignore_nulls",
+    # tier 3 overflow: oldest-first head of the round-8 cohort
+    "agg_approx_distinct",
 )
 
 
