@@ -1680,12 +1680,25 @@ def _rewrite_show(sql: str) -> str:
             "data_type, is_nullable FROM information_schema.columns "
             "WHERE " + " AND ".join(conds)
         )
+    # SHOW TIME ZONE / SHOW TIMEZONE — the pg session-zone spelling
+    # (DataFusion routes it through its settings lookup); the session
+    # zone lives in df_settings under Spark's conf key
+    if (_w(1) == "time" and _w(2) == "zone" and len(mean) == 3) or (
+        _w(1) == "timezone" and len(mean) == 2
+    ):
+        return (
+            "SELECT name, value FROM information_schema.df_settings "
+            "WHERE LOWER(name) = 'spark.sql.session.timezone'"
+        )
     # SHOW <name.name...> — DataFusion's single-setting lookup
     # (datafusion/sql answers it from information_schema.df_settings).
     # At least one dot is required so Spark's own single-word SHOW
     # forms (DATABASES, VIEWS, FUNCTIONS, PARTITIONS …) pass through;
     # DF setting names are always dotted (datafusion.*, and this
-    # server's df_settings lists spark.* confs). An unknown name
+    # server's df_settings lists spark.* confs). The match is
+    # case-insensitive — DF lowercases unquoted identifiers while
+    # Spark conf keys are camelCase (spark.sql.session.timeZone), so a
+    # literal = on either casing would silently miss. An unknown name
     # yields zero rows, like filtering df_settings by hand.
     if len(mean) >= 4 and _w(1) is not None:
         parts = []
@@ -1704,7 +1717,7 @@ def _rewrite_show(sql: str) -> str:
             name = ".".join(parts)
             return (
                 "SELECT name, value FROM information_schema.df_settings "
-                f"WHERE name = {_emit_str_literal(name.lower())}"
+                f"WHERE LOWER(name) = {_emit_str_literal(name.lower())}"
             )
     return sql
 

@@ -512,6 +512,18 @@ class TestInformationSchemaOverFlight:
         assert t.column_names == ["name", "value"]
         assert t.num_rows == 0
 
+    def test_show_time_zone_and_camelcase_conf_over_tcp(self, df_client):
+        # SHOW TIME ZONE / SHOW timezone (pg spellings) answer with the
+        # session zone row; a camelCase Spark conf key is found despite
+        # DF-style lowercasing (LOWER(name) match)
+        for sql in ("SHOW TIME ZONE", "SHOW timezone",
+                    "SHOW spark.sql.session.timeZone",
+                    "SHOW spark.sql.session.timezone"):
+            t = df_client.execute(sql)
+            assert t.column_names == ["name", "value"], sql
+            assert t.num_rows == 1, sql
+            assert t.column("value").to_pylist() == ["UTC"], sql
+
     def test_show_trailing_semicolon_over_tcp(self, df_client):
         # ADVICE r11: the terminated spelling must behave like the
         # unterminated one instead of falling through to the gate
@@ -1124,10 +1136,17 @@ class TestRound11Rewrites:
         out = rewrite_sql("SHOW datafusion.execution.batch_size", "datafusion")
         assert out == (
             "SELECT name, value FROM information_schema.df_settings "
-            "WHERE name = 'datafusion.execution.batch_size'"
+            "WHERE LOWER(name) = 'datafusion.execution.batch_size'"
         )
         out = rewrite_sql("SHOW Spark.SQL.Shuffle.Partitions", "datafusion")
-        assert "name = 'spark.sql.shuffle.partitions'" in out
+        # case-insensitive match: Spark conf keys are camelCase while DF
+        # lowercases unquoted identifiers
+        assert "LOWER(name) = 'spark.sql.shuffle.partitions'" in out
+        # pg session-zone spellings
+        for sql in ("SHOW TIME ZONE", "SHOW timezone", "SHOW TIME ZONE;"):
+            out = rewrite_sql(sql, "datafusion")
+            assert "LOWER(name) = 'spark.sql.session.timezone'" in out
+        assert rewrite_sql("SHOW TIME ZONE", "auto") == "SHOW TIME ZONE"
         # auto mode keeps Spark's SHOW untouched
         sql = "SHOW spark.sql.shuffle.partitions"
         assert rewrite_sql(sql, "auto") == sql
@@ -1243,6 +1262,83 @@ class TestInfoSchemaProviderEdgeCases:
         rows = eng.info_schema_rows("columns")
         assert refs == ["`od``d`.`we``ird`"]
         assert [(r[2], r[3]) for r in rows] == [("we`ird", "x")]
+
+    def test_info_schema_memo_invalidated_after_ddl_executes(
+        self, spark, monkeypatch
+    ):
+        """ADVICE r11 (medium): the memo was invalidated at gate time,
+        BEFORE the DDL executed inside bind_sql — a concurrent gRPC
+        thread listing information_schema.columns in that window
+        re-memoized the pre-DDL schema under the same key, which the
+        live-listing prune never evicts for in-place REPLACEs. The fix
+        invalidates again in a finally AFTER bind_sql."""
+        from datafusion_flight_sql_server_spark.engine import core as core_mod
+        from datafusion_flight_sql_server_spark.engine.core import Engine
+        from datafusion_flight_sql_server_spark.plans.gate import SQLOptions
+
+        eng = Engine(spark, options=SQLOptions(allow_ddl=True))
+        real = core_mod.bind_sql
+
+        def racing_bind(s, sql, params):
+            # simulate the concurrent listing re-memoizing mid-DDL
+            eng._info_cols_memo = {"k": [("stale", 1, "YES", "int")]}
+            return real(s, sql, params)
+
+        monkeypatch.setattr(core_mod, "bind_sql", racing_bind)
+        try:
+            eng.sql_to_plan(
+                "CREATE OR REPLACE TEMP VIEW adv_ddl_probe AS SELECT 2 AS y"
+            )
+            assert eng._info_cols_memo == {}, "post-bind invalidation"
+            # a FAILED catalog mutation (may have partially executed)
+            # must invalidate too — the finally path
+            def racing_boom(s, sql, params):
+                eng._info_cols_memo = {"k": [("stale", 1, "YES", "int")]}
+                raise RuntimeError("ddl exploded mid-flight")
+
+            monkeypatch.setattr(core_mod, "bind_sql", racing_boom)
+            with pytest.raises(RuntimeError, match="mid-flight"):
+                eng.sql_to_plan("DROP VIEW adv_ddl_probe")
+            assert eng._info_cols_memo == {}
+        finally:
+            spark.catalog.dropTempView("adv_ddl_probe")
+
+    def test_view_definition_retries_after_describe_failure(
+        self, spark, monkeypatch
+    ):
+        """ADVICE r11 (low): a transient DESCRIBE failure memoized
+        text=None, pinning a NULL view_definition for the session. The
+        failed probe must serve NULL for THAT listing only and retry on
+        the next statement."""
+        from datafusion_flight_sql_server_spark.engine.core import Engine
+
+        spark.sql("CREATE OR REPLACE VIEW adv_def_probe AS SELECT 1 AS x")
+        try:
+            eng = Engine(spark)
+            real_sql = spark.sql
+            state = {"fail": True}
+
+            def flaky(q, *a, **k):
+                if (
+                    isinstance(q, str)
+                    and q.startswith("DESCRIBE TABLE EXTENDED")
+                    and "adv_def_probe" in q
+                    and state["fail"]
+                ):
+                    state["fail"] = False
+                    raise RuntimeError("transient catalog race")
+                return real_sql(q, *a, **k)
+
+            monkeypatch.setattr(spark, "sql", flaky)
+            rows1 = {r[2]: r[3] for r in eng.info_schema_rows("views")}
+            assert rows1["adv_def_probe"] is None
+            rows2 = {r[2]: r[3] for r in eng.info_schema_rows("views")}
+            assert (
+                rows2["adv_def_probe"]
+                and "select" in rows2["adv_def_probe"].lower()
+            ), "definition must be retried, not pinned NULL"
+        finally:
+            spark.sql("DROP VIEW IF EXISTS adv_def_probe")
 
     def test_columns_memo_is_o1_per_session(self, spark, monkeypatch):
         """VERDICT r10 "what's wrong" #2: repeated statements must not
