@@ -13,7 +13,9 @@ self-join and no per-row subquery:
    keyed on input position would not survive a shuffle);
 2. both sides union into one stream ordered by (timestamp, side-marker)
    — right rows sort BEFORE left rows at equal timestamps,
-   which makes the join inclusive (right.ts <= left.ts);
+   which makes the join inclusive (right.ts <= left.ts); the strict
+   variant (``inclusive=False``) flips that tie order so same-timestamp
+   right rows become invisible (right.ts < left.ts);
 3. ``last(..., ignorenulls=True)`` over an unbounded-preceding row frame
    carries each key's latest right row forward; left rows read it, rows
    with no prior right row get NULL (left-outer semantics).
@@ -36,8 +38,14 @@ def asof_join(
     ts_col: str = "ts",
     right_id_col: str = "event_id",
     right_value_cols: tuple[str, ...] = ("value",),
+    inclusive: bool = True,
 ) -> DataFrame:
-    """Backward inclusive as-of join.
+    """Backward as-of join — inclusive (``right.ts <= left.ts``, the
+    default) or strict (``right.ts < left.ts``, pandas
+    ``merge_asof(allow_exact_matches=False)`` / kdb prior-tick).
+    Inclusivity is purely the union's tie order: right rows sort before
+    left rows at equal timestamps for inclusive, after them for strict —
+    same single-shuffle plan either way.
 
     Returns every ``left`` row with appended columns ``{ts_col}_r``,
     ``{right_id_col}_r`` and ``{c}_r`` for each value column — the matched
@@ -67,7 +75,7 @@ def asof_join(
         )
     )
     l2 = left.withColumn("_is_l", F.lit(1))
-    r2 = r1.withColumn("_is_l", F.lit(0))
+    r2 = r1.withColumn("_is_l", F.lit(0 if inclusive else 2))
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
         W.partitionBy(on)

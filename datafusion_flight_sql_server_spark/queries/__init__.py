@@ -56,17 +56,22 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: Round-12 state: tier 2 = the two as-of queries —
 #: ``operators/asof.py``'s duplicate tie-break contract was made total
 #: and documented this round (VERDICT r11 #1), and both ride that
-#: operator. Tier 3 continues the oldest-first rotation exactly where
-#: round 11 left it: the COMPLETE round-7 cohort (46 queries — their
-#: rows age to the 5-round freshness limit this round), alphabetical
-#: from ``agg_listagg``; the 1 remaining slot takes the oldest-first
-#: head of the round-8 cohort (``agg_approx_distinct`` — the r13
-#: rotation continues at ``agg_bitwise``).
+#: operator — plus the round's one NEW registration,
+#: ``event_asof_join_strict`` (the strict-inequality variant of the
+#: same operator). Tier 3 continues the oldest-first rotation exactly
+#: where round 11 left it: the COMPLETE round-7 cohort (46 queries —
+#: their rows age to the 5-round freshness limit this round),
+#: alphabetical from ``agg_listagg``. The round-8 head
+#: ``agg_approx_distinct`` defers at the cut line (once) and LEADS the
+#: round-13 tier 3, which continues at ``agg_bitwise``; its row is r8,
+#: exactly at the 5-round limit in r13.
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
     # tier 2: operator code changed this round (asof tie-break contract)
+    # + the round's new registration riding the same operator
     "event_asof_join",
+    "event_asof_join_strict",
     "event_asof_nearest",
     # tier 3: the full round-7 cohort (rows at the 5-round limit)
     "agg_listagg",
@@ -115,8 +120,6 @@ _PRIORITY = (
     "text_stats",
     "text_tokens",
     "window_ignore_nulls",
-    # tier 3 overflow: oldest-first head of the round-8 cohort
-    "agg_approx_distinct",
 )
 
 

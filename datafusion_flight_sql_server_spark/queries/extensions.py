@@ -1499,6 +1499,64 @@ def q_event_asof_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "event_asof_join_strict",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, ts,
+                   MAX(event_id) AS view_id,
+                   arg_max(value, event_id) AS view_value
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ), p AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, p.user_id,
+               CAST(epoch_us(p.ts) AS BIGINT) AS ep_us,
+               v.view_id, v.view_value,
+               CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+                   AS gap_s
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts > v.ts
+    """,
+    doc="STRICT backward as-of join (pandas merge_asof "
+    "allow_exact_matches=False / kdb prior-tick): each purchase picks "
+    "the most recent view STRICTLY BEFORE it — a simultaneous view is "
+    "invisible, the attribution shape for leakage-free point-in-time "
+    "features (a same-instant observation is information from the "
+    "future of the decision). Spark side is operators/asof.py's union + "
+    "window-carry-forward with the tie order flipped (inclusive=False) "
+    "— identical single-shuffle plan; oracle is DuckDB's native ASOF "
+    "LEFT JOIN with a strict `>` predicate.",
+    tags=("events", "join", "asof"),
+)
+def q_event_asof_join_strict(spark: SparkSession, sf: str) -> DataFrame:
+    from datafusion_flight_sql_server_spark.operators.asof import asof_join
+
+    e = tables(spark, sf)["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(purchases, views, inclusive=False)
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).cast("bigint").alias("ep_us"),
+        F.col("event_id_r").alias("view_id"),
+        F.col("value_r").alias("view_value"),
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r")))
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+
+
+@query(
     "event_asof_nearest",
     oracle="""
         WITH v AS (

@@ -50,15 +50,33 @@ class TestAsofJoin:
         assert rows[102].event_id_r is None and rows[102].value_r is None
         assert rows[102].ts_r is None
 
+    def test_strict_excludes_equal_timestamp(self, spark):
+        # round 12: inclusive=False — a right row AT the left timestamp
+        # is invisible (pandas allow_exact_matches=False / prior-tick);
+        # everything earlier still carries forward
+        left, right = _frames(spark)
+        rows = {
+            r.purchase_id: r
+            for r in asof_join(left, right, inclusive=False).collect()
+        }
+        assert len(rows) == 3
+        # purchase 100 at ts=10: both ts=10 views invisible, nothing earlier
+        assert rows[100].event_id_r is None and rows[100].ts_r is None
+        # purchase 101 at ts=20: ts=15 strictly earlier -> still matches
+        assert rows[101].event_id_r == 3 and rows[101].value_r == 9.9
+        assert rows[102].event_id_r is None
+
     def test_no_join_node_in_plan(self, spark):
         left, right = _frames(spark)
-        plan = (
-            asof_join(left, right)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        assert "Join" not in plan  # union + single window, never a range join
+        for inclusive in (True, False):
+            plan = (
+                asof_join(left, right, inclusive=inclusive)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            # union + single window, never a range join
+            assert "Join" not in plan
 
 
 class TestAsofJoinNearest:

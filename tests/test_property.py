@@ -114,6 +114,70 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         )
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(left=_left_rows, right=_right_rows)
+# a right row EXACTLY at the left timestamp: visible to the inclusive
+# join, invisible to the strict one — the defining boundary case
+@example(left=[(0, 0, 3)], right=[(7, 0, 3, 5.0), (4, 0, 2, 2.0)])
+def test_asof_join_strict_matches_pandas(spark, left, right):
+    """inclusive=False must equal pandas merge_asof with
+    allow_exact_matches=False under the same total duplicate rule."""
+    left = [(i, k, ts) for i, (_, k, ts) in enumerate(left)]
+    lpdf = pd.DataFrame(left, columns=["purchase_id", "user_id", "ts"]).astype(
+        {"purchase_id": "int64", "user_id": "int64", "ts": "int64"}
+    )
+    rpdf = pd.DataFrame(
+        right, columns=["event_id", "user_id", "ts", "value"]
+    ).astype(
+        {"event_id": "int64", "user_id": "int64", "ts": "int64", "value": "float64"}
+    )
+    ldf = spark.createDataFrame(
+        lpdf, schema="purchase_id long, user_id long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        rpdf, schema="event_id long, user_id long, ts long, value double"
+    )
+    got = (
+        asof_join(ldf, rdf, on="user_id", ts_col="ts", inclusive=False)
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    if len(rpdf):
+        rdd = (
+            rpdf.sort_values(["user_id", "ts", "event_id", "value"])
+            .groupby(["user_id", "ts"], as_index=False)
+            .last()
+        )
+    else:
+        rdd = rpdf
+    want = pd.merge_asof(
+        lpdf.sort_values("ts", kind="mergesort"),
+        rdd.sort_values("ts", kind="mergesort").rename(
+            columns={"ts": "ts_r", "event_id": "event_id_r", "value": "value_r"}
+        ),
+        left_on="ts",
+        right_on="ts_r",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=False,
+    ).sort_values("purchase_id").reset_index(drop=True)
+    assert len(got) == len(lpdf)
+    for col in ("ts_r", "event_id_r", "value_r"):
+        g = got[col]
+        w = want[col] if col in want else pd.Series(dtype=float)
+        assert list(g.isna()) == list(w.isna()), f"{col} null mask"
+        pd.testing.assert_series_equal(
+            g.dropna().astype(float).reset_index(drop=True),
+            w.dropna().astype(float).reset_index(drop=True),
+            check_names=False,
+        )
+
+
 _words = st.lists(
     st.text(alphabet="abcd", min_size=1, max_size=3), min_size=1, max_size=200
 )
