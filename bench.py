@@ -288,10 +288,20 @@ def main() -> int:
     except OSError:  # pragma: no cover - read-only checkout
         pass
 
+    # oracle disabled/unavailable → no ratio to report; fall back to the
+    # pre-round-12 seconds headline so the driver still gets a number
+    if ratio_total is None:  # pragma: no cover - SPARK_GRAFT_BENCH_ORACLE=0
+        metric, value, unit = (
+            "headline_median_total",
+            round(sum(timings.values()), 4),
+            "sec",
+        )
+    else:
+        metric, value, unit = "spark_oracle_ratio", ratio_total, "ratio"
     compact = {
-        "metric": "spark_oracle_ratio",
-        "value": ratio_total,
-        "unit": "ratio",
+        "metric": metric,
+        "value": value,
+        "unit": unit,
         "sf": sf,
         "cpus": cpus,
         "runs": TIMED_RUNS,

@@ -843,6 +843,47 @@ def _t_to_timestamp_df(args: list[str]) -> str | None:
     return f"TO_TIMESTAMP(({args[0].strip()}), '{esc}')"
 
 
+def _gcd_expr(x: str, y: str) -> str:
+    # Euclid as a bounded fold: SEQUENCE(1, 92) covers the worst case
+    # (consecutive Fibonacci numbers — ~91 steps for 64-bit operands,
+    # verified at the i64-max Fibonacci pair), and once b hits 0 the
+    # state is a fixed point. O(1) per row, no UDF, stays in codegen.
+    return (
+        f"AGGREGATE(SEQUENCE(1, 92), "
+        f"NAMED_STRUCT('a', ABS(CAST(({x}) AS BIGINT)), "
+        f"'b', ABS(CAST(({y}) AS BIGINT))), "
+        f"(s, i) -> IF(s.b = 0, s, NAMED_STRUCT('a', s.b, 'b', s.a % s.b)), "
+        f"s -> s.a)"
+    )
+
+
+def _t_gcd(args: list[str]) -> str:
+    # round 12: gcd/lcm were the last unmapped DF math names; absent
+    # from Spark 4.1's registry, so auto-safe. Non-negative result
+    # (pg semantics); gcd(0, 0) = 0. |i64::MIN| overflows under
+    # non-ANSI ABS — same class as DataFusion's own i64 overflow error.
+    if len(args) != 2:
+        raise DialectUnsupported("gcd takes (a, b)")
+    x, y = (a.strip() for a in args)
+    return _gcd_expr(x, y)
+
+
+def _t_lcm(args: list[str]) -> str:
+    # lcm = |a / gcd(a, b) * b|, zero when either operand is zero.
+    # DIV-before-multiply keeps the intermediate in range whenever the
+    # RESULT fits in i64 (DataFusion errors on result overflow; this
+    # wraps under non-ANSI — documented). Operands re-emit twice, which
+    # is safe for deterministic scalar expressions.
+    if len(args) != 2:
+        raise DialectUnsupported("lcm takes (a, b)")
+    x, y = (a.strip() for a in args)
+    return (
+        f"IF(({x}) = 0 OR ({y}) = 0, CAST(0 AS BIGINT), "
+        f"ABS((CAST(({x}) AS BIGINT) DIV {_gcd_expr(x, y)}) "
+        f"* CAST(({y}) AS BIGINT)))"
+    )
+
+
 _AUTO_TRANSFORMS = {
     "arrow_cast": _t_arrow_cast,
     "date_bin": _t_date_bin,
@@ -892,6 +933,10 @@ _AUTO_TRANSFORMS = {
     # batch 7 (round 11): all-indexes-of-element
     "array_positions": _t_array_positions,
     "list_positions": _t_array_positions,
+    # batch 8 (round 12): gcd/lcm as a bounded Euclid fold — the last
+    # unmapped DataFusion math names
+    "gcd": _t_gcd,
+    "lcm": _t_lcm,
 }
 
 

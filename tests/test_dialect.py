@@ -225,9 +225,11 @@ class TestDataFusionMatrixOverFlight:
         assert q.num_rows == 1
 
     def test_unmapped_name_errors_clearly(self, auto_client):
-        # gcd is DataFusion-only and unmapped: the error must NAME it
-        with pytest.raises(fl.FlightError, match="(?i)gcd"):
-            auto_client.execute("SELECT gcd(4, 6) AS v")
+        # array_dims is DataFusion-only and unmapped (Spark arrays carry
+        # no dims metadata): the error must NAME it. (gcd held this slot
+        # until round 12 mapped it as a bounded Euclid fold.)
+        with pytest.raises(fl.FlightError, match="(?i)array_dims"):
+            auto_client.execute("SELECT array_dims(make_array(1)) AS v")
 
     def test_unsupported_shape_errors_clearly(self, auto_client):
         # recognized construct, no Spark rendering: named rejection
@@ -1111,6 +1113,22 @@ class TestRound11Rewrites:
         # SHOW must head the statement — a column named show is safe
         sql = "SELECT show, tables FROM t"
         assert rewrite_sql(sql, "datafusion") == sql
+
+    def test_gcd_lcm_euclid_fold(self):
+        # round 12 batch 8: gcd/lcm (absent from Spark's registry) map
+        # to a bounded Euclid fold — 92 steps covers any i64 pair
+        out = rewrite_sql("SELECT gcd(a, b) FROM t")
+        assert "AGGREGATE(SEQUENCE(1, 92)" in out and "s.a % s.b" in out
+        out = rewrite_sql("SELECT lcm(a, b) FROM t")
+        assert "DIV" in out
+        assert out.count("AGGREGATE(SEQUENCE(1, 92)") == 1
+        with pytest.raises(DialectUnsupported, match="gcd"):
+            rewrite_sql("SELECT gcd(a) FROM t")
+        with pytest.raises(DialectUnsupported, match="lcm"):
+            rewrite_sql("SELECT lcm(a, b, c) FROM t")
+        # an embedder-registered UDF named gcd wins (not probe-exempt)
+        sql = "SELECT gcd(a, b) FROM t"
+        assert rewrite_sql(sql, "auto", lambda n: n == "gcd") == sql
 
     def test_show_tolerates_trailing_semicolon(self):
         # ADVICE r11: 'SHOW TABLES;' silently skipped the rewrite and

@@ -111,8 +111,17 @@ _SLT_AUTO = [
     ("SELECT isnan(CAST('NaN' AS DOUBLE)) AS v", True),
     ("SELECT nanvl(CAST('NaN' AS DOUBLE), 5.0) AS v", 5.0),
     ("SELECT iszero(0.0) AS v", True),
-    ("SELECT gcd(4, 6) AS v", ERR),  # unmapped: clean UNRESOLVED naming it
-    ("SELECT lcm(4, 6) AS v", ERR),
+    # round 12 (batch 8): gcd/lcm as a bounded Euclid fold —
+    # AGGREGATE(SEQUENCE(1, 92), …) converges for any i64 pair
+    # (worst case = consecutive Fibonacci numbers, ~91 steps).
+    # Non-negative results (pg semantics); negative-operand lcm sign is
+    # NOT pinned (DataFusion source not checkable offline).
+    ("SELECT gcd(12, 18) AS v", 6),
+    ("SELECT gcd(0, 0) AS v", 0),
+    ("SELECT gcd(-12, 18) AS v", 6),
+    ("SELECT gcd(7540113804746346429, 4660046610375530309) AS v", 1),
+    ("SELECT lcm(4, 6) AS v", 12),
+    ("SELECT lcm(0, 5) AS v", 0),
     ("SELECT random() AS v", ANY),
     # -- string -------------------------------------------------------------
     ("SELECT ascii('A') AS v", 65),
