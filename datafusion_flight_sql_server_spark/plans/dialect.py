@@ -877,10 +877,13 @@ def _t_lcm(args: list[str]) -> str:
     if len(args) != 2:
         raise DialectUnsupported("lcm takes (a, b)")
     x, y = (a.strip() for a in args)
+    # NULL guard first: IF(NULL = 0 OR y = 0, …) would take the zero arm
+    # for lcm(NULL, 0) instead of propagating NULL like every scalar fn
     return (
+        f"IF(({x}) IS NULL OR ({y}) IS NULL, CAST(NULL AS BIGINT), "
         f"IF(({x}) = 0 OR ({y}) = 0, CAST(0 AS BIGINT), "
         f"ABS((CAST(({x}) AS BIGINT) DIV {_gcd_expr(x, y)}) "
-        f"* CAST(({y}) AS BIGINT)))"
+        f"* CAST(({y}) AS BIGINT))))"
     )
 
 

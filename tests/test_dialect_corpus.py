@@ -122,6 +122,9 @@ _SLT_AUTO = [
     ("SELECT gcd(7540113804746346429, 4660046610375530309) AS v", 1),
     ("SELECT lcm(4, 6) AS v", 12),
     ("SELECT lcm(0, 5) AS v", 0),
+    # NULL propagates even against the zero short-circuit
+    ("SELECT lcm(NULL, 0) AS v", None),
+    ("SELECT gcd(NULL, 5) AS v", None),
     ("SELECT random() AS v", ANY),
     # -- string -------------------------------------------------------------
     ("SELECT ascii('A') AS v", 65),
