@@ -99,6 +99,18 @@ WARMUP_RUNS = 1
 TIMED_RUNS = 5
 
 
+def _loadavg() -> list[float] | None:
+    """Host load averages (1m, 5m, 15m) — VERDICT r12 #2: with host-load
+    telemetry IN the artifact, a contended driver session (r12: sim_topk
+    22.4 s vs 0.63 s controlled under loadavg 6+) can be discounted from
+    the artifact alone instead of re-litigated from timing signatures."""
+    try:
+        parts = Path("/proc/loadavg").read_text().split()
+        return [float(x) for x in parts[:3]]
+    except (OSError, ValueError):  # pragma: no cover - non-Linux host
+        return None
+
+
 def _materialize(df) -> int:
     """Pull the full result to the driver over Arrow; return row count."""
     if hasattr(df, "toArrow"):
@@ -110,6 +122,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf") or 0.1)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    load_start = _loadavg()
 
     # Local-small-SF tuning only (sf0.1 parquet files are ~0.3-10 MiB): split
     # scans and post-shuffle partitions at 2 MiB so the 32 cores actually get
@@ -257,6 +270,8 @@ def main() -> int:
         if oracle_sec[n] > 0
     }
 
+    load_end = _loadavg()
+
     full = {
         "metric": "headline_median_total",
         "value": round(sum(timings.values()), 4),
@@ -280,6 +295,8 @@ def main() -> int:
         "oracle_sec": oracle_sec,
         "spark_oracle_ratio": ratio_total,
         "ratios": ratios,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
     }
     full_path = Path(_REPO) / "examples" / "bench_last_full.json"
     try:
@@ -311,13 +328,23 @@ def main() -> int:
         "spark_asgiven_total_sec": round(sum(timings.values()), 4),
         "oracle_total_sec": oracle_total,
         "overhead_floor_sec": floor,
+        # host-load telemetry (VERDICT r12 #2): 1m loadavg sampled before
+        # the first timed run and after the last — a contended session
+        # reads off the artifact (~40 bytes, stays inside the tail)
+        "loadavg_start_1m": load_start[0] if load_start else None,
+        "loadavg_end_1m": load_end[0] if load_end else None,
         "queries": {n: round(t, 3) for n, t in spark_sec.items()},
         "ratios": ratios,
         "full": str(full_path),
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # pragma: no cover - keep inside the driver tail
-        compact.pop("ratios", None)
+    # ADVICE r12: loop the trim — drop detail dicts largest-impact-first
+    # until the line fits the driver's 2,000-char tail (full detail is
+    # already in bench_last_full.json either way)
+    for bulky in ("ratios", "queries"):
+        if len(line) <= 1900:
+            break
+        compact.pop(bulky, None)  # pragma: no cover - oversize guard
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
     return 0

@@ -767,6 +767,11 @@ def _epoch_seconds(src: str) -> str:
     # and NTZ values in the session zone). A zoned TIMESTAMP operand
     # contributes its session-zone wall clock — documented engine limit
     # (same class as to_local_time), identity under pinned-UTC sessions.
+    # ADVICE r12: in a NON-UTC session the UTC→session→UTC round-trip
+    # mis-resolves DST-AMBIGUOUS wall clocks (the repeated fall-back
+    # hour can land one hour off); exact everywhere under this server's
+    # pinned-UTC engine contract, and for every non-ambiguous instant
+    # otherwise. Listed in README's divergence ledger.
     return (
         f"(CAST(UNIX_MICROS(CAST(CONVERT_TIMEZONE('UTC', "
         f"CURRENT_TIMEZONE(), CAST(({src.strip()}) AS TIMESTAMP_NTZ)) "
@@ -872,18 +877,28 @@ def _t_lcm(args: list[str]) -> str:
     # lcm = |a / gcd(a, b) * b|, zero when either operand is zero.
     # DIV-before-multiply keeps the intermediate in range whenever the
     # RESULT fits in i64 (DataFusion errors on result overflow; this
-    # wraps under non-ANSI — documented). Operands re-emit twice, which
-    # is safe for deterministic scalar expressions.
+    # wraps under non-ANSI — documented). ADVICE r12: each operand is
+    # bound ONCE into a single-element struct and every use reads the
+    # lambda variable, so a non-deterministic operand evaluates exactly
+    # once (DataFusion's single evaluation) and nested gcd/lcm calls
+    # grow linearly, not ~4x per level. `lcm_ops` is deliberately not
+    # `s`/`i` — the gcd fold's inner lambdas reuse those names and
+    # Spark rejects shadowed lambda variable names in nested HOFs.
     if len(args) != 2:
         raise DialectUnsupported("lcm takes (a, b)")
     x, y = (a.strip() for a in args)
     # NULL guard first: IF(NULL = 0 OR y = 0, …) would take the zero arm
     # for lcm(NULL, 0) instead of propagating NULL like every scalar fn
+    inner = (
+        "IF(lcm_ops.x IS NULL OR lcm_ops.y IS NULL, CAST(NULL AS BIGINT), "
+        "IF(lcm_ops.x = 0 OR lcm_ops.y = 0, CAST(0 AS BIGINT), "
+        f"ABS((lcm_ops.x DIV {_gcd_expr('lcm_ops.x', 'lcm_ops.y')}) "
+        "* lcm_ops.y)))"
+    )
     return (
-        f"IF(({x}) IS NULL OR ({y}) IS NULL, CAST(NULL AS BIGINT), "
-        f"IF(({x}) = 0 OR ({y}) = 0, CAST(0 AS BIGINT), "
-        f"ABS((CAST(({x}) AS BIGINT) DIV {_gcd_expr(x, y)}) "
-        f"* CAST(({y}) AS BIGINT))))"
+        f"TRANSFORM(ARRAY(NAMED_STRUCT("
+        f"'x', CAST(({x}) AS BIGINT), 'y', CAST(({y}) AS BIGINT))), "
+        f"lcm_ops -> {inner})[0]"
     )
 
 
@@ -1748,7 +1763,10 @@ def _rewrite_show(sql: str) -> str:
     # Spark conf keys are camelCase (spark.sql.session.timeZone), so a
     # literal = on either casing would silently miss. An unknown name
     # yields zero rows, like filtering df_settings by hand.
-    if len(mean) >= 4 and _w(1) is not None:
+    # ADVICE r12: the statement must END on a word — `SHOW a.b.` (a
+    # malformed trailing dot) passes through to Spark's parser to error
+    # instead of silently rewriting to the 'a.b' settings lookup.
+    if len(mean) >= 4 and _w(1) is not None and toks[mean[-1]][0] == "word":
         parts = []
         mi = 1
         while mi < len(mean):

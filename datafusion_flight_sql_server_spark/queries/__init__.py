@@ -53,73 +53,73 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: implementation (or an operator/cache it rides) materially changed in
 #: the round. SURVEY §5 documents the same policy.
 #:
-#: Round-12 state: tier 2 = the two as-of queries —
-#: ``operators/asof.py``'s duplicate tie-break contract was made total
-#: and documented this round (VERDICT r11 #1), and both ride that
-#: operator — plus the round's one NEW registration,
-#: ``event_asof_join_strict`` (the strict-inequality variant of the
-#: same operator). Tier 3 continues the oldest-first rotation exactly
-#: where round 11 left it: the COMPLETE round-7 cohort (46 queries —
-#: their rows age to the 5-round freshness limit this round),
-#: alphabetical from ``agg_listagg``. The round-8 head
-#: ``agg_approx_distinct`` defers at the cut line (once) and LEADS the
-#: round-13 tier 3, which continues at ``agg_bitwise``; its row is r8,
-#: exactly at the 5-round limit in r13.
+#: Round-13 state: tier 2 is EMPTY — the round's product changes are
+#: confined to the dialect shim (`plans/dialect.py`, which registry
+#: queries do not ride; `scan_flight` covers the serving boundary) and
+#: the bench harness, and per VERDICT r12 #1 no new queries are
+#: registered this round (resume r14). Tier 3 is the complete round-8
+#: cohort at the 5-round freshness limit: ``agg_approx_distinct``
+#: (deferred once at the r12 cut line — leads, and is alphabetically
+#: first anyway) through ``tpch_q7_volume_shipping``, 46 rows. The
+#: remaining three slots take the round-9 cohort head alphabetical
+#: (``agg_bitmap_intersect``, ``agg_count_min``, ``agg_hll_rollup``) —
+#: nothing is deferred at the r13 cut: the r9 cohort's rows reach the
+#: limit in r14 and the rotation continues there at ``agg_mode``.
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
-    # tier 2: operator code changed this round (asof tie-break contract)
-    # + the round's new registration riding the same operator
-    "event_asof_join",
-    "event_asof_join_strict",
-    "event_asof_nearest",
-    # tier 3: the full round-7 cohort (rows at the 5-round limit)
-    "agg_listagg",
-    "agg_minmax_by",
-    "agg_unpivot",
-    "corpus_mix_report",
-    "cte_recursive",
-    "dedup_embed_cosine",
-    "dedup_exact_keeprow",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_chunk",
-    "doc_pack",
-    "doc_sample_stratified",
-    "doc_split",
-    "embed_quantize",
-    "event_funnel",
-    "event_gapfill",
-    "event_retention",
-    "event_sessionize",
-    "event_transitions",
-    "event_tumbling_window",
-    "filter_compare",
-    "fn_try",
-    "fn_variant",
-    "graph_pagerank",
-    "join_lateral",
-    "multimodal_decode",
-    "multimodal_meta",
-    "multimodal_resize",
-    "pipeline_curate",
-    "profile_table",
-    "scan_projection",
-    "scan_star",
-    "sim_topk_lsh",
-    "sink_clustered",
-    "text_contamination",
-    "text_entropy",
-    "text_fingerprint",
-    "text_langid",
-    "text_lm_unigram",
-    "text_ngrams_top",
-    "text_quality",
-    "text_quality_rules",
-    "text_redact",
-    "text_stats",
-    "text_tokens",
-    "window_ignore_nulls",
+    # tier 3: the full round-8 cohort (rows at the 5-round limit),
+    # agg_approx_distinct deferred-once leading
+    "agg_approx_distinct",
+    "agg_bitwise",
+    "agg_bool",
+    "agg_percentile",
+    "agg_pivot",
+    "embed_centroids",
+    "event_band_join",
+    "event_session_window_native",
+    "event_sliding_window",
+    "event_time_rollup",
+    "fn_bitwise",
+    "fn_date_bin",
+    "fn_hash_encode",
+    "fn_map",
+    "fn_string_distance",
+    "fn_url",
+    "join_skew_salted",
+    "multimodal_frames",
+    "param_bind_named",
+    "param_bind_positional",
+    "scan_binary",
+    "scan_csv",
+    "scan_json",
+    "scan_memtable",
+    "scan_orc",
+    "sink_partitioned",
+    "text_histogram",
+    "text_rolling_hash",
+    "text_topk_tokens",
+    "text_vocab_growth",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_priority_class",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q22_global_sales",
+    # round-9 cohort head (next-oldest rows, limit hits in r14)
+    "agg_bitmap_intersect",
+    "agg_count_min",
+    "agg_hll_rollup",
 )
 
 

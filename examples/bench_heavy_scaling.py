@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import statistics
 import sys
 import time
@@ -50,11 +51,17 @@ from datafusion_flight_sql_server_spark.queries.catalog import (
     run_query_cleanups,
 )
 
-QUERIES = (
-    "dedup_ngram_jaccard",
-    "dedup_near_clusters",
-    "graph_components_star",
-    "graph_triangles",
+QUERIES = tuple(
+    q.strip()
+    for q in os.environ.get(
+        # round 13 (VERDICT r12 #3): the same protocol pins the as-of trio
+        # (union + window carry, single shuffle — predicted ~linear) via
+        #   SPARK_GRAFT_SCALING_QUERIES=event_asof_join,event_asof_join_strict,event_asof_nearest
+        "SPARK_GRAFT_SCALING_QUERIES",
+        "dedup_ngram_jaccard,dedup_near_clusters,"
+        "graph_components_star,graph_triangles",
+    ).split(",")
+    if q.strip()
 )
 
 #: overridable so the recorded protocol reproduces off this host

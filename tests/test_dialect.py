@@ -1122,6 +1122,13 @@ class TestRound11Rewrites:
         out = rewrite_sql("SELECT lcm(a, b) FROM t")
         assert "DIV" in out
         assert out.count("AGGREGATE(SEQUENCE(1, 92)") == 1
+        # ADVICE r12: each operand is bound ONCE (single-element TRANSFORM
+        # struct) — a non-deterministic operand evaluates once, and nested
+        # gcd/lcm grow linearly instead of ~4x per level
+        assert out.count("(a)") == 1 and out.count("(b)") == 1
+        assert "TRANSFORM(ARRAY(NAMED_STRUCT(" in out
+        nested = rewrite_sql("SELECT lcm(lcm(a, b), gcd(c, d)) FROM t")
+        assert nested.count("(a)") == 1 and nested.count("(c)") == 1
         with pytest.raises(DialectUnsupported, match="gcd"):
             rewrite_sql("SELECT gcd(a) FROM t")
         with pytest.raises(DialectUnsupported, match="lcm"):
@@ -1170,6 +1177,11 @@ class TestRound11Rewrites:
         assert rewrite_sql(sql, "auto") == sql
         # single word without a dot: not the setting form
         assert rewrite_sql("SHOW something", "datafusion") == "SHOW something"
+        # ADVICE r12: a malformed trailing dot is NOT the setting form —
+        # it passes through so Spark's parser errors instead of silently
+        # answering the 'a.b' lookup
+        for sql in ("SHOW a.b.", "SHOW a.b. ;", "SHOW a.b.c."):
+            assert rewrite_sql(sql, "datafusion") == sql
 
 
 class TestInfoSchemaProviderEdgeCases:
