@@ -1549,6 +1549,9 @@ class TestRewriteFuzz:
             # ZONE, @>/<@, DISTINCT ON, SHOW, ORDER BY, '::' chains
             "at", "time", "zone", "@", ">", "<", "distinct", "on",
             "show", "order", "by", ":", ";", "'UTC'", "timestamp",
+            # round-13 (ADVICE r12): the operand-binding lcm rewrite and
+            # the SHOW trailing-dot rejection get their trigger tokens
+            "gcd", "lcm", "NULL", "0",
         ])
 
         @given(st.lists(frags, max_size=24))
