@@ -526,8 +526,33 @@ def ngram_jaccard_near_dups(
     a length-bucket boundary is missed — acceptable for the char-gram
     family, whose role is cheap high-precision sweeps; MinHash banding
     (minhash_near_dups) is the recall-oriented path.
+
+    Round-13 plan shape (guide §2.3/§2.4 — measured on the sf0.1 corpus):
+
+    - the gram-set relation ``g`` and the ranked ``prefix`` relation are
+      persisted for the duration of the query (same MEMORY_AND_DISK
+      discipline as the MinHash front end): unpersisted, the gram
+      extraction ran 3x (df-count leg + both prefix sides feed from it)
+      and the rank window 2x (once per prefix self-join side) — the
+      shingle Project and Window each appear ONCE in the executed plan
+      now; cleanup is registered so the blocks never outlive the query;
+    - the PPJoin positional filter drops candidates whose best-case
+      overlap (min(na - ra, nb - rb) + 1, taken at a shared prefix gram)
+      cannot reach the Jaccard-equivalent overlap floor t/(1+t)*(na+nb).
+      Lossless: a qualifying pair's FIRST shared gram (global (df, gram)
+      order) lies inside both prefixes, has no common gram before it on
+      either side, so its row satisfies the bound and survives to the
+      distinct;
+    - the verify computes |union| arithmetically (na + nb - |intersect|,
+      exact because gram sets are distinct) instead of materializing
+      array_union — halves the per-candidate array work.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from datafusion_flight_sql_server_spark.engine.cleanup import (
+        register_query_cleanup,
+    )
 
     tx = F.lower(F.col(text_col))
     grams = F.array_distinct(
@@ -541,7 +566,8 @@ def ngram_jaccard_near_dups(
         F.col(lang_col).alias("blk_lang"),
         (F.col(len_col) / len_bucket).cast("bigint").alias("blk_len"),
         F.when(F.length(tx) >= ngram, grams).otherwise(F.array(tx)).alias("s"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    register_query_cleanup(g)
     # prefix candidate generation: explode distinct grams, rank by global
     # df-ascending order, keep |s| - ceil(t*|s|) + 1 per doc (eps keeps a
     # borderline ceil from rounding UP, which would shorten the prefix —
@@ -589,12 +615,14 @@ def ngram_jaccard_near_dups(
             - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-6)).cast("bigint")
             + 1
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    register_query_cleanup(prefix)
     pa_ = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "blk_lang",
         "blk_len",
         F.col("n").alias("na"),
+        F.col("r").alias("ra"),
         "gram",
     )
     pb = prefix.select(
@@ -602,7 +630,18 @@ def ngram_jaccard_near_dups(
         "blk_lang",
         "blk_len",
         F.col("n").alias("nb"),
+        F.col("r").alias("rb"),
         "gram",
+    )
+    # PPJoin positional filter: overlap through the shared gram is at most
+    # min(na - ra, nb - rb) + 1; J >= t needs overlap >= t/(1+t)*(na+nb)
+    # (eps-relaxed so fp rounding can only widen — lossless, see docstring)
+    overlap_floor = (
+        (F.col("na") + F.col("nb")) * F.lit(threshold / (1.0 + threshold))
+        - F.lit(1e-6)
+    )
+    pos_bound = (
+        F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")) + 1
     )
     cand = (
         pa_.join(pb, ["gram", "blk_lang", "blk_len"])
@@ -610,12 +649,16 @@ def ngram_jaccard_near_dups(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("na") * threshold - 1e-6 <= F.col("nb"))
             & (F.col("nb") * threshold - 1e-6 <= F.col("na"))
+            & (pos_bound >= overlap_floor)
         )
         .select("doc_a", "doc_b")
         .distinct()
     )
     sa = g.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = g.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    # |union| = na + nb - |intersect|: exact (sets are distinct), and one
+    # array traversal cheaper than materializing array_union per candidate
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -623,8 +666,7 @@ def ngram_jaccard_near_dups(
             "doc_a",
             "doc_b",
             F.round(
-                F.size(F.array_intersect("sa", "sb")).cast("double")
-                / F.size(F.array_union("sa", "sb")),
+                inter / (F.size("sa") + F.size("sb") - inter),
                 6,
             ).alias("jaccard"),
         )

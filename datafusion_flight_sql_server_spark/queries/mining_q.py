@@ -68,16 +68,19 @@ def _md5_bucket(col, salt: str, mod: int):
         FROM tri
     """,
     doc="Exact triangle count over the part co-purchase graph (parts are "
-    "adjacent when some order contains both). The classic compact-forward "
-    "/ degree-ordered-orientation algorithm: orient every undirected edge "
-    "from its lower-(degree, id) endpoint to the higher one, enumerate "
-    "wedges as ordered pairs of out-edges, and close each wedge with one "
-    "oriented-edge lookup — each triangle is counted exactly once at its "
+    "adjacent when some order contains both). Degree-ordered orientation "
+    "+ edge-iterator intersection: orient every undirected edge from its "
+    "lower-(degree, id) endpoint to the higher one, build each node's "
+    "out-adjacency array, and per oriented edge (s, t) count "
+    "|N+(s) ∩ N+(t)| — each triangle closes exactly once at its "
     "lowest-ranked vertex. Scale: orientation bounds every out-degree by "
     "O(sqrt(|E|)) regardless of raw skew (a celebrity node of degree 1e6 "
-    "fans IN, not out), so the wedge self-join — the only superlinear "
-    "step — shuffles O(|E|^1.5) worst case instead of sum(d^2), all as "
-    "equi-joins on vertex ids; no adjacency list is ever collected.",
+    "fans IN, not out); the adjacency build shuffles O(|E|) ints and the "
+    "intersection joins ship O(|E|) array rows — the O(|E|^1.5) wedge "
+    "set is never materialized as rows (round 13: the wedge self-join "
+    "emitted 41M rows at sf0.1 and dominated the query at 45 CPU-s; the "
+    "array-intersect form is the same count at 17 CPU-s), all equi-joins "
+    "on vertex ids; adjacency arrays stay distributed, never collected.",
     tags=("graph",),
 )
 def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
@@ -118,17 +121,21 @@ def copurchase_triangles(li: DataFrame) -> DataFrame:
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dt"),
         )
     )
-    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
-    wedge_order = F.struct(F.col("o1.dt"), F.col("o1.t")) < F.struct(
-        F.col("o2.dt"), F.col("o2.t")
-    )
+    # Edge-iterator close: per oriented edge (s, t), triangles through it
+    # are |N+(s) ∩ N+(t)|. collect_list order is nondeterministic but
+    # array_intersect size is order-free, so the count is stable. The
+    # adjacency side is |nodes| rows / |E| total ints — orders of
+    # magnitude below the wedge-row set the former self-join emitted.
+    adj = o.groupBy("s").agg(F.collect_list("t").alias("nb"))
+    adj_s = adj.select(F.col("s"), F.col("nb").alias("nb_s"))
+    adj_t = adj.select(F.col("s").alias("t"), F.col("nb").alias("nb_t"))
     tri = (
-        o1.join(o2, (F.col("o1.s") == F.col("o2.s")) & wedge_order)
-        .join(o3, (F.col("o3.s") == F.col("o1.t")) & (F.col("o3.t") == F.col("o2.t")))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        o.join(adj_s, "s")
+        .join(adj_t, "t")
+        .select(F.size(F.array_intersect("nb_s", "nb_t")).alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_triangles"))
     )
     counts = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")).crossJoin(
         e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))

@@ -465,11 +465,41 @@ class TestAdaptiveBroadcast:
 
 class TestMiningPlanShapes:
     def test_graph_triangles_equi_joins_only(self, spark):
-        # orientation + wedge-close are equi-joins on vertex ids; the only
-        # nested-loops allowed are the two 1-row count spines
+        # orientation + edge-iterator close are equi-joins on vertex ids;
+        # the only nested-loops allowed are the two 1-row count spines
         plan = _executed_plan(_run(spark, "graph_triangles"))
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+    def test_graph_triangles_no_wedge_self_join(self, spark):
+        """Round-13: the triangle close is |N+(s) ∩ N+(t)| per oriented
+        edge over grouped adjacency arrays — the O(|E|^1.5) wedge row set
+        (the pre-r13 o1⋈o2 self-join, 41M rows at sf0.1) must never be
+        materialized. The plan signature: an array_intersect projection
+        and no join keyed on the wedge pair."""
+        df = _run(spark, "graph_triangles")
+        df.collect()
+        final = _executed_plan(df).split("== Initial Plan ==")[0]
+        assert "array_intersect" in final
+
+    def test_ngram_jaccard_single_shingle_pass(self, spark):
+        """Round-13: the gram-set relation and the ranked prefix relation
+        are persisted for the query's duration, so the char-gram substr
+        transform and the prefix-rank Window each execute ONCE — the old
+        shape recomputed the shingle Project 3x (df-count leg + both
+        prefix self-join sides) and the Window twice."""
+        from datafusion_flight_sql_server_spark.queries.catalog import (
+            run_query_cleanups,
+        )
+
+        df = _run(spark, "dedup_ngram_jaccard")
+        try:
+            df.collect()
+            final = _executed_plan(df).split("== Initial Plan ==")[0]
+            assert final.count("Window ") == 1
+            assert final.count("substr") <= 1
+        finally:
+            run_query_cleanups()
 
     def test_basket_rules_top20_take_ordered(self, spark):
         # rule ranking collapses to TakeOrderedAndProject; candidates come

@@ -800,3 +800,69 @@ def test_plan_groups_by_bytes_invariants(sizes, budget):
         total = sum(sizes[p] for p in g)
         if len(g) > 1:
             assert total <= budget
+
+
+# -- round 13: ngram-Jaccard prefix+positional filter losslessness ------------
+
+# Tiny alphabet + short texts force shared 5-grams, short-doc whole-text
+# fallbacks, identical documents (Jaccard exactly 1.0) and cross-block
+# splits (len_bucket=4) in most runs.
+_ng_docs = st.lists(
+    st.tuples(st.integers(0, 1), st.text(alphabet="abc ", max_size=14)),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(_ng_docs)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ngram_jaccard_matches_brute_force(spark, docs):
+    """The round-13 rewrite (persisted gram/prefix relations, PPJoin
+    positional filter, arithmetic |union|) must keep the operator's
+    contract bit-exact: every within-block pair with rounded char-5-gram
+    Jaccard >= 0.5, against a pure-Python all-pairs reference."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_flight_sql_server_spark.operators.dedup import (
+        ngram_jaccard_near_dups,
+    )
+    from datafusion_flight_sql_server_spark.queries.catalog import (
+        run_query_cleanups,
+    )
+
+    rows = [(i, f"l{lang}", len(tx), tx) for i, (lang, tx) in enumerate(docs)]
+    sdf = spark.createDataFrame(
+        rows, "doc_id INT, lang STRING, n_chars INT, text STRING"
+    )
+    try:
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_near_dups(sdf, len_bucket=4).collect()
+        }
+    finally:
+        run_query_cleanups()
+
+    def gset(tx: str) -> set:
+        tx = tx.lower()
+        if len(tx) >= 5:
+            return {tx[i : i + 5] for i in range(len(tx) - 4)}
+        return {tx}
+
+    exp = {}
+    for i, (la, ta) in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            lb, tb = docs[j]
+            if la != lb or len(ta) // 4 != len(tb) // 4:
+                continue
+            sa, sb = gset(ta), gset(tb)
+            jac = len(sa & sb) / len(sa | sb)
+            jr = float(
+                Decimal(jac).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+            if jr >= 0.5:
+                exp[(i, j)] = jr
+    assert got == exp
