@@ -156,12 +156,14 @@ def connected_components_star(
     # a 32-node chain ran minutes instead of seconds under persist()).
     # localCheckpoint materializes the partitions AND cuts the plan — on a
     # cluster, swap for reliable checkpoint() if executor loss matters
-    # mid-algorithm.
+    # mid-algorithm. eager=False (round 13): the fingerprint action right
+    # after is what materializes the checkpoint, so each round runs ONE
+    # job instead of two — same truncation, half the job-launch floors.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def fingerprint(df: DataFrame) -> tuple:
@@ -179,7 +181,7 @@ def connected_components_star(
     converged = False
     for _ in range(max_iter):
         e = _star_round(_star_round(e, large=True), large=False).localCheckpoint(
-            eager=True
+            eager=False
         )
         cur = fingerprint(e)
         rounds += 1

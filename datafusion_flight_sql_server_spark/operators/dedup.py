@@ -223,12 +223,25 @@ def _minhash_hashed_buckets(
     miss cleanly instead of serving the stale persisted corpus; lookup
     and insert happen under ``_MINHASH_CACHE_LOCK`` as one unit, so
     concurrent server threads cannot double-create (and orphan) a
-    persisted front end."""
+    persisted front end.
+
+    Round 13: the persisted relation is MATERIALIZED (one count job)
+    before it is handed to consumers. Lazy persist + AQE is a CPU
+    multiplier: consumer plans reference ``hashed`` from several
+    independent shuffle stages (bucketed a/b sides, sa/sb verify sides),
+    AQE launches those stage futures CONCURRENTLY, and every racing
+    future recomputes the not-yet-cached shingling stage in full —
+    stage metrics showed the ~25-CPU-s map stage executing 2-3x inside
+    one query. The count pins the blocks once; every future then reads
+    cache. The count runs OUTSIDE the LRU lock (it is a job, and the
+    lock's contract is lazy builds only)."""
     if cache_key is None:
-        return _minhash_build(
+        out = _minhash_build(
             docs, id_col, text_col, shingle_n, n_perms, n_bands, seed,
             cached=False,
         )
+        out[0].count()
+        return out
     from datafusion_flight_sql_server_spark.engine.cleanup import (
         corpus_fingerprint,
     )
@@ -244,6 +257,7 @@ def _minhash_hashed_buckets(
         n_bands,
         seed,
     )
+    needs_materialize = False
     with _MINHASH_CACHE_LOCK:
         hit = _MINHASH_FRONTEND_CACHE.get(key)
         if hit is not None:
@@ -256,19 +270,26 @@ def _minhash_hashed_buckets(
                 from pyspark import StorageLevel
 
                 hit[0].persist(StorageLevel.MEMORY_AND_DISK)
-            return hit
-        out = _minhash_build(
-            docs, id_col, text_col, shingle_n, n_perms, n_bands, seed,
-            cached=True,
-        )
-        _MINHASH_FRONTEND_CACHE[key] = out
-        while len(_MINHASH_FRONTEND_CACHE) > _MINHASH_FRONTEND_MAX:
-            _, (old_hashed, _s, _b) = _MINHASH_FRONTEND_CACHE.popitem(last=False)
-            try:
-                old_hashed.unpersist()
-            except Exception:  # session already stopped
-                pass
-        return out
+                needs_materialize = True
+            out = hit
+        else:
+            out = _minhash_build(
+                docs, id_col, text_col, shingle_n, n_perms, n_bands, seed,
+                cached=True,
+            )
+            _MINHASH_FRONTEND_CACHE[key] = out
+            needs_materialize = True
+            while len(_MINHASH_FRONTEND_CACHE) > _MINHASH_FRONTEND_MAX:
+                _, (old_hashed, _s, _b) = _MINHASH_FRONTEND_CACHE.popitem(
+                    last=False
+                )
+                try:
+                    old_hashed.unpersist()
+                except Exception:  # session already stopped
+                    pass
+    if needs_materialize:
+        out[0].count()
+    return out
 
 
 def _minhash_build(
@@ -568,6 +589,12 @@ def ngram_jaccard_near_dups(
         F.when(F.length(tx) >= ngram, grams).otherwise(F.array(tx)).alias("s"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     register_query_cleanup(g)
+    # Materialize NOW: the df-count leg and the window leg below are
+    # independent AQE shuffle-stage futures that launch concurrently, and
+    # each racing future would recompute the uncached gram extraction in
+    # full (the same lazy-persist x AQE multiplier as the MinHash front
+    # end — see _minhash_hashed_buckets).
+    g.count()
     # prefix candidate generation: explode distinct grams, rank by global
     # df-ascending order, keep |s| - ceil(t*|s|) + 1 per doc (eps keeps a
     # borderline ceil from rounding UP, which would shorten the prefix —
@@ -617,6 +644,8 @@ def ngram_jaccard_near_dups(
         )
     ).persist(StorageLevel.MEMORY_AND_DISK)
     register_query_cleanup(prefix)
+    # same reasoning: both candidate-join sides read prefix — pin it once
+    prefix.count()
     pa_ = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "blk_lang",

@@ -53,21 +53,28 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: implementation (or an operator/cache it rides) materially changed in
 #: the round. SURVEY §5 documents the same policy.
 #:
-#: Round-13 state: tier 2 is EMPTY — the round's product changes are
-#: confined to the dialect shim (`plans/dialect.py`, which registry
-#: queries do not ride; `scan_flight` covers the serving boundary) and
-#: the bench harness, and per VERDICT r12 #1 no new queries are
-#: registered this round (resume r14). Tier 3 is the complete round-8
-#: cohort at the 5-round freshness limit: ``agg_approx_distinct``
-#: (deferred once at the r12 cut line — leads, and is alphabetically
-#: first anyway) through ``tpch_q7_volume_shipping``, 46 rows. The
-#: remaining three slots take the round-9 cohort head alphabetical
-#: (``agg_bitmap_intersect``, ``agg_count_min``, ``agg_hll_rollup``) —
-#: nothing is deferred at the r13 cut: the r9 cohort's rows reach the
-#: limit in r14 and the rotation continues there at ``agg_mode``.
+#: Round-13 state (optimization round): tier 2 holds the three queries
+#: whose implementation materially changed — ``graph_triangles`` (wedge
+#: self-join replaced by adjacency-array intersection),
+#: ``dedup_ngram_jaccard`` (persisted single-pass front end + PPJoin
+#: positional filter) and ``graph_components_star`` (lazy localCheckpoint
+#: materialized by the fingerprint job). Oracle equivalence of all three
+#: is additionally pinned by tests (property suites, plan shapes, oracle
+#: parity). No new queries registered (optimization rounds add none).
+#: Tier 3 is the complete round-8 cohort at the 5-round freshness limit:
+#: ``agg_approx_distinct`` (deferred once at the r12 cut line — leads,
+#: and is alphabetically first anyway) through
+#: ``tpch_q7_volume_shipping``, 46 rows — tier 2's three slots come out
+#: of the round-9 cohort head (``agg_bitmap_intersect``,
+#: ``agg_count_min``, ``agg_hll_rollup``), whose rows reach their limit
+#: in r14 where the rotation resumes at ``agg_bitmap_intersect``.
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
+    # tier 2: implementation materially changed this round (round 13)
+    "graph_triangles",
+    "dedup_ngram_jaccard",
+    "graph_components_star",
     # tier 3: the full round-8 cohort (rows at the 5-round limit),
     # agg_approx_distinct deferred-once leading
     "agg_approx_distinct",
@@ -116,10 +123,6 @@ _PRIORITY = (
     "tpch_q20_potential_promotion",
     "tpch_q21_suppliers_waiting",
     "tpch_q22_global_sales",
-    # round-9 cohort head (next-oldest rows, limit hits in r14)
-    "agg_bitmap_intersect",
-    "agg_count_min",
-    "agg_hll_rollup",
 )
 
 
