@@ -156,14 +156,16 @@ def connected_components_star(
     # a 32-node chain ran minutes instead of seconds under persist()).
     # localCheckpoint materializes the partitions AND cuts the plan — on a
     # cluster, swap for reliable checkpoint() if executor loss matters
-    # mid-algorithm. eager=False (round 13): the fingerprint action right
-    # after is what materializes the checkpoint, so each round runs ONE
-    # job instead of two — same truncation, half the job-launch floors.
+    # mid-algorithm. eager=True is deliberate (round-13 A/B): eager=False
+    # (letting the fingerprint action materialize the checkpoint) saves a
+    # job per round but measured SLOWER (7.1 s vs 4.6 s wall median at
+    # equal host load) — the fused materialize+fingerprint job has a
+    # longer serial critical path than the two pipelined jobs.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     def fingerprint(df: DataFrame) -> tuple:
@@ -181,7 +183,7 @@ def connected_components_star(
     converged = False
     for _ in range(max_iter):
         e = _star_round(_star_round(e, large=True), large=False).localCheckpoint(
-            eager=False
+            eager=True
         )
         cur = fingerprint(e)
         rounds += 1

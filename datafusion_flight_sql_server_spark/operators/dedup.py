@@ -411,6 +411,10 @@ def minhash_near_dups(
         )
         .distinct()
     )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    # |union| = |sa| + |sb| - |intersect| exactly (the hashed shingle sets
+    # are array_distinct at build), saving the array_union materialization
+    # per candidate (round 13, guide §2.3)
     verified = (
         cand.join(hashed.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("sa")), "doc_a")
         .join(hashed.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("sb")), "doc_b")
@@ -418,8 +422,7 @@ def minhash_near_dups(
             "doc_a",
             "doc_b",
             F.round(
-                F.size(F.array_intersect("sa", "sb")).cast("double")
-                / F.size(F.array_union("sa", "sb")),
+                inter / (F.size("sa") + F.size("sb") - inter),
                 6,
             ).alias("jaccard"),
         )
@@ -792,9 +795,14 @@ def minhash_fresh_vs_history(
             "hdoc",
         )
         .filter(
+            # same arithmetic-|union| form as minhash_near_dups (round 13)
             F.round(
                 F.size(F.array_intersect("sa", "sb")).cast("double")
-                / F.size(F.array_union("sa", "sb")),
+                / (
+                    F.size("sa")
+                    + F.size("sb")
+                    - F.size(F.array_intersect("sa", "sb"))
+                ),
                 6,
             )
             >= threshold

@@ -813,7 +813,11 @@ def q_dedup_minhash_eval(spark: SparkSession, sf: str) -> DataFrame:
             "doc_b",
             n_match.alias("n_match"),
             F.size(F.array_intersect("ha", "hb")).alias("n_inter"),
-            F.size(F.array_distinct(F.concat("ha", "hb"))).alias("n_union"),
+            # |union| arithmetically (sets are distinct at build): skips
+            # the concat+distinct array materialization per candidate
+            (
+                F.size("ha") + F.size("hb") - F.size(F.array_intersect("ha", "hb"))
+            ).alias("n_union"),
         )
         .select(
             "doc_a",
