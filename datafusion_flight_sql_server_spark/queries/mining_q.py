@@ -100,12 +100,25 @@ def copurchase_triangles(li: DataFrame) -> DataFrame:
     graphs (tests/test_property.py) — each graph edge (u, v) encodes as
     its own 2-item basket, so the co-occurrence graph IS the input graph.
     """
+    from pyspark.storagelevel import StorageLevel
+
     a, b = li.alias("a"), li.alias("b")
-    e = (
+    # The edge list is referenced by deg, the orientation join AND the edge
+    # count; the oriented list by the adjacency build AND the close join.
+    # Without a persist each reference re-plans (and, under racing AQE stage
+    # futures, re-executes) the whole front end — round 13 measured the
+    # unpersisted form at 45 executor-CPU-s vs 33 with both relations
+    # persisted (interleaved medians, same session), and the explain tree
+    # shrinks from ~190 repeated Exchanges to the persisted spine. Both
+    # relations are |E| rows of two longs (edge lists, NOT corpus payloads);
+    # eager count() materializes once before any consumer future races.
+    e = register_query_cleanup(
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e.count()
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -115,14 +128,16 @@ def copurchase_triangles(li: DataFrame) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    o = (
+    o = register_query_cleanup(
         e.join(du, "u")
         .join(dv, "v")
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    o.count()
     # Edge-iterator close: per oriented edge (s, t), triangles through it
     # are |N+(s) ∩ N+(t)|. collect_list order is nondeterministic but
     # array_intersect size is order-free, so the count is stable. The
