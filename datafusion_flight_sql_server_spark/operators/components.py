@@ -60,19 +60,18 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        # One join + one groupBy per round (round 13; was join + groupBy +
+        # left-join): a node's next label is min over its own label and its
+        # neighbors' labels, which a union INTO the aggregation expresses
+        # without the second join — same result, one fewer shuffle stage
+        # per round, and partial aggregation compacts the |E|-row leg
+        # map-side before it crosses the wire.
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "label")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
@@ -122,9 +121,14 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
             F.col("v").alias("u"), F.col("m").alias("v")
         )
     else:
+        # emit (v, m) AND (u, m) in ONE pass over the join output via an
+        # array explode (round 13; was a self-union that referenced the
+        # join subtree twice — exchange reuse usually de-duplicated it,
+        # but the explode form guarantees a single execution and halves
+        # the plan width per round)
         out = joined.select(
-            F.col("v").alias("u"), F.col("m").alias("v")
-        ).unionByName(joined.select("u", F.col("m").alias("v")))
+            F.explode(F.array("v", "u")).alias("u"), F.col("m").alias("v")
+        )
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
