@@ -53,21 +53,25 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: implementation (or an operator/cache it rides) materially changed in
 #: the round. SURVEY §5 documents the same policy.
 #:
-#: Round-13 state (optimization round): tier 2 holds the three queries
+#: Round-13 state (optimization round): tier 2 holds the four queries
 #: whose implementation materially changed — ``graph_triangles`` (wedge
 #: self-join replaced by adjacency-array intersection),
 #: ``dedup_ngram_jaccard`` (persisted single-pass front end + PPJoin
-#: positional filter) and ``graph_components_star`` (lazy localCheckpoint
-#: materialized by the fingerprint job). Oracle equivalence of all three
-#: is additionally pinned by tests (property suites, plan shapes, oracle
-#: parity). No new queries registered (optimization rounds add none).
-#: Tier 3 is the complete round-8 cohort at the 5-round freshness limit:
-#: ``agg_approx_distinct`` (deferred once at the r12 cut line — leads,
-#: and is alphabetically first anyway) through
-#: ``tpch_q7_volume_shipping``, 46 rows — tier 2's three slots come out
-#: of the round-9 cohort head (``agg_bitmap_intersect``,
-#: ``agg_count_min``, ``agg_hll_rollup``), whose rows reach their limit
-#: in r14 where the rotation resumes at ``agg_bitmap_intersect``.
+#: positional filter), ``graph_components_star`` (eager localCheckpoint
+#: + single-pass small-star emit) and ``dedup_near_clusters`` (the
+#: min-label propagation loop it rides folded its own-label leg into the
+#: neighbor aggregation, removing a join per round). Oracle equivalence
+#: of all four is additionally pinned by tests (property suites, plan
+#: shapes, oracle parity). No new queries registered (optimization
+#: rounds add none). Tier 3 is the round-8 cohort at the 5-round
+#: freshness limit: ``agg_approx_distinct`` (deferred once at the r12
+#: cut line — leads, and is alphabetically first anyway) through
+#: ``tpch_q21_suppliers_waiting``, 45 rows — tier 2's four slots come
+#: out of the round-9 cohort head (``agg_bitmap_intersect``,
+#: ``agg_count_min``, ``agg_hll_rollup``) plus the cohort tail
+#: ``tpch_q22_global_sales``, which is DEFERRED ONCE at the cut line
+#: (its first deferral — invariant (b) holds) and leads the r14
+#: rotation together with ``agg_bitmap_intersect``.
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
@@ -75,8 +79,10 @@ _PRIORITY = (
     "graph_triangles",
     "dedup_ngram_jaccard",
     "graph_components_star",
-    # tier 3: the full round-8 cohort (rows at the 5-round limit),
-    # agg_approx_distinct deferred-once leading
+    "dedup_near_clusters",
+    # tier 3: the round-8 cohort (rows at the 5-round limit),
+    # agg_approx_distinct deferred-once leading; tpch_q22_global_sales
+    # deferred once at the cut line, leads r14
     "agg_approx_distinct",
     "agg_bitwise",
     "agg_bool",
@@ -122,7 +128,6 @@ _PRIORITY = (
     "tpch_q19_discounted",
     "tpch_q20_potential_promotion",
     "tpch_q21_suppliers_waiting",
-    "tpch_q22_global_sales",
 )
 
 
