@@ -884,27 +884,12 @@ def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
     tags=("similarity", "graph"),
 )
 def q_embed_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
     from datafusion_flight_sql_server_spark.operators.similarity import (
         self_knn_topk,
     )
-    from datafusion_flight_sql_server_spark.queries.catalog import (
-        register_query_cleanup,
-    )
 
     e = tables(spark, sf)["embeddings"]
-    # The directed kNN list feeds BOTH sides of the mutuality self-join;
-    # without a persist the whole front end (corpus-matrix mapInArrow
-    # scoring + two broadcast lookups + the per-query window) is planned —
-    # and, across racing AQE stage futures, executed — once per side
-    # (round-13 before-plan: MapInArrow x6, Window x2). The relation is
-    # n*k rows of (id, id, sim, rank) — never corpus-sized — and the
-    # eager count() materializes it once before either side's future runs.
-    knn = register_query_cleanup(
-        self_knn_topk(e, k=5).persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    knn.count()
+    knn = self_knn_topk(e, k=5)
     fwd = knn.select(
         F.col("query_id").alias("a_id"),
         F.col("neighbor_id").alias("b_id"),

@@ -918,20 +918,10 @@ class TestRound5LateAdditions:
 
     def test_embed_knn_graph_no_cartesian_mutual_join(self, spark):
         # the n*k directed edge list self-joins on (a,b) ids — an
-        # equi-join, never a pairwise cartesian of the corpus; the kNN
-        # front end (corpus-matrix scoring + window) is persisted so BOTH
-        # join sides read the cache instead of re-running it (round 13)
-        from datafusion_flight_sql_server_spark.queries.catalog import (
-            run_query_cleanups,
-        )
-
-        try:
-            plan = _executed_plan(_run(spark, "embed_knn_graph"))
-            assert "CartesianProduct" not in plan
-            assert "BroadcastNestedLoopJoin" not in plan
-            assert "InMemoryTableScan" in plan
-        finally:
-            run_query_cleanups()
+        # equi-join, never a pairwise cartesian of the corpus
+        plan = _executed_plan(_run(spark, "embed_knn_graph"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 class TestDocBudgetSelect:
