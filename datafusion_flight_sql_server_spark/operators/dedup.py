@@ -534,7 +534,9 @@ def ngram_jaccard_near_dups(
     round-10 sf1 audit measured the all-pairs shape at a 1.76 scaling
     exponent (10x data -> ~58x wall) because blocks grow with the corpus
     and pairs grow with the block squared. Prefix filter: order grams
-    globally by ascending document frequency (rarest first, ties by gram),
+    globally by ascending document frequency (rarest first, ties by the
+    int64 gram key — any consistent total order keeps the filter
+    lossless; the tie-break only shapes the candidate superset),
     keep each doc's first ``|s| - ceil(t*|s|) + 1`` grams; if
     ``J(A,B) >= t`` then ``|A∩B| >= ceil(t*max(|A|,|B|))``, and two sets
     with overlap ``o`` whose (|X|-o+1)-prefixes were disjoint could overlap
@@ -570,6 +572,24 @@ def ngram_jaccard_near_dups(
     - the verify computes |union| arithmetically (na + nb - |intersect|,
       exact because gram sets are distinct) instead of materializing
       array_union — halves the per-candidate array work.
+
+    Round-14 (VERDICT r13 #1, guide §2.3 "narrower types"): every stage
+    past the gram extraction operates on xxhash64 INT64 gram keys, not
+    5-char strings — the persisted gram-set arrays, the exploded
+    document-frequency/prefix relations, the candidate equi-join keys and
+    the verify-leg array_intersect all carry 8-byte longs (fixed-width
+    hashing/comparison) instead of ~21-byte UTF8 strings. The verify was
+    the bench's largest single CPU block (~42 executor-CPU-s at sf0.1:
+    per-candidate hash-set build + probe over string arrays). Jaccard
+    over the hashed sets equals Jaccard over the string sets unless two
+    DISTINCT grams in one candidate pair's union collide in 64 bits
+    (p ≈ |A∪B|²/2^65 ≈ 1e-14 per pair; the same argument the MinHash
+    family already accepts for its 48-bit shingle hashes). Equivalence is
+    pinned by the oracle-parity tests and the brute-force property test.
+    A side simplification: the NULL-gram sentinel is gone — xxhash64 of
+    a NULL element is the (non-null) seed constant, so NULL-text
+    documents hash to a real join key and pair at jaccard 1.0 exactly as
+    the pre-round-10 array_intersect semantics did.
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
@@ -589,7 +609,13 @@ def ngram_jaccard_near_dups(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("blk_lang"),
         (F.col(len_col) / len_bucket).cast("bigint").alias("blk_len"),
-        F.when(F.length(tx) >= ngram, grams).otherwise(F.array(tx)).alias("s"),
+        # int64 gram keys from here on (round 14): strings never leave
+        # this projection. xxhash64(NULL) = the seed (non-null), so the
+        # short/NULL-text fallback element needs no sentinel.
+        F.transform(
+            F.when(F.length(tx) >= ngram, grams).otherwise(F.array(tx)),
+            lambda x: F.xxhash64(x),
+        ).alias("s"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     register_query_cleanup(g)
     # Materialize NOW: the df-count leg and the window leg below are
@@ -602,30 +628,16 @@ def ngram_jaccard_near_dups(
     # df-ascending order, keep |s| - ceil(t*|s|) + 1 per doc (eps keeps a
     # borderline ceil from rounding UP, which would shorten the prefix —
     # rounding DOWN only lengthens it: still lossless, a few more pairs)
-    # NULL-gram sentinel (code-review round 10): a NULL-text doc's gram
-    # set is [NULL] (the otherwise-branch), and the pre-rewrite all-pairs
-    # join paired two such docs at jaccard 1.0 (array_intersect treats
-    # NULL elements as equal) — but plain equi-joins on "gram" never
-    # match NULL keys, so the prefix filter silently dropped them,
-    # breaking its LOSSLESS contract. Coalescing the exploded gram to a
-    # sentinel affects CANDIDATE GENERATION ONLY (the verify recomputes
-    # exact Jaccard on the original sets, so a real doc whose text
-    # happened to equal the sentinel could at worst add one
-    # verified-away candidate), and keeps the same-name equi-joins —
-    # an eqNullSafe variant was measured 4.5x slower (renamed keys break
-    # exchange reuse between the two prefix sides).
+    # The exploded gram is an int64 hash and NEVER NULL (xxhash64 maps a
+    # NULL element to the seed), so the round-10 NULL-gram sentinel is
+    # gone: NULL-text docs carry a real join key, the same-name
+    # equi-joins match them, and the prefix filter stays lossless.
     e = g.select(
         "doc_id",
         "blk_lang",
         "blk_len",
         F.size("s").alias("n"),
-        F.explode("s").alias("gram0"),
-    ).select(
-        "doc_id",
-        "blk_lang",
-        "blk_len",
-        "n",
-        F.coalesce(F.col("gram0"), F.lit("\x00<null-gram>\x00")).alias("gram"),
+        F.explode("s").alias("gram"),
     )
     dfreq = e.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
@@ -688,19 +700,27 @@ def ngram_jaccard_near_dups(
     )
     sa = g.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = g.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     # |union| = na + nb - |intersect|: exact (sets are distinct), and one
-    # array traversal cheaper than materializing array_union per candidate
+    # array traversal cheaper than materializing array_union per candidate.
+    # The intersect size lands in its own projection so it is evaluated
+    # ONCE per candidate (ADVICE r13: CollapseProject refuses to inline a
+    # non-cheap expression into multiple references, so this is guaranteed
+    # rather than left to codegen subexpression elimination).
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                inter / (F.size("sa") + F.size("sb") - inter),
-                6,
-            ).alias("jaccard"),
+            F.size(F.array_intersect("sa", "sb")).cast("double").alias("ni"),
+            (F.size("sa") + F.size("sb")).alias("nab"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("ni") / (F.col("nab") - F.col("ni")), 6).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
