@@ -102,7 +102,6 @@ def copurchase_triangles(li: DataFrame) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
-    a, b = li.alias("a"), li.alias("b")
     # The edge list is referenced by deg, the orientation join AND the edge
     # count; the oriented list by the adjacency build AND the close join.
     # Without a persist each reference re-plans (and, under racing AQE stage
@@ -112,9 +111,29 @@ def copurchase_triangles(li: DataFrame) -> DataFrame:
     # shrinks from ~190 repeated Exchanges to the persisted spine. Both
     # relations are |E| rows of two longs (edge lists, NOT corpus payloads);
     # eager count() materializes once before any consumer future races.
+    #
+    # Round 14 (guide §2.4 "remove shuffles outright"): pairs come from ONE
+    # pass — group the (o, p) list per order into a sorted distinct part
+    # array and emit each C(k,2) combination map-side — instead of the
+    # o-keyed self-join. That replaces {2x scan, (o,p)-distinct exchange,
+    # 2x o-exchange + join} with {1x scan, o-exchange with map-side
+    # collect_set}; the per-order pair explosion lands in the SAME task
+    # the self-join would have routed it to (both colocate an order's
+    # rows), so the skew posture at scale is unchanged. sort_array makes
+    # x < y structural, so the u < v filter is free.
+    baskets = li.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     e = register_query_cleanup(
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        baskets.select(F.explode(pair_structs).alias("uv"))
+        .select(F.col("uv.u").alias("u"), F.col("uv.v").alias("v"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -128,22 +147,43 @@ def copurchase_triangles(li: DataFrame) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    # The oriented list is the input of the CPU-bound close stage (per-edge
+    # array_intersect). Rebalance it to compute width before persisting
+    # (round 14, guide §2.6/§1.2): the AQE-coalesced orientation join left
+    # the cache at the reduce width (8 partitions under the bench session),
+    # so the ~11-CPU-s close stage ran 8-wide on a 32-core host — measured
+    # wall ~1.5 s for a 0.4 s stage at full width. Same policy as
+    # rebalance_for_compute: cores-wide, no-op when already wide.
     o = register_query_cleanup(
-        e.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        rebalance_for_compute(
+            e.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+                F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+            ),
+            "s",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    o.count()
+    # No o.count() here: adj.count() below materializes o's cache blocks on
+    # the way (adj's plan holds the ONLY pre-materialization reference to
+    # o, so there is no racing-futures window), saving one job + one full
+    # cache scan on the critical path.
     # Edge-iterator close: per oriented edge (s, t), triangles through it
     # are |N+(s) ∩ N+(t)|. collect_list order is nondeterministic but
     # array_intersect size is order-free, so the count is stable. The
     # adjacency side is |nodes| rows / |E| total ints — orders of
     # magnitude below the wedge-row set the former self-join emitted.
-    adj = o.groupBy("s").agg(F.collect_list("t").alias("nb"))
+    # Persisted (round 14): adj feeds TWO broadcast builds whose exchanges
+    # differ by aliasing, so without the pin the collect_list aggregation
+    # executed twice (two ~0.9-3 CPU-s stages with identical 6.9 MB
+    # shuffle reads in the stage metrics).
+    adj = register_query_cleanup(
+        o.groupBy("s")
+        .agg(F.collect_list("t").alias("nb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj.count()
     adj_s = adj.select(F.col("s"), F.col("nb").alias("nb_s"))
     adj_t = adj.select(F.col("s").alias("t"), F.col("nb").alias("nb_t"))
     tri = (

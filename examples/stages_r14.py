@@ -62,17 +62,25 @@ def main() -> int:
     for r in range(runs):
         spark.catalog.clearCache()
         run_query_cleanups()
+        time.sleep(2.0)  # cooldown: let AQE/cleaner threads drain
         before = {s["stageId"] for s in _rest("stages")}
         jobs_before = len(_rest("jobs"))
         la0 = Path("/proc/loadavg").read_text().split()[0]
+
+        def _steal():
+            f = Path("/proc/stat").read_text().splitlines()[0].split()
+            return int(f[8])  # steal jiffies
+
         print(f"RUN {r} START", flush=True)
+        st0 = _steal()
         t0 = time.perf_counter()
         fn(spark, data_dir).toArrow()
         dt = time.perf_counter() - t0
+        steal_s = (_steal() - st0) / 100.0
         jobs_after = len(_rest("jobs"))
         print(
             f"== run {r}: wall {dt:.3f}s jobs {jobs_after - jobs_before} "
-            f"loadavg_start {la0}",
+            f"loadavg_start {la0} steal {steal_s:.1f}s",
             flush=True,
         )
         stages = [
