@@ -58,28 +58,50 @@ def connected_components(
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        # One join + one groupBy per round (round 13; was join + groupBy +
-        # left-join): a node's next label is min over its own label and its
-        # neighbors' labels, which a union INTO the aggregation expresses
-        # without the second join — same result, one fewer shuffle stage
-        # per round, and partial aggregation compacts the |E|-row leg
-        # map-side before it crosses the wire.
-        new_labels = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .select(F.col("src").alias("node"), "label")
-            .unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+    # Self-loops let ONE equi-join express min(own, neighbor labels): the
+    # (v, v) edge routes v's own label into v's neighbor aggregation, so
+    # the round-13 union-into-aggregation leg (which referenced the label
+    # relation a second time) disappears. With the label relation
+    # referenced exactly once per step, steps compose linearly — the
+    # two-step unroll below deepens the plan without duplicating subtrees.
+    # Both inputs are cached; a racing re-union of two cache scans is the
+    # worst a concurrent AQE future can pay.
+    selfed = (
+        sym.unionByName(
+            labels.select(
+                F.col("node").alias("src"), F.col("node").alias("dst")
+            )
         )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _step(lbl: DataFrame) -> DataFrame:
+        # One join + one groupBy per round; partial aggregation compacts
+        # the |E|-row leg map-side before it crosses the wire.
+        return (
+            selfed.join(lbl, selfed["dst"] == lbl["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
+        )
+
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # One step per materialized action. A two-step unroll (halving the
+    # convergence collects) was built and MEASURED SLOWER in round 14
+    # (5.3-5.6 s vs ~3 s wall, 34 vs 28 jobs at sf0.1): each action's AQE
+    # stage chain nearly doubles while the action count only drops ~40%,
+    # so the per-stage scheduling latency dominates the saved driver
+    # round-trips at any scale where rounds are latency-bound (and at
+    # CPU-bound scale the unroll saves nothing — the same work runs
+    # either way).
+    for _ in range(max_iter):
+        new_labels = _step(labels).persist(StorageLevel.MEMORY_AND_DISK)
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # fixed point: labels are component minima
             break
         prev_sum = new_sum
+    selfed.unpersist()
     sym.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
 
@@ -95,12 +117,20 @@ def connected_components(
 # survives an adversarial chain graph at scale.
 
 
-def _star_round(e: DataFrame, large: bool) -> DataFrame:
+def _star_round(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
     """One large-star or small-star rewrite over a (u, v) edge list.
 
     large-star: for each node u, connect every STRICTLY LARGER neighbor to
     m = min(N(u) ∪ {u}). small-star: orient edges (larger, smaller), then
     connect every smaller-or-equal neighbor AND u itself to m.
+
+    ``dedup=False`` skips the closing distinct (one exchange fewer): both
+    rewrites are functions of the edge SET — duplicate input rows only
+    duplicate output rows (the min aggregation and the join are multiset-
+    safe) — so a large-star half-round can defer dedup to the small-star
+    half that follows it inside the same checkpointed round. Row
+    multiplicity through the undeduped half is bounded by the input
+    multiplicity (each nbrs row emits at most one edge).
     """
     if large:
         nbrs = e.unionByName(
@@ -129,7 +159,8 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
         out = joined.select(
             F.explode(F.array("v", "u")).alias("u"), F.col("m").alias("v")
         )
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    out = out.filter(F.col("u") != F.col("v"))
+    return out.distinct() if dedup else out
 
 
 def connected_components_star(
@@ -148,12 +179,6 @@ def connected_components_star(
     reach the fixed point (each round provably contracts, so this only
     fires on a too-small max_iter).
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     # Lineage MUST be truncated each round, not just cached: every star
     # round references its input ~3x, so the logical plan grows ~9x per
     # round and analysis cost explodes exponentially by round ~6 (measured:
@@ -165,11 +190,20 @@ def connected_components_star(
     # job per round but measured SLOWER (7.1 s vs 4.6 s wall median at
     # equal host load) — the fused materialize+fingerprint job has a
     # longer serial critical path than the two pipelined jobs.
-    e = (
+    # ONE checkpointed pass over the upstream pair pipeline (round 14):
+    # ``base`` keeps self-loop rows so the node universe can be derived
+    # from it — the previous shape referenced ``edges`` three times (nodes
+    # twice + e once), executing the near-dup verify join per reference.
+    # ``nodes`` is consumed exactly once (final labeling) and reads the
+    # checkpointed partitions, so it stays lazy — no persist, no extra job.
+    base = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
+    )
+    e = base.filter(F.col("u") != F.col("v"))
+    nodes = (
+        base.select(F.explode(F.array("u", "v")).alias("node")).distinct()
     )
 
     def fingerprint(df: DataFrame) -> tuple:
@@ -186,9 +220,9 @@ def connected_components_star(
     rounds = 0
     converged = False
     for _ in range(max_iter):
-        e = _star_round(_star_round(e, large=True), large=False).localCheckpoint(
-            eager=True
-        )
+        e = _star_round(
+            _star_round(e, large=True, dedup=False), large=False
+        ).localCheckpoint(eager=True)
         cur = fingerprint(e)
         rounds += 1
         if cur == prev:  # fixed point: components are depth-1 min-stars
@@ -196,7 +230,6 @@ def connected_components_star(
             break
         prev = cur
     if not converged:
-        nodes.unpersist()
         raise RuntimeError(
             f"connected_components_star: no fixed point in {max_iter} rounds"
         )
@@ -211,7 +244,6 @@ def connected_components_star(
     )
     result = labels.persist(StorageLevel.MEMORY_AND_DISK)
     result.count()  # materialize before releasing the inputs it reads
-    nodes.unpersist()
     if with_rounds:
         return result, rounds
     return result
