@@ -2997,20 +2997,35 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         "node", "deg", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for i in range(1, PR_ITERS + 1):
-        contrib = (
-            e.join(rank_side(r), e["src"] == r["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
+        # Union-into-aggregation (round 14, VERDICT r13 #5, guide §2.4):
+        # the old step aggregated contributions by dst and LEFT-joined the
+        # result back onto deg — a second broadcast build (a driver-side
+        # collect of |V| rows) per iteration, or a second |V|-row exchange
+        # in the shuffle fallback. Instead a zero-contribution base leg
+        # (one row per node, carrying deg) unions with the per-edge
+        # contribution leg into ONE groupBy: sum(c) absorbs the base 0.0
+        # exactly (x + 0.0 == x for any finite double, and partial-sum
+        # order was already nondeterministic), and max(deg) recovers deg
+        # because the base leg is the only one with deg > 0 (every node
+        # has outdegree >= 1 by construction). One exchange per iteration,
+        # one broadcast build (the rank side) instead of two.
+        contrib_leg = e.join(rank_side(r), e["src"] == r["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("r") / F.col("deg")).alias("c"),
+            F.lit(0.0).alias("deg"),
         )
+        base_leg = deg.select("node", F.lit(0.0).alias("c"), "deg")
         r = (
-            deg.crossJoin(F.broadcast(n_tbl))
-            .join(rank_side(contrib), deg["node"] == contrib["dst"], "left")
+            contrib_leg.unionByName(base_leg)
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"), F.max("deg").alias("deg"))
+            .crossJoin(F.broadcast(n_tbl))
             .select(
                 "node",
                 "deg",
                 (
                     F.lit(1 - PR_DAMPING) / F.col("n")
-                    + F.lit(PR_DAMPING) * F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.lit(PR_DAMPING) * F.col("c")
                 ).alias("r"),
             )
         )
