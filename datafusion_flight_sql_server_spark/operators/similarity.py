@@ -371,9 +371,20 @@ def self_knn_topk(
                 names=["query_id", "neighbor_id"],
             )
 
-    cand = emb.select(F.col(id_col), F.col(vec_col)).mapInArrow(
-        _candidates, "query_id bigint, neighbor_id bigint"
+    # Rebalance the query side before the CPU-bound scoring pass (round
+    # 14, guide §2.6/§1.2): the embeddings scan is a single parquet
+    # partition at fixture sizes, so the whole corpus-matrix matmul ran
+    # in ONE Python worker (stage metrics: 1 task, ~2-3.5 s wall, the
+    # bench's entire query cost). Cores-wide batches score the same
+    # corpus in parallel; each worker holds one ~|corpus|x dim float64
+    # closure copy (bounded by the max_corpus_rows guard above).
+    from datafusion_flight_sql_server_spark.operators.dedup import (
+        rebalance_for_compute,
     )
+
+    cand = rebalance_for_compute(
+        emb.select(F.col(id_col), F.col(vec_col)), id_col
+    ).mapInArrow(_candidates, "query_id bigint, neighbor_id bigint")
     corpus_q = emb.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
