@@ -171,6 +171,13 @@ def _shingle_hash(sh):
 #: Entries hold PERSISTED DataFrames; eviction unpersists.
 _MINHASH_FRONTEND_CACHE: OrderedDict = OrderedDict()
 _MINHASH_FRONTEND_MAX = 4
+#: Per-entry materialization barrier (ADVICE r13): the creator's count()
+#: runs OUTSIDE the LRU lock, so a second thread could hit the cache while
+#: materialization is still in flight, see storageLevel already set, skip
+#: waiting, and re-expose the racing-AQE-futures recompute multiplier the
+#: eager count exists to eliminate. Hit-path callers wait on the entry's
+#: Event; the creator sets it in a finally so waiters never hang.
+_MINHASH_READY: dict = {}
 #: Guards lookup+insert as one unit: the Flight server handles requests on
 #: concurrent threads over one shared session, and an unguarded miss-miss
 #: race double-creates the front end — the loser's persisted relation is
@@ -188,7 +195,8 @@ def clear_minhash_frontend_cache() -> None:
     """
     with _MINHASH_CACHE_LOCK:
         while _MINHASH_FRONTEND_CACHE:
-            _, (hashed, _s, _b) = _MINHASH_FRONTEND_CACHE.popitem()
+            key, (hashed, _s, _b) = _MINHASH_FRONTEND_CACHE.popitem()
+            _MINHASH_READY.pop(key, None)
             try:
                 hashed.unpersist()
             except Exception:  # session already stopped
@@ -271,6 +279,9 @@ def _minhash_hashed_buckets(
 
                 hit[0].persist(StorageLevel.MEMORY_AND_DISK)
                 needs_materialize = True
+                ready = _MINHASH_READY[key] = threading.Event()
+            else:
+                ready = _MINHASH_READY.get(key)
             out = hit
         else:
             out = _minhash_build(
@@ -279,16 +290,26 @@ def _minhash_hashed_buckets(
             )
             _MINHASH_FRONTEND_CACHE[key] = out
             needs_materialize = True
+            ready = _MINHASH_READY[key] = threading.Event()
             while len(_MINHASH_FRONTEND_CACHE) > _MINHASH_FRONTEND_MAX:
-                _, (old_hashed, _s, _b) = _MINHASH_FRONTEND_CACHE.popitem(
+                old_key, (old_hashed, _s, _b) = _MINHASH_FRONTEND_CACHE.popitem(
                     last=False
                 )
+                _MINHASH_READY.pop(old_key, None)
                 try:
                     old_hashed.unpersist()
                 except Exception:  # session already stopped
                     pass
     if needs_materialize:
-        out[0].count()
+        try:
+            out[0].count()
+        finally:
+            ready.set()
+    elif ready is not None and not ready.is_set():
+        # another thread's materializing count() is in flight — wait for
+        # the blocks to land instead of racing AQE futures against them
+        # (bounded wait: a failed creator sets the event in its finally)
+        ready.wait(timeout=300.0)
     return out
 
 
@@ -411,20 +432,27 @@ def minhash_near_dups(
         )
         .distinct()
     )
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     # |union| = |sa| + |sb| - |intersect| exactly (the hashed shingle sets
     # are array_distinct at build), saving the array_union materialization
-    # per candidate (round 13, guide §2.3)
+    # per candidate (round 13, guide §2.3); the intersect size lands in
+    # its own projection so it is evaluated once per candidate (ADVICE
+    # r13 — CollapseProject keeps non-cheap expressions out of multiple
+    # references)
     verified = (
         cand.join(hashed.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("sa")), "doc_a")
         .join(hashed.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("sb")), "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                inter / (F.size("sa") + F.size("sb") - inter),
-                6,
-            ).alias("jaccard"),
+            F.size(F.array_intersect("sa", "sb")).cast("double").alias("ni"),
+            (F.size("sa") + F.size("sb")).alias("nab"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("ni") / (F.col("nab") - F.col("ni")), 6).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -528,6 +556,11 @@ def ngram_jaccard_near_dups(
     """Near-duplicate pairs by character-n-gram Jaccard: exact Jaccard on
     distinct 5-gram sets within (lang, length//bucket) blocks, >= threshold,
     rounded to 6 decimals. Returns (doc_a, doc_b, jaccard).
+
+    NOT build-lazy (ADVICE r13, documented contract): building the plan
+    runs eager materialization jobs for the persisted gram-set and prefix
+    relations (cleanup-registered); plan-only callers should not invoke
+    this, and consumers must run ``run_query_cleanups()`` when done.
 
     Round 10 replaced the within-block ALL-PAIRS join with LOSSLESS prefix
     filtering (All-Pairs/PPJoin; Bayardo et al., Chaudhuri et al.): the
@@ -814,17 +847,15 @@ def minhash_fresh_vs_history(
             hashed.select(F.col("doc_id").alias("hdoc"), F.col("h").alias("sb")),
             "hdoc",
         )
+        .select(
+            "bdoc",
+            # same arithmetic-|union| form as minhash_near_dups (round 13);
+            # intersect evaluated once in its own projection (ADVICE r13)
+            F.size(F.array_intersect("sa", "sb")).cast("double").alias("ni"),
+            (F.size("sa") + F.size("sb")).alias("nab"),
+        )
         .filter(
-            # same arithmetic-|union| form as minhash_near_dups (round 13)
-            F.round(
-                F.size(F.array_intersect("sa", "sb")).cast("double")
-                / (
-                    F.size("sa")
-                    + F.size("sb")
-                    - F.size(F.array_intersect("sa", "sb"))
-                ),
-                6,
-            )
+            F.round(F.col("ni") / (F.col("nab") - F.col("ni")), 6)
             >= threshold
         )
         .select(F.col("bdoc").alias(id_col))  # caller's id name, not "doc_id"

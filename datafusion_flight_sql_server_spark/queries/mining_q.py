@@ -99,6 +99,13 @@ def copurchase_triangles(li: DataFrame) -> DataFrame:
     an ``o``. Property-tested against a brute-force Python count on random
     graphs (tests/test_property.py) — each graph edge (u, v) encodes as
     its own 2-item basket, so the co-occurrence graph IS the input graph.
+
+    NOT build-lazy (ADVICE r13, documented contract): constructing this
+    DataFrame runs eager jobs (edge-list and adjacency materialization)
+    and registers persisted relations for per-query cleanup — callers
+    that only want the schema/plan should not build it, and long-lived
+    sessions must run ``run_query_cleanups()`` after consuming it (the
+    bench and the serving layer both do).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -867,12 +874,19 @@ def q_dedup_minhash_eval(spark: SparkSession, sf: str) -> DataFrame:
             "doc_a",
             "doc_b",
             n_match.alias("n_match"),
+            # intersect evaluated ONCE (ADVICE r13): |union| derives from
+            # it arithmetically in the next projection — sets are distinct
+            # at build, and CollapseProject keeps a non-cheap expression
+            # out of multiple references
             F.size(F.array_intersect("ha", "hb")).alias("n_inter"),
-            # |union| arithmetically (sets are distinct at build): skips
-            # the concat+distinct array materialization per candidate
-            (
-                F.size("ha") + F.size("hb") - F.size(F.array_intersect("ha", "hb"))
-            ).alias("n_union"),
+            (F.size("ha") + F.size("hb")).alias("n_ab"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            "n_inter",
+            (F.col("n_ab") - F.col("n_inter")).alias("n_union"),
         )
         .select(
             "doc_a",
