@@ -111,6 +111,86 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def _steal_jiffies() -> int | None:
+    """Cumulative hypervisor steal (jiffies) — round 14: steal BURSTS are
+    the root cause of this host's wall/CPU inflations (r13's 18 phantom
+    regressions; one measured run lost 113 CPU-s to the hypervisor inside
+    56 s of wall). A per-phase steal delta in the artifact separates
+    'code got slower' from 'the machine was taken away' mechanically."""
+    try:
+        return int(Path("/proc/stat").read_text().splitlines()[0].split()[8])
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
+
+
+def _steal_delta_sec(start: int | None) -> float | None:
+    end = _steal_jiffies()
+    if start is None or end is None:  # pragma: no cover - non-Linux host
+        return None
+    return round((end - start) / 100.0, 2)
+
+
+#: Load gate (VERDICT r13 #2): a 32-core timed session started under
+#: external load measured 24/26 queries ~2.5x slower than the same binary
+#: at 8 cores. Before building the session, wait (bounded) for the 1-minute
+#: loadavg to drop below the threshold; always proceed after the cap so the
+#: driver still gets its artifact, with the wait recorded in it.
+LOAD_GATE_1M = 3.0
+LOAD_GATE_MAX_WAIT_SEC = 120.0
+
+
+def _load_gate() -> float:
+    waited = 0.0
+    la = _loadavg()
+    while (
+        la is not None and la[0] > LOAD_GATE_1M
+        and waited < LOAD_GATE_MAX_WAIT_SEC
+    ):
+        time.sleep(5.0)
+        waited += 5.0
+        la = _loadavg()
+    return waited
+
+
+def _oracle_child(in_path: str, out_path: str) -> int:
+    """Child-process mode: time the DuckDB oracle queries in an isolated
+    process (VERDICT r13 #2 — the control previously shared the bench
+    session's process, so Spark-side GC/thread activity contaminated the
+    ratio denominator). Protocol identical to the round-12/13 in-process
+    path: warm connection, 1 warmup, adaptive run count (expensive oracles
+    run once, cheap ones a median of 3)."""
+    import duckdb
+
+    spec = json.loads(Path(in_path).read_text())
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{spec['sf_dir']}/{t}.parquet')"
+        )
+    result: dict[str, float] = {}
+    for name, sql in spec["queries"].items():
+        try:
+            con.execute(sql).fetchdf()  # warm-up
+            samples = []
+            t0 = time.perf_counter()
+            con.execute(sql).fetchdf()
+            samples.append(time.perf_counter() - t0)
+            if samples[0] < 5.0:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchdf()
+                    samples.append(time.perf_counter() - t0)
+            result[name] = round(statistics.median(samples), 4)
+        except Exception:  # pragma: no cover - oracle-side failure
+            continue
+    Path(out_path).write_text(json.dumps(result))
+    return 0
+
+
 def _materialize(df) -> int:
     """Pull the full result to the driver over Arrow; return row count."""
     if hasattr(df, "toArrow"):
@@ -122,6 +202,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf") or 0.1)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    load_gate_wait = _load_gate()
     load_start = _loadavg()
 
     # Local-small-SF tuning only (sf0.1 parquet files are ~0.3-10 MiB): split
@@ -179,48 +260,82 @@ def main() -> int:
             timings[name] = round(statistics.median(samples), 4)
         return timings, rows
 
+    steal0 = _steal_jiffies()
     timings, rows = _time_set(sf_dir)
+    steal_asgiven = _steal_delta_sec(steal0)
 
-    # Same-session DuckDB oracle medians (VERDICT r5 #9): the 2x budget was
-    # previously audited against BASELINE.md prose recorded in other
-    # processes — DuckDB's cross-process variance is documented up to 6x,
-    # so only same-process numbers make bench_vs_baseline mechanically
-    # checkable. Warm connection, adaptive run count (expensive oracles run
-    # once; cheap ones take a median of 3). Disable: SPARK_GRAFT_BENCH_ORACLE=0.
+    # DuckDB oracle medians (VERDICT r5 #9: same-HOST, same-session
+    # numbers make bench_vs_baseline mechanically checkable). Round 14
+    # (VERDICT r13 #2): the control runs in its OWN subprocess — sharing
+    # the bench process meant Spark-side GC/compiler threads contaminated
+    # the ratio denominator (r12's two runs of identical code spanned
+    # 0.063-0.322). Timing protocol unchanged (warm connection, adaptive
+    # run count); in-process fallback if the subprocess fails.
+    # Disable: SPARK_GRAFT_BENCH_ORACLE=0.
     oracle_sec: dict[str, float] = {}
+    steal_oracle = None
     if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        steal1 = _steal_jiffies()
+        oracle_spec = {
+            "sf_dir": sf_dir,
+            "queries": {
+                n: REGISTRY[n].oracle for n in names if REGISTRY[n].oracle
+            },
+        }
         try:
-            import duckdb
+            import subprocess
+            import tempfile
 
-            con = duckdb.connect()
-            for t in (
-                "region nation customer supplier part orders lineitem "
-                "events documents embeddings"
-            ).split():
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')"
-                )
-            for name in names:
-                sql = REGISTRY[name].oracle
-                if not sql:
-                    continue
-                try:
-                    con.execute(sql).fetchdf()  # warm-up
-                    samples = []
-                    t0 = time.perf_counter()
-                    con.execute(sql).fetchdf()
-                    samples.append(time.perf_counter() - t0)
-                    if samples[0] < 5.0:
-                        for _ in range(2):
-                            t0 = time.perf_counter()
-                            con.execute(sql).fetchdf()
-                            samples.append(time.perf_counter() - t0)
-                    oracle_sec[name] = round(statistics.median(samples), 4)
-                except Exception:  # pragma: no cover - oracle-side failure
-                    continue
-        except Exception:  # pragma: no cover - duckdb unavailable
-            pass
+            with tempfile.TemporaryDirectory() as td:
+                in_path = str(Path(td) / "oracle_in.json")
+                out_path = str(Path(td) / "oracle_out.json")
+                Path(in_path).write_text(json.dumps(oracle_spec))
+                rc = subprocess.run(
+                    [
+                        sys.executable,
+                        str(Path(_REPO) / "bench.py"),
+                        "--oracle-child",
+                        in_path,
+                        out_path,
+                    ],
+                    timeout=3600,
+                    capture_output=True,
+                ).returncode
+                if rc == 0 and Path(out_path).exists():
+                    oracle_sec = json.loads(Path(out_path).read_text())
+        except Exception:  # pragma: no cover - subprocess unavailable
+            oracle_sec = {}
+        if not oracle_sec:  # pragma: no cover - in-process fallback
+            try:
+                import duckdb
+
+                con = duckdb.connect()
+                for t in (
+                    "region nation customer supplier part orders lineitem "
+                    "events documents embeddings"
+                ).split():
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')"
+                    )
+                for name, sql in oracle_spec["queries"].items():
+                    try:
+                        con.execute(sql).fetchdf()  # warm-up
+                        samples = []
+                        t0 = time.perf_counter()
+                        con.execute(sql).fetchdf()
+                        samples.append(time.perf_counter() - t0)
+                        if samples[0] < 5.0:
+                            for _ in range(2):
+                                t0 = time.perf_counter()
+                                con.execute(sql).fetchdf()
+                                samples.append(time.perf_counter() - t0)
+                        oracle_sec[name] = round(statistics.median(samples), 4)
+                    except Exception:  # pragma: no cover
+                        continue
+            except Exception:  # pragma: no cover - duckdb unavailable
+                pass
+        steal_oracle = _steal_delta_sec(steal1)
 
     # Secondary measurement on a PRE-SPLIT copy of the same data (identical
     # values, smaller parquet row groups). Spark's scan split unit is the
@@ -236,6 +351,7 @@ def main() -> int:
 
         import pyarrow.parquet as pq
 
+        steal2 = _steal_jiffies()
         split_dir = Path(tempfile.gettempdir()) / f"bench_presplit_{Path(sf_dir).name}"
         for f in sorted(Path(sf_dir).glob("*.parquet")):
             out = split_dir / f.name
@@ -251,8 +367,10 @@ def main() -> int:
                     row_group_size=max(8192, tbl.num_rows // 32 or 1),
                 )
         presplit, _ = _time_set(str(split_dir))
+        steal_presplit = _steal_delta_sec(steal2)
     except Exception:  # pragma: no cover - pre-split is best-effort
         presplit = {}
+        steal_presplit = None
 
     # the ratio reads presplit (the layout any real deployment has; falls
     # back to as-given when the presplit rewrite failed) over the
@@ -297,6 +415,11 @@ def main() -> int:
         "ratios": ratios,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
+        "load_gate_wait_sec": load_gate_wait,
+        "steal_asgiven_sec": steal_asgiven,
+        "steal_oracle_sec": steal_oracle,
+        "steal_presplit_sec": steal_presplit,
+        "oracle_isolated_process": bool(oracle_sec) or None,
     }
     full_path = Path(_REPO) / "examples" / "bench_last_full.json"
     try:
@@ -333,6 +456,12 @@ def main() -> int:
         # reads off the artifact (~40 bytes, stays inside the tail)
         "loadavg_start_1m": load_start[0] if load_start else None,
         "loadavg_end_1m": load_end[0] if load_end else None,
+        # round 14: hypervisor-steal seconds per phase + bounded pre-session
+        # load-gate wait (VERDICT r13 #2) — a contended session is now
+        # machine-readable from the compact line alone
+        "steal_presplit_sec": steal_presplit,
+        "steal_oracle_sec": steal_oracle,
+        "load_gate_wait_sec": load_gate_wait,
         "queries": {n: round(t, 3) for n, t in spark_sec.items()},
         "ratios": ratios,
         "full": str(full_path),
@@ -351,4 +480,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 4 and sys.argv[1] == "--oracle-child":
+        raise SystemExit(_oracle_child(sys.argv[2], sys.argv[3]))
     raise SystemExit(main())
