@@ -53,81 +53,84 @@ from datafusion_flight_sql_server_spark.queries import analytics_q  # noqa: F401
 #: implementation (or an operator/cache it rides) materially changed in
 #: the round. SURVEY §5 documents the same policy.
 #:
-#: Round-13 state (optimization round): tier 2 holds the four queries
-#: whose implementation materially changed — ``graph_triangles`` (wedge
-#: self-join replaced by adjacency-array intersection),
-#: ``dedup_ngram_jaccard`` (persisted single-pass front end + PPJoin
-#: positional filter), ``graph_components_star`` (eager localCheckpoint
-#: + single-pass small-star emit) and ``dedup_near_clusters`` (the
-#: min-label propagation loop it rides folded its own-label leg into the
-#: neighbor aggregation, removing a join per round). Oracle equivalence
-#: of all four is additionally pinned by tests (property suites, plan
-#: shapes, oracle parity). No new queries registered (optimization
-#: rounds add none). Tier 3 is the round-8 cohort at the 5-round
-#: freshness limit: ``agg_approx_distinct`` (deferred once at the r12
-#: cut line — leads, and is alphabetically first anyway) through
-#: ``tpch_q21_suppliers_waiting``, 45 rows — tier 2's four slots come
-#: out of the round-9 cohort head (``agg_bitmap_intersect``,
-#: ``agg_count_min``, ``agg_hll_rollup``) plus the cohort tail
-#: ``tpch_q22_global_sales``, which is DEFERRED ONCE at the cut line
-#: (its first deferral — invariant (b) holds) and leads the r14
-#: rotation together with ``agg_bitmap_intersect``.
+#: Round-14 state (second optimization round): tier 2 holds the ELEVEN
+#: queries whose implementation (or a shared operator/cache they ride)
+#: materially changed — ``dedup_ngram_jaccard`` (int64 gram keys
+#: end-to-end), ``graph_triangles`` (grouped pair generation, rebalanced
+#: close width, persisted adjacency), ``dedup_near_clusters`` /
+#: ``graph_components_star`` (self-loop label join; checkpointed base
+#: projection), ``graph_pagerank`` (rank update folded into the
+#: contribution aggregation), ``embed_knn_graph`` (cores-wide scoring
+#: pass) and the five MinHash-family riders ``dedup_near_minhash``,
+#: ``dedup_minhash_eval``, ``dedup_incremental_minhash``,
+#: ``dedup_threshold_curve``, ``dedup_containment`` (single-evaluation
+#: verify intersects + the front-end cache materialization barrier).
+#: No new queries registered (optimization rounds add none). Tier 3
+#: head: ``tpch_q22_global_sales`` LEADS (deferred once at the r13 cut
+#: line — invariant (b) spends its one deferral), then the three rows
+#: tier 2 displaced in r13 (``agg_bitmap_intersect``, ``agg_count_min``,
+#: ``agg_hll_rollup``), then the round-9 cohort oldest-first
+#: (alphabetical within the round). The cohort is 40 rows for 34 slots:
+#: ``text_inverted_index``, ``text_novelty``, ``text_pmi``,
+#: ``text_repetition``, ``tpch_q8_market_share``,
+#: ``tpch_q9_product_profit`` are DEFERRED ONCE at the cut line (first
+#: deferral for each — they lead the next rotation).
 _PRIORITY = (
     # tier 0: permanently pinned — rides the serving engine internals
     "scan_flight",
-    # tier 2: implementation materially changed this round (round 13)
+    # tier 2: implementation materially changed this round (round 14)
     "graph_triangles",
     "dedup_ngram_jaccard",
     "graph_components_star",
     "dedup_near_clusters",
-    # tier 3: the round-8 cohort (rows at the 5-round limit),
-    # agg_approx_distinct deferred-once leading; tpch_q22_global_sales
-    # deferred once at the cut line, leads r14
-    "agg_approx_distinct",
-    "agg_bitwise",
-    "agg_bool",
-    "agg_percentile",
-    "agg_pivot",
-    "embed_centroids",
-    "event_band_join",
-    "event_session_window_native",
-    "event_sliding_window",
-    "event_time_rollup",
-    "fn_bitwise",
-    "fn_date_bin",
-    "fn_hash_encode",
-    "fn_map",
-    "fn_string_distance",
-    "fn_url",
-    "join_skew_salted",
-    "multimodal_frames",
-    "param_bind_named",
-    "param_bind_positional",
-    "scan_binary",
-    "scan_csv",
-    "scan_json",
-    "scan_memtable",
-    "scan_orc",
-    "sink_partitioned",
-    "text_histogram",
-    "text_rolling_hash",
-    "text_topk_tokens",
-    "text_vocab_growth",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipping_priority_class",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_suppliers_waiting",
+    "graph_pagerank",
+    "embed_knn_graph",
+    "dedup_near_minhash",
+    "dedup_minhash_eval",
+    "dedup_incremental_minhash",
+    "dedup_threshold_curve",
+    "dedup_containment",
+    # tier 3 head: the r13 cut-line deferral leads, then the three rows
+    # displaced by r13's tier 2
+    "tpch_q22_global_sales",
+    "agg_bitmap_intersect",
+    "agg_count_min",
+    "agg_hll_rollup",
+    # tier 3: round-9 cohort at the freshness limit, oldest-first
+    "agg_mode",
+    "agg_percentile_approx",
+    "agg_topk_sketch",
+    "corpus_drift",
+    "dedup_exact_keepbest",
+    "dedup_incremental",
+    "dedup_source_overlap",
+    "dedup_substring",
+    "doc_sample_temperature",
+    "doc_sample_weighted",
+    "embed_binary_hamming",
+    "embed_matryoshka",
+    "embed_outliers",
+    "event_anomaly",
+    "event_attribution",
+    "event_cusum",
+    "event_islands",
+    "event_ks_drift",
+    "event_scd2",
+    "event_scd2_lookup",
+    "event_sliding_distinct",
+    "event_time_weighted",
+    "fn_mask",
+    "join_bloom_prune",
+    "join_fuzzy",
+    "multimodal_dedup",
+    "multimodal_phash",
+    "pipeline_curate_v2",
+    "pipeline_curate_v3",
+    "sim_topk_ivf",
+    "sim_topk_pq",
+    "sink_zorder",
+    "text_bigram_lm",
+    "text_burstiness",
 )
 
 
