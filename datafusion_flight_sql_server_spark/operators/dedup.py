@@ -248,6 +248,13 @@ def _minhash_hashed_buckets(
             docs, id_col, text_col, shingle_n, n_perms, n_bands, seed,
             cached=False,
         )
+        # Unconditional eager materialization (VERDICT r13 note): every
+        # current caller fans the relation out to >= 2 concurrent
+        # consumers, where a lazy persist re-exposes the racing-AQE
+        # recompute multiplier. A hypothetical single-consumer caller
+        # pays one extra full-materialization job here; if such a caller
+        # ever exists, thread an `eager: bool = True` parameter through
+        # rather than dropping the count for everyone.
         out[0].count()
         return out
     from datafusion_flight_sql_server_spark.engine.cleanup import (
