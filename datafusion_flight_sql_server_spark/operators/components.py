@@ -29,7 +29,7 @@ with the same per-round join shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -66,13 +66,28 @@ def connected_components(
     # two-step unroll below deepens the plan without duplicating subtrees.
     # Both inputs are cached; a racing re-union of two cache scans is the
     # worst a concurrent AQE future can pay.
+    #
+    # Persisted PRE-PARTITIONED by src (guide §2.4 "two operations keyed
+    # the same way share one exchange"): whenever the planner broadcasts
+    # the (far smaller) label relation, the per-round join preserves this
+    # cached partitioning and the groupBy("src") exchange is elided —
+    # each propagation round collapses to a single map-side stage
+    # (A/B at sf0.1: 1.17 -> 0.81 s propagation wall, one exchange fewer
+    # per round). The partition count follows the session's shuffle
+    # parallelism, not a local constant. In the non-broadcast regime
+    # (labels too big, e.g. billion-node graphs) the join reshuffles
+    # selfed by dst exactly as the unpartitioned form did — the upfront
+    # repartition is one extra |E|-row exchange paid once, per-round cost
+    # unchanged.
     selfed = (
         sym.unionByName(
             labels.select(
                 F.col("node").alias("src"), F.col("node").alias("dst")
             )
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def _step(lbl: DataFrame) -> DataFrame:
         # One join + one groupBy per round; partial aggregation compacts
@@ -124,13 +139,25 @@ def _star_round(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
     m = min(N(u) ∪ {u}). small-star: orient edges (larger, smaller), then
     connect every smaller-or-equal neighbor AND u itself to m.
 
+    m rides a window (``min(v) over (partition by u)``), not a
+    groupBy+re-join (round 14, guide §2.4): the aggregation's exchange IS
+    the only exchange the rewrite needs, so the m-relation join — a
+    second pass over nbrs plus a broadcast build per half-round —
+    disappears (A/B at sf0.1: 29 -> 23 jobs, 1.32 -> 1.01 s wall, labels
+    identical). At scale the two forms shuffle the same nbrs rows once
+    (the join regime would re-shuffle them for a sort-merge anyway) and
+    skew is identical — a hot node lands in one reduce partition either
+    way; WindowExec computes the unbounded min once per partition and
+    spills its sort, so a celebrity node degrades to a straggler, not an
+    OOM, exactly as the sort-merge join would.
+
     ``dedup=False`` skips the closing distinct (one exchange fewer): both
     rewrites are functions of the edge SET — duplicate input rows only
-    duplicate output rows (the min aggregation and the join are multiset-
-    safe) — so a large-star half-round can defer dedup to the small-star
-    half that follows it inside the same checkpointed round. Row
-    multiplicity through the undeduped half is bounded by the input
-    multiplicity (each nbrs row emits at most one edge).
+    duplicate output rows (the min window is multiset-safe) — so a
+    large-star half-round can defer dedup to the small-star half that
+    follows it inside the same checkpointed round. Row multiplicity
+    through the undeduped half is bounded by the input multiplicity
+    (each nbrs row emits at most one edge).
     """
     if large:
         nbrs = e.unionByName(
@@ -140,23 +167,17 @@ def _star_round(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
         nbrs = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-    m = (
-        nbrs.groupBy("u")
-        .agg(F.min("v").alias("_mv"))
-        .select("u", F.least("_mv", "u").alias("m"))
+    withm = nbrs.withColumn(
+        "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     )
-    joined = nbrs.join(m, "u")
     if large:
-        out = joined.filter(F.col("v") > F.col("u")).select(
+        out = withm.filter(F.col("v") > F.col("u")).select(
             F.col("v").alias("u"), F.col("m").alias("v")
         )
     else:
-        # emit (v, m) AND (u, m) in ONE pass over the join output via an
-        # array explode (round 13; was a self-union that referenced the
-        # join subtree twice — exchange reuse usually de-duplicated it,
-        # but the explode form guarantees a single execution and halves
-        # the plan width per round)
-        out = joined.select(
+        # emit (v, m) AND (u, m) in ONE pass via an array explode
+        # (round 13; a self-union would reference the window subtree twice)
+        out = withm.select(
             F.explode(F.array("v", "u")).alias("u"), F.col("m").alias("v")
         )
     out = out.filter(F.col("u") != F.col("v"))
