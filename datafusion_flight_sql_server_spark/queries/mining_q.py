@@ -138,10 +138,27 @@ def copurchase_triangles(li: DataFrame) -> DataFrame:
             ),
         )
     )
+    # Pair dedup lands at COMPUTE width (round 14 late, guide §2.4/§2.6):
+    # an explicit repartition on the dedup keys followed by dropDuplicates
+    # is ONE exchange (the aggregate reuses the repartition's partitioning)
+    # — exactly what .distinct() cost — but leaves the cached edge list
+    # cores-wide instead of at the session's reduce width, so every
+    # downstream stage that maps over the e cache (degree legs, the
+    # orientation join, the close) inherits full parallelism and the
+    # separate rebalance exchange on the oriented list disappears. Width
+    # policy mirrors rebalance_for_compute: cores under local masters,
+    # defaultParallelism on a cluster.
+    sc = li.sparkSession.sparkContext
+    max_width = 32 if sc.master.startswith("local") else sc.defaultParallelism
+    shuffle_width = int(
+        li.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
+    )
+    width = min(max(shuffle_width, sc.defaultParallelism), max_width)
     e = register_query_cleanup(
         baskets.select(F.explode(pair_structs).alias("uv"))
         .select(F.col("uv.u").alias("u"), F.col("uv.v").alias("v"))
-        .distinct()
+        .repartition(width, F.col("u"), F.col("v"))
+        .dropDuplicates(["u", "v"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e.count()
@@ -154,35 +171,27 @@ def copurchase_triangles(li: DataFrame) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    # The oriented list is the input of the CPU-bound close stage (per-edge
-    # array_intersect). Rebalance it to compute width before persisting
-    # (round 14, guide §2.6/§1.2): the AQE-coalesced orientation join left
-    # the cache at the reduce width (8 partitions under the bench session),
-    # so the ~11-CPU-s close stage ran 8-wide on a 32-core host — measured
-    # wall ~1.5 s for a 0.4 s stage at full width. Same policy as
-    # rebalance_for_compute: cores-wide, no-op when already wide.
-    o = register_query_cleanup(
-        rebalance_for_compute(
-            e.join(du, "u")
-            .join(dv, "v")
-            .select(
-                F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-                F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-            ),
-            "s",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+    # The oriented list is consumed EXACTLY ONCE — by the adjacency build
+    # below — so it is neither persisted nor rebalanced (round 14 late; it
+    # held a persist + its own rebalance exchange when the close also read
+    # it as an edge stream). The orientation join therefore runs once at
+    # any scale, and its output width rides the e cache via the broadcast
+    # degree joins.
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
     )
-    # No o.count() here: adj.count() below materializes o's cache blocks on
-    # the way (adj's plan holds the ONLY pre-materialization reference to
-    # o, so there is no racing-futures window), saving one job + one full
-    # cache scan on the critical path.
     # Edge-iterator close: per oriented edge (s, t), triangles through it
     # are |N+(s) ∩ N+(t)|. collect_list order is nondeterministic but
     # array_intersect size is order-free, so the count is stable. The
     # adjacency side is |nodes| rows / |E| total ints — orders of
     # magnitude below the wedge-row set the former self-join emitted.
-    # Persisted (round 14): adj feeds TWO broadcast builds whose exchanges
-    # differ by aliasing, so without the pin the collect_list aggregation
+    # Persisted (round 14): adj feeds the exploded edge stream AND the
+    # t-side build below, so without the pin the collect_list aggregation
     # executed twice (two ~0.9-3 CPU-s stages with identical 6.9 MB
     # shuffle reads in the stage metrics).
     adj = register_query_cleanup(
@@ -191,11 +200,19 @@ def copurchase_triangles(li: DataFrame) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     adj.count()
-    adj_s = adj.select(F.col("s"), F.col("nb").alias("nb_s"))
+    # The close derives the oriented edge stream from adj ITSELF (round 14
+    # late): exploding nb yields every (s, t) with nb_s already in hand —
+    # one cache scan and one join instead of an o-cache stream with two
+    # adjacency joins (A/B at sf0.1: 27 -> 21 jobs, min wall 3.3 -> 2.5 s
+    # with the width change above; n_triangles identical). The per-row
+    # nb_s copy the explode carries is the same wedge payload the former
+    # o⋈adj_s join output carried — nothing new is materialized.
+    edges_with_nbs = adj.select(
+        F.col("s"), F.col("nb").alias("nb_s"), F.explode("nb").alias("t")
+    )
     adj_t = adj.select(F.col("s").alias("t"), F.col("nb").alias("nb_t"))
     tri = (
-        o.join(adj_s, "s")
-        .join(adj_t, "t")
+        edges_with_nbs.join(adj_t, "t")
         .select(F.size(F.array_intersect("nb_s", "nb_t")).alias("c"))
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_triangles"))
     )
