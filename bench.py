@@ -156,9 +156,10 @@ def _oracle_child(in_path: str, out_path: str) -> int:
     """Child-process mode: time the DuckDB oracle queries in an isolated
     process (VERDICT r13 #2 — the control previously shared the bench
     session's process, so Spark-side GC/thread activity contaminated the
-    ratio denominator). Protocol identical to the round-12/13 in-process
-    path: warm connection, 1 warmup, adaptive run count (expensive oracles
-    run once, cheap ones a median of 3)."""
+    ratio denominator). Protocol: warm connection, 1 warmup, adaptive run
+    count — cheap oracles a median of 3 (unchanged since round 12);
+    expensive oracles (first sample >= 5 s) a MIN of 2 instead of a single
+    draw (round 14, declared in OPTIMIZATION_r14.md)."""
     import duckdb
 
     spec = json.loads(Path(in_path).read_text())
@@ -184,7 +185,19 @@ def _oracle_child(in_path: str, out_path: str) -> int:
                     t0 = time.perf_counter()
                     con.execute(sql).fetchdf()
                     samples.append(time.perf_counter() - t0)
-            result[name] = round(statistics.median(samples), 4)
+                result[name] = round(statistics.median(samples), 4)
+            else:
+                # Expensive oracle (round 14, declared measurement fix):
+                # a SINGLE draw of an 80-140 s query was the dominant
+                # remaining ratio variance (ngram's oracle swung 83-144 s
+                # between otherwise-quiet runs; the noise — hypervisor
+                # steal, buffer-cache cold paths — is strictly one-sided).
+                # One more sample and MIN of the two halves the spread at
+                # the cost of one extra expensive run.
+                t0 = time.perf_counter()
+                con.execute(sql).fetchdf()
+                samples.append(time.perf_counter() - t0)
+                result[name] = round(min(samples), 4)
         except Exception:  # pragma: no cover - oracle-side failure
             continue
     Path(out_path).write_text(json.dumps(result))
@@ -330,7 +343,16 @@ def main() -> int:
                                 t0 = time.perf_counter()
                                 con.execute(sql).fetchdf()
                                 samples.append(time.perf_counter() - t0)
-                        oracle_sec[name] = round(statistics.median(samples), 4)
+                            oracle_sec[name] = round(
+                                statistics.median(samples), 4
+                            )
+                        else:
+                            # min-of-2 for expensive oracles — see
+                            # _oracle_child for the rationale
+                            t0 = time.perf_counter()
+                            con.execute(sql).fetchdf()
+                            samples.append(time.perf_counter() - t0)
+                            oracle_sec[name] = round(min(samples), 4)
                     except Exception:  # pragma: no cover
                         continue
             except Exception:  # pragma: no cover - duckdb unavailable

@@ -237,7 +237,15 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev = fingerprint(e)
+    # No seed fingerprint over the input (round 14 late): the loop compares
+    # ROUND OUTPUTS only, so the full-|E| seeding pass disappears — one job
+    # and one edge-list scan fewer per invocation. Round sequences are
+    # identical whenever round 1 changes anything (any nonempty non-star
+    # input); an input that is ALREADY a depth-1 min-star forest pays one
+    # confirming round where the seeded form would have detected the fixed
+    # point upfront — a cheap extra round on an already-contracted (tiny)
+    # edge list, vs a full scan saved on every real input.
+    prev: tuple | None = None
     rounds = 0
     converged = False
     for _ in range(max_iter):
